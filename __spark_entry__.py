@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps every
+implemented operator from SURVEY.md §2 to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` provides the DuckDB-equivalent SQL for the
+value-hash correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    from frolyk_spark.operators.relational import q1_pricing_summary
+
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from frolyk_spark.operators import dedup, multimodal, relational, similarity, text
+    from frolyk_spark.streaming import jobs as streaming_jobs
+    from frolyk_spark.tasks import bridge
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    out.update(text.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(multimodal.QUERIES)
+    out.update(streaming_jobs.QUERIES)
+    out.update(bridge.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from frolyk_spark.operators import dedup, multimodal, relational, similarity, text
+    from frolyk_spark.streaming import jobs as streaming_jobs
+    from frolyk_spark.tasks import bridge
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    out.update(text.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
+    out.update(multimodal.ORACLES)
+    out.update(streaming_jobs.ORACLES)
+    out.update(bridge.ORACLES)
+    return out

@@ -1,0 +1,631 @@
+"""Relational / OLAP operator suite (SURVEY §2 C1-C20).
+
+Every operator is a declarative DataFrame plan — Catalyst gets full
+visibility for predicate pushdown, column pruning and join planning; AQE
+re-plans shuffles at runtime. Dimension tables are broadcast explicitly.
+Scale notes per operator assume the 100 TB layout: lineitem/orders/events
+are the big fact tables, everything else broadcasts.
+
+Output hygiene for the DuckDB oracle gate: every computed column is aliased
+identically in Spark and SQL, dates are emitted as 'yyyy-MM-dd' strings,
+timestamps as epoch-microsecond bigints, doubles rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from frolyk_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- C1: TPC-H Q1 pricing summary -----------------------------------------
+# One shuffle (partial agg map-side via hash aggregate), scan prunes to the
+# 7 referenced columns and pushes the shipdate filter into parquet.
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- C2: TPC-H Q3 shipping priority (adapted to available columns) --------
+# customer is the small side at any SF relative to orders⋈lineitem; the
+# orders⋈lineitem join shuffles on orderkey (both sides already keyed).
+
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < timestamp '1998-03-15 00:00:00'
+  AND l_shipdate  > timestamp '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- C3: TPC-H Q5 local supplier volume (adapted) --------------------------
+# region/nation/supplier broadcast; the plan keeps one shuffle for
+# orders⋈lineitem and one for the final group-by on n_name.
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+  AND o_orderdate <  timestamp '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- C4: TPC-H Q6 forecasting revenue change -------------------------------
+# Pure scan+filter+agg: all three predicates push into the parquet reader;
+# no shuffle at all (single global agg, partial per partition).
+
+def q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+  AND l_shipdate <  timestamp '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- C5: TPC-H Q10 returned items (adapted) --------------------------------
+
+def q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= timestamp '1996-10-01 00:00:00'
+  AND o_orderdate <  timestamp '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- C6: top-K per group (window) ------------------------------------------
+# Single shuffle on the partition key; rank prunes before any later join.
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rnk")
+    )
+
+
+TOPK_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+# --- C7: running aggregate ---------------------------------------------------
+
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# --- C8: lag/lead deltas ------------------------------------------------------
+
+def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+DELTAS_SQL = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 6) AS delta,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- C9: ROLLUP ---------------------------------------------------------------
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --- C10: CUBE -----------------------------------------------------------------
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- C11/C12: semi / anti joins --------------------------------------------------
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= timestamp '2001-01-01 00:00:00')
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= timestamp '2001-01-01 00:00:00')
+"""
+
+
+# --- C13: exact count-distinct per group ------------------------------------------
+
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+DISTINCT_SQL = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+# --- C15: pivot --------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pivoted = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    cols = [F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES]
+    return pivoted.select("user_id", *cols)
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+# --- C16: as-of join ----------------------------------------------------------------
+# Spark has no native ASOF JOIN. Composition: tag both row kinds, single
+# window pass ordered by time carries the "latest click so far" to each
+# purchase — one shuffle on user_id, no self-join, no skew amplification.
+# (Reference analogue: frolyk leaves temporal joins to user processors —
+# src/processors.ts gives only per-message hooks; this is the declarative
+# replacement.)
+
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .withColumn("last_click_us", F.unix_micros(F.max(click_ts).over(w)))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "last_click_us",
+        )
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, ts_us, last_click_us FROM (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         epoch_us(max(CASE WHEN event_type = 'click' THEN ts END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_click_us
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+WHERE event_type = 'purchase'
+"""
+
+
+# --- C17: range join (time-interval) --------------------------------------------------
+# Non-equi time-range joins explode on naive engines. Scale strategy:
+# bucketize the time axis to the range width, explode the probe side into
+# the two candidate buckets, equi-join, then apply the exact range filter.
+# Shuffle is on (user_id, bucket) — bounded fan-out of 2×.
+
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    base = ev.select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts_us").alias("click_us"),
+        (F.col("ts_us") / hour_us).cast("bigint").alias("bucket"),
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.explode(
+                F.array(
+                    (F.col("ts_us") / hour_us).cast("bigint"),
+                    (F.col("ts_us") / hour_us).cast("bigint") - 1,
+                )
+            ).alias("bucket"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.cu)
+        & (purchases.bucket == clicks.bucket)
+        & (clicks.click_us < purchases.ts_us)
+        & (clicks.click_us >= purchases.ts_us - hour_us),
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_prev_hour"))
+    )
+
+
+RANGE_SQL = """
+SELECT p.event_id, p.user_id, count(*) AS n_clicks_prev_hour
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND epoch_us(c.ts) <  epoch_us(p.ts)
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+# --- C18: set operations ----------------------------------------------------------------
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey")).distinct()
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey")).distinct()
+    return (
+        y96.exceptAll(y97).select(F.lit("only_1996").alias("op"), "custkey")
+        .unionAll(y96.intersect(y97).select(F.lit("both").alias("op"), "custkey"))
+    )
+
+
+SETOPS_SQL = """
+WITH y96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+             WHERE o_orderdate >= timestamp '1996-01-01 00:00:00' AND o_orderdate < timestamp '1997-01-01 00:00:00'),
+     y97 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+             WHERE o_orderdate >= timestamp '1997-01-01 00:00:00' AND o_orderdate < timestamp '1998-01-01 00:00:00')
+SELECT 'only_1996' AS op, custkey FROM (SELECT custkey FROM y96 EXCEPT SELECT custkey FROM y97)
+UNION ALL
+SELECT 'both' AS op, custkey FROM (SELECT custkey FROM y96 INTERSECT SELECT custkey FROM y97)
+"""
+
+
+# --- C19: explode / posexplode -----------------------------------------------------------
+
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
+
+
+EXPLODE_SQL = """
+SELECT doc_id,
+       unnest(range(len(string_split(text, ' ')))) AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents WHERE doc_id < 50
+"""
+
+
+# --- C20: time-bucketed rollup -------------------------------------------------------------
+
+def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+DAILY_SQL = """
+SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_unshipped_revenue": q3_unshipped_revenue,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_forecast": q6_forecast,
+    "q10_returned": q10_returned,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "running_revenue": running_revenue,
+    "event_deltas": event_deltas,
+    "rollup_revenue": rollup_revenue,
+    "cube_lineitem": cube_lineitem,
+    "customers_with_orders": customers_with_orders,
+    "customers_without_orders": customers_without_orders,
+    "distinct_parts_per_supplier": distinct_parts_per_supplier,
+    "event_type_pivot": event_type_pivot,
+    "asof_purchase_click": asof_purchase_click,
+    "clicks_before_purchase": clicks_before_purchase,
+    "set_ops_customers": set_ops_customers,
+    "explode_words": explode_words,
+    "daily_revenue": daily_revenue,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_unshipped_revenue": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "q6_forecast": Q6_SQL,
+    "q10_returned": Q10_SQL,
+    "topk_orders_per_customer": TOPK_SQL,
+    "running_revenue": RUNNING_SQL,
+    "event_deltas": DELTAS_SQL,
+    "rollup_revenue": ROLLUP_SQL,
+    "cube_lineitem": CUBE_SQL,
+    "customers_with_orders": SEMI_SQL,
+    "customers_without_orders": ANTI_SQL,
+    "distinct_parts_per_supplier": DISTINCT_SQL,
+    "event_type_pivot": PIVOT_SQL,
+    "asof_purchase_click": ASOF_SQL,
+    "clicks_before_purchase": RANGE_SQL,
+    "set_ops_customers": SETOPS_SQL,
+    "explode_words": EXPLODE_SQL,
+    "daily_revenue": DAILY_SQL,
+}

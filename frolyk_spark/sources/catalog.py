@@ -1,0 +1,51 @@
+"""Parquet catalog over the test-data star schema.
+
+At cluster scale these would be external tables (partitioned parquet on
+object storage); reads stay columnar with predicate pushdown and column
+pruning either way because every operator declares filters/projections
+through the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+        # default. Read nanos as long (runtime-settable legacy conf) and
+        # truncate to microseconds — the same truncation DuckDB's reader
+        # applies — so both engines see identical timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so operators can also be phrased in Spark SQL."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
