@@ -1,0 +1,108 @@
+"""Kafka execution path — Structured Streaming source/sink.
+
+Parity target: reference src/assignment-contexts/kafka.ts + src/streams.ts
+(consumer groups, per-partition streams, manual commits, producer sends).
+Spark's Kafka integration replaces all of the hand-rolled mechanics:
+
+- consumer group / rebalance / heartbeats → Spark's Kafka source manages
+  offsets in the checkpoint; executors split partitions automatically.
+- manual ``commitOffset`` + restart-from-committed → ``checkpointLocation``.
+- pause/resume backpressure (streams.ts:148-226) → ``maxOffsetsPerTrigger``.
+- ``send`` to other topics (kafka.ts:105-124) → Kafka sink per micro-batch.
+
+No broker ships in this image, so ``start_kafka_task`` is exercised only
+through its pure option-building helpers in unit tests; the topology code
+path itself is identical to the tested batch bridge (foreachBatch reuses
+run_task_batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frolyk_spark.tasks.offsets import to_starting_offsets
+
+
+def build_source_options(connection: dict, topic: str, offset_reset,
+                         consumer: dict | None = None) -> dict:
+    """Map frolyk connection/consumer config to Kafka source options."""
+    brokers = connection.get("brokers") or connection.get("bootstrap_servers")
+    if not brokers:
+        raise ValueError("connection requires 'brokers'")
+    if isinstance(brokers, (list, tuple)):
+        brokers = ",".join(brokers)
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": to_starting_offsets(offset_reset),
+        "failOnDataLoss": "false",
+    }
+    max_per_trigger = (consumer or {}).get("max_offsets_per_trigger")
+    if max_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_per_trigger)
+    return opts
+
+
+def build_sink_options(connection: dict) -> dict:
+    brokers = connection.get("brokers") or connection.get("bootstrap_servers")
+    if isinstance(brokers, (list, tuple)):
+        brokers = ",".join(brokers)
+    return {"kafka.bootstrap.servers": brokers}
+
+
+def _decode_kafka_batch(df: DataFrame) -> DataFrame:
+    """Kafka rows -> frolyk message columns (value JSON-decoded downstream)."""
+    return df.select(
+        F.col("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("key"),
+        F.col("value"),
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("timestamp").cast("string").alias("timestamp"),
+    )
+
+
+def start_kafka_task(task, spark: SparkSession, checkpoint_dir: str | None = None):
+    """One streaming query per source, mirroring task.ts:107-155."""
+    from frolyk_spark.tasks.bridge import run_task_batch
+
+    connection = task.options["connection"]
+    consumer = task.options.get("consumer")
+    checkpoint_root = checkpoint_dir or tempfile.mkdtemp(prefix="frolyk-ckpt-")
+    queries = []
+    for source in task.sources:
+        opts = build_source_options(connection, source.topic_name, source.offset_reset, consumer)
+        stream = spark.readStream.format("kafka")
+        for k, v in opts.items():
+            stream = stream.option(k, v)
+        raw = stream.load()
+
+        def handle_batch(batch_df: DataFrame, epoch_id: int, _source=source) -> None:
+            decoded = _decode_kafka_batch(batch_df).withColumn(
+                "part", F.col("partition")
+            )
+            parsed = decoded.withColumn(
+                "value_str", F.col("value").cast("string")
+            )
+            out = run_task_batch(
+                task, spark, parsed, topic=_source.topic_name,
+                partition_col="part", offset_col="offset",
+                output_schema="topic string, key binary, value binary",
+            )
+            out.write.format("kafka").options(
+                **build_sink_options(connection)
+            ).save()
+
+        q = (
+            _decode_kafka_batch(raw)
+            .writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", os.path.join(checkpoint_root, source.topic_name))
+            .start()
+        )
+        queries.append(q)
+    return queries

@@ -1,5 +1,124 @@
-ABANDON = object()
-class Task: pass
+"""Task — the processor-topology construct (parity with reference src/task.ts).
 
-def create_task(*a, **k):
-    return Task()
+A Task declares sources (topics) and processor setups, exactly like the
+reference. Three execution paths:
+
+- ``inject()`` — local in-memory assignment contexts for tests
+  (reference task.ts:86-105).
+- ``run_batch(spark, df, ...)`` — the Spark-native scale path: the same
+  processor chain executed distributed over a DataFrame's partitions via
+  ``applyInPandas`` (see frolyk_spark.tasks.bridge).
+- ``start(spark)`` — Structured Streaming execution against Kafka
+  (reference task.ts:107-155); requires a broker, gated in this image
+  (see frolyk_spark.tasks.kafka).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from frolyk_spark.tasks.local import AssignmentTestInterface, create_local_assignment_context
+from frolyk_spark.tasks.offsets import LogicalOffset
+from frolyk_spark.tasks.pipeline import ABANDON  # re-export for users
+
+_id_seq = itertools.count()
+
+
+@dataclass
+class Source:
+    """Reference src/source.ts."""
+
+    topic_name: str
+    processors: list = field(default_factory=list)
+    offset_reset: object = LogicalOffset.LATEST
+
+
+class Task:
+    def __init__(self, group: str, connection: dict | None = None,
+                 consumer: dict | None = None, admin: dict | None = None):
+        self.id = next(_id_seq)
+        self.group = group
+        self.sources: list[Source] = []
+        self.options = {"connection": connection, "consumer": consumer, "admin": admin}
+        self._streaming_queries = []
+
+    # --- topology (task.ts:52-84) ---
+    def source(self, topic_name: str, offset_reset=LogicalOffset.LATEST) -> Source:
+        existing = next((s for s in self.sources if s.topic_name == topic_name), None)
+        if existing is not None:
+            return existing
+        new = Source(topic_name=topic_name, offset_reset=offset_reset)
+        self.sources.append(new)
+        return new
+
+    def processor(self, source: Source, setup_processing) -> Source:
+        existing = next(
+            (s for s in self.sources if s.topic_name == source.topic_name), None
+        )
+        if existing is None:
+            raise ValueError("Source must be created through same task that processes it")
+        existing.processors.append(setup_processing)
+        return existing
+
+    # --- local test execution (task.ts:86-105) ---
+    def inject(self, assignments):
+        multiple = isinstance(assignments, (list, tuple))
+        normalized = list(assignments) if multiple else [assignments]
+        contexts = []
+        for a in normalized:
+            source = next(
+                (s for s in self.sources if s.topic_name == a["topic"]), None
+            )
+            processors = source.processors if source else []
+            offset_reset = source.offset_reset if source else LogicalOffset.LATEST
+            contexts.append(
+                create_local_assignment_context(
+                    assignment={
+                        "topic": a["topic"],
+                        "partition": a["partition"],
+                        "group": self.group,
+                    },
+                    processors=processors,
+                    offset_reset=offset_reset,
+                )
+            )
+        return contexts if multiple else contexts[0]
+
+    # --- distributed batch execution over Spark ---
+    def run_batch(self, spark, df, topic: str, partition_col: str,
+                  offset_col: str, output_schema: str, num_partitions: int | None = None):
+        from frolyk_spark.tasks.bridge import run_task_batch
+
+        return run_task_batch(
+            self, spark, df, topic=topic, partition_col=partition_col,
+            offset_col=offset_col, output_schema=output_schema,
+            num_partitions=num_partitions,
+        )
+
+    # --- streaming execution (Kafka-gated) ---
+    def start(self, spark, checkpoint_dir: str | None = None):
+        if not self.options.get("connection"):
+            raise ValueError("Task must be configured with kafka connection options to start")
+        from frolyk_spark.tasks.kafka import start_kafka_task
+
+        self._streaming_queries = start_kafka_task(self, spark, checkpoint_dir)
+        return self._streaming_queries
+
+    def stop(self) -> None:
+        for q in self._streaming_queries:
+            q.stop()
+        self._streaming_queries = []
+
+
+def create_task(config: dict) -> Task:
+    """Factory mirroring reference createTask (task.ts:259-261)."""
+    return Task(
+        group=config["group"],
+        connection=config.get("connection"),
+        consumer=config.get("consumer"),
+        admin=config.get("admin"),
+    )
+
+
+__all__ = ["Task", "Source", "create_task", "ABANDON", "AssignmentTestInterface"]
