@@ -1,2 +1,199 @@
-QUERIES = {}
-ORACLES = {}
+"""Text-analysis operators for training-data pipelines (SURVEY §2 D1-D4).
+
+All pure ``pyspark.sql.functions`` expressions — whole-stage codegen over the
+parquet scan, zero Python in the hot path, trivially linear at 100 TB (no
+shuffle at all: these are per-row map operators; outputs would normally be
+written straight back to partitioned parquet).
+
+Each operator has a value-identical DuckDB oracle; hash-dependent parts use
+the portable md5 hash (see frolyk_spark.functions.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frolyk_spark.functions.hashing import portable_hash_spark_sql, portable_hash_sql
+from frolyk_spark.sources.catalog import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# deterministic indicator-word profiles for the n-gram language heuristic;
+# scored by whole-word occurrence counts
+LANG_PROFILES = {
+    "de": ("hash", "window", "gross"),
+    "en": ("the", "a", "key"),
+    "es": ("data", "mesa", "rapido"),
+    "fr": ("table", "petit", "group"),
+    "zh": ("big", "stream", "line"),
+}
+
+
+# --- D1: text stats / quality score -----------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_chars = F.length("text")
+    # single-space separated text: total word chars = n_chars - (n_words - 1)
+    avg_word_len = (n_chars - (n_words - 1)) / n_words
+    stop_ratio = stop_hits / n_words
+    distinct_ratio = n_distinct / n_words
+    quality = (
+        0.4 * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + 0.3 * distinct_ratio
+        + 0.3 * (1 - stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        n_distinct.cast("bigint").alias("n_distinct_words"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       cast(length(text) as bigint) AS n_chars,
+       cast(len(string_split(text, ' ')) as bigint) AS n_words,
+       cast(len(list_distinct(string_split(text, ' '))) as bigint) AS n_distinct_words,
+       round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+             / len(string_split(text, ' ')), 4) AS avg_word_len,
+       round(len(list_filter(string_split(text, ' '),
+                             w -> w IN {STOPWORDS!r})) * 1.0
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+           + 0.3 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')))
+           + 0.3 * (1 - len(list_filter(string_split(text, ' '),
+                                        w -> w IN {STOPWORDS!r})) * 1.0
+                        / len(string_split(text, ' '))), 4) AS quality_score
+FROM documents
+""".replace("('the', 'a', 'of', 'and', 'to')", "('the', 'a', 'of', 'and', 'to')")
+
+
+# --- D2: language identification heuristic ------------------------------------
+
+def _profile_regex(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.regexp_count("text", F.lit(_profile_regex(ws))).cast("bigint").alias(f"s_{lang}")
+            for lang, ws in sorted(LANG_PROFILES.items())
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_PROFILES)])
+    predicted = F.lit(None).cast("string")
+    # first lang (asc) reaching the max wins — deterministic tie-break
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        predicted = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(predicted)
+    return scored.withColumn("predicted_lang", predicted)
+
+
+def _lang_id_sql() -> str:
+    scores = ",\n       ".join(
+        f"cast(len(regexp_extract_all(text, '{_profile_regex(ws)}')) as bigint) AS s_{lang}"
+        for lang, ws in sorted(LANG_PROFILES.items())
+    )
+    langs = sorted(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM documents
+)
+SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh, {case} AS predicted_lang
+FROM scored
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+# --- D3: token counting ---------------------------------------------------------
+
+#: letter runs, single digits, or single punctuation marks — a BPE-flavored
+#: pre-tokenizer shape kept RE2/Java-regex portable (no lookarounds)
+BPE_ISH = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe_tokens = F.regexp_count("text", F.lit(BPE_ISH))
+    return docs.select(
+        "doc_id",
+        ws_tokens.cast("bigint").alias("ws_tokens"),
+        bpe_tokens.cast("bigint").alias("bpe_tokens"),
+        F.round(F.length("text") / bpe_tokens, 4).alias("chars_per_token"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) AS ws_tokens,
+       cast(len(regexp_extract_all(text, '{BPE_ISH}')) as bigint) AS bpe_tokens,
+       round(length(text) * 1.0 / len(regexp_extract_all(text, '{BPE_ISH}')), 4) AS chars_per_token
+FROM documents
+"""
+
+
+# --- D4: document fingerprint (winnowing-style) ----------------------------------
+
+#: character shingle width for the rolling fingerprint
+K_GRAM = 8
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash_spark_sql(f"substr(text, i, {K_GRAM})")
+    fingerprint = F.expr(
+        f"array_min(transform(sequence(1, greatest(length(text) - {K_GRAM - 1}, 1)),"
+        f" i -> {h}))"
+    )
+    n_grams = F.greatest(F.length("text") - (K_GRAM - 1), F.lit(1)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        fingerprint.alias("fingerprint"),
+        n_grams.alias("n_grams"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_min(list_transform(range(1, greatest(length(text) - {K_GRAM - 1}, 1) + 1),
+                i -> {portable_hash_sql(f"substr(text, i, {K_GRAM})")})) AS fingerprint,
+       cast(greatest(length(text) - {K_GRAM - 1}, 1) as bigint) AS n_grams
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+}
