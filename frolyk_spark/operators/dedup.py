@@ -1,2 +1,369 @@
-QUERIES = {}
-ORACLES = {}
+"""Deduplication operators for training-data pipelines (SURVEY §2 D5-D9).
+
+Scale posture (the part that matters at 100 TB):
+
+- Nothing here is all-pairs over the corpus. Candidate generation is always
+  *blocked* — exact hash groups (D5), LSH band buckets (D6), length blocks
+  (D8), label blocks (D9) — so every join is an equi-join Catalyst can
+  shuffle-partition on the block key, and cost stays linear-ish in corpus
+  size instead of quadratic.
+- Signatures (minhash / simhash) are pure `F.*` / SQL expressions over the
+  parquet scan: whole-stage codegen, zero Python, no shuffle until the
+  band-bucket groupBy. In production you would persist the signature table
+  once and reuse it; here each query recomputes it (500-5k docs).
+- All hashes are the portable 60-bit md5 scheme
+  (frolyk_spark.functions.hashing), so every operator is value-checkable
+  against the DuckDB oracle, including the banded-LSH join.
+
+Reference parity note: the reference (JaapRood/frolyk) is a Kafka
+stream-processing library with no dedup layer; these operators implement the
+LLM-data-pipeline surface of the charter (SURVEY §2 D).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frolyk_spark.functions.hashing import portable_hash_expr, portable_hash_spark_sql, portable_hash_sql
+from frolyk_spark.sources.catalog import load_table
+
+#: words per shingle for minhash / jaccard
+SHINGLE_W = 3
+#: minhash signature length
+MINHASH_K = 12
+#: LSH bands (rows per band = MINHASH_K // MINHASH_B)
+MINHASH_B = 4
+#: simhash fingerprint width in bits (fits the 60-bit portable hash)
+SIMHASH_BITS = 60
+#: n-gram Jaccard similarity threshold for candidate pairs
+JACCARD_T = 0.5
+#: width of the word-count blocking bucket for D8
+LEN_BLOCK_W = 16
+#: cosine threshold for embedding near-dup pairs (tuned: planted near-dups
+#: sit well above, random same-label pairs below)
+EMB_COS_T = 0.35
+
+
+# --- D5: exact dedup --------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash(text) groups, keep the min doc_id as canonical.
+
+    One shuffle on the 60-bit text hash; at 100 TB this is the classic
+    hash-partitioned exact dedup (the hash column is tiny vs the text).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(portable_hash_expr("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {portable_hash_sql('text')} AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- shared shingle expressions ---------------------------------------------
+
+#: distinct word {SHINGLE_W}-gram shingles of `text` (Spark SQL expr).
+#: Short docs (< SHINGLE_W words) fall back to one whole-text shingle.
+_SHINGLES_SPARK = (
+    "array_distinct(transform("
+    f"sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_W - 1}, 1)),"
+    f" i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_W}))))"
+)
+
+_SHINGLES_DUCK = (
+    "list_distinct(list_transform("
+    f"range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_W - 1}, 1) + 1),"
+    f" i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_W - 1}], ' ')))"
+)
+
+
+# --- D6: minhash + banded LSH -----------------------------------------------
+
+import hashlib as _hashlib
+
+#: deterministic 60-bit XOR seeds for the k minhash functions — md5(str(j)),
+#: same derivation both engines can't disagree on because the values are
+#: baked into the plan as literals.
+MINHASH_SEEDS = tuple(
+    int(_hashlib.md5(str(j).encode()).hexdigest()[:15], 16) for j in range(MINHASH_K)
+)
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via minhash + banded LSH.
+
+    shingle -> ONE md5 per shingle -> k={MINHASH_K} minhashes via XOR
+    seed-mixing (bijective, so the min-hash property holds; 12x fewer md5
+    calls than per-seed hashing) -> b={MINHASH_B} bands of r=k/b rows ->
+    groupBy (band_id, band_hash) -> in-bucket pair expansion.
+
+    Linear in corpus size: each doc emits exactly b bucket rows; the one
+    shuffle is the bucket groupBy. Pairs are expanded inside buckets from
+    the sorted doc_id list — near-dup buckets are small by construction
+    (docs only collide when a full band of minhashes agrees). At 100 TB a
+    pathological giant bucket would be capped or routed through a join; the
+    signature table would be persisted and reused across runs.
+    """
+    r = MINHASH_K // MINHASH_B
+    seeds_spark = "array(" + ", ".join(f"{s}L" for s in MINHASH_SEEDS) + ")"
+    sig = (
+        f"transform(sequence(0, {MINHASH_K - 1}),"
+        f" j -> array_min(transform(hs, h -> h ^ element_at({seeds_spark}, j + 1))))"
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .withColumn("hs", F.expr(f"transform(shingles, s -> {portable_hash_spark_sql('s')})"))
+        .withColumn("sig", F.expr(sig))
+    )
+    band_hash = portable_hash_spark_sql(
+        "concat(cast(b as string), ':',"
+        f" array_join(transform(slice(sig, b * {r} + 1, {r}),"
+        " x -> cast(x as string)), ','))"
+    )
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_B - 1}),"
+                f" b -> struct(b as band_id, {band_hash} as band_hash))"
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    pairs_expr = (
+        "flatten(transform(ids,"
+        " (x, i) -> transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x as doc_a, y as doc_b))))"
+    )
+    return (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def _dedup_minhash_sql() -> str:
+    r = MINHASH_K // MINHASH_B
+    seeds_duck = "[" + ", ".join(str(s) for s in MINHASH_SEEDS) + "]"
+    band_hash = portable_hash_sql(
+        "cast(b as varchar) || ':' ||"
+        f" array_to_string(list_transform(sig[b * {r} + 1:b * {r} + {r}],"
+        " x -> cast(x as varchar)), ',')"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {MINHASH_K}),
+                        j -> list_min(list_transform(shingles,
+                               s -> xor({portable_hash_sql('s')}, {seeds_duck}[j + 1])))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b, {band_hash} AS band_hash
+  FROM sig, range(0, {MINHASH_B}) t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+# --- D7: simhash ------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc {SIMHASH_BITS}-bit simhash fingerprint.
+
+    Pure expression pipeline (no shuffle): word hashes fold into a per-bit
+    +/-1 vote vector, votes collapse to the fingerprint. Occurrence-weighted
+    (every word occurrence votes). At scale this is a map-only pass;
+    near-dup pairing would then block on fingerprint bytes or hamming-ball
+    prefixes — the fingerprint itself is the linear-cost part.
+    """
+    h = portable_hash_spark_sql("w")
+    votes = (
+        f"aggregate(transform(split(text, ' '), w -> {h}),"
+        f" transform(sequence(0, {SIMHASH_BITS - 1}), i -> cast(0 as bigint)),"
+        f" (acc, hv) -> zip_with(acc,"
+        f"   transform(sequence(0, {SIMHASH_BITS - 1}),"
+        f"     i -> if((shiftright(hv, i) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))),"
+        f"   (x, y) -> x + y))"
+    )
+    simhash = (
+        f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}),"
+        f" (s, i) -> if(s > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),"
+        f" cast(0 as bigint), (a, x) -> a + x)"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(simhash).alias("simhash"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {portable_hash_sql('w')} AS hv
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, range(0, {SIMHASH_BITS}) t(i)
+  GROUP BY doc_id, i
+)
+SELECT b.doc_id,
+       cast(sum(CASE WHEN b.s > 0 THEN (cast(1 as bigint) << b.i) ELSE 0 END) as bigint) AS simhash,
+       cast(len(string_split(d.text, ' ')) as bigint) AS n_words
+FROM bits b JOIN documents d ON b.doc_id = d.doc_id
+GROUP BY b.doc_id, d.text
+"""
+
+
+# --- D8: n-gram Jaccard with length blocking --------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-{SHINGLE_W}-gram Jaccard >= {JACCARD_T} pairs, length-blocked.
+
+    Each doc lands in its word-count block and the next one up, so pairs
+    whose lengths differ by < {LEN_BLOCK_W} words always share a block —
+    near-identical docs have near-identical lengths. The join is an
+    equi-join on the block key (shuffle-partitionable); exact Jaccard is
+    computed only inside blocks, never across the whole corpus.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("grams", F.expr(_SHINGLES_SPARK))
+        .withColumn("n_words", F.size(F.split("text", " ")))
+    )
+    blocked = docs.select(
+        "doc_id",
+        "grams",
+        "n_words",
+        F.explode(
+            F.array(
+                F.floor(F.col("n_words") / LEN_BLOCK_W),
+                F.floor(F.col("n_words") / LEN_BLOCK_W) + 1,
+            )
+        ).alias("block"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))) / F.size(
+        F.array_union(F.col("a.grams"), F.col("b.grams"))
+    )
+    return (
+        a.join(b, "block")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_words") - F.col("b.n_words")) < LEN_BLOCK_W)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_T)
+        .distinct()
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH g AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS grams,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+blocked AS (
+  SELECT doc_id, grams, n_words,
+         unnest([n_words // {LEN_BLOCK_W}, n_words // {LEN_BLOCK_W} + 1]) AS block
+  FROM g
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM blocked a
+JOIN blocked b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+ AND abs(a.n_words - b.n_words) < {LEN_BLOCK_W}
+WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0
+            / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= {JACCARD_T}
+"""
+
+
+# --- D9: embedding near-dup pairs -------------------------------------------
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked cosine >= {EMB_COS_T}.
+
+    Blocks on the label column so the self-join is an equi-join (at scale:
+    the blocking key would be a coarse cluster / LSH bucket assignment — the
+    shape is identical). Cosine runs JVM-side via zip_with/aggregate
+    (frolyk_spark.functions.vectors) — the vectors never leave the JVM.
+    """
+    from frolyk_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, "label")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("label"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= EMB_COS_T)
+    )
+
+
+def _dedup_embedding_sql() -> str:
+    from frolyk_spark.functions.vectors import cosine_sql
+
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round({cos}, 4) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({cos}, 4) >= {EMB_COS_T}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash": _dedup_minhash_sql(),
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding": _dedup_embedding_sql(),
+}
