@@ -105,44 +105,49 @@ MINHASH_SEEDS = tuple(
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via minhash + banded LSH.
 
-    shingle -> ONE md5 per shingle -> k={MINHASH_K} minhashes via XOR
-    seed-mixing (bijective, so the min-hash property holds; 12x fewer md5
-    calls than per-seed hashing) -> b={MINHASH_B} bands of r=k/b rows ->
-    groupBy (band_id, band_hash) -> in-bucket pair expansion.
+    Shape chosen for both single-evaluation and 100 TB scale:
 
-    Linear in corpus size: each doc emits exactly b bucket rows; the one
-    shuffle is the bucket groupBy. Pairs are expanded inside buckets from
-    the sorted doc_id list — near-dup buckets are small by construction
-    (docs only collide when a full band of minhashes agrees). At 100 TB a
-    pathological giant bucket would be capped or routed through a join; the
-    signature table would be persisted and reused across runs.
+    1. explode distinct shingles to rows and md5 each exactly once (a
+       chained-projection formulation lets Catalyst collapse projects and
+       re-inline the hash array into every minhash lambda — ~48x duplicate
+       md5 work; the explode is the evaluation barrier that prevents it);
+    2. k={MINHASH_K} minhashes as plain `min(hash XOR seed_j)` aggregates —
+       XOR seed-mixing is bijective so the min-hash property holds, and
+       hash aggregation map-side-combines, so the doc_id shuffle carries
+       only k longs per doc per partition, not the shingle set;
+    3. b={MINHASH_B} bands of r=k/b sigs -> band-hash bucket groupBy ->
+       in-bucket pair expansion from the sorted doc_id list. Near-dup
+       buckets are small by construction (docs only collide when a full
+       band agrees); a pathological giant bucket would be capped or routed
+       through a join at scale, and the signature table persisted/reused.
+
+    Never all-pairs: both shuffles are equi-partitioned on doc_id / bucket.
     """
     r = MINHASH_K // MINHASH_B
-    seeds_spark = "array(" + ", ".join(f"{s}L" for s in MINHASH_SEEDS) + ")"
-    sig = (
-        f"transform(sequence(0, {MINHASH_K - 1}),"
-        f" j -> array_min(transform(hs, h -> h ^ element_at({seeds_spark}, j + 1))))"
-    )
-    docs = (
+    shingled = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .withColumn("shingles", F.expr(_SHINGLES_SPARK))
-        .withColumn("hs", F.expr(f"transform(shingles, s -> {portable_hash_spark_sql('s')})"))
-        .withColumn("sig", F.expr(sig))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
+        .select("doc_id", F.expr(portable_hash_spark_sql("s")).alias("h"))
     )
-    band_hash = portable_hash_spark_sql(
-        "concat(cast(b as string), ':',"
-        f" array_join(transform(slice(sig, b * {r} + 1, {r}),"
-        " x -> cast(x as string)), ','))"
+    sigs = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"h ^ {seed}L")).alias(f"s{j}")
+            for j, seed in enumerate(MINHASH_SEEDS)
+        ]
     )
-    bands = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {MINHASH_B - 1}),"
-                f" b -> struct(b as band_id, {band_hash} as band_hash))"
-            )
-        ).alias("band"),
+    band_structs = ", ".join(
+        "struct({b} as band_id, {h} as band_hash)".format(
+            b=b,
+            h=portable_hash_spark_sql(
+                f"concat_ws(',', '{b}', "
+                + ", ".join(f"cast(s{j} as string)" for j in range(b * r, (b + 1) * r))
+                + ")"
+            ),
+        )
+        for b in range(MINHASH_B)
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("band")
     ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
     pairs_expr = (
         "flatten(transform(ids,"
@@ -163,7 +168,7 @@ def _dedup_minhash_sql() -> str:
     r = MINHASH_K // MINHASH_B
     seeds_duck = "[" + ", ".join(str(s) for s in MINHASH_SEEDS) + "]"
     band_hash = portable_hash_sql(
-        "cast(b as varchar) || ':' ||"
+        "cast(b as varchar) || ',' ||"
         f" array_to_string(list_transform(sig[b * {r} + 1:b * {r} + {r}],"
         " x -> cast(x as varchar)), ',')"
     )

@@ -1,2 +1,227 @@
-QUERIES = {}
-ORACLES = {}
+"""Similarity-search operators over the embeddings table (SURVEY §2 D10-D12).
+
+- D10 `ann_bruteforce`: exact top-k cosine for a small probe set. The probe
+  side is broadcast, so the plan is a broadcast nested-loop join that
+  streams the corpus once — linear in corpus size, no shuffle of the
+  corpus. This is the correctness baseline for ANN.
+- D11 `ann_lsh`: random-hyperplane LSH. Corpus and probes are bucketed by
+  sign-bit codes in L independent tables (deterministic md5-seeded planes,
+  computed as a small numpy matrix and applied in an Arrow-batched pandas
+  UDF — one matmul per batch). Candidates come from bucket equality
+  (equi-join, shuffle-partitionable), then exact cosine reranks. At 100 TB
+  the bucket join prunes the corpus instead of scanning it per probe.
+  No SQL oracle (checked by a recall-vs-bruteforce pytest, SURVEY D11).
+- D12 `embedding_stats`: per-label corpus statistics (count, mean norm,
+  centroid norm) — posexplode + two hash aggregations.
+
+Vector math is JVM-side (frolyk_spark.functions.vectors) everywhere except
+the LSH bucketing matmul, which is deliberately a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frolyk_spark.functions.vectors import cosine, cosine_sql, norm, norm_sql
+from frolyk_spark.sources.catalog import load_table
+
+#: probes = vec_id < N_PROBES, corpus = the rest
+N_PROBES = 10
+#: neighbors returned per probe
+TOP_K = 5
+
+#: LSH geometry: L tables x NBITS sign bits. Tuned for the synthetic
+#: embeddings where true top-k neighbors sit at cosine ~0.3-0.45 (weakly
+#: clustered): few bits per table, many tables. A production corpus with
+#: tight near-dup clusters would invert this (more bits, fewer tables) for
+#: stronger pruning.
+LSH_TABLES = 12
+LSH_BITS = 4
+#: embedding dimensionality of the test tables
+DIM = 64
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    corpus = emb.where(F.col("vec_id") >= N_PROBES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cand_emb")
+    )
+    return probes, corpus
+
+
+def _rerank(joined: DataFrame) -> DataFrame:
+    """Exact-cosine top-k per probe; rank on rounded cosine + id tie-break
+    so ordering is reproducible across engines."""
+    cos = F.round(cosine(F.col("probe_emb"), F.col("cand_emb")), 4)
+    scored = joined.select(
+        "probe_id", "neighbor_id", cos.alias("cos_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+# --- D10: exact brute-force top-k -------------------------------------------
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{TOP_K} cosine neighbors for the {N_PROBES}-probe set.
+
+    broadcast(probes) x corpus: one pass over the corpus per batch of
+    probes, cosine inside whole-stage codegen, then a top-k window keyed by
+    probe (tiny shuffle: corpus_rows x n_probes scored pairs never leave
+    the executors unaggregated — only the per-partition top-k survive the
+    window's rank filter after AQE).
+    """
+    probes, corpus = _split(spark, sf_dir)
+    return _rerank(corpus.crossJoin(F.broadcast(probes)))
+
+
+def _ann_bruteforce_sql() -> str:
+    cos = f"round({cosine_sql('p.probe_emb', 'c.cand_emb')}, 4)"
+    return f"""
+WITH p AS (
+  SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings WHERE vec_id < {N_PROBES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cand_emb FROM embeddings WHERE vec_id >= {N_PROBES}
+),
+scored AS (
+  SELECT p.probe_id, c.neighbor_id, {cos} AS cos_sim,
+         row_number() OVER (PARTITION BY p.probe_id
+                            ORDER BY {cos} DESC, c.neighbor_id ASC) AS rank
+  FROM p CROSS JOIN c
+)
+SELECT probe_id, rank, neighbor_id, cos_sim
+FROM scored WHERE rank <= {TOP_K}
+"""
+
+
+# --- D11: random-hyperplane LSH + rerank ------------------------------------
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic md5-seeded hyperplanes, components in [-1, 1)."""
+    planes = []
+    for t in range(LSH_TABLES):
+        for i in range(LSH_BITS):
+            row = []
+            for j in range(DIM):
+                u = int(hashlib.md5(f"{t}:{i}:{j}".encode()).hexdigest()[:15], 16)
+                row.append(u / float(1 << 59) - 1.0)
+            planes.append(row)
+    return planes
+
+
+def _bucketize(df: DataFrame, emb_col: str) -> DataFrame:
+    """Add (table_id, bucket) rows: one sign-bit code per LSH table.
+
+    The matmul against the (DIM x L*NBITS) plane matrix runs as a
+    vectorized pandas UDF over Arrow batches — one numpy matmul per batch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplanes()
+
+    @pandas_udf("array<bigint>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.asarray(planes, dtype=np.float64).T  # (DIM, L*NBITS)
+        x = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, DIM)
+        bits = (x @ mat > 0).astype(np.int64)  # (batch, L*NBITS)
+        weights = 1 << np.arange(LSH_BITS, dtype=np.int64)
+        codes = bits.reshape(len(emb), LSH_TABLES, LSH_BITS) @ weights  # (batch, L)
+        return pd.Series(list(codes))
+
+    return (
+        df.withColumn("codes", buckets(F.col(emb_col)))
+        .select("*", F.posexplode("codes").alias("table_id", "bucket"))
+        .drop("codes")
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{TOP_K} via {LSH_TABLES}x{LSH_BITS}-bit sign-LSH.
+
+    Candidates = corpus rows sharing any table bucket with a probe
+    (equi-join on (table_id, bucket)), deduped, then exact-cosine reranked.
+    Checked by tests/test_similarity.py: recall >= 0.6 vs ann_bruteforce.
+    """
+    probes, corpus = _split(spark, sf_dir)
+    pb = _bucketize(probes, "probe_emb")
+    cb = _bucketize(corpus, "cand_emb")
+    cands = (
+        cb.join(F.broadcast(pb.select("probe_id", "table_id", "bucket")), ["table_id", "bucket"])
+        .select("probe_id", "neighbor_id", "cand_emb")
+        .distinct()
+        .join(F.broadcast(probes), "probe_id")
+    )
+    return _rerank(cands)
+
+
+# --- D12: per-label embedding statistics ------------------------------------
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count, mean vector norm, and centroid norm.
+
+    Centroid = element-wise mean via posexplode -> (label, pos) avg ->
+    per-label sqrt-sum-of-squares. Two hash aggregations, both
+    shuffle-partitioned on small keys; at 100 TB this is the standard
+    two-stage mean with map-side partial aggregation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select("label", norm("embedding").alias("nrm")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"))
+    )
+    return norms.join(cent, "label").select("label", "n_vecs", "avg_norm", "centroid_norm")
+
+
+def _embedding_stats_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT label, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm
+  FROM (SELECT label, pos, avg(cast(val as double)) AS m FROM e GROUP BY label, pos)
+  GROUP BY label
+),
+norms AS (
+  SELECT label, count(*) AS n_vecs, round(avg({norm_sql('embedding')}), 4) AS avg_norm
+  FROM embeddings GROUP BY label
+)
+SELECT n.label, n.n_vecs, n.avg_norm, c.centroid_norm
+FROM norms n JOIN cent c ON n.label = c.label
+"""
+
+
+QUERIES = {
+    "ann_bruteforce": ann_bruteforce,
+    "ann_lsh": ann_lsh,
+    "embedding_stats": embedding_stats,
+}
+
+# ann_lsh is deliberately oracle-free: approximate results are checked by
+# the recall pytest against ann_bruteforce (SURVEY §2 D11).
+ORACLES = {
+    "ann_bruteforce": _ann_bruteforce_sql(),
+    "embedding_stats": _embedding_stats_sql(),
+}

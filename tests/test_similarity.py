@@ -1,0 +1,32 @@
+"""ANN-specific checks (SURVEY §2 D10-D11).
+
+ann_bruteforce / embedding_stats are oracle-checked in test_correctness;
+ann_lsh is approximate so its gate is recall against the exact baseline.
+"""
+
+from frolyk_spark.operators.similarity import TOP_K, ann_bruteforce, ann_lsh
+
+
+def _pairs(df):
+    return {(r.probe_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    exact = _pairs(ann_bruteforce(spark, sf_dir))
+    approx = _pairs(ann_lsh(spark, sf_dir))
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} < 0.6"
+
+
+def test_ann_lsh_shape(spark, sf_dir):
+    rows = ann_lsh(spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe, group in by_probe.items():
+        assert len(group) <= TOP_K
+        ranks = sorted(r.rank for r in group)
+        assert ranks == list(range(1, len(group) + 1))
+        cos_by_rank = [r.cos_sim for r in sorted(group, key=lambda r: r.rank)]
+        assert cos_by_rank == sorted(cos_by_rank, reverse=True)
