@@ -1,2 +1,243 @@
-QUERIES = {}
-ORACLES = {}
+"""Structured Streaming operators over the events table (SURVEY §2 B1-B3, B6).
+
+The events parquet is replayed as a file stream (the same role Kafka topics
+play in the reference — JaapRood/frolyk src/streams.ts builds one ordered
+message stream per topic-partition; here the stream is the events "topic"
+and Spark owns partitioning/ordering). Each query:
+
+  readStream(parquet) -> transform -> writeStream(memory sink,
+  availableNow trigger) -> await -> return the sink table
+
+`availableNow` processes everything currently available and terminates, so
+the result is deterministic and oracle-checkable against batch SQL — the
+streaming/batch parity Spark guarantees by design. In production the sink
+would be Kafka/Delta/parquet with `append` + watermark; the memory sink +
+`complete` mode here keeps the full result for the correctness gate while
+exercising the real streaming engine (stateful aggregation, state store,
+commit log). Watermark/late-data, custom state, and checkpoint-recovery
+paths are exercised in tests/test_streaming.py (B4, B5, B7, A14).
+
+The file-stream source needs a *directory*; single-file tables are staged
+as a symlink under .scratch/streams (no data copy).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frolyk_spark.sources.catalog import load_table
+
+#: repo-local scratch space for stream staging dirs + checkpoints
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+#: session gap for session windows
+SESSION_GAP = "30 minutes"
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+TS_US_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_US_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def stage_stream_dir(sf_dir: str, table: str) -> str:
+    """Directory the file-stream source can list, containing a symlink to
+    the table's parquet (file sources reject bare file paths)."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(SCRATCH, "streams", f"{table}_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}-0.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the events table (nanos ts -> micros, like the
+    batch catalog, so streaming results hash-match batch oracles)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_stream_dir(sf_dir, "events"))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink and return the sink table."""
+    spark = df.sparkSession
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    # The state-store partition count is fixed at first query start from
+    # spark.sql.shuffle.partitions; a plain session's default of 200 is
+    # wasteful at test scale, so pin a sane value for the start and restore.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(SCRATCH, "checkpoints", name))
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+# --- B1: tumbling-window aggregate ------------------------------------------
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling windows: count + sum(value) per
+    (window, event_type). Stateful streaming aggregation; epoch-aligned
+    windows make the batch oracle a date_trunc group-by."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, mode="complete", prefix="tumbling")
+
+
+STREAM_TUMBLING_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- B2: hopping-window aggregate -------------------------------------------
+
+def stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour windows hopping every 30 minutes (each event lands
+    in 2 windows). Oracle expands each event into its two window starts."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, mode="complete", prefix="hopping")
+
+
+STREAM_HOPPING_SQL = f"""
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS wstart,
+         value
+  FROM events
+)
+SELECT strftime(wstart, '{TS_FMT_DUCK}') AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM expanded
+GROUP BY 1
+"""
+
+
+# --- B6: streaming dedup ----------------------------------------------------
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type), watermark-bounded
+    state. Output keeps only the key columns so the kept-first-row choice
+    (order-dependent) never reaches the result: the answer is exactly the
+    distinct key set."""
+    dedup = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dedup, mode="append", prefix="dedup")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+# --- B3: session windows (batch; streaming variant in test_streaming) -------
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a {SESSION_GAP} gap via
+    F.session_window — Spark merges overlapping event windows; the oracle
+    is the classic gaps-and-islands SQL. Session end = last event + gap.
+
+    Batch form (bench-comparable); the same expression runs as a streaming
+    stateful aggregation in tests/test_streaming.py::test_streaming_session_window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", TS_US_FMT_SPARK).alias("session_start"),
+            F.date_format("sw.end", TS_US_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_US_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_US_FMT_DUCK}') AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "stream_tumbling": stream_tumbling,
+    "stream_hopping": stream_hopping,
+    "stream_dedup": stream_dedup,
+    "sessionize": sessionize,
+}
+
+ORACLES = {
+    "stream_tumbling": STREAM_TUMBLING_SQL,
+    "stream_hopping": STREAM_HOPPING_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
+    "sessionize": SESSIONIZE_SQL,
+}
