@@ -2,35 +2,46 @@
 
 This is the scale path the reference cannot express: the same
 ``setup(assignment) -> fn(value, context)`` processors that run in the local
-inject harness execute across a cluster, one assignment per partition group,
-rows Arrow-batched through ``applyInPandas`` (grouped-map). Per-partition
-ordering — frolyk's core guarantee (reference src/streams.ts: one ordered
-stream per topic-partition) — is preserved by sorting each group on the
-offset column before the chain runs.
+inject harness execute across a cluster. Rows stream through ``mapInPandas``
+as an iterator of Arrow batches — a partition group is never materialized
+as one pandas DataFrame, so group size is bounded by batch size, not
+executor memory. Per-partition ordering — frolyk's core guarantee
+(reference src/streams.ts: one ordered stream per topic-partition) — holds
+because rows are hash-repartitioned on the partition column and sorted
+within each Spark partition on (partition, offset): every group's rows are
+contiguous and offset-ordered inside the iterator.
 
-At 100 TB the number of "partitions" is the parallelism knob: groups hash-
-shuffle once, each group streams through a single Python worker as Arrow
-batches, and the chain itself is plain per-message Python exactly like the
-reference's processors.
+``num_partitions`` is the parallelism knob at 100 TB: it sizes the single
+shuffle. High-water offsets are a tiny per-partition aggregate joined in as
+a broadcast, so ``caught_up``/``watermarks`` work without a global pass.
+
+Two emit modes mirror the reference's two outputs:
+- ``emit="results"``: the chain's per-message return values
+  (reference ``processingResults``) with a caller-declared schema.
+- ``emit="produced"``: messages produced via ``context.send`` (reference
+  ``producedMessages`` — kafka.ts producer.send), as Kafka-shaped rows
+  (topic, partition, key, value) for a Kafka/file sink.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import _parse_datatype_string
 
 from frolyk_spark.tasks.pipeline import build_processors, is_abandoned, process_message
+
+PRODUCED_SCHEMA = "topic string, partition int, key binary, value binary"
 
 
 class BatchAssignmentContext:
     """AssignmentContext for distributed batch runs.
 
-    Offset bookkeeping is local to the partition group; ``send`` is collected
-    into ``produced`` for the caller's sink (in streaming mode foreachBatch
-    flushes these to Kafka).
+    Offset bookkeeping is local to the partition group; ``send`` collects
+    into ``produced``, surfaced by ``run_task_batch(emit="produced")``.
     """
 
     def __init__(self, topic: str, partition: int, group: str, high_offset: int):
@@ -60,6 +71,9 @@ class BatchAssignmentContext:
         pass
 
     def seek(self, offset) -> None:
+        # Spark owns offset progression in distributed mode (the reference
+        # seeks live per-partition streams, src/streams.ts:80-97; the Spark
+        # equivalent is restarting from a chosen checkpoint/startingOffsets).
         raise NotImplementedError("seek is not available in distributed batch mode")
 
     def send(self, messages) -> list[dict]:
@@ -75,6 +89,16 @@ class BatchAssignmentContext:
         return {"high_offset": self._high_offset, "low_offset": 0}
 
 
+def _to_bytes(value) -> bytes | None:
+    if value is None:
+        return None
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    import json
+
+    return json.dumps(value).encode()
+
+
 def run_task_batch(
     task,
     spark: SparkSession,
@@ -83,45 +107,85 @@ def run_task_batch(
     topic: str,
     partition_col: str,
     offset_col: str,
-    output_schema: str,
+    output_schema: str = PRODUCED_SCHEMA,
     num_partitions: int | None = None,
+    value_col: str | None = None,
+    key_col: str | None = None,
+    timestamp_col: str | None = None,
+    emit: str = "results",
 ) -> DataFrame:
+    """Run ``task``'s processor chain for ``topic`` over ``df``.
+
+    With ``value_col``/``key_col``/``timestamp_col`` set (the Kafka path),
+    messages carry those columns verbatim — matching the local inject
+    context's message shape (local.py _create_message: value/key bytes,
+    real timestamp). Without them, ``value`` is the whole row as a dict —
+    the convenience shape for DataFrame-native pipelines.
+    """
+    if emit not in ("results", "produced"):
+        raise ValueError(f"emit must be 'results' or 'produced', got {emit!r}")
     source = next((s for s in task.sources if s.topic_name == topic), None)
     if source is None:
         raise ValueError(f"task has no source {topic!r}")
     processors = list(source.processors)
     group = task.group
 
-    out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
+    schema = _parse_datatype_string(PRODUCED_SCHEMA if emit == "produced" else output_schema)
+    out_cols = [f.name for f in schema.fields]
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(offset_col, kind="mergesort")
-        partition = int(pdf[partition_col].iloc[0])
-        offsets = pdf[offset_col].astype("int64")
-        high = int(offsets.iloc[-1]) + 1
-        ctx = BatchAssignmentContext(topic, partition, group, high)
-        fns = build_processors(ctx, processors)
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    highs = df.groupBy(partition_col).agg(F.max(F.col(offset_col)).alias("__high"))
+    prepared = (
+        df.join(F.broadcast(highs), partition_col)
+        .repartition(n_parts, partition_col)
+        .sortWithinPartitions(partition_col, offset_col)
+    )
 
-        results: list[dict[str, Any]] = []
-        records = pdf.to_dict("records")
-        for rec, off in zip(records, offsets):
-            message = {
-                "topic": topic,
-                "partition": partition,
-                "key": None,
-                "value": rec,
-                "offset": int(off),
-                "timestamp": str(rec.get("ts", "")),
-                "high_water_offset": high,
-            }
-            result, _ = process_message(message, fns, ctx)
-            if not is_abandoned(result):
-                results.append(result)
-        if not results:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
-        return pd.DataFrame(results, columns=out_cols)
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Rows arrive (partition, offset)-sorted, so each group is
+        # contiguous across the batch iterator; contexts persist across
+        # batches to keep one chain per partition group.
+        ctxs: dict[Any, tuple[BatchAssignmentContext, list]] = {}
+        for pdf in batches:
+            results: list[dict[str, Any]] = []
+            for part_val, sub in pdf.groupby(partition_col, sort=True):
+                if part_val not in ctxs:
+                    high = int(sub["__high"].iloc[0]) + 1
+                    ctx = BatchAssignmentContext(topic, int(part_val), group, high)
+                    ctxs[part_val] = (ctx, build_processors(ctx, processors))
+                ctx, fns = ctxs[part_val]
+                records = sub.drop(columns=["__high"]).to_dict("records")
+                for rec in records:
+                    off = int(rec[offset_col])
+                    message = {
+                        "topic": topic,
+                        "partition": ctx.partition,
+                        "key": rec.get(key_col) if key_col else None,
+                        "value": rec.get(value_col) if value_col else rec,
+                        "offset": off,
+                        "timestamp": str(rec.get(timestamp_col, "")) if timestamp_col else "",
+                        "high_water_offset": ctx._high_offset,
+                    }
+                    result, _ = process_message(message, fns, ctx)
+                    if emit == "results" and not is_abandoned(result):
+                        results.append(result)
+            if results:
+                yield pd.DataFrame(results, columns=out_cols)
+        if emit == "produced":
+            rows = [
+                {
+                    "topic": m.get("topic", topic),
+                    "partition": m.get("partition"),
+                    "key": _to_bytes(m.get("key")),
+                    "value": _to_bytes(m.get("value")),
+                }
+                for ctx, _ in ctxs.values()
+                for m in ctx.produced
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.groupBy(partition_col).applyInPandas(run_group, output_schema)
+    return prepared.mapInPandas(run_partition, schema)
 
 
 # --- queries() entry: the frolyk processor API compiled to Spark -----------

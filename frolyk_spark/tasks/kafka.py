@@ -83,16 +83,19 @@ def start_kafka_task(task, spark: SparkSession, checkpoint_dir: str | None = Non
         raw = stream.load()
 
         def handle_batch(batch_df: DataFrame, epoch_id: int, _source=source) -> None:
+            # Messages reach processors with the same shape the local inject
+            # context produces (local.py _create_message): value/key as the
+            # raw Kafka bytes, the real record timestamp. What gets written
+            # back to Kafka is what processors send() — the reference's
+            # producer path (kafka.ts producer.send) — not chain results.
             decoded = _decode_kafka_batch(batch_df).withColumn(
                 "part", F.col("partition")
             )
-            parsed = decoded.withColumn(
-                "value_str", F.col("value").cast("string")
-            )
             out = run_task_batch(
-                task, spark, parsed, topic=_source.topic_name,
+                task, spark, decoded, topic=_source.topic_name,
                 partition_col="part", offset_col="offset",
-                output_schema="topic string, key binary, value binary",
+                value_col="value", key_col="key", timestamp_col="timestamp",
+                emit="produced",
             )
             out.write.format("kafka").options(
                 **build_sink_options(connection)

@@ -1,0 +1,146 @@
+"""Distributed bridge (A13) behavior: ordering, parallelism knob, produced
+messages, Kafka-shaped message mapping (SURVEY §2 A13; ADVICE r1 items)."""
+
+from pyspark.sql import functions as F
+
+from frolyk_spark.sources.catalog import load_table
+from frolyk_spark.tasks.bridge import run_task_batch
+from frolyk_spark.tasks.task import Task
+
+
+def _events_with_part(spark, sf_dir, parts=8):
+    return load_table(spark, sf_dir, "events").withColumn(
+        "part", F.pmod(F.col("user_id"), F.lit(parts)).cast("int")
+    )
+
+
+def test_per_partition_order_preserved(spark, sf_dir):
+    task = Task(group="order-check")
+    src = task.source("events")
+
+    def setup(assignment):
+        def echo(message, context):
+            return {"part": message["partition"], "offset": message["offset"]}
+
+        return echo
+
+    task.processor(src, setup)
+    df = _events_with_part(spark, sf_dir)
+    rows = run_task_batch(
+        task, spark, df, topic="events", partition_col="part",
+        offset_col="event_id", output_schema="part int, offset bigint",
+    ).collect()
+    # within each partition group, offsets must come back ascending —
+    # collect() concatenates Spark partitions preserving row order
+    seen = {}
+    for r in rows:
+        prev = seen.get(r.part, -1)
+        assert r.offset > prev, f"out-of-order offset in part {r.part}"
+        seen[r.part] = r.offset
+    assert len(rows) == df.count()
+
+
+def test_num_partitions_honored(spark, sf_dir):
+    task = Task(group="np-check")
+    src = task.source("events")
+
+    def setup(assignment):
+        return lambda message, context: {"event_id": message["value"]["event_id"]}
+
+    task.processor(src, setup)
+    df = _events_with_part(spark, sf_dir)
+    out = run_task_batch(
+        task, spark, df, topic="events", partition_col="part",
+        offset_col="event_id", output_schema="event_id bigint",
+        num_partitions=3,
+    )
+    assert out.rdd.getNumPartitions() == 3
+    assert out.count() == df.count()
+
+
+def test_produced_messages_surface(spark, sf_dir):
+    """context.send output is a first-class result (emit='produced') —
+    r1 ADVICE: sends were silently dropped."""
+    task = Task(group="send-check")
+    src = task.source("events")
+
+    def setup(assignment):
+        # send() lives on the assignment context (reference
+        # assignment-contexts/index.ts), captured by the setup closure
+        def fan_out(message, context):
+            v = message["value"]
+            if v["event_type"] == "purchase":
+                assignment.send(
+                    {"topic": "purchases", "key": str(v["user_id"]), "value": {"id": v["event_id"]}}
+                )
+            return v
+
+        return fan_out
+
+    task.processor(src, setup)
+    df = _events_with_part(spark, sf_dir)
+    produced = run_task_batch(
+        task, spark, df, topic="events", partition_col="part",
+        offset_col="event_id", emit="produced",
+    )
+    n_purchases = df.where(F.col("event_type") == "purchase").count()
+    rows = produced.collect()
+    assert len(rows) == n_purchases
+    assert all(r.topic == "purchases" for r in rows)
+    assert all(r.key is not None and r.value is not None for r in rows)
+
+
+def test_kafka_shaped_message_mapping(spark, sf_dir):
+    """value_col/key_col/timestamp_col map columns onto the message the way
+    the local inject context builds them (value/key bytes, real ts)."""
+    task = Task(group="kafka-shape")
+    src = task.source("raw")
+
+    def setup(assignment):
+        def check(message, context):
+            assert isinstance(message["value"], (bytes, bytearray))
+            assert isinstance(message["key"], (bytes, bytearray))
+            assert message["timestamp"] != ""
+            return {
+                "payload": message["value"].decode(),
+                "key": message["key"].decode(),
+                "ts": message["timestamp"],
+            }
+
+        return check
+
+    task.processor(src, setup)
+    data = spark.createDataFrame(
+        [(0, i, f"k{i}".encode(), f"v{i}".encode(), f"2024-01-01 00:00:{i:02d}") for i in range(5)],
+        "part int, offset bigint, key binary, value binary, timestamp string",
+    )
+    rows = run_task_batch(
+        task, spark, data, topic="raw", partition_col="part", offset_col="offset",
+        output_schema="payload string, key string, ts string",
+        value_col="value", key_col="key", timestamp_col="timestamp",
+    ).collect()
+    assert {r.payload for r in rows} == {f"v{i}" for i in range(5)}
+    assert all(r.ts.startswith("2024-01-01") for r in rows)
+
+
+def test_output_schema_with_comma_types(spark, sf_dir):
+    """DDL schemas containing commas inside types parse correctly
+    (r1 ADVICE: naive split(',') broke decimal(10,2) / map types)."""
+    task = Task(group="ddl-check")
+    src = task.source("events")
+
+    def setup(assignment):
+        def to_decimalish(message, context):
+            v = message["value"]
+            return {"amount": None, "tags": {"t": int(v["event_id"])}}
+
+        return to_decimalish
+
+    task.processor(src, setup)
+    df = _events_with_part(spark, sf_dir).limit(50)
+    out = run_task_batch(
+        task, spark, df, topic="events", partition_col="part",
+        offset_col="event_id", output_schema="amount decimal(10,2), tags map<string,int>",
+    )
+    assert [f.name for f in out.schema.fields] == ["amount", "tags"]
+    assert out.count() == 50

@@ -1,0 +1,202 @@
+"""Streaming lifecycle semantics (SURVEY §2 A14, B4, B5, B7).
+
+Mirrors the reference's lifecycle coverage (src/task.ts:107-255 start/stop/
+restart with committed-offset recovery, tested in test/tests/task.ts): here
+the commit log is the Structured Streaming checkpoint, and recovery is
+restart-from-checkpoint with no loss and no reprocessing.
+"""
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "teststreams")
+
+
+@pytest.fixture()
+def workdir():
+    d = os.path.join(SCRATCH, uuid.uuid4().hex[:8])
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_foreach(spark, in_dir, ckpt, schema, max_files=None):
+    """One availableNow run collecting every micro-batch's rows."""
+    stream = spark.readStream.schema(schema)
+    if max_files:
+        stream = stream.option("maxFilesPerTrigger", str(max_files))
+    stream = stream.parquet(in_dir)
+    collected: list = []
+    batches: list = []
+
+    def sink(df, epoch_id):
+        rows = df.collect()
+        batches.append((epoch_id, len(rows)))
+        collected.extend(rows)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return collected, batches
+
+
+# --- A14 + B7: stop / restart with committed-offset recovery ----------------
+
+def test_checkpoint_restart_no_loss_no_dupes(spark, workdir):
+    in_dir = os.path.join(workdir, "in")
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = "id bigint"
+
+    for lo in range(0, 50, 10):
+        _write_batch(spark, in_dir, [(i,) for i in range(lo, lo + 10)], schema)
+    got1, batches1 = _run_foreach(spark, in_dir, ckpt, schema, max_files=2)
+    assert sorted(r.id for r in got1) == list(range(50))
+    assert len(batches1) > 1, "maxFilesPerTrigger should split into micro-batches"
+
+    # "crash" between runs: new data arrives while the query is down
+    _write_batch(spark, in_dir, [(i,) for i in range(50, 80)], schema)
+    got2, _ = _run_foreach(spark, in_dir, ckpt, schema)
+    # restart resumes from committed offsets: nothing lost, nothing replayed
+    assert sorted(r.id for r in got2) == list(range(50, 80))
+
+
+# --- B4: watermark drops late data ------------------------------------------
+
+def test_watermark_drops_late_rows(spark, workdir):
+    in_dir = os.path.join(workdir, "in")
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = "ts timestamp, user bigint"
+
+    def t(s):
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+
+    _write_batch(
+        spark,
+        in_dir,
+        [(t("2024-01-01 10:00:00"), 1), (t("2024-01-01 10:20:00"), 2),
+         (t("2024-01-01 10:40:00"), 3), (t("2024-01-01 12:30:00"), 4)],
+        schema,
+    )
+
+    def run(name):
+        agg = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("w.start", "HH:mm").alias("start"), "n")
+        )
+        emitted: dict = {}
+
+        def sink(df, epoch_id):
+            emitted.update({r.start: r.n for r in df.collect()})
+
+        q = (
+            agg.writeStream.foreachBatch(sink).outputMode("append")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    out1 = run("wm_" + uuid.uuid4().hex[:6])
+    # watermark after run 1 = 12:30 - 1h = 11:30 -> the 10:00 window closed
+    assert out1 == {"10:00": 3}
+
+    # while down: one late row (10:30 < watermark) and one fresh row
+    _write_batch(
+        spark, in_dir,
+        [(t("2024-01-01 10:30:00"), 9), (t("2024-01-01 14:00:00"), 5)],
+        schema,
+    )
+    out2 = run("wm_" + uuid.uuid4().hex[:6])
+    # late row dropped: the closed 10:00 window is NOT re-emitted/updated;
+    # watermark advances to 13:00 closing the 12:00 window
+    assert out2 == {"12:00": 1}
+
+
+# --- B5: custom stateful operator (applyInPandasWithState) ------------------
+
+def test_stateful_counter_survives_restart(spark, workdir):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    in_dir = os.path.join(workdir, "in")
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = "user bigint, v double"
+
+    def counter(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user": [key[0]], "n": [total]})
+
+    def run(name):
+        out = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .groupBy("user")
+            .applyInPandasWithState(
+                counter, "user bigint, n bigint", "n bigint",
+                "update", GroupStateTimeout.NoTimeout,
+            )
+        )
+        emitted: dict = {}
+
+        def sink(df, epoch_id):
+            emitted.update({r.user: r.n for r in df.collect()})
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    _write_batch(spark, in_dir, [(u, 1.0) for u in [1, 1, 1, 2, 2, 3]], schema)
+    out1 = run("st_" + uuid.uuid4().hex[:6])
+    assert out1 == {1: 3, 2: 2, 3: 1}
+
+    # restart with more data: per-user state recovered from the checkpoint
+    _write_batch(spark, in_dir, [(u, 1.0) for u in [1, 3, 3, 4]], schema)
+    out2 = run("st_" + uuid.uuid4().hex[:6])
+    assert out2 == {1: 4, 3: 3, 4: 1}
+
+
+# --- B3 streaming side: session windows stream == batch ---------------------
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    from frolyk_spark.streaming.jobs import (
+        SESSION_GAP, TS_US_FMT_SPARK, events_stream, run_to_memory, sessionize,
+    )
+
+    streamed = run_to_memory(
+        events_stream(spark, sf_dir)
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", TS_US_FMT_SPARK).alias("session_start"),
+            F.date_format("sw.end", TS_US_FMT_SPARK).alias("session_end"),
+            "n_events",
+        ),
+        mode="complete",
+        prefix="sess",
+    )
+    batch = sessionize(spark, sf_dir).drop("sum_value")
+    s_rows = {tuple(r) for r in streamed.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    assert s_rows == b_rows and len(s_rows) > 0
