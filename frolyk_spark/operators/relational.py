@@ -2,9 +2,10 @@
 
 Every operator is a declarative DataFrame plan — Catalyst gets full
 visibility for predicate pushdown, column pruning and join planning; AQE
-re-plans shuffles at runtime. Dimension tables are broadcast explicitly.
-Scale notes per operator assume the 100 TB layout: lineitem/orders/events
-are the big fact tables, everything else broadcasts.
+re-plans shuffles at runtime. True dimension tables (region/nation/
+supplier/part) are broadcast explicitly; customer is fact-scaled (~1.5e9
+rows at 100 TB), so customer joins carry no hint — they shuffle on the join
+key, and AQE is free to pick broadcast at small scale factors.
 
 Output hygiene for the DuckDB oracle gate: every computed column is aliased
 identically in Spark and SQL, dates are emitted as 'yyyy-MM-dd' strings,
@@ -76,7 +77,7 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -122,7 +123,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
@@ -188,7 +189,7 @@ def q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -291,7 +292,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
@@ -586,6 +587,24 @@ FROM orders GROUP BY 1
 """
 
 
+# --- C14: sketch-based approximate statistics -------------------------------
+# HyperLogLog++ count-distinct and KLL/GK approximate percentiles: both are
+# mergeable sketches, so at 100 TB they aggregate map-side and ship
+# constant-size state per partition — the only sane way to do distincts /
+# percentiles over ~15B keys. Approximation is engine-specific, so there is
+# deliberately NO DuckDB oracle; tests/test_approx.py bounds the error
+# against exact answers instead.
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_totalprice"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_totalprice"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_unshipped_revenue": q3_unshipped_revenue,
@@ -606,6 +625,9 @@ QUERIES = {
     "set_ops_customers": set_ops_customers,
     "explode_words": explode_words,
     "daily_revenue": daily_revenue,
+    # no-oracle: approximate results are engine-specific; bounded by
+    # tests/test_approx.py against exact answers
+    "approx_stats": approx_stats,
 }
 
 ORACLES = {

@@ -1,0 +1,77 @@
+"""Plan-shape assertions (SURVEY §6): pushdown, pruning, join strategy.
+
+These guard the 100 TB posture that correctness tests can't see: a query
+can return the right rows while scanning every column, skipping pushdown,
+or force-broadcasting a fact-scaled table.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from frolyk_spark.operators.relational import (
+    q1_pricing_summary, q3_unshipped_revenue, q5_local_supplier, q6_forecast,
+)
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted(q1_pricing_summary(spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1), "shipdate filter must reach the scan"
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read is not None
+    cols = {c.split(":")[0] for c in read.group(1).split(",") if c}
+    # only the 7 referenced columns leave the parquet reader
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, f"unpruned scan: {cols}"
+    assert {"l_returnflag", "l_linestatus", "l_quantity"} <= cols
+
+
+def test_q6_filter_pushdown(spark, sf_dir):
+    plan = _formatted(q6_forecast(spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_discount" in pushed.group(1)
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _formatted(q5_local_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "region/nation/supplier joins should broadcast"
+
+
+def test_whole_stage_codegen(spark, sf_dir):
+    # AQE hides codegen subtrees until execution; plan once without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            q1_pricing_summary(spark, sf_dir).explain("codegen")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+        assert m and int(m.group(1)) >= 1, "q1 should run inside whole-stage codegen"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_no_forced_customer_broadcast():
+    """customer is fact-scaled (~1.5e9 rows at 100 TB): no operator may pin
+    it with a broadcast hint — AQE picks the strategy (r1 VERDICT fix #5)."""
+    import frolyk_spark.operators.relational as rel
+    import inspect
+
+    src = inspect.getsource(rel)
+    assert "F.broadcast(cust" not in src
+
+
+def test_customer_join_strategy_is_planner_chosen(spark, sf_dir):
+    """The optimized logical plan for q3 must carry no join hint on the
+    customer side (broadcast of tiny inputs chosen by AQE/planner is fine)."""
+    df = q3_unshipped_revenue(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnresolvedHint" not in logical
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "customer" not in analyzed.lower() or "BROADCAST" not in analyzed
