@@ -1,0 +1,67 @@
+"""File / rate stream sources (SURVEY §2 B9).
+
+File streams are the replayable "topic" in this repo's tests (the reference
+uses Kafka topics; see frolyk_spark.sources.kafka for that path). The
+file-stream source lists a *directory*, so single-file tables are staged as
+symlinks — no data copies. At scale the directory would be a partitioned
+object-store prefix and `maxFilesPerTrigger` bounds micro-batch size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: repo-local scratch space for stream staging dirs + checkpoints
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch"
+)
+
+
+def stage_stream_dir(sf_dir: str, table: str) -> str:
+    """Directory the file-stream source can list, containing a symlink to
+    the table's parquet (file sources reject bare file paths)."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(SCRATCH, "streams", f"{table}_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}-0.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return d
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Schema-pinned file stream (streaming sources can't infer schemas)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.format(fmt).load(path)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the events table (nanos ts -> micros, like the
+    batch catalog, so streaming results hash-match batch oracles)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = file_stream(spark, stage_stream_dir(sf_dir, "events"), raw_schema)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 10, num_partitions: int = 1) -> DataFrame:
+    """Synthetic load source (timestamp, value) — useful for backpressure
+    and latency experiments without any storage."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )

@@ -30,9 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frolyk_spark.sources.catalog import load_table
-
-#: repo-local scratch space for stream staging dirs + checkpoints
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+from frolyk_spark.sources.streams import SCRATCH, events_stream, stage_stream_dir  # noqa: F401
 
 #: session gap for session windows
 SESSION_GAP = "30 minutes"
@@ -41,27 +39,6 @@ TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 TS_US_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_US_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
-
-
-def stage_stream_dir(sf_dir: str, table: str) -> str:
-    """Directory the file-stream source can list, containing a symlink to
-    the table's parquet (file sources reject bare file paths)."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(SCRATCH, "streams", f"{table}_{key}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{table}-0.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
-    return d
-
-
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming view of the events table (nanos ts -> micros, like the
-    batch catalog, so streaming results hash-match batch oracles)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage_stream_dir(sf_dir, "events"))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_to_memory(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
