@@ -3,10 +3,14 @@
 
 Runs the headline operator set at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "skipped": [...], "sf": ...}
 
-Each query is forced with a cheap count() action (no driver-side collect of
-result payloads), timed after a warm-up of the session on a trivial action.
+Each query is forced with a single-pass aggregate that checksums every
+output column (count() alone would let Catalyst prune the projected
+expressions for map-only operators, timing a bare row count instead of the
+operator). Headline entries with no implementation are reported in
+"skipped" — never silently dropped.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational / OLAP
     "q1_pricing_summary",
     "q3_unshipped_revenue",
     "q5_local_supplier",
@@ -28,12 +33,34 @@ HEADLINE = [
     "rollup_revenue",
     "asof_purchase_click",
     "clicks_before_purchase",
+    # LLM-pipeline
     "dedup_minhash",
     "dedup_exact",
+    "dedup_simhash",
     "ann_bruteforce",
+    "ann_lsh",
+    "embedding_stats",
     "text_stats",
+    "multimodal_features",
+    # streaming + task bridge
     "sessionize",
+    "stream_tumbling",
+    "task_pipeline",
 ]
+
+
+def _force(df) -> int:
+    """One full pass evaluating every output column; returns the row count."""
+    from pyspark.sql import functions as F
+
+    try:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))).alias("chk"),
+        ).collect()[0]
+        return row.n
+    except Exception:
+        return df.count()
 
 
 def main() -> None:
@@ -46,13 +73,16 @@ def main() -> None:
     spark.range(1).count()  # JVM warm-up
 
     per_query: dict[str, float] = {}
+    skipped: list[str] = []
     total = 0.0
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
+            skipped.append(name)
+            print(f"# MISSING: {name}", file=sys.stderr)
             continue
         t0 = time.monotonic()
-        n = fn(spark, sf_dir).count()
+        n = _force(fn(spark, sf_dir))
         dt = round(time.monotonic() - t0, 3)
         per_query[name] = dt
         total += dt
@@ -66,6 +96,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "skipped": skipped,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -76,7 +76,7 @@ SELECT doc_id,
                                         w -> w IN {STOPWORDS!r})) * 1.0
                         / len(string_split(text, ' '))), 4) AS quality_score
 FROM documents
-""".replace("('the', 'a', 'of', 'and', 'to')", "('the', 'a', 'of', 'and', 'to')")
+"""
 
 
 # --- D2: language identification heuristic ------------------------------------

@@ -1,0 +1,46 @@
+"""Portable-hash parity: the 60-bit md5 bigint must be identical in Spark
+and DuckDB — it is the keystone every hash-dependent operator (D4-D8)
+builds on (frolyk_spark/functions/hashing.py)."""
+
+from frolyk_spark.functions.hashing import (
+    portable_hash_expr, portable_hash_spark_sql, portable_hash_sql,
+)
+
+CORPUS = [
+    "hello",
+    "",
+    "a b c",
+    "tab\tand\nnewline",
+    "ünïcodé çhars §±",
+    "日本語テキスト",
+    "x" * 500,
+    "0",
+    " leading and trailing ",
+]
+
+
+def test_hash_parity_fixed_corpus(spark, duck):
+    import pandas as pd
+
+    sdf = spark.createDataFrame([(s,) for s in CORPUS], "s string")
+    spark_hashes = [r.h for r in sdf.select(portable_hash_expr("s").alias("h")).collect()]
+    corpus_pdf = pd.DataFrame({"s": CORPUS})
+    duck.register("hash_corpus", corpus_pdf)
+    duck_hashes = [
+        r[0] for r in duck.sql(f"SELECT {portable_hash_sql('s')} FROM hash_corpus").fetchall()
+    ]
+    assert spark_hashes == duck_hashes
+    assert all(h >= 0 for h in spark_hashes)
+
+
+def test_hash_parity_documents_table(spark, duck, sf_dir):
+    from frolyk_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = sorted(
+        r.h for r in docs.selectExpr(f"{portable_hash_spark_sql('text')} AS h").collect()
+    )
+    d = sorted(
+        r[0] for r in duck.sql(f"SELECT {portable_hash_sql('text')} FROM documents").fetchall()
+    )
+    assert s == d
