@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -54,13 +56,33 @@ def _force(df) -> int:
     from pyspark.sql import functions as F
 
     try:
-        row = df.agg(
+        row = df.select(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("h")
+        ).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))).alias("chk"),
+            F.expr("bit_xor(h)").alias("chk"),
         ).collect()[0]
         return row.n
     except Exception:
         return df.count()
+
+
+def _warm_up(spark) -> None:
+    """Pay one-time session costs (JVM JIT, codegen pipeline, Python/Arrow
+    worker spin-up) outside the timed region, so per-query numbers measure
+    the operators, not first-use machinery."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    spark.range(1).count()
+
+    @pandas_udf("long")
+    def _identity(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(1024).repartition(8).select(_identity("id").alias("v")).agg(
+        F.sum("v")
+    ).collect()
 
 
 def main() -> None:
@@ -70,7 +92,7 @@ def main() -> None:
 
     queries = entry_mod.queries()
     spark = get_spark("frolyk_spark_bench")
-    spark.range(1).count()  # JVM warm-up
+    _warm_up(spark)
 
     per_query: dict[str, float] = {}
     skipped: list[str] = []

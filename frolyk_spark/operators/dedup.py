@@ -124,8 +124,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Never all-pairs: both shuffles are equi-partitioned on doc_id / bucket.
     """
     r = MINHASH_K // MINHASH_B
+    # the test parquet is a single split; spread the md5-heavy projection
+    # across cores (real corpora scan with many splits, so this tiny
+    # row-shuffle is a no-op at scale)
     shingled = (
         load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
         .select("doc_id", F.expr(portable_hash_spark_sql("s")).alias("h"))
     )
@@ -218,7 +223,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" (s, i) -> if(s > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),"
         f" cast(0 as bigint), (a, x) -> a + x)"
     )
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # single-split test parquet: parallelize the 60-bit fold
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.select(
         "doc_id",
         F.expr(simhash).alias("simhash"),

@@ -50,8 +50,12 @@ def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
-    corpus = emb.where(F.col("vec_id") >= N_PROBES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cand_emb")
+    corpus = (
+        emb.where(F.col("vec_id") >= N_PROBES)
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cand_emb"))
+        # single-split test parquet: spread the cosine/matmul work across
+        # cores (no-op at scale where the scan has many splits)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return probes, corpus
 
@@ -152,15 +156,33 @@ def _bucketize(df: DataFrame, emb_col: str) -> DataFrame:
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{TOP_K} via {LSH_TABLES}x{LSH_BITS}-bit sign-LSH.
 
-    Candidates = corpus rows sharing any table bucket with a probe
-    (equi-join on (table_id, bucket)), deduped, then exact-cosine reranked.
-    Checked by tests/test_similarity.py: recall >= 0.6 vs ann_bruteforce.
+    The probe set is tiny by contract, so its buckets are computed
+    driver-side with the same plane matrix and broadcast (no UDF stage for
+    10 rows); the corpus is bucketized distributed. Candidates = corpus
+    rows sharing any table bucket with a probe (equi-join on
+    (table_id, bucket)), deduped, then exact-cosine reranked. Checked by
+    tests/test_similarity.py: recall >= 0.6 vs ann_bruteforce.
     """
+    import numpy as np
+
     probes, corpus = _split(spark, sf_dir)
-    pb = _bucketize(probes, "probe_emb")
+    probe_rows = probes.collect()  # O(N_PROBES) — the broadcast probe set
+    mat = np.asarray(_hyperplanes(), dtype=np.float64).T
+    x = np.stack([np.asarray(r.probe_emb, dtype=np.float64) for r in probe_rows])
+    bits = (x @ mat > 0).astype(np.int64)
+    weights = 1 << np.arange(LSH_BITS, dtype=np.int64)
+    codes = bits.reshape(len(probe_rows), LSH_TABLES, LSH_BITS) @ weights
+    pb = spark.createDataFrame(
+        [
+            (int(r.probe_id), t, int(codes[i, t]))
+            for i, r in enumerate(probe_rows)
+            for t in range(LSH_TABLES)
+        ],
+        "probe_id bigint, table_id int, bucket bigint",
+    )
     cb = _bucketize(corpus, "cand_emb")
     cands = (
-        cb.join(F.broadcast(pb.select("probe_id", "table_id", "bucket")), ["table_id", "bucket"])
+        cb.join(F.broadcast(pb), ["table_id", "bucket"])
         .select("probe_id", "neighbor_id", "cand_emb")
         .distinct()
         .join(F.broadcast(probes), "probe_id")
