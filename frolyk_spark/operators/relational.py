@@ -587,6 +587,202 @@ FROM orders GROUP BY 1
 """
 
 
+# --- C21: TPC-H Q4 order priority checking (adapted) ------------------------
+# EXISTS via left-semi join with a mixed equi + non-equi condition; the semi
+# join shuffles on orderkey only and never materializes lineitem columns.
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- C22: TPC-H Q7 volume shipping between two nations (adapted) ------------
+# supplier+nation broadcast twice (both tiny); customer side shuffles on its
+# join keys; the nation-pair filter prunes before the aggregate.
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1, n2 = "NATION_1", "NATION_2"
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       cast(year(l_shipdate) as int) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# --- C23: TPC-H Q12 shipping-delay priority mix (adapted: no shipmode col) --
+
+def q12_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "under_30d").when(delay < 90, "30_to_90d").otherwise("over_90d")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(bucket.alias("delay_bucket"), high.alias("is_high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias("low_priority_lines"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'under_30d'
+            WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN '30_to_90d'
+            ELSE 'over_90d' END AS delay_bucket,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_lines,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# --- C24: TPC-H Q14 promotion revenue share (adapted) -----------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-06-01' AND l_shipdate < '1997-07-01'
+"""
+
+
+# --- C25: TPC-H Q9-style product profit by nation/year (adapted) ------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, cast(year(l_shipdate) as int) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_brand = 'Brand#2'
+GROUP BY 1, 2
+"""
+
+
+# --- C26: salted two-stage aggregation (skew mitigation demo) ---------------
+# events.event_type has ~5 distinct values over the whole fact table — the
+# canonical skewed-key aggregation. A straight groupBy lands each key on one
+# reducer; salting fans each key across 16 partial aggregates, then a tiny
+# second aggregate merges them. At 100 TB stage 1 parallelizes fully and
+# stage 2 touches 5*16 rows. (AQE's skew handling covers joins; aggregation
+# skew is mitigated exactly like this.)
+
+SALT_BUCKETS = 16
+
+
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.round(F.sum("sv"), 2).alias("sum_value"),
+    )
+
+
+SALTED_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 # --- C14: sketch-based approximate statistics -------------------------------
 # HyperLogLog++ count-distinct and KLL/GK approximate percentiles: both are
 # mergeable sketches, so at 100 TB they aggregate map-side and ship
@@ -625,6 +821,12 @@ QUERIES = {
     "set_ops_customers": set_ops_customers,
     "explode_words": explode_words,
     "daily_revenue": daily_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q12_delay_priority": q12_delay_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q9_product_profit": q9_product_profit,
+    "salted_skew_agg": salted_skew_agg,
     # no-oracle: approximate results are engine-specific; bounded by
     # tests/test_approx.py against exact answers
     "approx_stats": approx_stats,
@@ -650,4 +852,10 @@ ORACLES = {
     "set_ops_customers": SETOPS_SQL,
     "explode_words": EXPLODE_SQL,
     "daily_revenue": DAILY_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q12_delay_priority": Q12_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q9_product_profit": Q9_SQL,
+    "salted_skew_agg": SALTED_SQL,
 }

@@ -113,6 +113,7 @@ def run_task_batch(
     key_col: str | None = None,
     timestamp_col: str | None = None,
     emit: str = "results",
+    starting_offsets: dict[int, int] | None = None,
 ) -> DataFrame:
     """Run ``task``'s processor chain for ``topic`` over ``df``.
 
@@ -121,6 +122,11 @@ def run_task_batch(
     context's message shape (local.py _create_message: value/key bytes,
     real timestamp). Without them, ``value`` is the whole row as a dict —
     the convenience shape for DataFrame-native pipelines.
+
+    ``starting_offsets`` maps partition -> first offset to process — the
+    batch-replay equivalent of the reference's seek (src/streams.ts:80-97;
+    local harness seek in local.py): partitions not listed replay from the
+    beginning. The filter is a plain predicate, so it pushes into the scan.
     """
     if emit not in ("results", "produced"):
         raise ValueError(f"emit must be 'results' or 'produced', got {emit!r}")
@@ -132,6 +138,15 @@ def run_task_batch(
 
     schema = _parse_datatype_string(PRODUCED_SCHEMA if emit == "produced" else output_schema)
     out_cols = [f.name for f in schema.fields]
+
+    if starting_offsets:
+        start_map = F.create_map(
+            *[F.lit(x) for kv in starting_offsets.items() for x in kv]
+        )
+        df = df.where(
+            F.col(offset_col)
+            >= F.coalesce(start_map[F.col(partition_col)], F.lit(-(1 << 62)))
+        )
 
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     highs = df.groupBy(partition_col).agg(F.max(F.col(offset_col)).alias("__high"))

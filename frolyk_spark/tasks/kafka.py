@@ -67,10 +67,31 @@ def _decode_kafka_batch(df: DataFrame) -> DataFrame:
     )
 
 
-def start_kafka_task(task, spark: SparkSession, checkpoint_dir: str | None = None):
-    """One streaming query per source, mirroring task.ts:107-155."""
+def process_kafka_batch(task, spark: SparkSession, topic: str, batch_df: DataFrame) -> DataFrame:
+    """One micro-batch of Kafka-shaped rows through the task's processor
+    chain; returns the produced messages as Kafka-sink-shaped rows.
+
+    Messages reach processors with the same shape the local inject context
+    produces (local.py _create_message): value/key as the raw Kafka bytes,
+    the real record timestamp. What flows back to Kafka is what processors
+    send() — the reference's producer path (kafka.ts producer.send) — not
+    chain results. Broker-free (pure transformation), so A11's semantics
+    are testable without a broker: tests/test_kafka_gate.py drives this
+    with synthetic batches.
+    """
     from frolyk_spark.tasks.bridge import run_task_batch
 
+    decoded = _decode_kafka_batch(batch_df).withColumn("part", F.col("partition"))
+    return run_task_batch(
+        task, spark, decoded, topic=topic,
+        partition_col="part", offset_col="offset",
+        value_col="value", key_col="key", timestamp_col="timestamp",
+        emit="produced",
+    )
+
+
+def start_kafka_task(task, spark: SparkSession, checkpoint_dir: str | None = None):
+    """One streaming query per source, mirroring task.ts:107-155."""
     connection = task.options["connection"]
     consumer = task.options.get("consumer")
     checkpoint_root = checkpoint_dir or tempfile.mkdtemp(prefix="frolyk-ckpt-")
@@ -83,20 +104,7 @@ def start_kafka_task(task, spark: SparkSession, checkpoint_dir: str | None = Non
         raw = stream.load()
 
         def handle_batch(batch_df: DataFrame, epoch_id: int, _source=source) -> None:
-            # Messages reach processors with the same shape the local inject
-            # context produces (local.py _create_message): value/key as the
-            # raw Kafka bytes, the real record timestamp. What gets written
-            # back to Kafka is what processors send() — the reference's
-            # producer path (kafka.ts producer.send) — not chain results.
-            decoded = _decode_kafka_batch(batch_df).withColumn(
-                "part", F.col("partition")
-            )
-            out = run_task_batch(
-                task, spark, decoded, topic=_source.topic_name,
-                partition_col="part", offset_col="offset",
-                value_col="value", key_col="key", timestamp_col="timestamp",
-                emit="produced",
-            )
+            out = process_kafka_batch(task, spark, _source.topic_name, batch_df)
             out.write.format("kafka").options(
                 **build_sink_options(connection)
             ).save()

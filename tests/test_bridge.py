@@ -144,3 +144,29 @@ def test_output_schema_with_comma_types(spark, sf_dir):
     )
     assert [f.name for f in out.schema.fields] == ["amount", "tags"]
     assert out.count() == 50
+
+
+def test_starting_offsets_seek_equivalent(spark, sf_dir):
+    """starting_offsets replays each partition from a chosen offset — the
+    batch equivalent of the reference's seek (src/streams.ts:80-97)."""
+    task = Task(group="seek-check")
+    src = task.source("events")
+
+    def setup(assignment):
+        return lambda message, context: {
+            "part": message["partition"], "offset": message["offset"],
+        }
+
+    task.processor(src, setup)
+    df = _events_with_part(spark, sf_dir, parts=2)
+    mid = df.where(F.col("part") == 0).agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    rows = run_task_batch(
+        task, spark, df, topic="events", partition_col="part",
+        offset_col="event_id", output_schema="part int, offset bigint",
+        starting_offsets={0: int(mid)},
+    ).collect()
+    p0 = [r.offset for r in rows if r.part == 0]
+    p1 = [r.offset for r in rows if r.part == 1]
+    assert min(p0) >= int(mid), "partition 0 must start at the seek offset"
+    full_p1 = df.where(F.col("part") == 1).count()
+    assert len(p1) == full_p1, "unlisted partitions replay from the beginning"

@@ -32,3 +32,49 @@ def test_sink_options():
     assert build_sink_options({"brokers": "b:9092"}) == {
         "kafka.bootstrap.servers": "b:9092"
     }
+
+
+def test_process_kafka_batch_without_broker(spark):
+    """A11's transformation path end-to-end on a synthetic Kafka batch:
+    decode -> processor chain (bytes value/key, real timestamp) -> produced
+    messages as sink-shaped rows. Only the socket layer needs a broker."""
+    import json
+
+    from frolyk_spark.tasks.kafka import process_kafka_batch
+    from frolyk_spark.tasks.task import Task
+
+    task = Task(group="kafka-batch")
+    src = task.source("clicks")
+
+    def setup(assignment):
+        def route(message, context):
+            payload = json.loads(message["value"].decode())
+            if payload["kind"] == "purchase":
+                assignment.send(
+                    {
+                        "topic": "purchases-out",
+                        "key": message["key"],
+                        "value": {"user": payload["user"], "ts": message["timestamp"]},
+                    }
+                )
+            return context.abandon
+
+        return route
+
+    task.processor(src, setup)
+
+    rows = [
+        ("clicks", p, f"u{i}".encode(), json.dumps({"kind": k, "user": i}).encode(),
+         i, f"17000000000{i:02d}")
+        for p in (0, 1)
+        for i, k in enumerate(["click", "purchase", "purchase", "view"])
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "topic string, partition int, key binary, value binary, offset bigint, timestamp string",
+    )
+    out = process_kafka_batch(task, spark, "clicks", batch).collect()
+    assert len(out) == 4  # 2 purchases per partition
+    assert all(r.topic == "purchases-out" for r in out)
+    users = sorted(json.loads(r.value.decode())["user"] for r in out)
+    assert users == [1, 1, 2, 2]
