@@ -190,6 +190,107 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank(cands)
 
 
+# --- D11b: IVF (inverted-file) ANN ------------------------------------------
+
+#: coarse-quantizer geometry. nprobe is high relative to nlist because the
+#: synthetic embeddings are weakly clustered (near-random); a production
+#: corpus with real cluster structure runs nprobe/nlist much smaller.
+IVF_CLUSTERS = 16
+IVF_NPROBE = 6
+IVF_ITERS = 4
+
+
+def _train_centroids(corpus: DataFrame, emb_col: str):
+    """Deterministic k-means coarse quantizer.
+
+    Init = the corpus rows whose id hashes smallest (reproducible, no RNG);
+    each Lloyd iteration is one distributed assign (numpy argmax over the
+    broadcast centroid matrix, Arrow-batched) + one groupBy mean. Centroids
+    are model state — IVF_CLUSTERS x DIM floats — so collecting them per
+    iteration is bounded and legitimate; the corpus itself never moves.
+    """
+    import numpy as np
+
+    seed_rows = (
+        corpus.select(F.col("neighbor_id").alias("cid"), F.col(emb_col).alias("e"))
+        .orderBy(F.md5(F.col("cid").cast("string")))
+        .limit(IVF_CLUSTERS)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r.e, dtype=np.float64) for r in seed_rows])
+    for _ in range(IVF_ITERS):
+        assigned = _assign_cluster(corpus, emb_col, centroids)
+        means = (
+            assigned.select("cluster", F.posexplode(emb_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        for c, posmap in by_cluster.items():
+            new[c] = np.array([posmap[p] for p in sorted(posmap)])
+        centroids = new
+    return centroids
+
+
+def _assign_cluster(df: DataFrame, emb_col: str, centroids) -> DataFrame:
+    """Nearest-centroid id per row (cosine), numpy matmul over Arrow batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def nearest(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ cent_unit.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn("cluster", nearest(F.col(emb_col)))
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{TOP_K} via IVF: a {IVF_CLUSTERS}-cell coarse
+    quantizer over the corpus; each probe scans only its {IVF_NPROBE}
+    nearest cells. The scan prunes via an equi-join on cluster id, so at
+    100 TB the corpus would be *stored* partitioned by cell and a probe
+    touches nprobe/nlist of the data. Deterministic (hash-seeded init), so
+    recall is stable; checked in tests/test_similarity.py vs bruteforce.
+    No SQL oracle: k-means is iterative, not SQL-expressible (rows-only
+    driver check)."""
+    import numpy as np
+
+    probes, corpus = _split(spark, sf_dir)
+    centroids = _train_centroids(corpus, "cand_emb")
+    assigned = _assign_cluster(corpus, "cand_emb", centroids)
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    probe_rows = probes.collect()  # O(N_PROBES) broadcast probe set
+    x = np.stack([np.asarray(r.probe_emb, dtype=np.float64) for r in probe_rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    nearest_cells = np.argsort(-(x @ cent_unit.T), axis=1)[:, :IVF_NPROBE]
+    pb = spark.createDataFrame(
+        [
+            (int(r.probe_id), int(c))
+            for i, r in enumerate(probe_rows)
+            for c in nearest_cells[i]
+        ],
+        "probe_id bigint, cluster int",
+    )
+    cands = (
+        assigned.join(F.broadcast(pb), "cluster")
+        .select("probe_id", "neighbor_id", "cand_emb")
+        .join(F.broadcast(probes), "probe_id")
+    )
+    return _rerank(cands)
+
+
 # --- D12: per-label embedding statistics ------------------------------------
 
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,11 +339,12 @@ FROM norms n JOIN cent c ON n.label = c.label
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "embedding_stats": embedding_stats,
 }
 
-# ann_lsh is deliberately oracle-free: approximate results are checked by
-# the recall pytest against ann_bruteforce (SURVEY §2 D11).
+# ann_lsh / ann_ivf are deliberately oracle-free: approximate results are
+# checked by the recall pytest against ann_bruteforce (SURVEY §2 D11).
 ORACLES = {
     "ann_bruteforce": _ann_bruteforce_sql(),
     "embedding_stats": _embedding_stats_sql(),

@@ -4,7 +4,7 @@ ann_bruteforce / embedding_stats are oracle-checked in test_correctness;
 ann_lsh is approximate so its gate is recall against the exact baseline.
 """
 
-from frolyk_spark.operators.similarity import TOP_K, ann_bruteforce, ann_lsh
+from frolyk_spark.operators.similarity import TOP_K, ann_bruteforce, ann_ivf, ann_lsh
 
 
 def _pairs(df):
@@ -17,6 +17,14 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert len(exact) > 0
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall {recall:.2f} < 0.6"
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    exact = _pairs(ann_bruteforce(spark, sf_dir))
+    approx = _pairs(ann_ivf(spark, sf_dir))
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
 
 
 def test_ann_lsh_shape(spark, sf_dir):
