@@ -205,11 +205,57 @@ GROUP BY user_id, sid
 """
 
 
+# --- B5: custom stateful operator as a query --------------------------------
+
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState — the custom
+    stateful escape hatch for logic window aggs can't express. availableNow
+    processes the table as one batch, so the emitted update rows equal the
+    final per-user state and the batch oracle is a plain GROUP BY. State
+    restore across restarts is exercised in tests/test_streaming.py."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def totals(key, pdfs, state):
+        import pandas as pd
+
+        n, sv = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += float(pdf["value"].sum())
+        state.update((n, sv))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [sv]})
+
+    out = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals,
+            "user_id bigint, n_events bigint, sum_value double",
+            "n bigint, sv double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    table = run_to_memory(out, mode="update", prefix="stateful")
+    # round JVM-side: python round() is banker's rounding, Spark/DuckDB
+    # round half-away-from-zero — keep the oracle convention in one engine
+    return table.select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_hopping": stream_hopping,
     "stream_dedup": stream_dedup,
     "sessionize": sessionize,
+    "stream_stateful": stream_stateful,
 }
 
 ORACLES = {
@@ -217,4 +263,5 @@ ORACLES = {
     "stream_hopping": STREAM_HOPPING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "sessionize": SESSIONIZE_SQL,
+    "stream_stateful": STREAM_STATEFUL_SQL,
 }
