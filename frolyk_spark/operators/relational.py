@@ -754,6 +754,125 @@ GROUP BY 1, 2
 """
 
 
+# --- C16b: as-of join via cogrouped pandas ----------------------------------
+# The same as-of semantics as C16, through the OTHER engine facility:
+# cogroup(purchases, clicks).applyInPandas. One shuffle on user_id per side,
+# Arrow batches per group, numpy running-max inside. Useful when the merge
+# logic outgrows SQL (custom tolerance, multi-column conditions); the
+# window composition (C16) stays the default — it is one shuffle, not two.
+# Shares C16's oracle: both must produce identical rows.
+
+def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
+                 "ts_us": pd.Series(dtype="int64"), "last_click_us": pd.Series(dtype="Int64")}
+            )
+        both = pd.concat(
+            [left.assign(__p=1), right.assign(__p=0)], ignore_index=True
+        ).sort_values(["ts_us", "event_id"], kind="mergesort")
+        click_ts = np.where(both["__p"].to_numpy() == 0, both["ts_us"].to_numpy(), np.iinfo("int64").min)
+        last_click = np.maximum.accumulate(click_ts)
+        both = both.assign(__lc=last_click)
+        out = both[both["__p"] == 1][["event_id", "user_id", "ts_us", "__lc"]].rename(
+            columns={"__lc": "last_click_us"}
+        )
+        out["last_click_us"] = pd.array(
+            [None if v == np.iinfo("int64").min else int(v) for v in out["last_click_us"]],
+            dtype="Int64",
+        )
+        return out
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, "event_id bigint, user_id bigint, ts_us bigint, last_click_us bigint")
+    )
+
+
+# --- C27: retention cohorts --------------------------------------------------
+# First-seen day = cohort; count distinct users active at each day offset.
+# Three shuffles, all on bounded keys (user_id, then (cohort, offset)); at
+# 100 TB the distinct-day projection collapses events to user-days first.
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    user_days = ev.distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', c.cohort_day, u.day) AS day_offset,
+       count(*) AS n_users
+FROM user_days u JOIN cohorts c ON u.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+# --- C28: GROUPING SETS ------------------------------------------------------
+# Disjoint grouping sets ((region), (nation)) — not expressible as
+# rollup/cube; phrased through the SQL API over registered views, one
+# aggregate pass producing both groupings.
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frolyk_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               grouping(r_name) AS g_region, grouping(n_name) AS g_nation,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name))
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT r_name, n_name,
+       grouping(r_name) AS g_region, grouping(n_name) AS g_nation,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name))
+"""
+
+
 # --- C26: salted two-stage aggregation (skew mitigation demo) ---------------
 # events.event_type has ~5 distinct values over the whole fact table — the
 # canonical skewed-key aggregation. A straight groupBy lands each key on one
@@ -827,6 +946,9 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q9_product_profit": q9_product_profit,
     "salted_skew_agg": salted_skew_agg,
+    "asof_cogroup": asof_cogroup,
+    "retention_cohorts": retention_cohorts,
+    "grouping_sets_revenue": grouping_sets_revenue,
     # no-oracle: approximate results are engine-specific; bounded by
     # tests/test_approx.py against exact answers
     "approx_stats": approx_stats,
@@ -858,4 +980,8 @@ ORACLES = {
     "q14_promo_revenue": Q14_SQL,
     "q9_product_profit": Q9_SQL,
     "salted_skew_agg": SALTED_SQL,
+    # same semantics, different engine facility: shares C16's oracle
+    "asof_cogroup": ASOF_SQL,
+    "retention_cohorts": RETENTION_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_SQL,
 }
