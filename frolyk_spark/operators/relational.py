@@ -804,17 +804,19 @@ def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- C27: retention cohorts --------------------------------------------------
 # First-seen day = cohort; count distinct users active at each day offset.
-# Three shuffles, all on bounded keys (user_id, then (cohort, offset)); at
-# 100 TB the distinct-day projection collapses events to user-days first.
+# The distinct-day projection collapses events to user-days first, then the
+# cohort day rides along as a window min over the SAME user_id partitioning
+# the distinct just produced — no join back, two shuffles total
+# ((user_id, day) distinct, then the (cohort, offset) aggregate).
 
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
     user_days = ev.distinct()
-    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort = F.min("day").over(W.partitionBy("user_id"))
     return (
-        user_days.join(cohorts, "user_id")
+        user_days.withColumn("cohort_day", cohort)
         .groupBy(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff("day", "cohort_day").alias("day_offset"),

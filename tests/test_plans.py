@@ -67,6 +67,24 @@ def test_no_forced_customer_broadcast():
     assert "F.broadcast(cust" not in src
 
 
+def test_dedup_minhash_plan_shape(spark, sf_dir):
+    """The LSH dedup must (a) never plan a cartesian product and (b) keep
+    the minhash aggregation map-side combinable (partial_min before the
+    doc_id exchange) — the properties that make it linear at 100 TB."""
+    from frolyk_spark.operators.dedup import dedup_minhash
+
+    plan = _formatted(dedup_minhash(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan, "minhash must combine map-side"
+
+
+def test_retention_two_aggregate_shuffles_only(spark, sf_dir):
+    from frolyk_spark.operators.relational import retention_cohorts
+
+    plan = _formatted(retention_cohorts(spark, sf_dir))
+    assert "Join" not in plan, "cohort assignment must ride the window, not a join"
+
+
 def test_customer_join_strategy_is_planner_chosen(spark, sf_dir):
     """The optimized logical plan for q3 must carry no join hint on the
     customer side (broadcast of tiny inputs chosen by AQE/planner is fine)."""
