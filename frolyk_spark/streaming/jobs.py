@@ -205,6 +205,55 @@ GROUP BY user_id, sid
 """
 
 
+# --- B10: stream-stream join -------------------------------------------------
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases within 30 minutes
+    after a click by the same user. Both sides carry watermarks and the
+    time-range condition bounds join state, so Spark can evict — the shape
+    that keeps state finite on unbounded streams. availableNow + append
+    emits the complete deterministic pair set, checked against a batch
+    range-join oracle."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id")
+    return run_to_memory(joined, mode="append", prefix="ssjoin")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 # --- B5: custom stateful operator as a query --------------------------------
 
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,6 +305,7 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "sessionize": sessionize,
     "stream_stateful": stream_stateful,
+    "stream_stream_join": stream_stream_join,
 }
 
 ORACLES = {
@@ -264,4 +314,5 @@ ORACLES = {
     "stream_dedup": STREAM_DEDUP_SQL,
     "sessionize": SESSIONIZE_SQL,
     "stream_stateful": STREAM_STATEFUL_SQL,
+    "stream_stream_join": STREAM_STREAM_JOIN_SQL,
 }
