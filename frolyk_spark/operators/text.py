@@ -161,7 +161,11 @@ K_GRAM = 8
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # one md5 per character position: spread the single-split test scan
+    # across cores (no-op on a real multi-split corpus)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     h = portable_hash_spark_sql(f"substr(text, i, {K_GRAM})")
     fingerprint = F.expr(
         f"array_min(transform(sequence(1, greatest(length(text) - {K_GRAM - 1}, 1)),"
