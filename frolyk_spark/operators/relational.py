@@ -622,7 +622,7 @@ GROUP BY o_orderpriority
 # join keys; the nation-pair filter prunes before the aggregate.
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n1, n2 = "NATION_1", "NATION_2"
+    n1, n2 = "NATION_18", "NATION_19"
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -660,8 +660,8 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
-WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
 GROUP BY 1, 2, 3
 """
 

@@ -181,12 +181,14 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id bigint, table_id int, bucket bigint",
     )
     cb = _bucketize(corpus, "cand_emb")
-    cands = (
+    # dedup collisions on the two ids only — the 64-dim payload must not
+    # ride through the distinct() shuffle; vectors re-attach afterwards
+    cand_ids = (
         cb.join(F.broadcast(pb), ["table_id", "bucket"])
-        .select("probe_id", "neighbor_id", "cand_emb")
+        .select("probe_id", "neighbor_id")
         .distinct()
-        .join(F.broadcast(probes), "probe_id")
     )
+    cands = cand_ids.join(corpus, "neighbor_id").join(F.broadcast(probes), "probe_id")
     return _rerank(cands)
 
 

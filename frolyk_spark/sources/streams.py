@@ -22,13 +22,22 @@ SCRATCH = os.path.join(
 
 def stage_stream_dir(sf_dir: str, table: str) -> str:
     """Directory the file-stream source can list, containing a symlink to
-    the table's parquet (file sources reject bare file paths)."""
-    key = os.path.basename(os.path.normpath(sf_dir))
+    the table's parquet (file sources reject bare file paths).
+
+    Keyed on a hash of the *resolved* source path — two datasets sharing a
+    basename never collide — and a stale/dangling symlink is repaired, not
+    reused."""
+    import hashlib
+
+    target = os.path.realpath(os.path.join(sf_dir, f"{table}.parquet"))
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
     d = os.path.join(SCRATCH, "streams", f"{table}_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}-0.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != target:
+        os.unlink(link)
     if not os.path.lexists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+        os.symlink(target, link)
     return d
 
 

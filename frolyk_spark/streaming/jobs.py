@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frolyk_spark.sources.catalog import load_table
@@ -51,18 +51,24 @@ def run_to_memory(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
     # wasteful at test scale, so pin a sane value for the start and restore.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    ckpt = os.path.join(SCRATCH, "checkpoints", name)
     try:
         query = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(SCRATCH, "checkpoints", name))
+            .option("checkpointLocation", ckpt)
             .start()
         )
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # memory-sink runs are one-shot: the checkpoint is dead weight once
+        # the query terminates (uuid names mean it is never resumed)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -288,9 +294,17 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     table = run_to_memory(out, mode="update", prefix="stateful")
-    # round JVM-side: python round() is banker's rounding, Spark/DuckDB
-    # round half-away-from-zero — keep the oracle convention in one engine
-    return table.select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+    # update mode emits one row per user per micro-batch; keep only the
+    # final state per user (max running count) so the result is correct
+    # even if the source ever splits into multiple batches. Rounding is
+    # JVM-side: python round() is banker's rounding, Spark/DuckDB round
+    # half-away-from-zero.
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        table.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+    )
 
 
 STREAM_STATEFUL_SQL = """

@@ -90,10 +90,15 @@ class BatchAssignmentContext:
 
 
 def _to_bytes(value) -> bytes | None:
+    """Kafka-wire encoding: bytes pass through, strings are raw utf-8 (the
+    reference's producer sends string keys/values as plain bytes, not
+    JSON-quoted), structured values JSON-encode."""
     if value is None:
         return None
     if isinstance(value, (bytes, bytearray)):
         return bytes(value)
+    if isinstance(value, str):
+        return value.encode()
     import json
 
     return json.dumps(value).encode()
@@ -107,7 +112,7 @@ def run_task_batch(
     topic: str,
     partition_col: str,
     offset_col: str,
-    output_schema: str = PRODUCED_SCHEMA,
+    output_schema: str | None = None,
     num_partitions: int | None = None,
     value_col: str | None = None,
     key_col: str | None = None,
@@ -130,6 +135,8 @@ def run_task_batch(
     """
     if emit not in ("results", "produced"):
         raise ValueError(f"emit must be 'results' or 'produced', got {emit!r}")
+    if emit == "results" and output_schema is None:
+        raise ValueError("output_schema is required when emit='results'")
     source = next((s for s in task.sources if s.topic_name == topic), None)
     if source is None:
         raise ValueError(f"task has no source {topic!r}")
@@ -163,7 +170,12 @@ def run_task_batch(
         ctxs: dict[Any, tuple[BatchAssignmentContext, list]] = {}
         for pdf in batches:
             results: list[dict[str, Any]] = []
-            for part_val, sub in pdf.groupby(partition_col, sort=True):
+            for part_val, sub in pdf.groupby(partition_col, sort=True, dropna=False):
+                if pd.isna(part_val):
+                    raise ValueError(
+                        f"null value in partition column {partition_col!r}; "
+                        "partitions must be non-null ints (Kafka semantics)"
+                    )
                 if part_val not in ctxs:
                     high = int(sub["__high"].iloc[0]) + 1
                     ctx = BatchAssignmentContext(topic, int(part_val), group, high)
@@ -172,13 +184,16 @@ def run_task_batch(
                 records = sub.drop(columns=["__high"]).to_dict("records")
                 for rec in records:
                     off = int(rec[offset_col])
+                    # default timestamp mirrors the pre-kafka convention: a
+                    # 'ts' column rides along as the message timestamp
+                    ts = rec.get(timestamp_col) if timestamp_col else rec.get("ts", "")
                     message = {
                         "topic": topic,
                         "partition": ctx.partition,
                         "key": rec.get(key_col) if key_col else None,
                         "value": rec.get(value_col) if value_col else rec,
                         "offset": off,
-                        "timestamp": str(rec.get(timestamp_col, "")) if timestamp_col else "",
+                        "timestamp": str(ts if ts is not None else ""),
                         "high_water_offset": ctx._high_offset,
                     }
                     result, _ = process_message(message, fns, ctx)

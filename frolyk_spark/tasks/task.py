@@ -87,13 +87,16 @@ class Task:
 
     # --- distributed batch execution over Spark ---
     def run_batch(self, spark, df, topic: str, partition_col: str,
-                  offset_col: str, output_schema: str, num_partitions: int | None = None):
+                  offset_col: str, output_schema: str | None = None,
+                  num_partitions: int | None = None, **kwargs):
+        """Extra kwargs pass through to bridge.run_task_batch
+        (value_col/key_col/timestamp_col, emit, starting_offsets)."""
         from frolyk_spark.tasks.bridge import run_task_batch
 
         return run_task_batch(
             self, spark, df, topic=topic, partition_col=partition_col,
             offset_col=offset_col, output_schema=output_schema,
-            num_partitions=num_partitions,
+            num_partitions=num_partitions, **kwargs,
         )
 
     # --- streaming execution (Kafka-gated) ---
