@@ -363,12 +363,71 @@ WHERE round({cos}, 4) >= {EMB_COS_T}
 """
 
 
+# --- D15: duplicate clusters (connected components over candidate pairs) ----
+
+CC_MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the minhash candidate
+    pairs, by iterative min-label propagation. Each round every vertex
+    takes the min label among itself and its neighbors; rounds repeat until
+    a fixpoint (checked with a count action — the only driver-side value,
+    one long per round). Near-dup components have tiny diameter, so this
+    converges in a handful of rounds; each round is one shuffle on doc_id.
+    The cluster id is the component's min doc_id — its canonical document.
+
+    Iterative, hence no SQL oracle; tests/test_dedup_clusters.py checks
+    against a union-find ground truth on the collected pair list.
+    """
+    pairs = dedup_minhash(spark, sf_dir)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    # no-oracle: iterative connected components; checked against a
+    # union-find model in tests/test_dedup_clusters.py
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
