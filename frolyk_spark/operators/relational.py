@@ -875,6 +875,148 @@ GROUP BY GROUPING SETS ((r_name), (n_name))
 """
 
 
+# --- C29: TPC-H Q8 market share (adapted) -----------------------------------
+# One nation's share of yearly revenue within a region: ratio of conditional
+# aggregates over the joined facts.
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = "NATION_19"
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == target, rev).otherwise(0.0)) / F.sum(rev), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT cast(year(o_orderdate) as int) AS o_year,
+       round(sum(CASE WHEN n_name = 'NATION_19'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# --- C30: TPC-H Q13 customer order-count distribution -----------------------
+# Left join so zero-order customers count; double aggregation (per-customer,
+# then histogram over counts).
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- C31: TPC-H Q15 top supplier ---------------------------------------------
+# Revenue-per-supplier CTE reused twice (max + selection) — Catalyst plans
+# the aggregate once per branch; the window formulation avoids a self-join.
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    top = rev.withColumn("mx", F.max("total_revenue").over(W.partitionBy())).where(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# --- C32: TPC-H Q18 large-volume customers (adapted) ------------------------
+# Aggregate-then-semi-filter: orders whose lineitem quantity total exceeds a
+# threshold, joined back to customer detail.
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    threshold = 120
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > threshold)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 120
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # --- C26: salted two-stage aggregation (skew mitigation demo) ---------------
 # events.event_type has ~5 distinct values over the whole fact table — the
 # canonical skewed-key aggregation. A straight groupBy lands each key on one
@@ -951,6 +1093,10 @@ QUERIES = {
     "asof_cogroup": asof_cogroup,
     "retention_cohorts": retention_cohorts,
     "grouping_sets_revenue": grouping_sets_revenue,
+    "q8_market_share": q8_market_share,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_orders": q18_large_orders,
     # no-oracle: approximate results are engine-specific; bounded by
     # tests/test_approx.py against exact answers
     "approx_stats": approx_stats,
@@ -986,4 +1132,8 @@ ORACLES = {
     "asof_cogroup": ASOF_SQL,
     "retention_cohorts": RETENTION_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,
+    "q8_market_share": Q8_SQL,
+    "q13_order_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q18_large_orders": Q18_SQL,
 }
