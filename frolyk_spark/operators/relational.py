@@ -942,8 +942,9 @@ GROUP BY c_count
 
 
 # --- C31: TPC-H Q15 top supplier ---------------------------------------------
-# Revenue-per-supplier CTE reused twice (max + selection) — Catalyst plans
-# the aggregate once per branch; the window formulation avoids a self-join.
+# Global max as a one-row aggregate broadcast back over the per-supplier
+# revenues — a global window (partitionBy()) would funnel every supplier
+# row through a single partition; the broadcast keeps both sides parallel.
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -954,11 +955,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
     )
-    top = rev.withColumn("mx", F.max("total_revenue").over(W.partitionBy())).where(
-        F.col("total_revenue") == F.col("mx")
-    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
-        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
