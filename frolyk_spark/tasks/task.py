@@ -99,6 +99,16 @@ class Task:
             num_partitions=num_partitions, **kwargs,
         )
 
+    # --- streaming execution over file topics (broker-free task.start) ---
+    def start_files(self, spark, **kwargs):
+        """Run this topology as Structured Streaming queries over parquet
+        directory "topics" — same lifecycle as the Kafka path, CI-runnable
+        (see frolyk_spark.tasks.files.start_file_task)."""
+        from frolyk_spark.tasks.files import start_file_task
+
+        self._streaming_queries = start_file_task(self, spark, **kwargs)
+        return self._streaming_queries
+
     # --- streaming execution (Kafka-gated) ---
     def start(self, spark, checkpoint_dir: str | None = None):
         if not self.options.get("connection"):

@@ -1,0 +1,83 @@
+"""File-backed task.start lifecycle (A11 shape + A14 recovery, no broker):
+a running topology consumes file "topics", produced messages land in the
+sink exactly once, and a restart resumes from the checkpoint."""
+
+import json
+import os
+import shutil
+import uuid
+
+import pytest
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "filetasks")
+
+
+@pytest.fixture()
+def workdir():
+    d = os.path.join(SCRATCH, uuid.uuid4().hex[:8])
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, "part int, offset bigint, kind string, amount double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_file_task_lifecycle_exactly_once(spark, workdir):
+    from frolyk_spark.tasks.task import Task
+
+    in_dir = os.path.join(workdir, "orders_topic")
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+
+    task = Task(group="file-task")
+    src = task.source("orders_topic")
+
+    def setup(assignment):
+        def route(message, context):
+            v = message["value"]
+            if v["kind"] == "big":
+                assignment.send(
+                    {"topic": "big_orders", "key": str(v["offset"]), "value": {"amount": v["amount"]}}
+                )
+            return context.abandon
+
+        return route
+
+    task.processor(src, setup)
+
+    _write(spark, in_dir, [(i % 2, i, "big" if i % 3 == 0 else "small", float(i)) for i in range(30)])
+    schema = spark.read.parquet(in_dir).schema
+
+    def run():
+        queries = task.start_files(
+            spark,
+            topic_dirs={"orders_topic": in_dir},
+            schemas={"orders_topic": schema},
+            partition_col="part",
+            offset_col="offset",
+            checkpoint_root=ckpt,
+            sink_dir=sink,
+        )
+        for q in queries:
+            q.awaitTermination()
+        task.stop()
+
+    run()
+    out1 = spark.read.parquet(sink)
+    keys1 = sorted(int(r.key.decode()) for r in out1.collect())
+    assert keys1 == [i for i in range(30) if i % 3 == 0]
+    assert set(r.topic for r in out1.select("topic").distinct().collect()) == {"big_orders"}
+    # payloads survive the wire encoding
+    amounts = {int(r.key.decode()): json.loads(r.value.decode())["amount"] for r in out1.collect()}
+    assert amounts[27] == 27.0
+
+    # restart with new data: only the new file is processed (committed
+    # offsets recovered), nothing is reprocessed or lost
+    _write(spark, in_dir, [(i % 2, i, "big", float(i)) for i in range(30, 36)])
+    run()
+    keys2 = sorted(int(r.key.decode()) for r in spark.read.parquet(sink).collect())
+    assert keys2 == sorted([i for i in range(30) if i % 3 == 0] + list(range(30, 36)))
