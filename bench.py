@@ -67,10 +67,12 @@ def _force(df) -> int:
         return df.count()
 
 
-def _warm_up(spark) -> None:
-    """Pay one-time session costs (JVM JIT, codegen pipeline, Python/Arrow
-    worker spin-up) outside the timed region, so per-query numbers measure
-    the operators, not first-use machinery."""
+def _warm_up(spark, queries) -> None:
+    """Pay one-time session costs (JVM JIT, whole-stage-codegen compilation
+    per query shape, Python/Arrow worker spin-up) outside the timed region,
+    so per-query numbers measure the operators, not first-use machinery:
+    every headline query runs once at the tiny sf0.001 before timing.
+    Disable with SPARK_GRAFT_BENCH_WARM=0 for cold-start numbers."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -84,6 +86,19 @@ def _warm_up(spark) -> None:
         F.sum("v")
     ).collect()
 
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "1":
+        return
+    warm_sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_sf):
+        return
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is not None:
+            try:
+                _force(fn(spark, warm_sf))
+            except Exception as exc:  # warm-up must never fail the bench
+                print(f"# warm-up {name} failed: {exc}", file=sys.stderr)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,7 +107,7 @@ def main() -> None:
 
     queries = entry_mod.queries()
     spark = get_spark("frolyk_spark_bench")
-    _warm_up(spark)
+    _warm_up(spark, queries)
 
     per_query: dict[str, float] = {}
     skipped: list[str] = []
