@@ -51,8 +51,11 @@ HEADLINE = [
 ]
 
 
-def _force(df) -> int:
-    """One full pass evaluating every output column; returns the row count."""
+def _force(df) -> tuple[int, str]:
+    """One full pass evaluating every output column; returns (row count,
+    forcing method). 'count' means the checksum failed (e.g. an unhashable
+    column type) and the timing only covers a pruned row count — callers
+    must surface that, not bury it (count() was r1's mis-measurement)."""
     from pyspark.sql import functions as F
 
     try:
@@ -62,9 +65,9 @@ def _force(df) -> int:
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(h)").alias("chk"),
         ).collect()[0]
-        return row.n
+        return row.n, "checksum"
     except Exception:
-        return df.count()
+        return df.count(), "count"
 
 
 def _warm_up(spark, queries) -> None:
@@ -111,6 +114,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     skipped: list[str] = []
+    count_forced: list[str] = []
     total = 0.0
     for name in HEADLINE:
         fn = queries.get(name)
@@ -119,10 +123,13 @@ def main() -> None:
             print(f"# MISSING: {name}", file=sys.stderr)
             continue
         t0 = time.monotonic()
-        n = _force(fn(spark, sf_dir))
+        n, method = _force(fn(spark, sf_dir))
         dt = round(time.monotonic() - t0, 3)
         per_query[name] = dt
         total += dt
+        if method != "checksum":
+            count_forced.append(name)
+            print(f"# DEGRADED to count(): {name}", file=sys.stderr)
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -134,6 +141,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "skipped": skipped,
+                "count_forced": count_forced,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -384,11 +384,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    # materialize once: every round joins edges, and recomputing the whole
+    # LSH pipeline per round would multiply the most expensive stage
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    converged = False
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -411,7 +415,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {CC_MAX_ITERS} rounds — "
+            "component diameter exceeds the iteration cap; raise CC_MAX_ITERS"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -2,10 +2,12 @@
 
 Every operator is a declarative DataFrame plan — Catalyst gets full
 visibility for predicate pushdown, column pruning and join planning; AQE
-re-plans shuffles at runtime. True dimension tables (region/nation/
-supplier/part) are broadcast explicitly; customer is fact-scaled (~1.5e9
-rows at 100 TB), so customer joins carry no hint — they shuffle on the join
-key, and AQE is free to pick broadcast at small scale factors.
+re-plans shuffles at runtime. Only the fixed-cardinality dimensions
+(region: 5 rows, nation: 25 rows) carry broadcast hints; customer,
+supplier and part all scale linearly with the data volume (~1.5e9, ~1e8
+and ~2e9 rows respectively at 100 TB), so their joins carry no hint — they
+shuffle on the join key, and AQE is free to pick broadcast at the small
+scale factors where they genuinely fit.
 
 Output hygiene for the DuckDB oracle gate: every computed column is aliased
 identically in Spark and SQL, dates are emitted as 'yyyy-MM-dd' strings,
@@ -107,8 +109,9 @@ LIMIT 10
 
 
 # --- C3: TPC-H Q5 local supplier volume (adapted) --------------------------
-# region/nation/supplier broadcast; the plan keeps one shuffle for
-# orders⋈lineitem and one for the final group-by on n_name.
+# region/nation broadcast; supplier/customer shuffle on their keys; the
+# plan keeps one shuffle for orders⋈lineitem and one for the final
+# group-by on n_name.
 
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
@@ -122,7 +125,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
@@ -618,7 +621,7 @@ GROUP BY o_orderpriority
 
 
 # --- C22: TPC-H Q7 volume shipping between two nations (adapted) ------------
-# supplier+nation broadcast twice (both tiny); customer side shuffles on its
+# nation broadcast twice under two aliases; supplier/customer shuffle on their
 # join keys; the nation-pair filter prunes before the aggregate.
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,7 +639,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
         .where(
@@ -707,7 +710,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
@@ -734,8 +737,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
@@ -888,7 +891,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -958,7 +961,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

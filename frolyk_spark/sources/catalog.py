@@ -26,8 +26,11 @@ TABLES = (
     "embeddings",
 )
 
-# Dimensions small enough to broadcast at any realistic scale factor.
-BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
+# Dimensions small enough to broadcast at any scale: fixed cardinality
+# (region 5 rows, nation 25). supplier/part/customer scale linearly with
+# the data volume, so they are deliberately NOT here — AQE may still
+# broadcast them at small scale factors, but nothing pins them.
+BROADCAST_TABLES = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

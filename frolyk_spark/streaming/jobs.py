@@ -69,7 +69,11 @@ def run_to_memory(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    # the sink's rows already live on the driver; detach them from the
+    # never-reused uuid view so repeated runs don't pin dead result tables
+    result = spark.createDataFrame(spark.table(name).collect(), spark.table(name).schema)
+    spark.catalog.dropTempView(name)
+    return result
 
 
 # --- B1: tumbling-window aggregate ------------------------------------------

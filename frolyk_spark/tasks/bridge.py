@@ -201,19 +201,23 @@ def run_task_batch(
                         results.append(result)
             if results:
                 yield pd.DataFrame(results, columns=out_cols)
-        if emit == "produced":
-            rows = [
-                {
-                    "topic": m.get("topic", topic),
-                    "partition": m.get("partition"),
-                    "key": _to_bytes(m.get("key")),
-                    "value": _to_bytes(m.get("value")),
-                }
-                for ctx, _ in ctxs.values()
-                for m in ctx.produced
-            ]
-            if rows:
-                yield pd.DataFrame(rows, columns=out_cols)
+            if emit == "produced":
+                # drain per input batch so sends never accumulate for the
+                # whole partition in worker memory
+                rows = []
+                for ctx, _ in ctxs.values():
+                    rows.extend(
+                        {
+                            "topic": m.get("topic", topic),
+                            "partition": m.get("partition"),
+                            "key": _to_bytes(m.get("key")),
+                            "value": _to_bytes(m.get("value")),
+                        }
+                        for m in ctx.produced
+                    )
+                    ctx.produced.clear()
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
 
     return prepared.mapInPandas(run_partition, schema)
 

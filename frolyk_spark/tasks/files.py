@@ -4,7 +4,9 @@ Runs a Task topology as real Structured Streaming queries over file-stream
 "topics" (directories of parquet), with the same lifecycle the Kafka path
 has (reference src/task.ts:107-255): checkpoint-managed offsets, restart
 picks up only unprocessed files, processor ``send()`` output lands in a
-parquet sink partitioned by destination topic. This is the path CI can
+parquet sink partitioned by (source, epoch, destination topic) — the
+epoch-keyed overwrite makes foreachBatch's at-least-once retries
+idempotent, so the sink is effectively exactly-once. This is the path CI can
 exercise end-to-end — the Kafka variant (tasks/kafka.py) only swaps the
 source/sink formats.
 """
@@ -50,12 +52,12 @@ def start_file_task(
                 partition_col=partition_col, offset_col=offset_col,
                 emit="produced",
             )
-            (
-                produced.withColumn("src_epoch", F.lit(epoch_id))
-                .write.mode("append")
-                .partitionBy("topic")
-                .parquet(sink_dir)
-            )
+            # foreachBatch is at-least-once; exactly-once comes from the
+            # epoch-keyed directory overwrite: a retried epoch replaces its
+            # own previous (possibly partial) output instead of appending a
+            # duplicate.
+            epoch_dir = os.path.join(sink_dir, f"src={_topic}", f"epoch={epoch_id}")
+            produced.write.mode("overwrite").partitionBy("topic").parquet(epoch_dir)
 
         writer = (
             spark.readStream.schema(schemas[topic])

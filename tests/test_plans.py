@@ -57,14 +57,16 @@ def test_whole_stage_codegen(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
-def test_no_forced_customer_broadcast():
-    """customer is fact-scaled (~1.5e9 rows at 100 TB): no operator may pin
-    it with a broadcast hint — AQE picks the strategy (r1 VERDICT fix #5)."""
+def test_no_forced_scaling_table_broadcast():
+    """customer/supplier/part all scale linearly with data volume: no
+    operator may pin them with a broadcast hint — AQE picks the strategy.
+    Only fixed-cardinality region/nation may carry hints."""
     import frolyk_spark.operators.relational as rel
     import inspect
 
     src = inspect.getsource(rel)
-    assert "F.broadcast(cust" not in src
+    for name in ("cust", "supp", "part"):
+        assert f"F.broadcast({name}" not in src, f"forced broadcast of scaling table {name}"
 
 
 def test_dedup_minhash_plan_shape(spark, sf_dir):
