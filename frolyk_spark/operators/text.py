@@ -14,7 +14,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frolyk_spark.functions.hashing import portable_hash_spark_sql, portable_hash_sql
+from frolyk_spark.functions.hashing import (
+    portable_hash_expr, portable_hash_spark_sql, portable_hash_sql,
+)
 from frolyk_spark.sources.catalog import load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -188,11 +190,100 @@ FROM documents
 """
 
 
+# --- D16: redaction (PII-scrub shape) ----------------------------------------
+# Training pipelines scrub identifiers before anything else sees the text.
+# The patterns here are deliberately dialect-portable (no lookarounds):
+# long digit runs and word@word.word shapes. Pure regexp_replace — map-only,
+# zero shuffle, linear at any scale.
+
+REDACT_NUM = "[0-9]{6,}"
+REDACT_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]+"
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    once = F.regexp_replace("text", REDACT_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(once, REDACT_NUM, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.length(scrubbed).cast("bigint").alias("n_chars_redacted"),
+        F.regexp_count("text", F.lit(REDACT_NUM)).cast("bigint").alias("n_num_hits"),
+        F.regexp_count("text", F.lit(REDACT_EMAIL)).cast("bigint").alias("n_email_hits"),
+        portable_hash_expr(scrubbed).alias("redacted_hash"),
+    )
+
+
+_REDACTED_DUCK = (
+    f"regexp_replace(regexp_replace(text, '{REDACT_EMAIL}', '<EMAIL>', 'g'),"
+    f" '{REDACT_NUM}', '<NUM>', 'g')"
+)
+
+TEXT_REDACT_SQL = f"""
+SELECT doc_id,
+       cast(length({_REDACTED_DUCK}) as bigint) AS n_chars_redacted,
+       cast(len(regexp_extract_all(text, '{REDACT_NUM}')) as bigint) AS n_num_hits,
+       cast(len(regexp_extract_all(text, '{REDACT_EMAIL}')) as bigint) AS n_email_hits,
+       {portable_hash_sql(_REDACTED_DUCK)} AS redacted_hash
+FROM documents
+"""
+
+
+# --- D17: end-to-end corpus filter -------------------------------------------
+# The composite a training pipeline actually runs: quality-score gate +
+# language gate + exact-dedup keep-first, emitting the surviving doc ids.
+# One hash shuffle (the dedup window); everything else is map-only.
+
+MIN_QUALITY = 0.5
+KEEP_LANGS = ("en", "de")
+
+
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    stats = text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    langs = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", portable_hash_expr("text").alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    first_per_hash = docs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        first_per_hash.join(stats, "doc_id")
+        .join(langs, "doc_id")
+        .where(
+            (F.col("quality_score") >= MIN_QUALITY)
+            & F.col("predicted_lang").isin(*KEEP_LANGS)
+        )
+        .select("doc_id", "predicted_lang", "quality_score")
+    )
+
+
+def _corpus_filter_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in KEEP_LANGS)
+    return f"""
+WITH stats AS ({TEXT_STATS_SQL.strip()}),
+langs AS ({LANG_ID_SQL.strip()}),
+hashed AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY {portable_hash_sql('text')} ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT s.doc_id, l.predicted_lang, s.quality_score
+FROM hashed h
+JOIN stats s ON h.doc_id = s.doc_id
+JOIN langs l ON h.doc_id = l.doc_id
+WHERE h.rn = 1 AND s.quality_score >= {MIN_QUALITY}
+  AND l.predicted_lang IN ({langs})
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "lang_id": lang_id,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "text_redact": text_redact,
+    "corpus_filter": corpus_filter,
 }
 
 ORACLES = {
@@ -200,4 +291,6 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_redact": TEXT_REDACT_SQL,
+    "corpus_filter": _corpus_filter_sql(),
 }

@@ -264,6 +264,35 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+# --- B11: stream-static join -------------------------------------------------
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched against the static customer dimension —
+    the canonical lookup-join: the static side is a plain batch DataFrame
+    (re-read per micro-batch, broadcastable), no state, no watermark
+    needed. Revenue-ish rollup by market segment."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_to_memory(joined, mode="complete", prefix="static_join")
+
+
+STREAM_STATIC_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_purchases, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+"""
+
+
 # --- B5: custom stateful operator as a query --------------------------------
 
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +353,7 @@ QUERIES = {
     "sessionize": sessionize,
     "stream_stateful": stream_stateful,
     "stream_stream_join": stream_stream_join,
+    "stream_static_join": stream_static_join,
 }
 
 ORACLES = {
@@ -333,4 +363,5 @@ ORACLES = {
     "sessionize": SESSIONIZE_SQL,
     "stream_stateful": STREAM_STATEFUL_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    "stream_static_join": STREAM_STATIC_JOIN_SQL,
 }
