@@ -170,3 +170,27 @@ def test_starting_offsets_seek_equivalent(spark, sf_dir):
     assert min(p0) >= int(mid), "partition 0 must start at the seek offset"
     full_p1 = df.where(F.col("part") == 1).count()
     assert len(p1) == full_p1, "unlisted partitions replay from the beginning"
+
+
+def test_processor_error_propagates_distributed(spark, sf_dir):
+    """A raising processor fails the job with its message surfaced — the
+    distributed analog of the reference's rejected `processing` promise."""
+    import pytest
+
+    task = Task(group="err-check")
+    src = task.source("events")
+
+    def setup(assignment):
+        def boom(message, context):
+            raise RuntimeError("poison message rejected")
+
+        return boom
+
+    task.processor(src, setup)
+    df = _events_with_part(spark, sf_dir).limit(10)
+    out = run_task_batch(
+        task, spark, df, topic="events", partition_col="part",
+        offset_col="event_id", output_schema="event_id bigint",
+    )
+    with pytest.raises(Exception, match="poison message rejected"):
+        out.collect()
