@@ -32,6 +32,7 @@ def start_file_task(
     checkpoint_root: str,
     sink_dir: str,
     available_now: bool = True,
+    batch_hook=None,
 ):
     """One streaming query per source. Rows of a topic directory are the
     message values (DataFrame-native shape: ``message['value']`` is the row
@@ -39,6 +40,11 @@ def start_file_task(
     coordinates. Returns the list of started queries; with
     ``available_now`` they terminate once caught up — call again later to
     resume from the checkpoint (committed-offset recovery).
+
+    ``batch_hook(topic, epoch_id)``, if given, runs after the sink write
+    and before the epoch commits — for metrics/telemetry; an exception it
+    raises fails the epoch so it is retried on restart (the sink write is
+    idempotent, see below).
     """
     queries = []
     for source in task.sources:
@@ -58,6 +64,8 @@ def start_file_task(
             # duplicate.
             epoch_dir = os.path.join(sink_dir, f"src={_topic}", f"epoch={epoch_id}")
             produced.write.mode("overwrite").partitionBy("topic").parquet(epoch_dir)
+            if batch_hook is not None:
+                batch_hook(_topic, epoch_id)
 
         writer = (
             spark.readStream.schema(schemas[topic])

@@ -29,3 +29,20 @@ def test_clusters_match_union_find(spark, sf_dir):
     assert got == truth
     canon = {r.doc_id for r in dedup_clusters(spark, sf_dir).collect() if r.is_canonical}
     assert canon == {c for c in truth.values()}
+
+
+def test_minhash_catches_high_jaccard_pairs(spark, sf_dir):
+    """Banded LSH must recall essentially all true near-dups: every pair
+    with ngram-Jaccard >= 0.9 should appear among minhash candidates
+    (b=4 bands of r=3: P(miss | j=0.99) ~ 1e-5)."""
+    from frolyk_spark.operators.dedup import dedup_minhash, dedup_ngram_jaccard
+
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    cand_pairs = {(r.doc_a, r.doc_b) for r in dedup_minhash(spark, sf_dir).collect()}
+    assert true_pairs, "test data should contain planted near-dups"
+    missed = true_pairs - cand_pairs
+    assert not missed, f"LSH missed high-jaccard pairs: {sorted(missed)[:5]}"

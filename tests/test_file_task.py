@@ -81,3 +81,52 @@ def test_file_task_lifecycle_exactly_once(spark, workdir):
     run()
     keys2 = sorted(int(r.key.decode()) for r in spark.read.parquet(sink).collect())
     assert keys2 == sorted([i for i in range(30) if i % 3 == 0] + list(range(30, 36)))
+
+
+def test_epoch_overwrite_makes_retry_idempotent(spark, workdir):
+    """Crash after the sink write but before the epoch commit (a raising
+    batch hook), then restart: Spark re-runs the epoch, and the epoch-keyed
+    overwrite must leave the sink unchanged — no duplicates, no loss."""
+    import pytest
+
+    from frolyk_spark.tasks.task import Task
+
+    in_dir = os.path.join(workdir, "t")
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+
+    task = Task(group="retry-task")
+    src = task.source("t")
+
+    def setup(assignment):
+        def fwd(message, context):
+            assignment.send({"topic": "out", "key": str(message["value"]["offset"]), "value": "x"})
+            return context.abandon
+
+        return fwd
+
+    task.processor(src, setup)
+    _write(spark, in_dir, [(0, i, "k", 1.0) for i in range(10)])
+    schema = spark.read.parquet(in_dir).schema
+
+    def run(hook=None):
+        qs = task.start_files(
+            spark, topic_dirs={"t": in_dir}, schemas={"t": schema},
+            partition_col="part", offset_col="offset",
+            checkpoint_root=ckpt, sink_dir=sink, batch_hook=hook,
+        )
+        for q in qs:
+            q.awaitTermination()
+        task.stop()
+
+    def crash_once(topic, epoch_id):
+        raise RuntimeError("simulated crash between sink write and commit")
+
+    with pytest.raises(Exception, match="simulated crash"):
+        run(hook=crash_once)
+    # the sink write itself survived the "crash"
+    assert sorted(int(r.key.decode()) for r in spark.read.parquet(sink).collect()) == list(range(10))
+
+    run()  # restart: epoch is retried because it never committed
+    keys = sorted(int(r.key.decode()) for r in spark.read.parquet(sink).collect())
+    assert keys == list(range(10)), "retried epoch must overwrite, not duplicate"
