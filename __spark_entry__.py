@@ -25,7 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from frolyk_spark.operators import dedup, multimodal, relational, similarity, text
+    from frolyk_spark.operators import (
+        dedup, multimodal, relational, sampling, similarity, text,
+    )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
@@ -35,13 +37,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(sampling.QUERIES)
     out.update(streaming_jobs.QUERIES)
     out.update(bridge.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from frolyk_spark.operators import dedup, multimodal, relational, similarity, text
+    from frolyk_spark.operators import (
+        dedup, multimodal, relational, sampling, similarity, text,
+    )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
@@ -51,6 +56,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(sampling.ORACLES)
     out.update(streaming_jobs.ORACLES)
     out.update(bridge.ORACLES)
     return out
