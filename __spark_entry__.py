@@ -31,15 +31,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
+    # Registration order matters: the driver's correctness gate runs entries
+    # in dict order under a wall-clock budget (CORRECTNESS_r02 stopped after
+    # 50 of 61).  Register the entries that have never had a driver row
+    # FIRST (multimodal_features, sampling, streaming, task_pipeline), then
+    # the rest; the twice-green relational block goes last.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(relational.QUERIES)
-    out.update(text.QUERIES)
-    out.update(dedup.QUERIES)
-    out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(sampling.QUERIES)
     out.update(streaming_jobs.QUERIES)
     out.update(bridge.QUERIES)
+    out.update(text.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(relational.QUERIES)
     return out
 
 
@@ -51,12 +56,12 @@ def oracle_sql() -> dict[str, str]:
     from frolyk_spark.tasks import bridge
 
     out: dict[str, str] = {}
-    out.update(relational.ORACLES)
-    out.update(text.ORACLES)
-    out.update(dedup.ORACLES)
-    out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(sampling.ORACLES)
     out.update(streaming_jobs.ORACLES)
     out.update(bridge.ORACLES)
+    out.update(text.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
+    out.update(relational.ORACLES)
     return out

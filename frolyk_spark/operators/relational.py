@@ -694,8 +694,8 @@ Q12_SQL = """
 SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'under_30d'
             WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN '30_to_90d'
             ELSE 'over_90d' END AS delay_bucket,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_lines,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority_lines
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS bigint) AS high_priority_lines,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS bigint) AS low_priority_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """

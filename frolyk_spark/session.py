@@ -12,6 +12,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: RocksDB-backed state store — the 100 TB answer for large streaming state
+#: (keys spill to local disk instead of living on the executor heap, and
+#: changelog checkpointing ships deltas, not full snapshots, per commit).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state_store(spark: SparkSession) -> dict[str, str]:
+    """Switch stateful streaming queries started after this call to the
+    RocksDB state store provider (ships with Spark; no extra jars).
+
+    Session-conf, takes effect at *query start* — running queries keep the
+    provider they started with. Returns the previous values so tests can
+    restore them.
+    """
+    keys = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        # deltas per commit instead of full snapshot uploads
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+    prev: dict[str, str] = {}
+    for k, v in keys.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return prev
+
+
 def get_spark(app_name: str = "frolyk_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     if shuffle_partitions is None:

@@ -176,6 +176,83 @@ def test_stateful_counter_survives_restart(spark, workdir):
     assert out2 == {1: 4, 3: 3, 4: 1}
 
 
+# --- B6 scale path: dropDuplicatesWithinWatermark + RocksDB state store -----
+
+def test_dedup_within_watermark_evicts_state_rocksdb(spark, workdir):
+    """The 100 TB streaming-dedup posture: RocksDB-backed state (keys on
+    local disk, not executor heap) and dropDuplicatesWithinWatermark, whose
+    state for a key is evicted once the watermark passes event_ts + delay —
+    so a key recurring later than the delay re-emits (bounded state), while
+    a duplicate inside the delay is dropped."""
+    import datetime
+    import glob
+
+    from frolyk_spark.session import ROCKSDB_PROVIDER, enable_rocksdb_state_store
+
+    in_dir = os.path.join(workdir, "in")
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = "ts timestamp, user bigint"
+
+    def t(s):
+        return datetime.datetime.fromisoformat(s)
+
+    def run():
+        dedup = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user"])
+        )
+        emitted: list = []
+
+        def sink(df, epoch_id):
+            emitted.extend((r.user, r.ts) for r in df.collect())
+
+        q = (
+            dedup.writeStream.foreachBatch(sink).outputMode("append")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    prev = enable_rocksdb_state_store(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        # batch 1: dup of user 1 inside the delay is dropped; user 9's row
+        # drags the watermark to 11:30, past user 1's expiry (10:00 + 1h)
+        _write_batch(
+            spark, in_dir,
+            [(t("2024-01-01 10:00:00"), 1), (t("2024-01-01 10:10:00"), 1),
+             (t("2024-01-01 12:30:00"), 9)],
+            schema,
+        )
+        out1 = run()
+        assert sorted(u for u, _ in out1) == [1, 9]
+
+        # batch 2: user 1 recurs AFTER the delay -> state was evicted ->
+        # re-emitted once (its in-delay dup still dropped); user 9 is still
+        # in state (expires 13:30) -> dropped
+        _write_batch(
+            spark, in_dir,
+            [(t("2024-01-01 13:00:00"), 1), (t("2024-01-01 13:10:00"), 1),
+             (t("2024-01-01 13:00:00"), 9)],
+            schema,
+        )
+        out2 = run()
+        assert [(u, ts.hour) for u, ts in out2] == [(1, 13)]
+
+        # the state store on disk really is RocksDB: changelog/zip artifacts
+        # under the checkpoint's state dir, not HDFS-provider .delta files
+        state_files = glob.glob(os.path.join(ckpt, "state", "**", "*"), recursive=True)
+        assert any(f.endswith((".changelog", ".zip")) for f in state_files)
+        assert not any(f.endswith(".delta") for f in state_files)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
 # --- B3 streaming side: session windows stream == batch ---------------------
 
 def test_streaming_session_window_matches_batch(spark, sf_dir):
