@@ -56,18 +56,24 @@ def _force(df) -> tuple[int, str]:
     forcing method). 'count' means the checksum failed (e.g. an unhashable
     column type) and the timing only covers a pruned row count — callers
     must surface that, not bury it (count() was r1's mis-measurement)."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
+    # Only an ANALYSIS failure (xxhash64 rejecting a column type) may fall
+    # back to count(); the checksum plan is built inside the try, but its
+    # execution happens outside — an execution-time error must propagate
+    # and fail the bench, not get silently re-timed as a bare row count.
     try:
-        row = df.select(
+        forced = df.select(
             F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("h")
         ).agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(h)").alias("chk"),
-        ).collect()[0]
-        return row.n, "checksum"
-    except Exception:
+        )
+    except AnalysisException:
         return df.count(), "count"
+    row = forced.collect()[0]
+    return row.n, "checksum"
 
 
 def _warm_up(spark, queries) -> None:

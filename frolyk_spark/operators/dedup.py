@@ -22,7 +22,9 @@ LLM-data-pipeline surface of the charter (SURVEY §2 D).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frolyk_spark.functions.hashing import portable_hash_expr, portable_hash_spark_sql, portable_hash_sql
@@ -102,28 +104,18 @@ MINHASH_SEEDS = tuple(
 )
 
 
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via minhash + banded LSH.
-
-    Shape chosen for both single-evaluation and 100 TB scale:
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k={MINHASH_K} minhash signature table (doc_id, s0..s{MINHASH_K-1}).
 
     1. explode distinct shingles to rows and md5 each exactly once (a
        chained-projection formulation lets Catalyst collapse projects and
        re-inline the hash array into every minhash lambda — ~48x duplicate
        md5 work; the explode is the evaluation barrier that prevents it);
-    2. k={MINHASH_K} minhashes as plain `min(hash XOR seed_j)` aggregates —
-       XOR seed-mixing is bijective so the min-hash property holds, and
-       hash aggregation map-side-combines, so the doc_id shuffle carries
-       only k longs per doc per partition, not the shingle set;
-    3. b={MINHASH_B} bands of r=k/b sigs -> band-hash bucket groupBy ->
-       in-bucket pair expansion from the sorted doc_id list. Near-dup
-       buckets are small by construction (docs only collide when a full
-       band agrees); a pathological giant bucket would be capped or routed
-       through a join at scale, and the signature table persisted/reused.
-
-    Never all-pairs: both shuffles are equi-partitioned on doc_id / bucket.
+    2. k minhashes as plain `min(hash XOR seed_j)` aggregates — XOR
+       seed-mixing is bijective so the min-hash property holds, and hash
+       aggregation map-side-combines, so the doc_id shuffle carries only k
+       longs per doc per partition, not the shingle set.
     """
-    r = MINHASH_K // MINHASH_B
     # the test parquet is a single split; spread the md5-heavy projection
     # across cores (real corpora scan with many splits, so this tiny
     # row-shuffle is a no-op at scale)
@@ -134,12 +126,41 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
         .select("doc_id", F.expr(portable_hash_spark_sql("s")).alias("h"))
     )
-    sigs = shingled.groupBy("doc_id").agg(
+    return shingled.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"h ^ {seed}L")).alias(f"s{j}")
             for j, seed in enumerate(MINHASH_SEEDS)
         ]
     )
+
+
+def persisted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature table persisted to parquet once per source dataset and
+    reread on later calls — the incremental-corpus shape a real pipeline
+    needs: signatures are computed when documents land and every downstream
+    consumer (banding, clustering, re-runs with new thresholds) reads the
+    parquet instead of re-hashing the corpus. Keyed on the resolved source
+    path, like the stream staging dirs."""
+    import hashlib
+
+    from frolyk_spark.sources.streams import SCRATCH
+
+    target = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    out = os.path.join(SCRATCH, "signatures", f"minhash_{key}.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        minhash_signatures(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def band_pairs(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs from a signature table: b={MINHASH_B} bands of
+    r=k/b sigs -> band-hash bucket groupBy -> in-bucket pair expansion from
+    the sorted doc_id list. Near-dup buckets are small by construction
+    (docs only collide when a full band agrees); a pathological giant
+    bucket would be capped or routed through a join at scale. Never
+    all-pairs: the shuffle is equi-partitioned on the bucket key."""
+    r = MINHASH_K // MINHASH_B
     band_structs = ", ".join(
         "struct({b} as band_id, {h} as band_hash)".format(
             b=b,
@@ -167,6 +188,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via minhash + banded LSH — signature
+    aggregation (minhash_signatures) composed with band bucketing
+    (band_pairs); see each stage's docstring for the scale argument."""
+    return band_pairs(minhash_signatures(spark, sf_dir))
 
 
 def _dedup_minhash_sql() -> str:
@@ -258,42 +286,71 @@ GROUP BY b.doc_id, d.text
 # --- D8: n-gram Jaccard with length blocking --------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-{SHINGLE_W}-gram Jaccard >= {JACCARD_T} pairs, length-blocked.
+    """Word-{SHINGLE_W}-gram Jaccard >= {JACCARD_T} pairs, length-blocked,
+    with exact df-ordered prefix filtering (AllPairs/PPJoin family).
 
-    Set-similarity join via an inverted index: explode distinct shingles to
-    (gram, doc) postings, equi-join postings on the gram, count common
-    grams per surviving pair, and derive exact Jaccard arithmetically —
-    ``common / (|A| + |B| - common)`` — so no per-pair array intersection
-    ever runs. The length restriction (|n_words| diff < {LEN_BLOCK_W})
-    applies at the join, pruning pairs before the count shuffle. Pairs
-    sharing zero grams never materialize. A naive formulation (block
-    self-join + array_intersect per pair) is O(pairs x gram-set); this one
-    is O(sum of posting-list pair expansions) — 147s -> ~5s at sf0.1, and
-    at 100 TB it is the standard inverted-index shape (plus df-prefix
-    filtering when posting lists grow hot).
+    Set-similarity join via a *prefix-filtered* inverted index:
+
+    1. explode distinct shingles to (gram, doc) postings and compute each
+       gram's document frequency (one groupBy — at corpus scale this is the
+       gram dictionary a pipeline keeps anyway);
+    2. order every doc's grams rarest-first by (df, gram) and keep only the
+       PREFIX of length |A| - ceil(t*|A|) + 1 as join keys. Theorem
+       (AllPairs): two sets with Jaccard >= t must share at least one
+       prefix gram under any shared global ordering — so candidate recall
+       is exact, while the join never touches the hot tail of the df
+       distribution (stopword-like grams with huge posting lists, the thing
+       that melts inverted-index joins at 100 TB);
+    3. equi-join prefix postings (plus the |n_words| diff < {LEN_BLOCK_W}
+       length block) -> distinct candidate pairs, a tiny superset of the
+       answer;
+    4. verify candidates only: exact Jaccard from the two docs' full gram
+       arrays. Per-pair array intersection is confined to the pruned
+       candidate set — the standard verify phase, linear in candidates.
     """
+    t = JACCARD_T
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("n_words", F.size(F.split("text", " ")))
-        .select("doc_id", "n_words", F.explode(F.expr(_SHINGLES_SPARK)).alias("gram"))
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_words"),
+            F.expr(_SHINGLES_SPARK).alias("grams"),
+        )
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    common = (
+    postings = docs.select(
+        "doc_id", "n_words", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    )
+    gram_df = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        postings.join(gram_df, "gram")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram")),
+        )
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na_words"), "gram")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb_words"), "gram")
+    cands = (
         a.join(b, "gram")
         .where(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_words") - F.col("b.n_words")) < LEN_BLOCK_W)
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("na_words") - F.col("nb_words")) < LEN_BLOCK_W)
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sizes = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    jac = F.col("common") / (F.col("na_grams") + F.col("nb_grams") - F.col("common"))
+    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    common = F.size(F.array_intersect("grams_a", "grams_b"))
+    jac = common / (F.size("grams_a") + F.size("grams_b") - common)
     return (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na_grams")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb_grams")), "doc_b")
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_T)
     )
@@ -368,6 +425,21 @@ WHERE round({cos}, 4) >= {EMB_COS_T}
 CC_MAX_ITERS = 20
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Per-round lineage cut for the iterative propagation. localCheckpoint
+    stores blocks on executors (non-reliable): one executor loss
+    mid-iteration fails the whole job, and each round's blocks pin executor
+    memory for the session lifetime. When the session has a reliable
+    checkpoint dir configured (sparkContext.setCheckpointDir — HDFS/object
+    store on a cluster), use checkpoint() instead: survives executor loss
+    and keeps state off the executors. Tests/local runs without a
+    checkpoint dir keep the fast local path."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the minhash candidate
     pairs, by iterative min-label propagation. Each round every vertex
@@ -379,14 +451,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Iterative, hence no SQL oracle; tests/test_dedup_clusters.py checks
     against a union-find ground truth on the collected pair list.
+
+    Candidate pairs come from the PERSISTED signature table
+    (persisted_minhash_signatures): the LSH pipeline's expensive stage —
+    hashing every shingle of every document — runs once per corpus and is
+    reread from parquet here, the incremental shape a real pipeline needs.
     """
-    pairs = dedup_minhash(spark, sf_dir)
+    pairs = band_pairs(persisted_minhash_signatures(spark, sf_dir))
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    # materialize once: every round joins edges, and recomputing the whole
-    # LSH pipeline per round would multiply the most expensive stage
-    edges = edges.localCheckpoint(eager=True)
+    # materialize once: every round joins edges, and recomputing the band
+    # join per round would multiply its cost
+    edges = _cut_lineage(edges)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -406,7 +483,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        new_labels = _cut_lineage(new_labels)  # cut the lineage per round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

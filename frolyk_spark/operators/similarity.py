@@ -61,17 +61,20 @@ def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 
 def _rerank(joined: DataFrame) -> DataFrame:
-    """Exact-cosine top-k per probe; rank on rounded cosine + id tie-break
-    so ordering is reproducible across engines."""
-    cos = F.round(cosine(F.col("probe_emb"), F.col("cand_emb")), 4)
+    """Exact-cosine top-k per probe. Rank on the UNROUNDED cosine with a
+    neighbor_id tie-break (mirrored in the SQL oracle): ranking on a
+    rounded value would let a cosine straddling a 1e-4 rounding boundary
+    round differently per engine (double summation order differs) and flip
+    top-k membership. Only the displayed cos_sim is rounded."""
+    cos_raw = cosine(F.col("probe_emb"), F.col("cand_emb"))
     scored = joined.select(
-        "probe_id", "neighbor_id", cos.alias("cos_sim")
+        "probe_id", "neighbor_id", cos_raw.alias("cos_raw")
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("probe_id", "rank", "neighbor_id", "cos_sim")
+        .select("probe_id", "rank", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"))
     )
 
 
@@ -91,7 +94,7 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_bruteforce_sql() -> str:
-    cos = f"round({cosine_sql('p.probe_emb', 'c.cand_emb')}, 4)"
+    cos = cosine_sql("p.probe_emb", "c.cand_emb")
     return f"""
 WITH p AS (
   SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings WHERE vec_id < {N_PROBES}
@@ -100,12 +103,12 @@ c AS (
   SELECT vec_id AS neighbor_id, embedding AS cand_emb FROM embeddings WHERE vec_id >= {N_PROBES}
 ),
 scored AS (
-  SELECT p.probe_id, c.neighbor_id, {cos} AS cos_sim,
+  SELECT p.probe_id, c.neighbor_id, {cos} AS cos_raw,
          row_number() OVER (PARTITION BY p.probe_id
                             ORDER BY {cos} DESC, c.neighbor_id ASC) AS rank
   FROM p CROSS JOIN c
 )
-SELECT probe_id, rank, neighbor_id, cos_sim
+SELECT probe_id, rank, neighbor_id, round(cos_raw, 4) AS cos_sim
 FROM scored WHERE rank <= {TOP_K}
 """
 

@@ -13,7 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from frolyk_spark.tasks.kafka import build_sink_options, build_source_options
+from frolyk_spark.tasks.kafka import (
+    build_source_options, sink_stream_options, validate_sink_frame,
+)
 from frolyk_spark.tasks.offsets import LogicalOffset
 
 
@@ -36,11 +38,8 @@ def kafka_writer(df: DataFrame, connection: dict, *, topic: str | None = None, c
     """Configured (unstarted) Kafka DataStreamWriter. ``df`` must carry
     key/value (binary or string) columns, and a topic column unless
     ``topic`` is given."""
+    validate_sink_frame(df, topic_given=topic is not None)
     writer = df.writeStream.format("kafka")
-    for k, v in build_sink_options(connection).items():
+    for k, v in sink_stream_options(connection, topic=topic, checkpoint=checkpoint).items():
         writer = writer.option(k, v)
-    if topic:
-        writer = writer.option("topic", topic)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
     return writer

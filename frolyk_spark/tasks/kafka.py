@@ -50,9 +50,40 @@ def build_source_options(connection: dict, topic: str, offset_reset,
 
 def build_sink_options(connection: dict) -> dict:
     brokers = connection.get("brokers") or connection.get("bootstrap_servers")
+    if not brokers:
+        raise ValueError("connection requires 'brokers'")
     if isinstance(brokers, (list, tuple)):
         brokers = ",".join(brokers)
     return {"kafka.bootstrap.servers": brokers}
+
+
+def sink_stream_options(
+    connection: dict, *, topic: str | None = None, checkpoint: str | None = None
+) -> dict:
+    """The COMPLETE option set a Kafka sink writer applies — the producer
+    side of the reference's connection config (kafka.ts producer.send maps
+    onto the Kafka sink; exactly-once resume comes from checkpointLocation,
+    not producer transactions). Pure builder so the mapping is assertable
+    without a broker."""
+    opts = build_sink_options(connection)
+    if topic:
+        opts["topic"] = topic
+    if checkpoint:
+        opts["checkpointLocation"] = checkpoint
+    return opts
+
+
+def validate_sink_frame(df: DataFrame, *, topic_given: bool) -> None:
+    """Build-time check of the Kafka sink contract (the reference producer
+    requires topic+value per message, kafka.ts:105-124; Spark enforces the
+    same at RUNTIME — failing at builder time keeps the error broker-free
+    and immediate): a `value` column always, and a `topic` column unless
+    the writer pins one."""
+    cols = set(df.columns)
+    if "value" not in cols:
+        raise ValueError("Kafka sink requires a 'value' column")
+    if not topic_given and "topic" not in cols:
+        raise ValueError("Kafka sink requires a 'topic' column or an explicit topic=")
 
 
 def _decode_kafka_batch(df: DataFrame) -> DataFrame:

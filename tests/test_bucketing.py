@@ -12,7 +12,7 @@ from contextlib import redirect_stdout
 import pytest
 from pyspark.sql import functions as F
 
-from frolyk_spark.sources.catalog import load_table
+from frolyk_spark.sources.catalog import load_table, write_bucketed
 
 BUCKETS = 8
 
@@ -28,16 +28,8 @@ def _explain(df) -> str:
 def bucketed_tables(spark, sf_dir):
     suffix = uuid.uuid4().hex[:8]
     ot, lt = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
-    (
-        load_table(spark, sf_dir, "orders")
-        .write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ot)
-    )
-    (
-        load_table(spark, sf_dir, "lineitem")
-        .write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(lt)
-    )
+    write_bucketed(load_table(spark, sf_dir, "orders"), ot, "o_orderkey", buckets=BUCKETS)
+    write_bucketed(load_table(spark, sf_dir, "lineitem"), lt, "l_orderkey", buckets=BUCKETS)
     yield ot, lt
     spark.sql(f"DROP TABLE IF EXISTS {ot}")
     spark.sql(f"DROP TABLE IF EXISTS {lt}")
@@ -54,11 +46,12 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
     # at test scale the planner would broadcast the tiny side; disable that
     # so the plan shows what happens at fact-fact scale, where bucketing is
     # the thing that removes the shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = _explain(joined)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     join_section = plan.split("HashAggregate")[0]
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Exchange" not in join_section, f"bucketed join must not shuffle:\n{join_section}"
@@ -77,9 +70,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
 def test_plain_join_does_shuffle(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = _explain(li.join(orders, li.l_orderkey == orders.o_orderkey))
         assert len(re.findall(r"\bExchange\b", plan)) >= 2, "unbucketed join should shuffle both sides"
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

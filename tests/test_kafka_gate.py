@@ -32,6 +32,50 @@ def test_sink_options():
     assert build_sink_options({"brokers": "b:9092"}) == {
         "kafka.bootstrap.servers": "b:9092"
     }
+    with pytest.raises(ValueError):
+        build_sink_options({})
+
+
+def test_sink_stream_options_full_mapping():
+    from frolyk_spark.tasks.kafka import sink_stream_options
+
+    opts = sink_stream_options(
+        {"brokers": ["b1:9092", "b2:9092"]}, topic="out", checkpoint="/ckpt/out"
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "topic": "out",
+        "checkpointLocation": "/ckpt/out",
+    }
+    assert sink_stream_options({"brokers": "b:9092"}) == {
+        "kafka.bootstrap.servers": "b:9092"
+    }
+
+
+def test_kafka_writer_builds_and_validates_without_broker(spark):
+    """The full sink builder path on a real streaming frame — everything up
+    to .start() is broker-free. Schema contract (reference producer:
+    topic+value per message) is enforced at build time."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.sources.kafka import kafka_writer
+    from frolyk_spark.sources.streams import rate_stream
+
+    msgs = rate_stream(spark).select(
+        F.col("value").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    writer = kafka_writer(msgs, {"brokers": "b:9092"}, topic="out", checkpoint="/tmp/ck")
+    assert writer is not None  # configured, unstarted
+
+    with pytest.raises(ValueError, match="'value' column"):
+        kafka_writer(msgs.select("key"), {"brokers": "b:9092"}, topic="out")
+    with pytest.raises(ValueError, match="'topic' column"):
+        kafka_writer(msgs, {"brokers": "b:9092"})  # no topic col, no topic=
+    # a topic column instead of a pinned topic is the reference's
+    # per-message routing shape — accepted
+    routed = msgs.withColumn("topic", F.lit("out"))
+    assert kafka_writer(routed, {"brokers": "b:9092"}) is not None
 
 
 def test_process_kafka_batch_without_broker(spark):

@@ -80,6 +80,22 @@ def test_dedup_minhash_plan_shape(spark, sf_dir):
     assert "partial_min" in plan, "minhash must combine map-side"
 
 
+def test_ngram_jaccard_prefix_filter_plan(spark, sf_dir):
+    """The set-similarity join must join on df-ordered PREFIX postings, not
+    the full inverted index — the guard against hot posting lists at scale.
+    The plan must carry the row_number ranking window and the
+    prefix-length cutoff (rank <= n - ceil(t*n) + 1), and never a
+    cartesian."""
+    from frolyk_spark.operators.dedup import dedup_ngram_jaccard
+
+    df = dedup_ngram_jaccard(spark, sf_dir)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "row_number" in plan, "df-ordered prefix ranking must survive planning"
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CEIL" in logical.upper(), "prefix-length cutoff filter must survive optimization"
+
+
 def test_retention_two_aggregate_shuffles_only(spark, sf_dir):
     from frolyk_spark.operators.relational import retention_cohorts
 
