@@ -1,0 +1,270 @@
+"""Corpus-preparation operators for LLM training pipelines (SURVEY §2
+D20-D23): benchmark decontamination, document chunking, repetition
+statistics, and source-mixture weighting.
+
+These extend the dedup/text family (dedup.py, text.py) with the remaining
+ops a 100 TB pretraining-data pipeline runs between "raw corpus" and
+"training shards". Scale posture per operator in its docstring; all hashes
+are the portable md5 scheme so every operator is value-checkable against
+the DuckDB oracle.
+
+Reference parity note: the reference (JaapRood/frolyk) is a Kafka
+stream-processing library with no corpus layer; these implement the
+LLM-data-pipeline surface of the charter (SURVEY §2 D).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frolyk_spark.functions.hashing import portable_hash_spark_sql, portable_hash_sql
+from frolyk_spark.sources.catalog import load_table
+
+#: decontamination: word-gram width and the deterministic "benchmark" split
+#: (doc_id < CONTAM_BENCH_N plays the eval set; the rest is the corpus)
+CONTAM_W = 8
+CONTAM_BENCH_N = 50
+
+#: chunking: tokens (words) per training chunk and stride between starts
+#: (stride < chunk -> overlapping context windows)
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def _word_grams(width: int) -> str:
+    """Distinct word {width}-gram shingles of `text` (Spark SQL expr);
+    short docs fall back to one whole-text shingle."""
+    return (
+        "array_distinct(transform("
+        f"sequence(1, greatest(size(split(text, ' ')) - {width - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {width}))))"
+    )
+
+
+def _word_grams_duck(width: int) -> str:
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len(string_split(text, ' ')) - {width - 1}, 1) + 1),"
+        f" i -> array_to_string(string_split(text, ' ')[i:i+{width - 1}], ' ')))"
+    )
+
+
+# --- D20: benchmark decontamination ------------------------------------------
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents sharing any {CONTAM_W}-word-gram with the
+    benchmark set — the standard eval-decontamination pass (n-gram overlap
+    against held-out benchmarks) run before training.
+
+    Scale shape: the benchmark side is an eval suite — thousands of
+    documents, not the corpus — so its distinct gram-hash set is SMALL by
+    construction and is explicitly broadcast. The corpus scan then probes
+    the broadcast hash map-side (no corpus shuffle for the join); the only
+    corpus-keyed shuffle is the final per-doc hit count. Emits one row per
+    contaminated doc with its overlapping-gram count.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = F.explode(F.expr(_word_grams(CONTAM_W))).alias("g")
+    bench_hashes = (
+        docs.where(F.col("doc_id") < CONTAM_BENCH_N)
+        .select(grams)
+        .select(F.expr(portable_hash_spark_sql("g")).alias("h"))
+        .distinct()
+    )
+    corpus = (
+        docs.where(F.col("doc_id") >= CONTAM_BENCH_N)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", grams)
+        .select("doc_id", F.expr(portable_hash_spark_sql("g")).alias("h"))
+    )
+    return (
+        corpus.join(F.broadcast(bench_hashes), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_contaminated_grams"))
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT {portable_hash_sql('g')} AS h
+  FROM (SELECT unnest({_word_grams_duck(CONTAM_W)}) AS g
+        FROM documents WHERE doc_id < {CONTAM_BENCH_N})
+),
+corpus AS (
+  SELECT doc_id, {portable_hash_sql('g')} AS h
+  FROM (SELECT doc_id, unnest({_word_grams_duck(CONTAM_W)}) AS g
+        FROM documents WHERE doc_id >= {CONTAM_BENCH_N})
+)
+SELECT doc_id, count(DISTINCT corpus.h) AS n_contaminated_grams
+FROM corpus JOIN bench ON corpus.h = bench.h
+GROUP BY doc_id
+"""
+
+
+# --- D21: document chunking --------------------------------------------------
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into {CHUNK_TOKENS}-word training chunks with a
+    {CHUNK_STRIDE}-word stride (overlapping context windows), emitting
+    (doc_id, chunk_idx, n_tokens, chunk_hash).
+
+    Map-only: chunk starts come from `sequence`, the chunk text from
+    `slice` — one generator expression per row inside whole-stage codegen,
+    no shuffle at all. At 100 TB this writes straight back to partitioned
+    parquet; the chunk hash stands in for the chunk text in the result so
+    the gate compares values without hauling text around.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk_text = f"concat_ws(' ', slice(split(text, ' '), start, {CHUNK_TOKENS}))"
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, greatest(size(split(text, ' ')), 1), {CHUNK_STRIDE})")
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.expr(f"size(slice(split(text, ' '), start, {CHUNK_TOKENS}))")
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.expr(portable_hash_spark_sql(chunk_text)).alias("chunk_hash"),
+        )
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+SELECT doc_id,
+       cast((start - 1) // {CHUNK_STRIDE} as bigint) AS chunk_idx,
+       cast(len(string_split(text, ' ')[start:start + {CHUNK_TOKENS - 1}]) as bigint) AS n_tokens,
+       {portable_hash_sql(f"array_to_string(string_split(text, ' ')[start:start + {CHUNK_TOKENS - 1}], ' ')")} AS chunk_hash
+FROM (SELECT doc_id, text,
+             unnest(range(1, greatest(len(string_split(text, ' ')), 1) + 1, {CHUNK_STRIDE})) AS start
+      FROM documents)
+"""
+
+
+# --- D22: repetition statistics (quality-filter shape) -----------------------
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals of the kind quality filters gate on
+    (fraction of text in the most-repeated word, duplicate-word and
+    duplicate-bigram fractions).
+
+    The duplicate fractions are pure array expressions (map-only). The
+    top-word count goes through explode -> (doc_id, word) count -> per-doc
+    max — two hash aggregations with map-side partial combine, the
+    scale-correct shape (a per-row loop over the distinct-word array would
+    be quadratic in document length).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    bigrams = F.expr(_word_grams(2))
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.greatest(F.size(words) - 1, F.lit(1)).alias("n_bigrams"),
+        F.size(bigrams).alias("n_distinct_bigrams"),
+    )
+    top = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("top_word_count") / F.col("n_words"), 4).alias("top_word_frac"),
+            F.round(1 - F.col("n_distinct") / F.col("n_words"), 4).alias("dup_word_frac"),
+            F.round(1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         greatest(len(string_split(text, ' ')) - 1, 1) AS n_bigrams,
+         len({_word_grams_duck(2)}) AS n_distinct_bigrams
+  FROM documents
+),
+top AS (
+  SELECT doc_id, max(c) AS top_word_count
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id
+)
+SELECT base.doc_id,
+       round(top_word_count * 1.0 / n_words, 4) AS top_word_frac,
+       round(1 - n_distinct * 1.0 / n_words, 4) AS dup_word_frac,
+       round(1 - n_distinct_bigrams * 1.0 / n_bigrams, 4) AS dup_bigram_frac
+FROM base JOIN top ON base.doc_id = top.doc_id
+"""
+
+
+# --- D23: source-mixture weighting -------------------------------------------
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus share and the sampling weight that rebalances the
+    mixture to a uniform target — the "domain mixing" step that decides how
+    much of each source a training run sees.
+
+    One hash aggregation over the corpus (map-side combinable); the window
+    functions then run over the per-source aggregate, which has one row per
+    source — trivially small at any corpus scale, so the single-partition
+    window is free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(share, 6).alias("share"),
+        F.round(target / share, 6).alias("sample_weight"),
+    ).orderBy("source")
+
+
+SOURCE_MIX_SQL = """
+SELECT source, n_docs, n_chars,
+       round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS share,
+       round((1.0 / count(*) OVER ()) / (n_docs * 1.0 / sum(n_docs) OVER ()), 6)
+         AS sample_weight
+FROM (SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+      FROM documents GROUP BY source)
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "decontaminate": decontaminate,
+    "doc_chunks": doc_chunks,
+    "repetition_stats": repetition_stats,
+    "source_mix": source_mix,
+}
+
+ORACLES = {
+    "decontaminate": DECONTAMINATE_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
+    "repetition_stats": REPETITION_STATS_SQL,
+    "source_mix": SOURCE_MIX_SQL,
+}

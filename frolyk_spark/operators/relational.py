@@ -1067,7 +1067,132 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C33: TPC-H Q17 small-quantity-order revenue (adapted) ------------------
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue loss from small-quantity orders of Brand#23 SMALL parts:
+    lineitems under 20% of their part's average quantity. The correlated
+    scalar subquery decorrelates to a per-part aggregate joined back on
+    partkey — both passes scan only the (already part-filtered) lineitems,
+    and the threshold table is one row per qualifying part (broadcastable
+    at any SF, planner's choice)."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    fli = li.join(part, li.l_partkey == part.p_partkey).drop("p_partkey")
+    thresholds = fli.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        fli.join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# --- C34: TPC-H Q19 discounted-revenue disjunction (adapted) ----------------
+
+def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under a disjunction of (brand, size-range, quantity-range)
+    clauses — the OR-of-ANDs predicate TPC-H Q19 uses to stress predicate
+    evaluation over a join. Single equi-join on partkey; the disjunction
+    stays one codegen'd filter (the per-side conjuncts l_quantity <= 30 /
+    p_size >= 1 are implied by every branch and push into the scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(clause).agg(F.round(F.sum(rev), 2).alias("revenue"))
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- C35: TPC-H Q22 idle wealthy customers (adapted: no phone column) -------
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average (positive) balance and no RECENT
+    orders (none since 2001-01-01 — Q22's "lapsed customers" flavor),
+    rolled up by nation. The scalar avg decorrelates to a one-row aggregate
+    cross-joined in (broadcast — the standard scalar-subquery shape); "no
+    recent orders" is a left-anti join on custkey against the date-filtered
+    orders (filter pushes into the scan); nation is a hinted broadcast
+    (fixed 25 rows)."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = """
+SELECT n_name, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= timestamp '2001-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 QUERIES = {
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_discount_revenue": q19_discount_revenue,
+    "q22_idle_balance": q22_idle_balance,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_unshipped_revenue": q3_unshipped_revenue,
     "q5_local_supplier": q5_local_supplier,
@@ -1106,6 +1231,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q17_small_qty_revenue": Q17_SQL,
+    "q19_discount_revenue": Q19_SQL,
+    "q22_idle_balance": Q22_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_unshipped_revenue": Q3_SQL,
     "q5_local_supplier": Q5_SQL,

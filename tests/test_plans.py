@@ -96,6 +96,26 @@ def test_ngram_jaccard_prefix_filter_plan(spark, sf_dir):
     assert "CEIL" in logical.upper(), "prefix-length cutoff filter must survive optimization"
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram-hash set is small by construction (it's an eval
+    suite) and must broadcast; the corpus side probes it map-side — the
+    corpus is never shuffled for the join."""
+    from frolyk_spark.operators.pipeline import decontaminate
+
+    plan = _formatted(decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "benchmark side must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_map_only(spark, sf_dir):
+    """Chunking is a per-row generator expression: zero shuffles, straight
+    from scan to output."""
+    from frolyk_spark.operators.pipeline import doc_chunks
+
+    plan = _formatted(doc_chunks(spark, sf_dir))
+    assert "Exchange" not in plan, "chunking must be map-only"
+
+
 def test_retention_two_aggregate_shuffles_only(spark, sf_dir):
     from frolyk_spark.operators.relational import retention_cohorts
 
