@@ -38,7 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the r2 entries the truncated run never reached; the twice-green
     # relational block goes last (dict.update keeps first-insertion order,
     # so re-adding the hoisted keys later is a no-op).
-    new_relational = ("q17_small_qty_revenue", "q19_discount_revenue", "q22_idle_balance")
+    new_relational = (
+        "q17_small_qty_revenue", "q19_discount_revenue", "q22_idle_balance",
+        "value_deciles", "resample_gapfill", "salted_join_segments",
+    )
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(pipeline.QUERIES)
     out.update({k: relational.QUERIES[k] for k in new_relational})

@@ -128,9 +128,173 @@ FROM documents
 """
 
 
+# --- D24: resize plumbing (thumbnail pass) -----------------------------------
+
+#: thumbnail long-edge target for media_resize
+RESIZE_MAX_DIM = 128
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over mapInPandas: compute the aspect-preserving
+    thumbnail geometry (long edge {RESIZE_MAX_DIM}, never upscale) and emit
+    the resized payload's size and hash.
+
+    The real kernel would be PIL `Image.resize` on the decoded payload (the
+    decode stub `_decode_media` marks that boundary); the stand-in kernel is
+    a DETERMINISTIC proportional byte truncation — pure integer arithmetic,
+    so the whole pass (geometry + output bytes + hash) is value-checked by
+    the DuckDB oracle. What's real and load-bearing at 100 TB: payload
+    bytes stream through bounded Arrow batches on the executors, geometry
+    comes from the pruned metadata struct, and output is a new binary-col
+    frame ready to write back to parquet.
+    """
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h = pdf["width"], pdf["height"]
+            long_edge = w.combine(h, max)
+            # integer scale arithmetic (floor) — portable across engines
+            tw = (w * RESIZE_MAX_DIM // long_edge).where(long_edge > RESIZE_MAX_DIM, w)
+            th = (h * RESIZE_MAX_DIM // long_edge).where(long_edge > RESIZE_MAX_DIM, h)
+            blen = pdf["payload"].map(len)
+            out_len = (blen * (tw * th) // (w * h)).clip(lower=1)
+            out = [p[:n] for p, n in zip(pdf["payload"], out_len)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "target_w": tw.astype("int32"),
+                    "target_h": th.astype("int32"),
+                    "out_bytes": out_len.astype("int64"),
+                    # fingerprint over the lowercase-hex encoding (DuckDB
+                    # can't md5 raw blobs, bytes.hex() is the portable form)
+                    "out_hash": [
+                        int(hashlib.md5(p.hex().encode()).hexdigest()[:15], 16) for p in out
+                    ],
+                }
+            )
+
+    t = multimodal_table(spark, sf_dir).where(F.col("modality") == "image").select(
+        "doc_id", "payload",
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    )
+    return t.mapInPandas(
+        resize,
+        "doc_id bigint, target_w int, target_h int, out_bytes bigint, out_hash bigint",
+    )
+
+
+def _resize_sql() -> str:
+    h = portable_hash_sql("text")
+    # work in lowercase-hex space: byte k of the payload = hex chars
+    # 2k-1..2k (md5() output is lowercase, matching bytes.hex())
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         repeat(md5(text), cast(doc_id % 4 + 1 as int)) AS hexpayload,
+         cast(64 + ({h}) % 960 as int) AS w,
+         cast(64 + (({h}) >> 10) % 960 as int) AS h
+  FROM documents
+  WHERE ['image', 'audio', 'video'][(doc_id % 3) + 1] = 'image'
+),
+geo AS (
+  SELECT doc_id, hexpayload, w, h, length(hexpayload) // 2 AS blen,
+         CASE WHEN greatest(w, h) > {RESIZE_MAX_DIM}
+              THEN w * {RESIZE_MAX_DIM} // greatest(w, h) ELSE w END AS tw,
+         CASE WHEN greatest(w, h) > {RESIZE_MAX_DIM}
+              THEN h * {RESIZE_MAX_DIM} // greatest(w, h) ELSE h END AS th
+  FROM m
+),
+sized AS (
+  SELECT doc_id, hexpayload, tw, th,
+         greatest(blen * (tw * th) // (w * h), 1) AS out_len
+  FROM geo
+)
+SELECT doc_id,
+       cast(tw as int) AS target_w,
+       cast(th as int) AS target_h,
+       cast(out_len as bigint) AS out_bytes,
+       {portable_hash_sql("substr(hexpayload, 1, cast(2 * out_len as int))")} AS out_hash
+FROM sized
+"""
+
+
+# --- D25: frame sampling plumbing --------------------------------------------
+
+#: frames sampled per video payload
+N_FRAMES = 4
+#: bytes hashed per sampled frame
+FRAME_BYTES = 8
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: {N_FRAMES} uniformly-strided sample
+    positions per video payload, emitting one row per frame with its byte
+    offset and a fingerprint of the {FRAME_BYTES}-byte window there.
+
+    The real kernel would be pyav keyframe extraction (decode boundary =
+    `_decode_media`); the stand-in samples raw byte windows at
+    deterministic offsets — integer arithmetic only, oracle-checkable.
+    Real at scale: the fan-out (1 asset row -> N frame rows) happens
+    executor-side inside the Arrow batch, never on the driver, and the
+    emitted frame table is the shape a caption/embedding stage consumes.
+    """
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blen = len(payload)
+                for j in range(N_FRAMES):
+                    off = 1 + (j * blen) // N_FRAMES  # 1-based, < blen + 1
+                    window = payload[off - 1 : off - 1 + FRAME_BYTES]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(j)
+                    rows["frame_offset"].append(off)
+                    # fingerprint over the lowercase-hex window (portable)
+                    rows["frame_hash"].append(
+                        int(hashlib.md5(window.hex().encode()).hexdigest()[:15], 16)
+                    )
+            yield pd.DataFrame(rows)
+
+    t = multimodal_table(spark, sf_dir).where(F.col("modality") == "video").select(
+        "doc_id", "payload"
+    )
+    return t.mapInPandas(
+        sample,
+        "doc_id bigint, frame_idx int, frame_offset int, frame_hash bigint",
+    )
+
+
+def _frame_sample_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+         repeat(md5(text), cast(doc_id % 4 + 1 as int)) AS hexpayload,
+         length(repeat(md5(text), cast(doc_id % 4 + 1 as int))) // 2 AS blen
+  FROM documents
+  WHERE ['image', 'audio', 'video'][(doc_id % 3) + 1] = 'video'
+),
+frames AS (
+  SELECT doc_id, hexpayload,
+         1 + (frame_idx * blen) // {N_FRAMES} AS frame_offset,
+         frame_idx
+  FROM v, unnest(range(0, {N_FRAMES})) t(frame_idx)
+)
+SELECT doc_id,
+       cast(frame_idx as int) AS frame_idx,
+       cast(frame_offset as int) AS frame_offset,
+       {portable_hash_sql(f"substr(hexpayload, cast(2 * (frame_offset - 1) + 1 as int), {2 * FRAME_BYTES})")} AS frame_hash
+FROM frames
+"""
+
+
 QUERIES = {
     "multimodal_manifest": multimodal_manifest,
     "multimodal_features": multimodal_features,
+    "media_resize": media_resize,
+    "frame_sample": frame_sample,
 }
 
 ORACLES = {
@@ -138,4 +302,6 @@ ORACLES = {
     # features: the first 4 payload bytes are the first 8 md5 hex chars, so
     # even the Python-side extraction is value-checkable
     "multimodal_features": _features_sql(),
+    "media_resize": _resize_sql(),
+    "frame_sample": _frame_sample_sql(),
 }

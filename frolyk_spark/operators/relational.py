@@ -1189,7 +1189,155 @@ ORDER BY n_name
 """
 
 
+# --- C36: decile assignment (ntile) -----------------------------------------
+
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users bucketed into spend deciles (ntile over total event value,
+    user_id tie-break for a deterministic total order), rolled up to decile
+    boundaries. The global ntile window sorts the PER-USER AGGREGATE — tiny
+    next to the event log but still single-partition; at extreme user
+    cardinality the scale path swaps exact ntile for approx_percentile
+    cutoffs + a when-chain assignment (engine-specific, hence not used for
+    this oracle-checked variant)."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total_value"))
+    w = W.orderBy("total_value", "user_id")
+    return (
+        totals.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.min("total_value"), 2).alias("min_total"),
+            F.round(F.max("total_value"), 2).alias("max_total"),
+        )
+        .orderBy("decile")
+    )
+
+
+VALUE_DECILES_SQL = """
+WITH totals AS (
+  SELECT user_id, round(sum(value), 2) AS total_value
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, total_value,
+         ntile(10) OVER (ORDER BY total_value, user_id) AS decile
+  FROM totals
+)
+SELECT decile, count(*) AS n_users,
+       round(min(total_value), 2) AS min_total,
+       round(max(total_value), 2) AS max_total
+FROM ranked GROUP BY decile ORDER BY decile
+"""
+
+
+# --- C37: time-series resample + gap fill -----------------------------------
+
+#: user cap for the resample demo (spine rows = users x span hours)
+RESAMPLE_USERS = 20
+
+
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with forward-fill: per user, an hourly spine from
+    first to last activity (sequence + explode — generated executor-side,
+    never on the driver), left-joined against the hourly rollup; empty
+    hours carry the last seen value forward (last-ignorenulls over an
+    ordered window). The canonical time-series gap-fill: one aggregation,
+    one equi-join on (user, hour), one per-user window — every stage
+    partitions on user_id, so the shape is unchanged at any user count."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < RESAMPLE_USERS)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("hour_value"),
+    )
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    w = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(F.last("hour_value", ignorenulls=True).over(w), 2).alias("value_ffill"),
+        )
+    )
+
+
+RESAMPLE_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         count(*) AS n_events, round(sum(value), 2) AS hour_value
+  FROM events WHERE user_id < {RESAMPLE_USERS}
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+)
+SELECT s.user_id,
+       strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(n_events, 0) AS n_events,
+       round(last_value(hour_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.h ROWS UNBOUNDED PRECEDING), 2)
+         AS value_ffill
+FROM spine s LEFT JOIN hourly USING (user_id, h)
+"""
+
+
+# --- C38: explicit salted join for skewed keys ------------------------------
+
+#: salt fan-out for the salted-join demo
+JOIN_SALT = 8
+
+
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment purchase revenue via an EXPLICITLY SALTED join:
+    the fact side gets a deterministic salt (event_id % {JOIN_SALT}), the
+    dimension side is exploded {JOIN_SALT}x, and the join runs on
+    (key, salt) — splitting any hot key's rows across {JOIN_SALT} tasks.
+    This is the manual fallback for skew AQE can't fix (a single logical
+    key too hot for one task, with the join not broadcastable); cost =
+    replicating the smaller side {JOIN_SALT}x through its shuffle.
+    Results are identical to the plain join, which is the oracle."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "value", F.pmod("event_id", F.lit(JOIN_SALT)).alias("salt"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {JOIN_SALT - 1})")))
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_purchases, round(sum(value), 2) AS revenue
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "value_deciles": value_deciles,
+    "resample_gapfill": resample_gapfill,
+    "salted_join_segments": salted_join_segments,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q19_discount_revenue": q19_discount_revenue,
     "q22_idle_balance": q22_idle_balance,
@@ -1231,6 +1379,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "value_deciles": VALUE_DECILES_SQL,
+    "resample_gapfill": RESAMPLE_SQL,
+    "salted_join_segments": SALTED_JOIN_SQL,
     "q17_small_qty_revenue": Q17_SQL,
     "q19_discount_revenue": Q19_SQL,
     "q22_idle_balance": Q22_SQL,

@@ -69,6 +69,24 @@ def write_bucketed(
     return df.sparkSession.table(table_name)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], *, mode: str = "overwrite"
+) -> DataFrame:
+    """Write a table as directory-partitioned parquet and return the
+    re-read frame.
+
+    The other half of the storage story next to write_bucketed: partition
+    on LOW-cardinality scan predicates (event date, source, language) so a
+    filtered read lists only matching directories — the plan shows the
+    predicate under `PartitionFilters` and never opens the other files
+    (asserted in tests/test_bucketing.py). At 100 TB this is the difference
+    between scanning a day and scanning a year. Keep cardinality bounded:
+    one directory per value, so partition by date/category, bucket by key.
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register temp views so operators can also be phrased in Spark SQL."""
     for name in names:

@@ -67,6 +67,25 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Directory-partitioned parquet + a filter on the partition column:
+    the scan must carry the predicate as a PartitionFilter (directory
+    pruning — never opens non-matching files), and read back exactly the
+    partition's rows."""
+    from frolyk_spark.sources.catalog import write_partitioned
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    reread = write_partitioned(events, out, ["event_type"])
+
+    filtered = reread.where(F.col("event_type") == "purchase")
+    plan = _explain(filtered)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "event_type" in pf.group(1), f"no partition pruning:\n{plan}"
+
+    assert filtered.count() == events.where("event_type = 'purchase'").count()
+
+
 def test_plain_join_does_shuffle(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
