@@ -34,8 +34,9 @@ LANG_PROFILES = {
 
 # --- D1: text stats / quality score -----------------------------------------
 
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def text_stats_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level form: works on any (doc_id, text) frame — catalog
+    tables, arbitrary sources, or streaming micro-batches."""
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
@@ -59,6 +60,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(quality, 4).alias("quality_score"),
     )
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats_frame(load_table(spark, sf_dir, "documents"))
 
 
 TEXT_STATS_SQL = f"""
@@ -87,8 +92,8 @@ def _profile_regex(words: tuple[str, ...]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def lang_id_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level form (see text_stats_frame)."""
     scored = docs.select(
         "doc_id",
         *[
@@ -102,6 +107,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in sorted(LANG_PROFILES, reverse=True):
         predicted = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(predicted)
     return scored.withColumn("predicted_lang", predicted)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_frame(load_table(spark, sf_dir, "documents"))
 
 
 def _lang_id_sql() -> str:
@@ -135,8 +144,8 @@ LANG_ID_SQL = _lang_id_sql()
 BPE_ISH = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 
-def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def token_count_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level form (see text_stats_frame)."""
     ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     bpe_tokens = F.regexp_count("text", F.lit(BPE_ISH))
     return docs.select(
@@ -145,6 +154,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_tokens.cast("bigint").alias("bpe_tokens"),
         F.round(F.length("text") / bpe_tokens, 4).alias("chars_per_token"),
     )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count_frame(load_table(spark, sf_dir, "documents"))
 
 
 TOKEN_COUNT_SQL = f"""
@@ -200,8 +213,8 @@ REDACT_NUM = "[0-9]{6,}"
 REDACT_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]+"
 
 
-def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def text_redact_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level form (see text_stats_frame)."""
     once = F.regexp_replace("text", REDACT_EMAIL, "<EMAIL>")
     scrubbed = F.regexp_replace(once, REDACT_NUM, "<NUM>")
     return docs.select(
@@ -211,6 +224,10 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(REDACT_EMAIL)).cast("bigint").alias("n_email_hits"),
         portable_hash_expr(scrubbed).alias("redacted_hash"),
     )
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_redact_frame(load_table(spark, sf_dir, "documents"))
 
 
 _REDACTED_DUCK = (
@@ -237,14 +254,15 @@ MIN_QUALITY = 0.5
 KEEP_LANGS = ("en", "de")
 
 
-def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_filter_frame(raw: DataFrame) -> DataFrame:
+    """Frame-level composite (quality + language + exact-dedup keep-first);
+    this is the per-micro-batch body of the streaming ingest path too
+    (tests/test_streaming.py)."""
     from pyspark.sql import Window
 
-    stats = text_stats(spark, sf_dir).select("doc_id", "quality_score")
-    langs = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", portable_hash_expr("text").alias("text_hash")
-    )
+    stats = text_stats_frame(raw).select("doc_id", "quality_score")
+    langs = lang_id_frame(raw).select("doc_id", "predicted_lang")
+    docs = raw.select("doc_id", portable_hash_expr("text").alias("text_hash"))
     w = Window.partitionBy("text_hash").orderBy("doc_id")
     first_per_hash = docs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return (
@@ -256,6 +274,10 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "predicted_lang", "quality_score")
     )
+
+
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_filter_frame(load_table(spark, sf_dir, "documents"))
 
 
 def _corpus_filter_sql() -> str:

@@ -40,3 +40,44 @@ def test_kafka_reader_writer_build(spark):
 def test_kafka_reader_requires_brokers(spark):
     with pytest.raises(ValueError, match="brokers"):
         kafka_reader(spark, {}, "events")
+
+
+# --- JSONL / CSV readers with corrupt-record quarantine ----------------------
+
+def test_jsonl_reader_quarantines_bad_lines(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "second"}\n'
+        "{not valid json at all\n"
+    )
+    from frolyk_spark.sources.formats import load_jsonl, split_quarantine
+
+    df = load_jsonl(spark, str(p), "doc_id bigint, text string")
+    clean, bad = split_quarantine(df)
+    assert {(r.doc_id, r.text) for r in clean.collect()} == {(1, "hello world"), (2, "second")}
+    bad_lines = [r[0] for r in bad.collect()]
+    assert bad_lines == ["{not valid json at all"]
+    # the quarantine column never leaks into the clean frame
+    assert "_corrupt_record" not in clean.columns
+
+
+def test_csv_reader_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "vals.csv"
+    p.write_text("a,b\n1,2.5\nnotanint,alsonotadouble\n7,0.25\n")
+    from frolyk_spark.sources.formats import load_csv, split_quarantine
+
+    df = load_csv(spark, str(p), "a int, b double")
+    clean, bad = split_quarantine(df)
+    assert {(r.a, r.b) for r in clean.collect()} == {(1, 2.5), (7, 0.25)}
+    assert [r[0] for r in bad.collect()] == ["notanint,alsonotadouble"]
+
+
+def test_jsonl_failfast_raises(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1}\nbroken\n')
+    from frolyk_spark.sources.formats import load_jsonl
+
+    df = load_jsonl(spark, str(p), "doc_id bigint", mode="FAILFAST")
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        df.collect()

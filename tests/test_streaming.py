@@ -277,3 +277,36 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
     s_rows = {tuple(r) for r in streamed.collect()}
     b_rows = {tuple(r) for r in batch.collect()}
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+# --- end-to-end streaming corpus ingest (LLM-pipeline x streaming) ----------
+
+def test_streaming_corpus_ingest_matches_batch(spark, sf_dir, workdir):
+    """The production ingest shape: documents arrive as a file stream, each
+    micro-batch runs the corpus filter (quality + language + exact-dedup
+    keep-first) via the frame-level operator, survivors append to parquet
+    under a checkpoint. availableNow over the staged single file = one
+    batch, so the sink must equal the batch corpus_filter exactly."""
+    from frolyk_spark.operators.text import corpus_filter, corpus_filter_frame
+    from frolyk_spark.sources.streams import stage_stream_dir
+
+    in_dir = stage_stream_dir(sf_dir, "documents")
+    out_dir = os.path.join(workdir, "clean")
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    def sink(batch_df, epoch_id):
+        corpus_filter_frame(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema).parquet(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    want = {tuple(r) for r in corpus_filter(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
