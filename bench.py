@@ -39,10 +39,15 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "ann_bruteforce",
     "ann_lsh",
     "embedding_stats",
     "text_stats",
+    "decontaminate",
+    "doc_chunks",
+    "resample_gapfill",
     "multimodal_features",
     # streaming + task bridge
     "sessionize",

@@ -506,14 +506,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_sql() -> str:
+    """SQL oracle for the iterative CC: a recursive CTE computes the
+    transitive closure of reachable labels, and each vertex's cluster is
+    the MIN label it can reach — exactly the fixpoint the Spark-side
+    min-label propagation converges to. Tractable for the oracle because
+    near-dup components are tiny; the Spark side stays iterative (a
+    closure would be quadratic in component size at corpus scale)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_dedup_minhash_sql()}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+reach(doc, label) AS (
+  SELECT DISTINCT doc_a AS doc, doc_a AS label FROM edges
+  UNION
+  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc = e.doc_b
+)
+SELECT doc AS doc_id,
+       min(label) AS cluster_id,
+       (min(label) = doc) AS is_canonical
+FROM reach GROUP BY doc
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
-    # no-oracle: iterative connected components; checked against a
-    # union-find model in tests/test_dedup_clusters.py
+    # also model-checked against union-find in tests/test_dedup_clusters.py
     "dedup_clusters": dedup_clusters,
 }
 
@@ -523,4 +548,7 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": _dedup_embedding_sql(),
+    # recursive-CTE transitive closure: min reachable label == the
+    # propagation fixpoint (upgraded from no-oracle in r3)
+    "dedup_clusters": _dedup_clusters_sql(),
 }
