@@ -39,10 +39,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relational block goes last (dict.update keeps first-insertion order,
     # so re-adding the hoisted keys later is a no-op).
     new_relational = (
+        "q21_waiting_suppliers",
         "q17_small_qty_revenue", "q19_discount_revenue", "q22_idle_balance",
         "value_deciles", "resample_gapfill", "salted_join_segments",
     )
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # r4 additions — no driver row yet, so they go absolutely first
+    out["sequence_pack"] = pipeline.QUERIES["sequence_pack"]
+    out["token_entropy"] = text.QUERIES["token_entropy"]
+    out["dedup_incremental"] = dedup.QUERIES["dedup_incremental"]
+    out["q21_waiting_suppliers"] = relational.QUERIES["q21_waiting_suppliers"]
     out.update(pipeline.QUERIES)
     out.update({k: relational.QUERIES[k] for k in new_relational})
     out.update(multimodal.QUERIES)

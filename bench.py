@@ -47,6 +47,9 @@ HEADLINE = [
     "text_stats",
     "decontaminate",
     "doc_chunks",
+    "sequence_pack",
+    "dedup_incremental",
+    "q21_waiting_suppliers",
     "resample_gapfill",
     "multimodal_features",
     # streaming + task bridge

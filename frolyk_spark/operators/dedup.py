@@ -104,8 +104,9 @@ MINHASH_SEEDS = tuple(
 )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k={MINHASH_K} minhash signature table (doc_id, s0..s{MINHASH_K-1}).
+def minhash_signatures_frame(docs: DataFrame) -> DataFrame:
+    """k={MINHASH_K} minhash signature table (doc_id, s0..s{MINHASH_K-1})
+    for any (doc_id, text) frame.
 
     1. explode distinct shingles to rows and md5 each exactly once (a
        chained-projection formulation lets Catalyst collapse projects and
@@ -116,12 +117,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
        aggregation map-side-combines, so the doc_id shuffle carries only k
        longs per doc per partition, not the shingle set.
     """
+    spark = docs.sparkSession
     # the test parquet is a single split; spread the md5-heavy projection
     # across cores (real corpora scan with many splits, so this tiny
     # row-shuffle is a no-op at scale)
     shingled = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
+        docs.select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
         .select("doc_id", F.expr(portable_hash_spark_sql("s")).alias("h"))
@@ -131,6 +132,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.expr(f"h ^ {seed}L")).alias(f"s{j}")
             for j, seed in enumerate(MINHASH_SEEDS)
         ]
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -153,13 +160,9 @@ def persisted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-def band_pairs(sigs: DataFrame) -> DataFrame:
-    """Candidate pairs from a signature table: b={MINHASH_B} bands of
-    r=k/b sigs -> band-hash bucket groupBy -> in-bucket pair expansion from
-    the sorted doc_id list. Near-dup buckets are small by construction
-    (docs only collide when a full band agrees); a pathological giant
-    bucket would be capped or routed through a join at scale. Never
-    all-pairs: the shuffle is equi-partitioned on the bucket key."""
+def band_hashes(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows: b={MINHASH_B} bands of r=k/b
+    signature slots, each band hashed to one bucket key."""
     r = MINHASH_K // MINHASH_B
     band_structs = ", ".join(
         "struct({b} as band_id, {h} as band_hash)".format(
@@ -172,9 +175,19 @@ def band_pairs(sigs: DataFrame) -> DataFrame:
         )
         for b in range(MINHASH_B)
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("band")
     ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
+def band_pairs(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs from a signature table: band-hash bucket groupBy ->
+    in-bucket pair expansion from the sorted doc_id list. Near-dup buckets
+    are small by construction (docs only collide when a full band agrees);
+    a pathological giant bucket would be capped or routed through a join at
+    scale. Never all-pairs: the shuffle is equi-partitioned on the bucket
+    key."""
+    bands = band_hashes(sigs)
     pairs_expr = (
         "flatten(transform(ids,"
         " (x, i) -> transform(slice(ids, i + 2, size(ids)),"
@@ -223,6 +236,58 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+# --- D28: incremental dedup of a new batch against the corpus ----------------
+
+#: deterministic "new batch" membership: doc_id % NEW_DOC_MOD == NEW_DOC_MOD-1
+#: (a scale-independent 20% of the corpus plays the freshly-landed batch)
+NEW_DOC_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs INVOLVING a newly-landed batch: new docs are hashed
+    fresh, the existing corpus contributes only its PERSISTED signature
+    table (persisted_minhash_signatures — no re-shingling of old text),
+    and candidates come from a band-bucket equi-join of the new side
+    against (old ∪ new) bands. Old×old pairs are never formed — the cost
+    per ingest is O(batch) + a join probed by the batch, not O(corpus²)
+    or even O(corpus): this is the shape that lets a 100 TB corpus absorb
+    a daily drop.
+
+    Identical pair semantics to dedup_minhash restricted to pairs with at
+    least one new doc (the oracle states it exactly that way).
+    """
+    is_new = F.pmod("doc_id", F.lit(NEW_DOC_MOD)) == NEW_DOC_MOD - 1
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_sigs = minhash_signatures_frame(docs.where(is_new))
+    # parquet-pruned read of the persisted corpus signatures (old side)
+    old_sigs = persisted_minhash_signatures(spark, sf_dir).where(~is_new)
+    new_bands = band_hashes(new_sigs)
+    all_bands = band_hashes(old_sigs).unionByName(new_bands)
+    n, m = new_bands.alias("n"), all_bands.alias("m")
+    return (
+        n.join(
+            m,
+            (F.col("n.band_id") == F.col("m.band_id"))
+            & (F.col("n.band_hash") == F.col("m.band_hash"))
+            & (F.col("n.doc_id") != F.col("m.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "m.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "m.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    return f"""
+WITH pairs AS ({_dedup_minhash_sql()})
+SELECT doc_a, doc_b FROM pairs
+WHERE doc_a % {NEW_DOC_MOD} = {NEW_DOC_MOD - 1}
+   OR doc_b % {NEW_DOC_MOD} = {NEW_DOC_MOD - 1}
 """
 
 
@@ -535,6 +600,7 @@ FROM reach GROUP BY doc
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
@@ -545,6 +611,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": _dedup_minhash_sql(),
+    "dedup_incremental": _dedup_incremental_sql(),
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": _dedup_embedding_sql(),

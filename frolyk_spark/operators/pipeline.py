@@ -255,7 +255,92 @@ ORDER BY source
 """
 
 
+# --- D26: sequence packing ---------------------------------------------------
+
+#: tokens per packed training sequence
+SEQ_LEN = 256
+#: hash-range buckets for the distributed prefix sum. The OUTPUT is
+#: independent of this constant (offsets depend only on the global order);
+#: it only sets the parallelism of the cumsum. 2**60 is the portable-hash
+#: domain.
+PACK_BUCKETS = 64
+_BUCKET_WIDTH = (1 << 60) // PACK_BUCKETS + 1
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a token offset in a deterministically
+    shuffled concatenation of the corpus, and the {SEQ_LEN}-token training
+    sequence that offset lands in (GPT-style concat-then-split packing,
+    where documents may straddle sequence boundaries).
+
+    The hard part at scale is the GLOBAL running token offset: a naive
+    `Window.partitionBy()` cumsum is a single-partition sort — the
+    classic driver-shaped bottleneck. Instead, a two-phase distributed
+    prefix sum: the shuffle order key is the portable hash of doc_id
+    (uniform in [0, 2^60)), rows are bucketed by fixed hash RANGES
+    ({PACK_BUCKETS} buckets), each bucket cumsums independently under a
+    within-bucket window, and the {PACK_BUCKETS} per-bucket totals — a
+    driver-side list bounded by the constant, not the data — become
+    broadcast prefix offsets. One shuffle over the corpus, one O(1)
+    collect, exact global offsets.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(portable_hash_spark_sql("cast(doc_id AS string)")).alias("ord_key"),
+    ).withColumn("bucket", (F.col("ord_key") / _BUCKET_WIDTH).cast("int"))
+    totals = {
+        r["bucket"]: r["tot"]
+        for r in toks.groupBy("bucket").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    prefix, acc = [], 0
+    for b in range(PACK_BUCKETS):
+        prefix.append((b, acc))
+        acc += totals.get(b, 0)
+    prefix_df = spark.createDataFrame(prefix, "bucket int, bucket_start long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("bucket_start") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        toks.join(F.broadcast(prefix_df), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            (start / SEQ_LEN).cast("bigint").alias("seq_id"),
+            (start % SEQ_LEN).alias("offset_in_seq"),
+        )
+    )
+
+
+SEQUENCE_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+         {portable_hash_sql('cast(doc_id AS varchar)')} AS ord_key
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (
+           ORDER BY ord_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       cast(start_offset // {SEQ_LEN} AS bigint) AS seq_id,
+       cast(start_offset % {SEQ_LEN} AS bigint) AS offset_in_seq
+FROM c
+"""
+
+
 QUERIES = {
+    "sequence_pack": sequence_pack,
     "decontaminate": decontaminate,
     "doc_chunks": doc_chunks,
     "repetition_stats": repetition_stats,
@@ -263,6 +348,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sequence_pack": SEQUENCE_PACK_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,

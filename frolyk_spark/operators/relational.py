@@ -1334,8 +1334,69 @@ ORDER BY c_mktsegment
 """
 
 
+# --- C39: TPC-H Q21 waiting suppliers (adapted) ------------------------------
+# No l_receiptdate/l_commitdate in the test schema, so "late" is adapted to
+# l_shipdate > o_orderdate + 60 days (same spirit as C23/q12's delay buckets).
+# Q21's textbook form is a semi-join (another supplier exists in the order)
+# plus an anti-join (no OTHER supplier is late) against lineitem itself —
+# two extra shuffles of the fact table. The Spark-first rewrite aggregates
+# per-order supplier counts ONCE (one shuffle on l_orderkey, map-side
+# combinable count_distinct) and keeps orders with >1 supplier but exactly
+# 1 late one; every late row in such an order belongs to the waiting
+# supplier by construction. At 100 TB: lineitem shuffles on l_orderkey once
+# for the aggregate and once for the join back, and AQE co-locates both on
+# the same key; the supplier dimension stays planner-chosen (scales with sf).
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    flagged = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+    )
+    ord_stats = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting_orders = ord_stats.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    late_rows = flagged.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late_rows.join(waiting_orders.select("l_orderkey"), "l_orderkey", "left_semi")
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
 QUERIES = {
     "value_deciles": value_deciles,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "resample_gapfill": resample_gapfill,
     "salted_join_segments": salted_join_segments,
     "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -1380,6 +1441,7 @@ QUERIES = {
 
 ORACLES = {
     "value_deciles": VALUE_DECILES_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "resample_gapfill": RESAMPLE_SQL,
     "salted_join_segments": SALTED_JOIN_SQL,
     "q17_small_qty_revenue": Q17_SQL,

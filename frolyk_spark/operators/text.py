@@ -299,7 +299,52 @@ WHERE h.rn = 1 AND s.quality_score >= {MIN_QUALITY}
 """
 
 
+# --- D27: unigram-entropy quality signal -------------------------------------
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the word distribution — the
+    perplexity-proxy quality signal (low-entropy docs are repetitive
+    boilerplate, a standard pretraining filter alongside repetition_stats).
+
+    H = log2(n) - sum(c*log2 c)/n over per-word counts c: two hash
+    aggregations (doc×word, then doc), both map-side combinable, so the
+    shuffled volume is distinct words per doc, not words. The explode
+    stays JVM-side; no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.log2("n_words") - F.col("clogc") / F.col("n_words"), 4).alias(
+                "entropy_bits"
+            ),
+        )
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+SELECT doc_id,
+       cast(sum(c) AS bigint) AS n_words,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+FROM (SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "token_entropy": token_entropy,
     "text_stats": text_stats,
     "lang_id": lang_id,
     "token_count": token_count,
@@ -309,6 +354,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "token_entropy": TOKEN_ENTROPY_SQL,
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "token_count": TOKEN_COUNT_SQL,

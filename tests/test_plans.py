@@ -131,3 +131,64 @@ def test_customer_join_strategy_is_planner_chosen(spark, sf_dir):
     assert "UnresolvedHint" not in logical
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "customer" not in analyzed.lower() or "BROADCAST" not in analyzed
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """At 100 TB a selective dim-side predicate should also prune the fact
+    side's SHUFFLE, not just its post-join rows — Spark's runtime bloom
+    filter (on by default, spark.sql.optimizer.runtime.bloomFilter.enabled)
+    injects a bloom_filter_agg over the filtered creation side and a
+    might_contain probe into the fact scan once the application side
+    crosses its 10 GB size threshold. The threshold is what keeps it off
+    for tiny local data, so this test lowers it to simulate scale and
+    asserts the rewrite actually fires on our join shape."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.sources.catalog import load_table
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        logical = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in logical.lower() or "bloomfilter" in logical.lower()
+        assert "might_contain" in logical.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thresh,
+        )
+
+
+def test_sequence_pack_distributed_cumsum(spark, sf_dir):
+    """The global token-offset cumsum must NOT plan as a single-partition
+    window (the driver-shaped bottleneck it exists to avoid): the window
+    partitions on the hash-range bucket, and the prefix-offset table joins
+    as a broadcast."""
+    from frolyk_spark.operators.pipeline import sequence_pack
+
+    plan = _formatted(sequence_pack(spark, sf_dir))
+    assert "SinglePartition" not in plan, "global window would serialize the corpus"
+    assert "BroadcastHashJoin" in plan, "prefix offsets must broadcast"
+
+
+def test_dedup_incremental_no_cartesian(spark, sf_dir):
+    """Incremental dedup joins new-batch bands against corpus bands on the
+    (band_id, band_hash) equi-key — never a cartesian/nested-loop pair
+    expansion."""
+    from frolyk_spark.operators.dedup import dedup_incremental
+
+    plan = _formatted(dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
