@@ -79,10 +79,16 @@ GROUP BY 1
 
 #: distinct word {SHINGLE_W}-gram shingles of `text` (Spark SQL expr).
 #: Short docs (< SHINGLE_W words) fall back to one whole-text shingle.
+#: The single-element `transform(array(split(...)), ws -> ...)[0]` wrapper
+#: is an evaluation barrier: it binds the words array to a lambda variable
+#: so `split` runs ONCE per row. Referencing `split(text)` directly inside
+#: the per-shingle lambda looks equivalent but Catalyst inlines it into
+#: every element — O(words²) splits per document (measured 5-7x slower on
+#: the shingle-heavy dedup pipeline).
 _SHINGLES_SPARK = (
-    "array_distinct(transform("
-    f"sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_W - 1}, 1)),"
-    f" i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_W}))))"
+    "array_distinct(transform(array(split(text, ' ')), ws -> transform("
+    f"sequence(1, greatest(size(ws) - {SHINGLE_W - 1}, 1)),"
+    f" i -> concat_ws(' ', slice(ws, i, {SHINGLE_W}))))[0])"
 )
 
 _SHINGLES_DUCK = (
@@ -398,12 +404,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.where(
         F.col("rk") <= F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
     )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na_words"), "gram")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb_words"), "gram")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_words").alias("na_words"),
+        F.col("n_grams").alias("na_grams"),
+        "gram",
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_words").alias("nb_words"),
+        F.col("n_grams").alias("nb_grams"),
+        "gram",
+    )
+    # size filter: Jaccard >= t forces |A∩B| >= t*max and |A∩B| <= min,
+    # so min(|A|,|B|) >= t*max(|A|,|B|) — prunes candidates for free
+    # before the (wider) length block
+    size_ok = F.least("na_grams", "nb_grams") >= t * F.greatest("na_grams", "nb_grams")
     cands = (
         a.join(b, "gram")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
+            & size_ok
             & (F.abs(F.col("na_words") - F.col("nb_words")) < LEN_BLOCK_W)
         )
         .select("doc_a", "doc_b")

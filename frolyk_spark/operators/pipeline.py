@@ -34,11 +34,14 @@ CHUNK_STRIDE = 48
 
 def _word_grams(width: int) -> str:
     """Distinct word {width}-gram shingles of `text` (Spark SQL expr);
-    short docs fall back to one whole-text shingle."""
+    short docs fall back to one whole-text shingle. The
+    `transform(array(split(...)), ws -> ...)[0]` wrapper binds the words
+    array once per row — see dedup._SHINGLES_SPARK for why (Catalyst
+    re-inlines a bare `split` into every lambda element: O(words²))."""
     return (
-        "array_distinct(transform("
-        f"sequence(1, greatest(size(split(text, ' ')) - {width - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split(text, ' '), i, {width}))))"
+        "array_distinct(transform(array(split(text, ' ')), ws -> transform("
+        f"sequence(1, greatest(size(ws) - {width - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(ws, i, {width}))))[0])"
     )
 
 

@@ -192,3 +192,22 @@ def test_dedup_incremental_no_cartesian(spark, sf_dir):
     plan = _formatted(dedup_incremental(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_pack_offset_invariants(spark, sf_dir):
+    """Exact global packing invariants: offsets start at 0, are contiguous
+    (each doc starts where the previous one ends in hash order), and the
+    final offset+len equals the corpus token total — i.e. the two-phase
+    bucket cumsum is EXACTLY the single global cumsum it replaces."""
+    from frolyk_spark.operators.pipeline import SEQ_LEN, sequence_pack
+
+    rows = sequence_pack(spark, sf_dir).collect()
+    by_offset = sorted(rows, key=lambda r: r.start_offset)
+    assert by_offset[0].start_offset == 0
+    pos = 0
+    for r in by_offset:
+        assert r.start_offset == pos, "offsets must be contiguous"
+        assert r.seq_id == r.start_offset // SEQ_LEN
+        assert r.offset_in_seq == r.start_offset % SEQ_LEN
+        pos += r.n_tokens
+    assert pos == sum(r.n_tokens for r in rows)
