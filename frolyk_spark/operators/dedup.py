@@ -268,7 +268,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.pmod("doc_id", F.lit(NEW_DOC_MOD)) == NEW_DOC_MOD - 1
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     new_sigs = minhash_signatures_frame(docs.where(is_new))
-    # parquet-pruned read of the persisted corpus signatures (old side)
+    # old side: scan of the persisted corpus signatures (the % predicate
+    # filters at the scan but can't row-group-prune; a real pipeline would
+    # partition the signature table by ingest batch so old/new is a
+    # partition-pruned read)
     old_sigs = persisted_minhash_signatures(spark, sf_dir).where(~is_new)
     new_bands = band_hashes(new_sigs)
     all_bands = band_hashes(old_sigs).unionByName(new_bands)
