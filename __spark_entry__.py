@@ -27,6 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.operators import (
         dedup, multimodal, pipeline, relational, sampling, similarity, text,
+        vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
@@ -44,7 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_deciles", "resample_gapfill", "salted_join_segments",
     )
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # r4 additions — no driver row yet, so they go absolutely first
+    # newest additions — no driver row yet, so they go absolutely first
+    out.update(vocab.QUERIES)
     out["sequence_pack"] = pipeline.QUERIES["sequence_pack"]
     out["token_entropy"] = text.QUERIES["token_entropy"]
     out["dedup_incremental"] = dedup.QUERIES["dedup_incremental"]
@@ -65,11 +67,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from frolyk_spark.operators import (
         dedup, multimodal, pipeline, relational, sampling, similarity, text,
+        vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     out: dict[str, str] = {}
+    out.update(vocab.ORACLES)
     out.update(pipeline.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(sampling.ORACLES)

@@ -47,6 +47,7 @@ HEADLINE = [
     "text_stats",
     "decontaminate",
     "doc_chunks",
+    "vocab_topk",
     "sequence_pack",
     "dedup_incremental",
     "q21_waiting_suppliers",

@@ -1,0 +1,123 @@
+"""Tokenizer-training operators (SURVEY §2 D29-D30): corpus vocabulary
+and BPE merge-candidate statistics.
+
+Before a 100 TB corpus can be tokenized it needs a tokenizer, and training
+one is itself a corpus-scale aggregation job: count every word (vocabulary
+induction) and every adjacent word pair (the first BPE merge iteration's
+candidate table). Both are pure explode→aggregate→top-K pipelines — zero
+Python, fully map-side-combinable, and the top-K is Spark's
+TakeOrderedAndProject (per-partition heap + driver merge of K rows), NOT a
+global sort.
+
+Reference parity note: the reference (JaapRood/frolyk) is a Kafka
+stream-processing library with no corpus layer; these implement the
+LLM-data-pipeline surface of the charter (SURVEY §2 D).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frolyk_spark.sources.catalog import load_table
+
+#: vocabulary entries kept (top-K by term frequency, word tie-break)
+VOCAB_K = 200
+#: adjacent-pair merge candidates kept (top-K by count, pair tie-break)
+BIGRAM_K = 500
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{VOCAB_K} corpus vocabulary: term frequency and document
+    frequency per word — the vocabulary-induction step of tokenizer
+    training (and the df side feeds stopword/df-prefix thresholds used by
+    dedup_ngram_jaccard's AllPairs filter).
+
+    Scale shape: explode words → ONE hash aggregation keyed by word
+    (count + count_distinct(doc_id), both planned as two-phase partial
+    aggs, so shuffled volume is distinct words, not corpus tokens) →
+    orderBy+limit, which Catalyst plans as TakeOrderedAndProject: each
+    partition keeps a K-row heap and the driver merges K rows per
+    partition — no global sort, no single-partition window. The tf DESC +
+    word ASC tie-break makes boundary membership deterministic across
+    engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "word")
+        .limit(VOCAB_K)
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT w AS word,
+       cast(count(*) AS bigint) AS tf,
+       cast(count(DISTINCT doc_id) AS bigint) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+ORDER BY tf DESC, word
+LIMIT {VOCAB_K}
+"""
+
+
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BIGRAM_K} adjacent word pairs by corpus count — the candidate
+    table a BPE trainer scores each merge iteration (word-level here; the
+    byte/char loop is the same aggregation shape repeated).
+
+    The pair list is built JVM-side with zip_with over two slices of the
+    split array. The outer transform(array(...), ws -> ...)[0] wrapper is
+    the evaluation barrier that binds the split result ONCE per row —
+    referencing split() directly inside the lambdas would re-inline it per
+    element (the O(words²) collapse pitfall this repo hit in
+    dedup_ngram_jaccard). One explode, one map-side-combinable count agg,
+    TakeOrderedAndProject top-K; count DESC + pair ASC tie-break for
+    deterministic boundary membership.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    pairs_expr = (
+        "transform(array(split(text, ' ')), ws -> "
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        "(a, b) -> concat(a, ' ', b)))[0]"
+    )
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.expr(pairs_expr)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(BIGRAM_K)
+    )
+
+
+BIGRAM_COUNTS_SQL = f"""
+SELECT p AS pair, cast(count(*) AS bigint) AS cnt
+FROM (
+  SELECT unnest(list_transform(range(2, len(ws) + 1),
+                               i -> ws[i-1] || ' ' || ws[i])) AS p
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+)
+GROUP BY p
+ORDER BY cnt DESC, pair
+LIMIT {BIGRAM_K}
+"""
+
+
+QUERIES = {
+    "vocab_topk": vocab_topk,
+    "bigram_counts": bigram_counts,
+}
+
+ORACLES = {
+    "vocab_topk": VOCAB_TOPK_SQL,
+    "bigram_counts": BIGRAM_COUNTS_SQL,
+}

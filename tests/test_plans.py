@@ -211,3 +211,16 @@ def test_sequence_pack_offset_invariants(spark, sf_dir):
         assert r.offset_in_seq == r.start_offset % SEQ_LEN
         pos += r.n_tokens
     assert pos == sum(r.n_tokens for r in rows)
+
+
+def test_vocab_topk_heap_not_global_sort(spark, sf_dir):
+    """Top-K vocabulary must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge of K rows), never a global Sort, and the
+    count/count_distinct pair must partial-aggregate map-side so the
+    shuffle carries distinct words, not corpus tokens."""
+    from frolyk_spark.operators.vocab import bigram_counts, vocab_topk
+
+    for op in (vocab_topk, bigram_counts):
+        plan = _formatted(op(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, f"{op.__name__}: top-K must be a heap"
+        assert "partial_count" in plan, f"{op.__name__}: agg must map-side combine"
