@@ -87,6 +87,49 @@ def write_partitioned(
     return df.sparkSession.read.parquet(path)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> DataFrame:
+    """Overwrite ONLY the directory partitions present in ``df``, leaving
+    every other partition untouched, and return the re-read table.
+
+    The incremental-ingest primitive: a daily pipeline recomputes one
+    ingest date and must not truncate the other 3 years of data. Static
+    overwrite mode (Spark's default) would wipe the whole root; dynamic
+    mode rewrites exactly the partitions the frame contains (asserted in
+    tests/test_bucketing.py). Idempotent by construction — re-running a
+    day replaces that day, which is the retry story for batch jobs.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(path)
+
+
+def write_compacted(
+    df: DataFrame, path: str, *, target_file_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Write ``df`` as parquet with file count sized from the OPTIMIZER'S
+    size estimate (Catalyst plan statistics), and return the re-read table.
+
+    Small files are the silent killer of 100 TB table maintenance: a
+    streaming or per-task writer that emits thousands of KB-sized parquet
+    files makes every later scan pay per-file open/footer costs and
+    overwhelms the driver's file listing. Compaction = repartition to
+    ceil(estimated_bytes / target) before the write, so each output file
+    lands near the target size. The estimate comes from the optimized
+    plan's ``sizeInBytes`` (parquet footer stats propagated through the
+    plan), not a data pass — sizing costs nothing. At cluster scale the
+    same helper runs per-partition-directory as a maintenance job.
+    """
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, -(-est // target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register temp views so operators can also be phrased in Spark SQL."""
     for name in names:
