@@ -359,6 +359,41 @@ GROUP BY b.doc_id, d.text
 
 # --- D8: n-gram Jaccard with length blocking --------------------------------
 
+def _jaccard_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingled corpus: (doc_id, n_words, grams). Kept as a separate stage
+    so plan tests can inspect it before dedup_ngram_jaccard cuts lineage."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_words"),
+            F.expr(_SHINGLES_SPARK).alias("grams"),
+        )
+    )
+
+
+def _jaccard_prefix(docs: DataFrame) -> DataFrame:
+    """Df-ordered prefix postings (AllPairs): rank each doc's grams
+    rarest-first and keep rank <= n - ceil(t*n) + 1."""
+    t = JACCARD_T
+    postings = docs.select(
+        "doc_id", "n_words", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    )
+    gram_df = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        postings.join(gram_df, "gram")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram")),
+        )
+    )
+    return ranked.where(
+        F.col("rk") <= F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-{SHINGLE_W}-gram Jaccard >= {JACCARD_T} pairs, length-blocked,
     with exact df-ordered prefix filtering (AllPairs/PPJoin family).
@@ -382,31 +417,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
        arrays. Per-pair array intersection is confined to the pruned
        candidate set — the standard verify phase, linear in candidates.
     """
-    t = JACCARD_T
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "doc_id",
-            F.size(F.split("text", " ")).alias("n_words"),
-            F.expr(_SHINGLES_SPARK).alias("grams"),
-        )
-    )
-    postings = docs.select(
-        "doc_id", "n_words", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
-    )
-    gram_df = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        postings.join(gram_df, "gram")
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram")),
-        )
-    )
-    prefix = ranked.where(
-        F.col("rk") <= F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
-    )
+    # Materialize the shingled corpus once: it feeds THREE consumers
+    # (postings and both verify sides) and the df-ranked prefix feeds both
+    # halves of the self-join — without the cut, Spark recomputes the
+    # shingle transform and both expensive shuffles (groupBy gram, window
+    # by doc_id) per branch (12 parquet scans observed; 6 after).  A real
+    # pipeline persists the gram table anyway (see
+    # persisted_minhash_signatures for the durable form).
+    docs = _cut_lineage(_jaccard_shingled(spark, sf_dir))
+    prefix = _cut_lineage(_jaccard_prefix(docs))
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_words").alias("na_words"),
@@ -422,7 +441,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size filter: Jaccard >= t forces |A∩B| >= t*max and |A∩B| <= min,
     # so min(|A|,|B|) >= t*max(|A|,|B|) — prunes candidates for free
     # before the (wider) length block
-    size_ok = F.least("na_grams", "nb_grams") >= t * F.greatest("na_grams", "nb_grams")
+    size_ok = F.least("na_grams", "nb_grams") >= JACCARD_T * F.greatest("na_grams", "nb_grams")
     cands = (
         a.join(b, "gram")
         .where(

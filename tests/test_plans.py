@@ -86,14 +86,23 @@ def test_ngram_jaccard_prefix_filter_plan(spark, sf_dir):
     The plan must carry the row_number ranking window and the
     prefix-length cutoff (rank <= n - ceil(t*n) + 1), and never a
     cartesian."""
-    from frolyk_spark.operators.dedup import dedup_ngram_jaccard
+    from frolyk_spark.operators.dedup import (
+        _jaccard_prefix,
+        _jaccard_shingled,
+        dedup_ngram_jaccard,
+    )
 
-    df = dedup_ngram_jaccard(spark, sf_dir)
-    plan = _formatted(df)
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "row_number" in plan, "df-ordered prefix ranking must survive planning"
-    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # dedup_ngram_jaccard checkpoints the prefix stage (it feeds both join
+    # sides), which truncates the final plan — so assert the prefix
+    # properties on the pre-cut stage, and the join properties on the whole.
+    prefix = _jaccard_prefix(_jaccard_shingled(spark, sf_dir))
+    pplan = _formatted(prefix)
+    assert "row_number" in pplan, "df-ordered prefix ranking must survive planning"
+    logical = prefix._jdf.queryExecution().optimizedPlan().toString()
     assert "CEIL" in logical.upper(), "prefix-length cutoff filter must survive optimization"
+
+    plan = _formatted(dedup_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
