@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # newest additions — no driver row yet, so they go absolutely first
+    out["dedup_simhash_pairs"] = dedup.QUERIES["dedup_simhash_pairs"]
+    out["unigram_logprob"] = text.QUERIES["unigram_logprob"]
     out.update(vocab.QUERIES)
     out["sequence_pack"] = pipeline.QUERIES["sequence_pack"]
     out["token_entropy"] = text.QUERIES["token_entropy"]

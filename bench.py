@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "ann_bruteforce",
@@ -48,6 +49,7 @@ HEADLINE = [
     "decontaminate",
     "doc_chunks",
     "vocab_topk",
+    "unigram_logprob",
     "sequence_pack",
     "dedup_incremental",
     "q21_waiting_suppliers",

@@ -338,6 +338,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: simhash Hamming pairing: {SIMHASH_BLOCKS} equal bit-blocks; pigeonhole
+#: guarantees any pair within Hamming distance SIMHASH_BLOCKS-1 shares at
+#: least one identical block, so the block equi-join has exact recall.
+SIMHASH_BLOCKS = 4
+SIMHASH_HAMMING_T = SIMHASH_BLOCKS - 1
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance {SIMHASH_HAMMING_T} of the
+    {SIMHASH_BITS}-bit simhash, without an all-pairs comparison.
+
+    Pigeonhole blocking (the standard simhash index, cf. Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07): split the
+    fingerprint into {SIMHASH_BLOCKS} blocks of {SIMHASH_BITS // SIMHASH_BLOCKS}
+    bits. A pair differing in <= {SIMHASH_HAMMING_T} bits cannot touch all
+    {SIMHASH_BLOCKS} blocks, so it collides on at least one (block_id,
+    block_value) key — candidate recall is exact. Each doc emits
+    {SIMHASH_BLOCKS} keys (map-only fan-out), candidates come from one
+    equi-join, and the verify is a single JVM expression
+    (bit_count(xor)) — no arrays, no Python. At 100 TB: cost is linear in
+    docs x blocks plus the join on block keys; a template-heavy corpus can
+    produce hot block values (many docs sharing 15 identical bits), the
+    same hot-bucket caveat as minhash bands — cap or salt pathological
+    keys, and persist fingerprints like persisted_minhash_signatures.
+    """
+    bits_per = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << bits_per) - 1
+    sh = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright("simhash", i * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.block_id", "bk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # verify BEFORE distinct: shrinks the dedup shuffle to true pairs
+        .where(hamming <= SIMHASH_HAMMING_T)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 DEDUP_SIMHASH_SQL = f"""
 WITH h AS (
   SELECT doc_id, {portable_hash_sql('w')} AS hv
@@ -354,6 +419,16 @@ SELECT b.doc_id,
        cast(len(string_split(d.text, ' ')) as bigint) AS n_words
 FROM bits b JOIN documents d ON b.doc_id = d.doc_id
 GROUP BY b.doc_id, d.text
+"""
+
+# oracle goes all-pairs (fine at oracle scale); the Spark side must NOT —
+# test_plans asserts the block equi-join, never a cartesian
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH sh AS ({DEDUP_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_T}
 """
 
 
@@ -645,6 +720,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
     # also model-checked against union-find in tests/test_dedup_clusters.py
@@ -656,6 +732,7 @@ ORACLES = {
     "dedup_minhash": _dedup_minhash_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": _dedup_embedding_sql(),
     # recursive-CTE transitive closure: min reachable label == the

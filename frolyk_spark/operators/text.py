@@ -343,7 +343,62 @@ GROUP BY doc_id
 """
 
 
+# --- D32: corpus-LM negative log-probability (perplexity proxy) -------------
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log2-probability under the corpus's
+    own unigram LM — the CCNet-style perplexity quality signal (docs of
+    globally-rare words score high; boilerplate of common words scores
+    low). avg(-log2(c_w/N)) = log2(N) - avg(log2(c_w)).
+
+    Shape: one vocab aggregation (map-side combinable — shuffled volume is
+    the vocabulary, not the token stream), one postings-x-vocab equi-join,
+    one per-doc aggregation. The corpus total N is a one-row aggregate
+    broadcast into the projection (never a driver collect). At 100 TB the
+    join key is Zipf-skewed (stopwords carry most postings) — AQE skew
+    handling splits the hot partitions; the classic refinement is a hybrid
+    join (broadcast the top-K head of the vocab, shuffle only the tail),
+    same pattern as salted_join_segments.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    per_doc = (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.log2("c")).alias("slc"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.log2("n_total") - F.col("slc") / F.col("n_words"), 4
+        ).alias("avg_neg_logprob"),
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+v AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+t AS (SELECT sum(c) AS n_total FROM v),
+d AS (SELECT doc_id, count(*) AS n_words, sum(log2(v.c)) AS slc
+      FROM w JOIN v USING (w) GROUP BY doc_id)
+SELECT doc_id, cast(n_words AS bigint) AS n_words,
+       round(log2(t.n_total) - slc / n_words, 4) AS avg_neg_logprob
+FROM d, t
+"""
+
+
 QUERIES = {
+    "unigram_logprob": unigram_logprob,
     "token_entropy": token_entropy,
     "text_stats": text_stats,
     "lang_id": lang_id,
@@ -354,6 +409,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "token_entropy": TOKEN_ENTROPY_SQL,
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,

@@ -105,6 +105,30 @@ def test_ngram_jaccard_prefix_filter_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_pairs_block_join(spark, sf_dir):
+    """The Hamming pair join must be driven by the (block_id, block_val)
+    equi-join — pigeonhole blocking — never an all-pairs comparison, and
+    the bit_count(xor) verify must run before the pair-distinct."""
+    from frolyk_spark.operators.dedup import dedup_simhash_pairs
+
+    plan = _formatted(dedup_simhash_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "block_val" in plan, "block keys must drive the join"
+    assert "bit_count" in plan, "hamming verify must stay a JVM expression"
+
+
+def test_unigram_logprob_combines_map_side(spark, sf_dir):
+    """The vocab count must combine map-side (partial_count before the
+    word exchange) — shuffled volume is the vocabulary, not the token
+    stream — and the corpus total must broadcast, never collect."""
+    from frolyk_spark.operators.text import unigram_logprob
+
+    plan = _formatted(unigram_logprob(spark, sf_dir))
+    assert "partial_count" in plan, "vocab count must combine map-side"
+    assert "BroadcastExchange" in plan, "one-row total must broadcast"
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     """The benchmark gram-hash set is small by construction (it's an eval
     suite) and must broadcast; the corpus side probes it map-side — the
