@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -38,13 +39,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-        # default. Read nanos as long (runtime-settable legacy conf) and
-        # truncate to microseconds — the same truncation DuckDB's reader
-        # applies — so both engines see identical timestamps.
+        # events.ts has shipped as either TIMESTAMP(NANOS) (which Spark 4
+        # rejects by default — the legacy conf reads the raw nanos as long,
+        # truncated here to micros, matching DuckDB's reader) or plain
+        # timestamp[us] (usable as-is). Handle both schemas.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Session tz is pinned UTC, so this cast is value-preserving; it
+            # restores TimestampType, which watermarks/windows require.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(path)
 
 
