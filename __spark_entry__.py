@@ -33,36 +33,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (CORRECTNESS_r02 stopped after
-    # 50 of 61).  Entries with no green driver row yet run FIRST: the new
-    # r3 operators (pipeline module + the three new TPC-H adaptations),
-    # then the r2 entries the truncated run never reached; the twice-green
-    # relational block goes last (dict.update keeps first-insertion order,
-    # so re-adding the hoisted keys later is a no-op).
-    new_relational = (
-        "q21_waiting_suppliers",
-        "q17_small_qty_revenue", "q19_discount_revenue", "q22_idle_balance",
-        "value_deciles", "resample_gapfill", "salted_join_segments",
+    # in dict order under a wall-clock budget (~50 of 81 per round).  The
+    # r4 rotation is ordered by driver-row AGE, explicitly (the r3 "no green
+    # row yet" heuristic missed that a RED row is not a green one):
+    #   1. the two entries without a green driver row: source_mix (red in
+    #      r3, HUGEINT oracle cast fixed) and q12_delay_priority (red in
+    #      r2, fixed in r3, never re-reached);
+    #   2. the 30 entries whose last driver row is r2 (not reached by r3's
+    #      budget) — all green in r2 but stale;
+    #   3. the 30 entries green only in r3 (a single green row);
+    #   4. the 19 twice-green entries (green in both r2 and r3) last.
+    no_green_row = ("source_mix", "q12_delay_priority")
+    stale_r2_green = (
+        "q5_local_supplier", "q6_forecast", "q10_returned",
+        "topk_orders_per_customer", "running_revenue", "event_deltas",
+        "rollup_revenue", "cube_lineitem", "customers_with_orders",
+        "customers_without_orders", "distinct_parts_per_supplier",
+        "event_type_pivot", "asof_purchase_click", "clicks_before_purchase",
+        "set_ops_customers", "explode_words", "daily_revenue",
+        "q4_order_priority", "q7_volume_shipping", "q14_promo_revenue",
+        "q9_product_profit", "salted_skew_agg", "asof_cogroup",
+        "retention_cohorts", "grouping_sets_revenue", "q8_market_share",
+        "q13_order_distribution", "q15_top_supplier", "q18_large_orders",
+        "approx_stats",
     )
+    r3_only_green = (
+        "dedup_simhash_pairs", "unigram_logprob", "vocab_topk",
+        "bigram_counts", "sequence_pack", "token_entropy",
+        "dedup_incremental", "q21_waiting_suppliers", "decontaminate",
+        "doc_chunks", "repetition_stats", "q17_small_qty_revenue",
+        "q19_discount_revenue", "q22_idle_balance", "value_deciles",
+        "resample_gapfill", "salted_join_segments", "multimodal_features",
+        "media_resize", "frame_sample", "sample_stratified",
+        "train_test_split", "stream_tumbling", "stream_hopping",
+        "stream_dedup", "sessionize", "stream_stateful",
+        "stream_stream_join", "stream_static_join", "task_pipeline",
+    )
+    registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (pipeline, relational, vocab, text, dedup, similarity,
+                multimodal, sampling, streaming_jobs, bridge):
+        registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # newest additions — no driver row yet, so they go absolutely first
-    out["dedup_simhash_pairs"] = dedup.QUERIES["dedup_simhash_pairs"]
-    out["unigram_logprob"] = text.QUERIES["unigram_logprob"]
-    out.update(vocab.QUERIES)
-    out["sequence_pack"] = pipeline.QUERIES["sequence_pack"]
-    out["token_entropy"] = text.QUERIES["token_entropy"]
-    out["dedup_incremental"] = dedup.QUERIES["dedup_incremental"]
-    out["q21_waiting_suppliers"] = relational.QUERIES["q21_waiting_suppliers"]
-    out.update(pipeline.QUERIES)
-    out.update({k: relational.QUERIES[k] for k in new_relational})
-    out.update(multimodal.QUERIES)
-    out.update(sampling.QUERIES)
-    out.update(streaming_jobs.QUERIES)
-    out.update(bridge.QUERIES)
-    out.update(text.QUERIES)
-    out.update(dedup.QUERIES)
-    out.update(similarity.QUERIES)
-    out.update(relational.QUERIES)
+    for k in (*no_green_row, *stale_r2_green, *r3_only_green):
+        out[k] = registry[k]
+    out.update(registry)  # twice-green remainder; first-insertion order wins
     return out
 
 

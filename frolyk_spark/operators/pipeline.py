@@ -252,7 +252,8 @@ SELECT source, n_docs, n_chars,
        round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS share,
        round((1.0 / count(*) OVER ()) / (n_docs * 1.0 / sum(n_docs) OVER ()), 6)
          AS sample_weight
-FROM (SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+FROM (SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
       FROM documents GROUP BY source)
 ORDER BY source
 """

@@ -40,11 +40,41 @@ def _key(row):
     return tuple(out)
 
 
+#: DuckDB logical types that surface as pandas float64 through the driver's
+#: Arrow/pandas path.  HUGEINT is the trap: ``sum(BIGINT)`` returns HUGEINT,
+#: ``fetchall()`` hides it as a Python int, but the driver's value hash sees
+#: ``123.0`` vs Spark's ``123`` (the CORRECTNESS_r03 source_mix red row).
+_DUCK_FLOATISH = {"DOUBLE", "FLOAT", "REAL", "HUGEINT", "UHUGEINT"}
+_DUCK_INTISH = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+_SPARK_INTISH = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOATISH = {"float", "double"}
+
+
+def _assert_numeric_kinds_match(spark_df, duck_rel):
+    duck_kinds = {c.lower(): str(t).upper()
+                  for c, t in zip(duck_rel.columns, duck_rel.types)}
+    for name, dtype in spark_df.dtypes:
+        d = duck_kinds.get(name.lower())
+        if d is None:
+            continue
+        if dtype in _SPARK_INTISH and d in _DUCK_FLOATISH:
+            raise AssertionError(
+                f"column {name!r}: spark {dtype} vs duckdb {d} — the driver "
+                f"hash will see 123.0 vs 123; CAST the oracle aggregate to "
+                f"BIGINT (HUGEINT comes from sum() over integer columns)")
+        if dtype in _SPARK_FLOATISH and d in _DUCK_INTISH:
+            raise AssertionError(
+                f"column {name!r}: spark {dtype} vs duckdb {d} — cast one "
+                f"side so both are floating")
+
+
 def compare_results(spark_df, duck_rel, float_tol=1e-6):
     """Raise AssertionError with a diff summary if results differ."""
     s_cols = [c.lower() for c in spark_df.columns]
     d_cols = [c.lower() for c in duck_rel.columns]
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
+    _assert_numeric_kinds_match(spark_df, duck_rel)
 
     order = [d_cols.index(c) for c in sorted(s_cols)]
     s_idx = [s_cols.index(c) for c in sorted(s_cols)]
