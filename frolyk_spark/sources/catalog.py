@@ -34,24 +34,42 @@ TABLES = (
 BROADCAST_TABLES = {"region", "nation"}
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events.ts column to TimestampType regardless of how
+    the parquet shipped it. Shared by the batch catalog and the streaming
+    source (sources/streams.py) so the two paths cannot drift — streaming
+    results must hash-match the batch oracles.
+
+    events.ts has shipped as either TIMESTAMP(NANOS) (which Spark 4
+    rejects by default — with spark.sql.legacy.parquet.nanosAsLong the raw
+    nanos arrive as long, truncated here to micros, matching DuckDB's
+    reader) or plain timestamp[us] (value-preserving cast from NTZ under
+    the UTC-pinned session). Any other dtype is a data regression; fail
+    loudly here instead of letting a watermark/window op produce a
+    confusing error downstream.
+    """
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        # Session tz is pinned UTC, so this cast is value-preserving; it
+        # restores TimestampType, which watermarks/windows require.
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if isinstance(dtype, T.TimestampType):
+        return df
+    raise TypeError(
+        f"events.ts has unsupported dtype {dtype}; expected TIMESTAMP(NANOS)"
+        f"-as-long, timestamp_ntz, or timestamp"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts has shipped as either TIMESTAMP(NANOS) (which Spark 4
-        # rejects by default — the legacy conf reads the raw nanos as long,
-        # truncated here to micros, matching DuckDB's reader) or plain
-        # timestamp[us] (usable as-is). Handle both schemas.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-            # Session tz is pinned UTC, so this cast is value-preserving; it
-            # restores TimestampType, which watermarks/windows require.
-            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-        return df
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -57,20 +57,15 @@ def file_stream(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming view of the events table, normalized exactly like the
-    batch catalog (nanos-as-long data truncated to micros; timestamp[us]
-    data used as-is) so streaming results hash-match batch oracles."""
-    from pyspark.sql import types as T
+    """Streaming view of the events table, normalized through the SAME
+    helper as the batch catalog (catalog.normalize_events_ts) so streaming
+    results hash-match batch oracles by construction."""
+    from frolyk_spark.sources.catalog import normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = file_stream(spark, stage_stream_dir(sf_dir, "events"), raw_schema)
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
-        # UTC session => value-preserving; watermarks require TimestampType.
-        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return stream
+    return normalize_events_ts(stream)
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 10, num_partitions: int = 1) -> DataFrame:

@@ -5,17 +5,21 @@ play in the reference — JaapRood/frolyk src/streams.ts builds one ordered
 message stream per topic-partition; here the stream is the events "topic"
 and Spark owns partitioning/ordering). Each query:
 
-  readStream(parquet) -> transform -> writeStream(memory sink,
-  availableNow trigger) -> await -> return the sink table
+  readStream(parquet) -> transform -> writeStream(foreachBatch ->
+  parquet, availableNow trigger) -> await -> read the result back
 
 `availableNow` processes everything currently available and terminates, so
 the result is deterministic and oracle-checkable against batch SQL — the
-streaming/batch parity Spark guarantees by design. In production the sink
-would be Kafka/Delta/parquet with `append` + watermark; the memory sink +
-`complete` mode here keeps the full result for the correctness gate while
-exercising the real streaming engine (stateful aggregation, state store,
-commit log). Watermark/late-data, custom state, and checkpoint-recovery
-paths are exercised in tests/test_streaming.py (B4, B5, B7, A14).
+streaming/batch parity Spark guarantees by design. The gate sink is
+foreachBatch-to-parquet (run_available_now): results stay distributed in
+storage, never on the driver, so the harness itself survives a result set
+1000× larger — the same posture a production Kafka/Delta/parquet sink
+with `append` + watermark would have, while exercising the real streaming
+engine (stateful aggregation, state store, commit log). Watermark/
+late-data, custom state, and checkpoint-recovery paths are exercised in
+tests/test_streaming.py (B4, B5, B7, A14). Result files land under
+.scratch/streams/results/<uuid> and are read lazily — the scratch dir is
+ephemeral and reclaimed between sessions.
 
 The file-stream source needs a *directory*; single-file tables are staged
 as a symlink under .scratch/streams (no data copy).
@@ -41,9 +45,21 @@ TS_US_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_US_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
-def run_to_memory(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
-    """Run a streaming DataFrame to completion (availableNow) into a memory
-    sink and return the sink table."""
+def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) through a
+    foreachBatch parquet sink and return the result read back as a regular
+    (distributed) DataFrame.
+
+    This is the oracle-gate harness, but it keeps the 100× posture the
+    operators have: results land in parquet partitions, never on the
+    driver — a complete-mode result the size of a real corpus would spill
+    to storage here where a memory sink would OOM the driver. Sink
+    semantics mirror the memory sink's: complete mode overwrites with each
+    batch's full result; append/update modes append each batch's emitted
+    rows (with availableNow over a bounded file source, update emissions
+    land in one batch, so no key appears twice — same property the memory
+    sink relied on).
+    """
     spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     # The state-store partition count is fixed at first query start from
@@ -55,10 +71,15 @@ def run_to_memory(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     ckpt = os.path.join(SCRATCH, "checkpoints", name)
+    out = os.path.join(SCRATCH, "results", name)
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out)
+
     try:
         query = (
-            df.writeStream.format("memory")
-            .queryName(name)
+            df.writeStream.foreachBatch(_sink)
             .outputMode(mode)
             .trigger(availableNow=True)
             .option("checkpointLocation", ckpt)
@@ -67,16 +88,15 @@ def run_to_memory(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        # memory-sink runs are one-shot: the checkpoint is dead weight once
-        # the query terminates (uuid names mean it is never resumed)
+        # gate runs are one-shot: the checkpoint is dead weight once the
+        # query terminates (uuid names mean it is never resumed)
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
-    # the sink's rows already live on the driver; detach them from the
-    # never-reused uuid view so repeated runs don't pin dead result tables
-    result = spark.createDataFrame(spark.table(name).collect(), spark.table(name).schema)
-    spark.catalog.dropTempView(name)
-    return result
+    if not os.path.isdir(out):
+        # no batch fired (empty source): preserve the output schema
+        return spark.createDataFrame([], df.schema)
+    return spark.read.parquet(out)
 
 
 # --- B1: tumbling-window aggregate ------------------------------------------
@@ -99,7 +119,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_memory(agg, mode="complete", prefix="tumbling")
+    return run_available_now(agg, mode="complete", prefix="tumbling")
 
 
 STREAM_TUMBLING_SQL = f"""
@@ -128,7 +148,7 @@ def stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_memory(agg, mode="complete", prefix="hopping")
+    return run_available_now(agg, mode="complete", prefix="hopping")
 
 
 STREAM_HOPPING_SQL = f"""
@@ -165,7 +185,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_memory(dedup, mode="append", prefix="dedup")
+    return run_available_now(dedup, mode="append", prefix="dedup")
 
 
 STREAM_DEDUP_SQL = """
@@ -260,7 +280,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     ).select("user_id", "click_id", "purchase_id")
-    return run_to_memory(joined, mode="append", prefix="ssjoin")
+    return run_available_now(joined, mode="append", prefix="ssjoin")
 
 
 STREAM_STREAM_JOIN_SQL = """
@@ -291,7 +311,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    return run_to_memory(joined, mode="complete", prefix="static_join")
+    return run_available_now(joined, mode="complete", prefix="static_join")
 
 
 STREAM_STATIC_JOIN_SQL = """
@@ -335,7 +355,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
-    table = run_to_memory(out, mode="update", prefix="stateful")
+    table = run_available_now(out, mode="update", prefix="stateful")
     # update mode emits one row per user per micro-batch; keep only the
     # final state per user (max running count) so the result is correct
     # even if the source ever splits into multiple batches. Rounding is

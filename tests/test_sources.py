@@ -5,7 +5,7 @@ import pytest
 
 from frolyk_spark.sources.kafka import kafka_reader, kafka_writer
 from frolyk_spark.sources.streams import events_stream, rate_stream
-from frolyk_spark.streaming.jobs import run_to_memory
+from frolyk_spark.streaming.jobs import run_available_now
 
 
 def test_events_file_stream_end_to_end(spark, sf_dir):
@@ -13,7 +13,7 @@ def test_events_file_stream_end_to_end(spark, sf_dir):
 
     stream = events_stream(spark, sf_dir)
     assert stream.isStreaming
-    got = run_to_memory(stream.groupBy("event_type").count(), mode="complete", prefix="src")
+    got = run_available_now(stream.groupBy("event_type").count(), mode="complete", prefix="src")
     batch = {r.event_type: r["count"] for r in load_table(spark, sf_dir, "events").groupBy("event_type").count().collect()}
     assert {r.event_type: r["count"] for r in got.collect()} == batch
 

@@ -257,10 +257,10 @@ def test_dedup_within_watermark_evicts_state_rocksdb(spark, workdir):
 
 def test_streaming_session_window_matches_batch(spark, sf_dir):
     from frolyk_spark.streaming.jobs import (
-        SESSION_GAP, TS_US_FMT_SPARK, events_stream, run_to_memory, sessionize,
+        SESSION_GAP, TS_US_FMT_SPARK, events_stream, run_available_now, sessionize,
     )
 
-    streamed = run_to_memory(
+    streamed = run_available_now(
         events_stream(spark, sf_dir)
         .groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("sw"))
         .agg(F.count(F.lit(1)).alias("n_events"))
