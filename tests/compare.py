@@ -1,9 +1,14 @@
 """Order-insensitive Spark vs DuckDB result comparison.
 
-Mirrors the driver's t2 gate: row count, column names (sorted), and a
-value-level comparison that is insensitive to row and column order.
-Floats are compared with tolerance here (the operators themselves round
-outputs so the driver's exact value-hash also matches).
+Mirrors the driver's t2 gate: row count, column names (sorted), numeric
+KIND parity, and a value-level comparison that is insensitive to row and
+column order but otherwise EXACT — floats must match to the last ULP by
+default, like the driver's value hash. The whole suite passes repr-exact
+(verified r4: every cosine/jaccard/money-sum agrees bit-for-bit because
+dot/norm folds accumulate in the same order on both engines and
+cents-valued money sums are exact below 2^53), so any future ULP drift
+is a real regression, not noise. Pass an explicit ``float_tol`` for the
+rare deliberately-tolerant check.
 """
 
 from __future__ import annotations
@@ -33,10 +38,7 @@ def _key(row):
     out = []
     for v in row:
         v = _norm(v)
-        if isinstance(v, float):
-            # quantize so -0.0/0.0 and last-ulp noise compare equal
-            v = 0.0 if v == 0 else round(v, 9)
-        out.append((str(type(v).__name__)[:1], str(v)))
+        out.append((str(type(v).__name__)[:1], repr(v)))
     return tuple(out)
 
 
@@ -69,7 +71,7 @@ def _assert_numeric_kinds_match(spark_df, duck_rel):
                 f"side so both are floating")
 
 
-def compare_results(spark_df, duck_rel, float_tol=1e-6):
+def compare_results(spark_df, duck_rel, float_tol=0.0):
     """Raise AssertionError with a diff summary if results differ."""
     s_cols = [c.lower() for c in spark_df.columns]
     d_cols = [c.lower() for c in duck_rel.columns]
