@@ -38,12 +38,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row yet" heuristic missed that a RED row is not a green one):
     #   1. the two entries without a green driver row: source_mix (red in
     #      r3, HUGEINT oracle cast fixed) and q12_delay_priority (red in
-    #      r2, fixed in r3, never re-reached);
+    #      r2, fixed in r3, never re-reached), then the four operators new
+    #      in r4 (no driver row at all);
     #   2. the 30 entries whose last driver row is r2 (not reached by r3's
     #      budget) — all green in r2 but stale;
     #   3. the 30 entries green only in r3 (a single green row);
     #   4. the 19 twice-green entries (green in both r2 and r3) last.
-    no_green_row = ("source_mix", "q12_delay_priority")
+    no_green_row = (
+        "source_mix", "q12_delay_priority",
+        "minhash_jaccard_estimate", "cross_source_duplication",
+        "length_histogram", "tfidf_top_terms",
+    )
     stale_r2_green = (
         "q5_local_supplier", "q6_forecast", "q10_returned",
         "topk_orders_per_customer", "running_revenue", "event_deltas",

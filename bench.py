@@ -52,6 +52,9 @@ HEADLINE = [
     "unigram_logprob",
     "sequence_pack",
     "dedup_incremental",
+    "minhash_jaccard_estimate",
+    "cross_source_duplication",
+    "tfidf_top_terms",
     "q21_waiting_suppliers",
     "resample_gapfill",
     "multimodal_features",

@@ -245,6 +245,68 @@ JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 """
 
 
+# --- D33: signature-space similarity estimate --------------------------------
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard for every minhash candidate pair, from signatures
+    ALONE: the fraction of the {MINHASH_K} signature slots that agree is an
+    unbiased estimator of the true Jaccard (the min-hash property). This
+    completes the minhash pipeline: band buckets propose, the estimate
+    ranks/filters — and the corpus text is never touched again, which is
+    the whole point at 100 TB (the verify that dedup_ngram_jaccard does on
+    gram arrays costs a text-wide join; this costs a join against the
+    12-long signature table).
+
+    Shape: signatures computed once (lineage cut — both the band buckets
+    and both estimate sides consume them), candidates from the banded
+    equi-join, then two doc_id equi-joins against the signature table.
+    """
+    sigs = _cut_lineage(minhash_signatures(spark, sf_dir))
+    pairs = band_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{j}").alias(f"a{j}") for j in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{j}").alias(f"b{j}") for j in range(MINHASH_K)],
+    )
+    matches = None
+    for j in range(MINHASH_K):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(MINHASH_K), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def _minhash_jaccard_estimate_sql() -> str:
+    seeds_duck = "[" + ", ".join(str(s) for s in MINHASH_SEEDS) + "]"
+    return f"""
+WITH pairs AS ({_dedup_minhash_sql()}),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {MINHASH_K}),
+                        j -> list_min(list_transform({_SHINGLES_DUCK},
+                               s -> xor({portable_hash_sql('s')}, {seeds_duck}[j + 1])))) AS sig
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_filter(range(0, {MINHASH_K}),
+                             j -> sa.sig[j + 1] = sb.sig[j + 1])) * 1.0
+             / {MINHASH_K}, 4) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+"""
+
+
 # --- D28: incremental dedup of a new batch against the corpus ----------------
 
 #: deterministic "new batch" membership: doc_id % NEW_DOC_MOD == NEW_DOC_MOD-1
@@ -764,6 +826,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "minhash_jaccard_estimate": minhash_jaccard_estimate,
     # also model-checked against union-find in tests/test_dedup_clusters.py
     "dedup_clusters": dedup_clusters,
 }
@@ -776,6 +839,7 @@ ORACLES = {
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": _dedup_embedding_sql(),
+    "minhash_jaccard_estimate": _minhash_jaccard_estimate_sql(),
     # recursive-CTE transitive closure: min reachable label == the
     # propagation fixpoint (upgraded from no-oracle in r3)
     "dedup_clusters": _dedup_clusters_sql(),

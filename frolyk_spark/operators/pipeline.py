@@ -259,6 +259,95 @@ ORDER BY source
 """
 
 
+# --- D34: cross-source duplication matrix ------------------------------------
+
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate doc pairs BETWEEN sources, counted per unordered
+    source pair — the contamination-between-feeds signal that decides
+    which feed to drop when two overlap (the same crawl ingested twice
+    under different names is near-dup, not byte-identical, so the pair
+    source is the minhash band join, not an exact-hash join).
+
+    Shape: minhash candidate pairs (banded LSH equi-join — never
+    all-pairs) joined twice against the tiny (doc_id, source) projection,
+    then one grouped count. The source columns never enter the LSH
+    shuffle; they attach after candidates are already pruned. The
+    least/greatest fold makes the source pair unordered so A→B and B→A
+    count once.
+    """
+    from frolyk_spark.operators.dedup import dedup_minhash
+
+    pairs = dedup_minhash(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+def _cross_source_duplication_sql() -> str:
+    from frolyk_spark.operators.dedup import _dedup_minhash_sql
+
+    return f"""
+WITH pairs AS ({_dedup_minhash_sql()})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_dup_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+# --- D35: token-length histogram ---------------------------------------------
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source histogram of document token counts in log2 buckets —
+    the shard-planning statistic behind sequence packing (how much of
+    each source is short-doc padding pressure vs long-doc truncation
+    pressure).
+
+    Map-only projection plus one grouped aggregation; everything
+    map-side-combines, so the shuffle carries one row per
+    (source, bucket) per partition. The whole operator is a single pass
+    at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    bucket = F.floor(F.log2(n_tokens)).cast("bigint")
+    return (
+        docs.select(
+            "source",
+            bucket.alias("len_bucket"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT source,
+       CAST(floor(log2(len(string_split(text, ' ')))) AS BIGINT) AS len_bucket,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 # --- D26: sequence packing ---------------------------------------------------
 
 #: tokens per packed training sequence
@@ -349,6 +438,8 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "repetition_stats": repetition_stats,
     "source_mix": source_mix,
+    "cross_source_duplication": cross_source_duplication,
+    "length_histogram": length_histogram,
 }
 
 ORACLES = {
@@ -357,4 +448,6 @@ ORACLES = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "source_mix": SOURCE_MIX_SQL,
+    "cross_source_duplication": _cross_source_duplication_sql(),
+    "length_histogram": LENGTH_HISTOGRAM_SQL,
 }

@@ -16,7 +16,7 @@ LLM-data-pipeline surface of the charter (SURVEY §2 D).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frolyk_spark.sources.catalog import load_table
@@ -112,12 +112,94 @@ LIMIT {BIGRAM_K}
 """
 
 
+#: salient terms kept per source
+TFIDF_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_K} salient terms per source by a TF-IDF-style score —
+    the "what is this feed actually about" fingerprint used to spot
+    mislabeled or drifting sources in a corpus inventory.
+
+    The IDF factor is the RATIONAL surrogate (n_sources + 1)/(df + 1)
+    rather than ln(n/df): IEEE division of exact integers is
+    exactly-rounded and therefore bit-identical across engines, while
+    ln() is libm-dependent in its last ULP (JVM Math.log vs DuckDB
+    std::log) — a transcendental in the compare path is a hash flake
+    waiting to happen. Same monotone down-weighting of everywhere-words,
+    exact cross-engine equality.
+
+    Scale shape: explode → (source, word) count (map-side-combinable;
+    shuffled volume is the per-source vocabulary), df over that aggregate
+    (already distinct per source), the one-row source count broadcast
+    into the projection, and a per-source top-K window whose partition
+    count is the number of sources — never a global sort. Ranked on the
+    unrounded score with a word tie-break (same pattern as
+    similarity._rerank) so boundary membership is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    words = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+    )
+    tf = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_s = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_sources"))
+    n_sources = docs.agg(F.count_distinct("source").alias("n_sources"))
+    score = (F.col("tf") * (F.col("n_sources") + 1)) / (F.col("df_sources") + 1)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score_raw"), F.asc("word")
+    )
+    return (
+        tf.join(df_s, "word")
+        .crossJoin(F.broadcast(n_sources))
+        .withColumn("score_raw", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_K)
+        .select(
+            "source",
+            "rank",
+            "word",
+            "tf",
+            "df_sources",
+            F.round("score_raw", 4).alias("score"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT source, word, cast(count(*) AS bigint) AS tf FROM w GROUP BY 1, 2
+),
+df AS (
+  SELECT word, cast(count(*) AS bigint) AS df_sources FROM tf GROUP BY 1
+),
+ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+scored AS (
+  SELECT tf.source, tf.word, tf.tf, df.df_sources,
+         (tf.tf * (ns.n_sources + 1)) * 1.0 / (df.df_sources + 1) AS score_raw
+  FROM tf JOIN df USING (word), ns
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score_raw DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT source, rank, word, tf, df_sources, round(score_raw, 4) AS score
+FROM ranked WHERE rank <= {TFIDF_K}
+"""
+
+
 QUERIES = {
     "vocab_topk": vocab_topk,
     "bigram_counts": bigram_counts,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
     "vocab_topk": VOCAB_TOPK_SQL,
     "bigram_counts": BIGRAM_COUNTS_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
 }
