@@ -257,3 +257,31 @@ def test_vocab_topk_heap_not_global_sort(spark, sf_dir):
         plan = _formatted(op(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, f"{op.__name__}: top-K must be a heap"
         assert "partial_count" in plan, f"{op.__name__}: agg must map-side combine"
+
+
+def test_new_corpus_ops_plan_shapes(spark, sf_dir):
+    """r4 corpus-inventory ops keep the scale shapes: no cartesian or
+    nested-loop joins anywhere; tfidf's per-source top-K is a keyed window
+    (no global Sort-then-Limit over the vocabulary); the length histogram
+    partial-aggregates map-side."""
+    from frolyk_spark.operators.dedup import minhash_jaccard_estimate
+    from frolyk_spark.operators.pipeline import (
+        cross_source_duplication,
+        length_histogram,
+    )
+    from frolyk_spark.operators.vocab import tfidf_top_terms
+
+    for op in (minhash_jaccard_estimate, cross_source_duplication,
+               tfidf_top_terms):
+        plan = _formatted(op(spark, sf_dir))
+        assert "CartesianProduct" not in plan, op.__name__
+        # the one-row n_sources broadcast in tfidf is a legitimate
+        # BroadcastNestedLoopJoin of a single-row frame; forbid NLJ for
+        # the pair-producing ops only
+        if op is not tfidf_top_terms:
+            assert "BroadcastNestedLoopJoin" not in plan, op.__name__
+
+    hist = _formatted(length_histogram(spark, sf_dir))
+    assert "partial_count" in hist or "partial_sum" in hist, (
+        "length_histogram must map-side combine"
+    )
