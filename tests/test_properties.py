@@ -99,3 +99,74 @@ def _running(offsets):
     for off in offsets:
         acc += off
         yield acc
+
+
+# --- AllPairs/PPJoin filter admissibility (dedup_ngram_jaccard) --------------
+# Pure-Python model of the candidate filters in
+# frolyk_spark.operators.dedup.dedup_ngram_jaccard: df-ordered prefix join,
+# size filter, and the positional overlap upper bound. The property: no pair
+# with true Jaccard >= t is ever pruned — the filters are admissible for ANY
+# input, which is the exactness claim the operator's recall rests on.
+
+import math
+
+
+def _ppjoin_model(docs, t):
+    """Return (true_pairs, surviving_pairs) under the modeled filters."""
+    sets = [frozenset(d) for d in docs]
+    df = {}
+    for s in sets:
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    order = {g: i for i, g in enumerate(sorted(df, key=lambda g: (df[g], g)))}
+    ranked = [sorted(s, key=order.get) for s in sets]
+    prefix = [
+        r[: len(r) - math.ceil(t * len(r)) + 1] if r else []
+        for r in ranked
+    ]
+    rank = [{g: i + 1 for i, g in enumerate(r)} for r in ranked]
+
+    true_pairs = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= t:
+                true_pairs.add((i, j))
+
+    surviving = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            na, nb = len(sets[i]), len(sets[j])
+            if not na or not nb:
+                continue
+            shared_prefix = set(prefix[i]) & set(prefix[j])
+            if not shared_prefix:
+                continue  # AllPairs prefix join produced no candidate
+            if min(na, nb) < t * max(na, nb):
+                continue  # size filter
+            c = len(shared_prefix)
+            mrk_a = max(rank[i][g] for g in shared_prefix)
+            mrk_b = max(rank[j][g] for g in shared_prefix)
+            alpha = math.ceil(t / (1.0 + t) * (na + nb))
+            if c + min(na - mrk_a, nb - mrk_b) >= alpha:
+                surviving.add((i, j))
+    return true_pairs, surviving
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=20),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+@settings(max_examples=300, deadline=None)
+def test_ppjoin_filters_never_prune_true_pairs(docs, t):
+    """Admissibility: prefix join + size filter + positional upper bound
+    keep EVERY pair with Jaccard >= t. (The converse — pruning false
+    candidates — is an efficiency property, not asserted.)"""
+    true_pairs, surviving = _ppjoin_model(docs, t)
+    missed = true_pairs - surviving
+    assert not missed, f"true pairs pruned: {missed}"
