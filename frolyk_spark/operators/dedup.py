@@ -257,11 +257,13 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram arrays costs a text-wide join; this costs a join against the
     12-long signature table).
 
-    Shape: signatures computed once (lineage cut — both the band buckets
-    and both estimate sides consume them), candidates from the banded
-    equi-join, then two doc_id equi-joins against the signature table.
+    Shape: the PERSISTED signature table serves all three consumers (band
+    buckets and both estimate sides) — computed once per corpus, reread
+    as parquet (persisted_minhash_signatures, same as dedup_clusters);
+    candidates from the banded equi-join, then two doc_id equi-joins
+    against the signature table.
     """
-    sigs = _cut_lineage(minhash_signatures(spark, sf_dir))
+    sigs = persisted_minhash_signatures(spark, sf_dir)
     pairs = band_pairs(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),

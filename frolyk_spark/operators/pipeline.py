@@ -268,16 +268,20 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     under different names is near-dup, not byte-identical, so the pair
     source is the minhash band join, not an exact-hash join).
 
-    Shape: minhash candidate pairs (banded LSH equi-join — never
+    Shape: minhash candidate pairs (banded LSH equi-join over the
+    PERSISTED signature table — computed once per corpus, never
     all-pairs) joined twice against the tiny (doc_id, source) projection,
     then one grouped count. The source columns never enter the LSH
     shuffle; they attach after candidates are already pruned. The
     least/greatest fold makes the source pair unordered so A→B and B→A
     count once.
     """
-    from frolyk_spark.operators.dedup import dedup_minhash
+    from frolyk_spark.operators.dedup import (
+        band_pairs,
+        persisted_minhash_signatures,
+    )
 
-    pairs = dedup_minhash(spark, sf_dir)
+    pairs = band_pairs(persisted_minhash_signatures(spark, sf_dir))
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))

@@ -18,8 +18,9 @@ with `append` + watermark would have, while exercising the real streaming
 engine (stateful aggregation, state store, commit log). Watermark/
 late-data, custom state, and checkpoint-recovery paths are exercised in
 tests/test_streaming.py (B4, B5, B7, A14). Result files land under
-.scratch/streams/results/<uuid> and are read lazily — the scratch dir is
-ephemeral and reclaimed between sessions.
+.scratch/streams/results/<uuid> and are read lazily; each gate run
+reclaims result dirs older than an hour (live readers are always
+recent), bounding the scratch footprint across rounds.
 
 The file-stream source needs a *directory*; single-file tables are staged
 as a symlink under .scratch/streams (no data copy).
@@ -60,6 +61,9 @@ def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
     land in one batch, so no key appears twice — same property the memory
     sink relied on).
     """
+    import shutil
+    import time as _time
+
     spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     # The state-store partition count is fixed at first query start from
@@ -71,11 +75,30 @@ def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     ckpt = os.path.join(SCRATCH, "checkpoints", name)
-    out = os.path.join(SCRATCH, "results", name)
-    write_mode = "overwrite" if mode == "complete" else "append"
+    results_root = os.path.join(SCRATCH, "results")
+    # Results can't be deleted eagerly (the returned DataFrame reads them
+    # lazily), so reclaim PAST runs instead: any result dir untouched for
+    # an hour belongs to a finished session and goes here, bounding the
+    # scratch footprint across bench/correctness rounds.
+    if os.path.isdir(results_root):
+        cutoff = _time.time() - 3600
+        for d in os.listdir(results_root):
+            p = os.path.join(results_root, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    out = os.path.join(results_root, name)
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(out)
+    # foreachBatch is at-least-once: a retried batch id re-runs _sink, so
+    # every write must be idempotent. Each batch overwrites its OWN subdir
+    # (re-delivery replaces, never duplicates); complete mode overwrites a
+    # single dir so the last batch's full result wins. Dir names avoid '='
+    # so the reader doesn't parse them as partition columns.
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sub = "complete" if mode == "complete" else f"b{batch_id}"
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, sub))
 
     try:
         query = (
@@ -90,13 +113,19 @@ def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # gate runs are one-shot: the checkpoint is dead weight once the
         # query terminates (uuid names mean it is never resumed)
-        import shutil
-
         shutil.rmtree(ckpt, ignore_errors=True)
-    if not os.path.isdir(out):
+    paths = (
+        [os.path.join(out, "complete")]
+        if mode == "complete"
+        else sorted(
+            os.path.join(out, d) for d in (os.listdir(out) if os.path.isdir(out) else [])
+        )
+    )
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
         # no batch fired (empty source): preserve the output schema
         return spark.createDataFrame([], df.schema)
-    return spark.read.parquet(out)
+    return spark.read.parquet(*paths)
 
 
 # --- B1: tumbling-window aggregate ------------------------------------------

@@ -2,18 +2,19 @@
 
 Mirrors the driver's t2 gate: row count, column names (sorted), numeric
 KIND parity, and a value-level comparison that is insensitive to row and
-column order but otherwise EXACT — floats must match to the last ULP by
-default, like the driver's value hash. The whole suite passes repr-exact
+column order but otherwise EXACT — floats must match to the last ULP,
+like the driver's value hash. The whole suite passes repr-exact
 (verified r4: every cosine/jaccard/money-sum agrees bit-for-bit because
 dot/norm folds accumulate in the same order on both engines and
 cents-valued money sums are exact below 2^53), so any future ULP drift
-is a real regression, not noise. Pass an explicit ``float_tol`` for the
-rare deliberately-tolerant check.
+is a real regression, not noise. There is deliberately no tolerance
+knob: rows are aligned by sorting on exact reprs, so a tolerant compare
+over that alignment would mispair near-equal rows — a tolerant check
+belongs in its own test (cf. tests/test_approx.py), not here.
 """
 
 from __future__ import annotations
 
-import math
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -71,7 +72,7 @@ def _assert_numeric_kinds_match(spark_df, duck_rel):
                 f"side so both are floating")
 
 
-def compare_results(spark_df, duck_rel, float_tol=0.0):
+def compare_results(spark_df, duck_rel):
     """Raise AssertionError with a diff summary if results differ."""
     s_cols = [c.lower() for c in spark_df.columns]
     d_cols = [c.lower() for c in duck_rel.columns]
@@ -86,27 +87,9 @@ def compare_results(spark_df, duck_rel, float_tol=0.0):
 
     assert len(s_rows) == len(d_rows), f"row counts differ: spark={len(s_rows)} duckdb={len(d_rows)}"
 
-    s_sorted = sorted((_key(r) for r in s_rows))
-    d_sorted = sorted((_key(r) for r in d_rows))
-    mismatches = []
-    for a, b in zip(s_sorted, d_sorted):
-        if a != b and not _rows_close(a, b, float_tol):
-            mismatches.append((a, b))
-            if len(mismatches) >= 5:
-                break
+    s_sorted = sorted(_key(r) for r in s_rows)
+    d_sorted = sorted(_key(r) for r in d_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+    ][:5]
     assert not mismatches, f"value mismatches (spark vs duckdb), first 5: {mismatches}"
-
-
-def _rows_close(a, b, tol):
-    if len(a) != len(b):
-        return False
-    for (ta, va), (tb, vb) in zip(a, b):
-        if va == vb:
-            continue
-        try:
-            fa, fb = float(va), float(vb)
-        except (TypeError, ValueError):
-            return False
-        if not math.isclose(fa, fb, rel_tol=tol, abs_tol=tol):
-            return False
-    return True
