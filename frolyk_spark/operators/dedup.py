@@ -212,7 +212,13 @@ def band_pairs(sigs: DataFrame) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via minhash + banded LSH — signature
     aggregation (minhash_signatures) composed with band bucketing
-    (band_pairs); see each stage's docstring for the scale argument."""
+    (band_pairs); see each stage's docstring for the scale argument.
+
+    Deliberately computes signatures INLINE (unlike dedup_clusters /
+    minhash_jaccard_estimate / cross_source_duplication, which read the
+    persisted table): this is the representative end-to-end
+    signature-computation query, so its bench number measures the full
+    shingle→hash→min pipeline, not a parquet read."""
     return band_pairs(minhash_signatures(spark, sf_dir))
 
 
