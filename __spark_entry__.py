@@ -47,7 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no_green_row = (
         "source_mix", "q12_delay_priority",
         "minhash_jaccard_estimate", "cross_source_duplication",
-        "length_histogram", "tfidf_top_terms",
+        "length_histogram", "tfidf_top_terms", "embedding_quantize",
     )
     stale_r2_green = (
         "q5_local_supplier", "q6_forecast", "q10_returned",

@@ -341,11 +341,60 @@ FROM norms n JOIN cent c ON n.label = c.label
 """
 
 
+# --- D37: int8 scalar quantization -------------------------------------------
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    code_i = round(x_i / scale) — the 4× storage/bandwidth compression
+    step a 100 TB vector corpus applies before ANN indexing (IVF/PQ
+    pipelines quantize exactly like this before training the coarse
+    quantizer).
+
+    Map-only: one pass, no shuffle, array exprs inside whole-stage
+    codegen. Cross-engine exactness: the rounding is written as
+    floor(x/scale + 0.5) on BOTH engines — library round() semantics on
+    doubles differ subtly between the JVM (shortest-repr HALF_UP) and
+    libm (binary half-away), while floor of an identical double is
+    bit-deterministic everywhere. Zero vectors take scale 1.0 so the
+    division is defined (codes all 0). The max-abs reduction is
+    order-independent (max), so parallelism can't perturb it.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_abs = (
+        "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+        " cast(0.0 as double), (a, v) -> greatest(a, v))"
+    )
+    scale = f"if({max_abs} = 0.0, 1.0, {max_abs} / 127.0)"
+    codes = (
+        f"transform(embedding, x -> cast(floor(cast(x as double) / {scale}"
+        f" + 0.5d) as bigint))"
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.expr(scale), 6).alias("scale"),
+        F.expr(codes).alias("codes"),
+    )
+
+
+def _embedding_quantize_sql() -> str:
+    max_abs = "list_max(list_transform(embedding, x -> abs(cast(x as double))))"
+    scale = f"(CASE WHEN {max_abs} = 0.0 THEN 1.0 ELSE {max_abs} / 127.0 END)"
+    return f"""
+SELECT vec_id,
+       round({scale}, 6) AS scale,
+       list_transform(embedding,
+                      x -> cast(floor(cast(x as double) / {scale} + 0.5)
+                                AS bigint)) AS codes
+FROM embeddings
+"""
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "embedding_stats": embedding_stats,
+    "embedding_quantize": embedding_quantize,
 }
 
 # ann_lsh / ann_ivf are deliberately oracle-free: approximate results are
@@ -353,4 +402,5 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce": _ann_bruteforce_sql(),
     "embedding_stats": _embedding_stats_sql(),
+    "embedding_quantize": _embedding_quantize_sql(),
 }
