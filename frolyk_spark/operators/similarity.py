@@ -343,15 +343,22 @@ FROM norms n JOIN cent c ON n.label = c.label
 
 # --- D37: int8 scalar quantization -------------------------------------------
 
-def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_quantize_frame(emb: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|x| / 127,
     code_i = round(x_i / scale) — the 4× storage/bandwidth compression
     step a 100 TB vector corpus applies before ANN indexing (IVF/PQ
     pipelines quantize exactly like this before training the coarse
-    quantizer).
+    quantizer). Returns `codes` as array<bigint> for in-pipeline
+    consumers (the driver-checked query serializes it — see
+    embedding_quantize below).
 
     Map-only: one pass, no shuffle, array exprs inside whole-stage
-    codegen. Cross-engine exactness: the rounding is written as
+    codegen. The max-abs reduction and the scale are computed ONCE per
+    row as projected columns and referenced from the codes lambda —
+    higher-order-function lambdas are not codegen'd and do not hoist
+    common subexpressions, so interpolating the O(d) aggregate into the
+    per-element lambda would re-run it per element (O(d²) per row).
+    Cross-engine exactness: the rounding is written as
     floor(x/scale + 0.5) on BOTH engines — library round() semantics on
     doubles differ subtly between the JVM (shortest-repr HALF_UP) and
     libm (binary half-away), while floor of an identical double is
@@ -359,33 +366,62 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is defined (codes all 0). The max-abs reduction is
     order-independent (max), so parallelism can't perturb it.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     max_abs = (
         "aggregate(transform(embedding, x -> abs(cast(x as double))),"
         " cast(0.0 as double), (a, v) -> greatest(a, v))"
     )
-    scale = f"if({max_abs} = 0.0, 1.0, {max_abs} / 127.0)"
-    codes = (
-        f"transform(embedding, x -> cast(floor(cast(x as double) / {scale}"
-        f" + 0.5d) as bigint))"
+    return (
+        emb.withColumn("_max_abs", F.expr(max_abs))
+        .withColumn("_scale", F.expr("if(_max_abs = 0.0d, 1.0d, _max_abs / 127.0d)"))
+        .select(
+            "vec_id",
+            F.round(F.col("_scale"), 6).alias("scale"),
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(floor(cast(x as double) / _scale + 0.5d) as bigint))"
+            ).alias("codes"),
+        )
     )
-    return emb.select(
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of embedding_quantize_frame: `codes` is
+    serialized to a comma-joined string so every output column is a
+    hashable scalar (the driver's pandas canonicalizer sorts rows over
+    all columns; a raw array<bigint> is unhashable there). bigint→string
+    formatting is plain decimal on both engines, so the compare stays
+    exact. Pipeline consumers wanting the array form use
+    embedding_quantize_frame directly.
+    """
+    q = embedding_quantize_frame(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
         "vec_id",
-        F.round(F.expr(scale), 6).alias("scale"),
-        F.expr(codes).alias("codes"),
+        "scale",
+        F.concat_ws(",", F.expr("transform(codes, c -> cast(c as string))")).alias(
+            "codes"
+        ),
     )
 
 
 def _embedding_quantize_sql() -> str:
-    max_abs = "list_max(list_transform(embedding, x -> abs(cast(x as double))))"
-    scale = f"(CASE WHEN {max_abs} = 0.0 THEN 1.0 ELSE {max_abs} / 127.0 END)"
-    return f"""
+    return """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN max_abs = 0.0 THEN 1.0 ELSE max_abs / 127.0 END AS scale
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS max_abs
+    FROM embeddings
+  )
+)
 SELECT vec_id,
-       round({scale}, 6) AS scale,
-       list_transform(embedding,
-                      x -> cast(floor(cast(x as double) / {scale} + 0.5)
-                                AS bigint)) AS codes
-FROM embeddings
+       round(scale, 6) AS scale,
+       array_to_string(
+         list_transform(embedding,
+                        x -> cast(cast(floor(cast(x as double) / scale + 0.5)
+                                       AS bigint) AS varchar)),
+         ',') AS codes
+FROM s
 """
 
 
