@@ -327,7 +327,12 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " "))
-    bucket = F.floor(F.log2(n_tokens)).cast("bigint")
+    # floor(log2(n)) for n >= 1, computed as bit_width(n) - 1 via the
+    # binary-string length. Integer-exact on both engines — log2() is a
+    # libm transcendental whose last ULP can differ across platforms and
+    # this value sits in the exact-hash compare path (n_tokens >= 1
+    # always: size(split(x)) is at least 1).
+    bucket = (F.length(F.bin(n_tokens)) - 1).cast("bigint")
     return (
         docs.select(
             "source",
@@ -344,7 +349,7 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LENGTH_HISTOGRAM_SQL = """
 SELECT source,
-       CAST(floor(log2(len(string_split(text, ' ')))) AS BIGINT) AS len_bucket,
+       CAST(length(bin(len(string_split(text, ' ')))) - 1 AS BIGINT) AS len_bucket,
        count(*) AS n_docs,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM documents

@@ -18,9 +18,12 @@ with `append` + watermark would have, while exercising the real streaming
 engine (stateful aggregation, state store, commit log). Watermark/
 late-data, custom state, and checkpoint-recovery paths are exercised in
 tests/test_streaming.py (B4, B5, B7, A14). Result files land under
-.scratch/streams/results/<uuid> and are read lazily; each gate run
-reclaims result dirs older than an hour (live readers are always
-recent), bounding the scratch footprint across rounds.
+.scratch/streams/results/pid<pid>/<uuid> and are read lazily; each gate
+run reclaims sibling pid roots whose owner process is dead (plus any
+legacy non-pid dirs by mtime), bounding the scratch footprint across
+rounds without ever deleting under a live reader — a returned DataFrame
+reads its parquet lazily, so an mtime cutoff alone could rmtree files a
+long-lived session still holds.
 
 The file-stream source needs a *directory*; single-file tables are staged
 as a symlink under .scratch/streams (no data copy).
@@ -44,6 +47,17 @@ TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 TS_US_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_US_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _pid_alive(pid: int) -> bool:
+    """True if a process with this pid exists (EPERM counts as alive)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
@@ -75,17 +89,26 @@ def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     ckpt = os.path.join(SCRATCH, "checkpoints", name)
-    results_root = os.path.join(SCRATCH, "results")
     # Results can't be deleted eagerly (the returned DataFrame reads them
-    # lazily), so reclaim PAST runs instead: any result dir untouched for
-    # an hour belongs to a finished session and goes here, bounding the
-    # scratch footprint across bench/correctness rounds.
-    if os.path.isdir(results_root):
+    # lazily), and an mtime cutoff can delete under a live reader in a
+    # session spanning the cutoff. Scope results per PROCESS instead:
+    # this process writes under its own pid root, and reclaims sibling
+    # roots only once their owner is dead. Legacy flat dirs (pre-pid
+    # layout, or shared scratch from a crashed run without a pid name)
+    # still fall back to the mtime cutoff.
+    parent = os.path.join(SCRATCH, "results")
+    results_root = os.path.join(parent, f"pid{os.getpid()}")
+    if os.path.isdir(parent):
         cutoff = _time.time() - 3600
-        for d in os.listdir(results_root):
-            p = os.path.join(results_root, d)
+        for d in os.listdir(parent):
+            p = os.path.join(parent, d)
+            if p == results_root:
+                continue
             try:
-                if os.path.getmtime(p) < cutoff:
+                if d.startswith("pid") and d[3:].isdigit():
+                    if not _pid_alive(int(d[3:])):
+                        shutil.rmtree(p, ignore_errors=True)
+                elif os.path.getmtime(p) < cutoff:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass

@@ -81,3 +81,23 @@ def test_jsonl_failfast_raises(spark, tmp_path):
     df = load_jsonl(spark, str(p), "doc_id bigint", mode="FAILFAST")
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         df.collect()
+
+
+def test_normalize_events_ts_rejects_unexpected_dtype(spark):
+    # A string ts is a data regression: fail loudly at load, not with a
+    # confusing watermark/window error downstream.
+    from frolyk_spark.sources.catalog import normalize_events_ts
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "ts string")
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        normalize_events_ts(df)
+
+
+def test_normalize_events_ts_accepts_long_nanos(spark):
+    from frolyk_spark.sources.catalog import normalize_events_ts
+
+    df = spark.createDataFrame([(1_700_000_000_123_456_789,)], "ts long")
+    out = normalize_events_ts(df)
+    assert out.schema["ts"].dataType.typeName() == "timestamp"
+    # nanos truncate to micros
+    assert out.collect()[0].ts.microsecond == 123456
