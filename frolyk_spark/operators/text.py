@@ -345,20 +345,36 @@ GROUP BY doc_id
 
 # --- D32: corpus-LM negative log-probability (perplexity proxy) -------------
 
+#: hybrid-join head size: the Zipf head of the vocabulary (stopwords carry
+#: most postings) is broadcast; only the tail shuffles. Bounded, so the
+#: broadcast is safe at any corpus size. The OUTPUT is invariant to the
+#: head/tail split — every word carries the same corpus count either way.
+VOCAB_HEAD_K = 10_000
+
+
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average negative log2-probability under the corpus's
     own unigram LM — the CCNet-style perplexity quality signal (docs of
     globally-rare words score high; boilerplate of common words scores
     low). avg(-log2(c_w/N)) = log2(N) - avg(log2(c_w)).
 
-    Shape: one vocab aggregation (map-side combinable — shuffled volume is
-    the vocabulary, not the token stream), one postings-x-vocab equi-join,
-    one per-doc aggregation. The corpus total N is a one-row aggregate
-    broadcast into the projection (never a driver collect). At 100 TB the
-    join key is Zipf-skewed (stopwords carry most postings) — AQE skew
-    handling splits the hot partitions; the classic refinement is a hybrid
-    join (broadcast the top-K head of the vocab, shuffle only the tail),
-    same pattern as salted_join_segments.
+    Skew posture (the r4 watch-list item, now implemented): the
+    postings×vocab join is HYBRID. The top-{VOCAB_HEAD_K} head of the
+    vocab — bounded, so broadcastable at any corpus size, and by Zipf
+    exactly the keys (stopwords) whose postings lists are huge — joins
+    map-side via BroadcastHashJoin; only tokens whose word falls in the
+    anti-filtered tail, where every key's posting count sits below the
+    head threshold, take the shuffle path. Same hot-key pattern as
+    salted_join_segments (relational.py). The vocab aggregation stage is
+    computed once and reused by head/tail/total (identical subtrees ⇒
+    exchange/stage reuse); the token-stream scan is map-only in both
+    join branches — deliberately NOT pre-aggregated per (doc, word): a
+    per-posting reduction would de-skew the join too, but costs a full
+    shuffle of the token stream that the broadcast-head plan never
+    pays (measured 1.34× slower at sf0.1).
+
+    The corpus total N is a one-row aggregate broadcast into the
+    projection (never a driver collect).
     """
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -367,15 +383,20 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").alias("n_total"))
-    per_doc = (
-        words.join(vocab, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.log2("c")).alias("slc"),
-        )
+    head = vocab.orderBy(F.desc("c"), "w").limit(VOCAB_HEAD_K)
+    head_words = head.select("w")
+    tail = vocab.join(F.broadcast(head_words), "w", "left_anti")
+    # The tail branch anti-filters head tokens MAP-SIDE (broadcast anti
+    # join) before its exchange — without this the hot tokens would still
+    # be shuffled and only dropped at the join, leaving the skew in the
+    # exchange.
+    tail_tokens = words.join(F.broadcast(head_words), "w", "left_anti")
+    scored = words.join(F.broadcast(head), "w").unionByName(tail_tokens.join(tail, "w"))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.log2("c")).alias("slc"),
     )
+    total = vocab.agg(F.sum("c").alias("n_total"))
     return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_words",

@@ -129,6 +129,29 @@ def test_unigram_logprob_combines_map_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_unigram_logprob_hybrid_skew_join(spark, sf_dir):
+    """The Zipf-head join must be a map-side BroadcastHashJoin (the
+    bounded top-K head broadcasts; its huge postings never shuffle), and
+    the tail branch must anti-filter head tokens map-side (broadcast
+    LeftAnti) BEFORE any exchange — otherwise hot tokens would still be
+    shuffled and only dropped at the tail join."""
+    from frolyk_spark.operators.text import unigram_logprob
+
+    plan = _formatted(unigram_logprob(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "vocab head must broadcast-join"
+    assert plan.count("LeftAnti") >= 2, (
+        "both the vocab tail and the tail token stream must be "
+        "anti-filtered against the broadcast head"
+    )
+    # the only nested-loop join allowed is the one-row corpus total
+    # broadcast into the final projection (formatted explain names each
+    # node twice: once in the tree, once in the numbered details)
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     """The benchmark gram-hash set is small by construction (it's an eval
     suite) and must broadcast; the corpus side probes it map-side — the
