@@ -33,23 +33,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 of 81 per round).  The
-    # r4 rotation is ordered by driver-row AGE, explicitly (the r3 "no green
-    # row yet" heuristic missed that a RED row is not a green one):
-    #   1. the two entries without a green driver row: source_mix (red in
-    #      r3, HUGEINT oracle cast fixed) and q12_delay_priority (red in
-    #      r2, fixed in r3, never re-reached), then the four operators new
-    #      in r4 (no driver row at all);
-    #   2. the 30 entries whose last driver row is r2 (not reached by r3's
-    #      budget) — all green in r2 but stale;
-    #   3. the 30 entries green only in r3 (a single green row);
-    #   4. the 19 twice-green entries (green in both r2 and r3) last.
-    no_green_row = (
-        "source_mix", "q12_delay_priority",
-        "minhash_jaccard_estimate", "cross_source_duplication",
-        "length_histogram", "tfidf_top_terms", "embedding_quantize",
+    # in dict order under a wall-clock budget (~50 of 86 per round; r4 ran
+    # 50). The r5 rotation is ordered by driver-row AGE:
+    #   1. red_or_new: embedding_quantize (the one r4 red row — codes
+    #      output serialized to a scalar this round) and any operator new
+    #      in r5 (no driver row at all);
+    #   2. last_green_r3: the 36 entries whose newest green row is r3 —
+    #      the 17 r3-green entries r4's budget never reached plus the 19
+    #      twice-green (r2+r3) entries the r4 rotation parked last;
+    #   3. r4_first_green: the 6 entries whose ONLY green row is r4
+    #      (source_mix, q12_delay_priority, and the four r4-new ops) — one
+    #      confirmation, worth a second;
+    #   4. the remaining r4-green rows (r2+r4 then r3+r4) last — every one
+    #      has two green rows, the newest from last round.
+    red_or_new = (
+        "embedding_quantize",
     )
-    stale_r2_green = (
+    last_green_r3 = (
+        "q22_idle_balance", "value_deciles", "resample_gapfill",
+        "salted_join_segments", "multimodal_features", "media_resize",
+        "frame_sample", "sample_stratified", "train_test_split",
+        "stream_tumbling", "stream_hopping", "stream_dedup", "sessionize",
+        "stream_stateful", "stream_stream_join", "stream_static_join",
+        "task_pipeline",
+        "q1_pricing_summary", "q3_unshipped_revenue", "dedup_exact",
+        "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_embedding", "dedup_clusters", "ann_bruteforce", "ann_lsh",
+        "ann_ivf", "embedding_stats", "text_stats", "lang_id",
+        "token_count", "doc_fingerprint", "text_redact", "corpus_filter",
+        "multimodal_manifest",
+    )
+    r4_first_green = (
+        "source_mix", "q12_delay_priority", "minhash_jaccard_estimate",
+        "cross_source_duplication", "length_histogram", "tfidf_top_terms",
+    )
+    r2_and_r4_green = (
         "q5_local_supplier", "q6_forecast", "q10_returned",
         "topk_orders_per_customer", "running_revenue", "event_deltas",
         "rollup_revenue", "cube_lineitem", "customers_with_orders",
@@ -62,26 +80,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_distribution", "q15_top_supplier", "q18_large_orders",
         "approx_stats",
     )
-    r3_only_green = (
-        "dedup_simhash_pairs", "unigram_logprob", "vocab_topk",
-        "bigram_counts", "sequence_pack", "token_entropy",
-        "dedup_incremental", "q21_waiting_suppliers", "decontaminate",
-        "doc_chunks", "repetition_stats", "q17_small_qty_revenue",
-        "q19_discount_revenue", "q22_idle_balance", "value_deciles",
-        "resample_gapfill", "salted_join_segments", "multimodal_features",
-        "media_resize", "frame_sample", "sample_stratified",
-        "train_test_split", "stream_tumbling", "stream_hopping",
-        "stream_dedup", "sessionize", "stream_stateful",
-        "stream_stream_join", "stream_static_join", "task_pipeline",
-    )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, vocab, text, dedup, similarity,
                 multimodal, sampling, streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*no_green_row, *stale_r2_green, *r3_only_green):
+    for k in (*red_or_new, *last_green_r3, *r4_first_green,
+              *r2_and_r4_green):
         out[k] = registry[k]
-    out.update(registry)  # twice-green remainder; first-insertion order wins
+    out.update(registry)  # r3+r4-green remainder; first-insertion order wins
     return out
 
 
