@@ -55,6 +55,13 @@ HEADLINE = [
     "minhash_jaccard_estimate",
     "cross_source_duplication",
     "tfidf_top_terms",
+    "length_histogram",
+    "embedding_quantize",
+    "json_props_stats",
+    "markov_transitions",
+    "order_value_quartiles",
+    "price_discount_corr",
+    "boilerplate_ngrams",
     "q21_waiting_suppliers",
     "resample_gapfill",
     "multimodal_features",

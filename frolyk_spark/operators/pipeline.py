@@ -441,6 +441,72 @@ FROM c
 """
 
 
+# --- D38: cross-document boilerplate n-grams ---------------------------------
+
+#: boilerplate detection: word-gram width and how many top grams to report
+BOILER_W = 5
+BOILER_TOP = 50
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BOILER_TOP} word {BOILER_W}-grams shared across documents —
+    the cross-document boilerplate detector (cookie banners, license
+    headers, nav bars) that feeds template-stripping in a pretraining
+    pipeline. Reports document frequency and total occurrences per gram.
+
+    Two-phase aggregation, both map-side combinable: (gram, doc_id)
+    occurrence counts first — the doc_id component spreads even a
+    corpus-dominating gram across partitions — then per-gram doc/occ
+    totals from the already-reduced postings (this is also the
+    expand-free form of count_distinct(doc_id)). Gram generation uses
+    the bound-words-array barrier (_word_grams' rationale; non-distinct
+    here because occurrence counts are the signal). Top-K is a
+    TakeOrderedAndProject heap with a total (n_docs, n_occ, gram) order
+    — deterministic cutoff, never a global sort.
+    """
+    grams_expr = (
+        "transform(array(split(text, ' ')), ws -> transform("
+        f"sequence(1, greatest(size(ws) - {BOILER_W - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(ws, i, {BOILER_W}))))[0]"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").cast("bigint").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "gram")
+        .limit(BOILER_TOP)
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - {BOILER_W - 1}, 1) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+{BOILER_W - 1}], ' ')))
+           AS gram
+  FROM documents
+),
+pd AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY gram, doc_id)
+SELECT gram, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_occ
+FROM pd
+GROUP BY gram
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, n_occ DESC, gram
+LIMIT {BOILER_TOP}
+"""
+
+
 QUERIES = {
     "sequence_pack": sequence_pack,
     "decontaminate": decontaminate,
@@ -449,6 +515,7 @@ QUERIES = {
     "source_mix": source_mix,
     "cross_source_duplication": cross_source_duplication,
     "length_histogram": length_histogram,
+    "boilerplate_ngrams": boilerplate_ngrams,
 }
 
 ORACLES = {
@@ -459,4 +526,5 @@ ORACLES = {
     "source_mix": SOURCE_MIX_SQL,
     "cross_source_duplication": _cross_source_duplication_sql(),
     "length_histogram": LENGTH_HISTOGRAM_SQL,
+    "boilerplate_ngrams": BOILERPLATE_SQL,
 }

@@ -1394,7 +1394,194 @@ GROUP BY s_name
 """
 
 
+# --- C40: semi-structured JSON extraction over events.props -----------------
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read extraction from the JSON `props` payload column,
+    aggregated per event type — the "parse the event envelope" step every
+    telemetry pipeline starts with.
+
+    `from_json` with a pinned schema runs JVM-side (Jackson inside
+    codegen; no Python), tolerates missing keys as NULL, and prunes to
+    the one referenced field. Map-only projection + one map-side-
+    combinable aggregation over {event_type} keys; the avg is exact
+    cross-engine because sum and count are integers (k ∈ [0, 99], so
+    every partial sum is exact) and both engines divide the same two
+    exact values.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count_distinct("k").alias("n_distinct_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(json_extract_string(props, '$.k')) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- C41: event-type transition matrix (Markov counts) -----------------------
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts — the first-order Markov
+    matrix behind session-flow analysis (what follows a click?).
+
+    One shuffle: the lead() window partitions by user_id (millions of
+    small per-user sequences — no skew, no global sort) with a
+    deterministic (ts, event_id) order; the transition-pair aggregation
+    is a handful of keys and map-side-combines. At 100 TB the window
+    state is one user's events at a time.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+MARKOV_SQL = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS n_transitions
+FROM s
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# --- C42: exact grouped quartiles --------------------------------------------
+
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of order value per order priority — the exact
+    (sort-based) complement of approx_stats' sketches.
+
+    Spark's percentile() is a true distributed exact percentile: partial
+    per-partition value-count maps merge map-side, so the shuffle
+    carries (value, count) pairs per group, not rows. Quartile fractions
+    (.25/.5/.75) are binary-exact, the interpolation index q*(n-1) is
+    exact, and both engines interpolate lower + (upper-lower)*frac over
+    identical doubles — so the compare holds bit-exactly (a q like 0.9
+    would NOT be portable: 0.9 has no exact binary representation).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.25D)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75D)"), 4).alias("p75"),
+    )
+
+
+QUARTILES_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- C43: correlation from exact integer sums --------------------------------
+
+def price_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs discount per return flag,
+    computed from EXACT integer sufficient statistics.
+
+    Built-in corr() accumulates doubles whose partial-sum order differs
+    between engines (and between runs at different parallelism) — a
+    last-ULP lottery the repo bans from compared outputs. Instead both
+    columns are scaled to small integers (quantity is integer-valued;
+    discount is cents-valued, floor(x*100+0.5) portable rounding), the
+    five sufficient sums are exact BIGINTs (order-free), and the closed
+    form combines them in double with the identical expression on both
+    engines — deterministic to the last bit. One map-side-combinable
+    aggregation; 3 group keys. The sums are cast to double BEFORE
+    combining: n·Sxx overflows int64 around petabyte row counts, while
+    the double path stays deterministic (same operands, same IEEE ops)
+    at every scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pre = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr("cast(floor(l_discount * 100.0d + 0.5d) as bigint)").alias("y"),
+    )
+    agg = pre.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return agg.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_discount")
+    )
+
+
+CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS y
+        FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+             6) AS corr_qty_discount
+FROM s
+"""
+
+
 QUERIES = {
+    "json_props_stats": json_props_stats,
+    "markov_transitions": markov_transitions,
+    "order_value_quartiles": order_value_quartiles,
+    "price_discount_corr": price_discount_corr,
     "value_deciles": value_deciles,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "resample_gapfill": resample_gapfill,
@@ -1440,6 +1627,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "json_props_stats": JSON_PROPS_SQL,
+    "markov_transitions": MARKOV_SQL,
+    "order_value_quartiles": QUARTILES_SQL,
+    "price_discount_corr": CORR_SQL,
     "value_deciles": VALUE_DECILES_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "resample_gapfill": RESAMPLE_SQL,

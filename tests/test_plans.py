@@ -308,3 +308,38 @@ def test_new_corpus_ops_plan_shapes(spark, sf_dir):
     assert "partial_count" in hist or "partial_sum" in hist, (
         "length_histogram must map-side combine"
     )
+
+
+def test_boilerplate_ngrams_heap_topk(spark, sf_dir):
+    """Top-K must be a TakeOrderedAndProject (per-partition heap), never a
+    global sort; the two aggregation phases must both combine map-side."""
+    from frolyk_spark.operators.pipeline import boilerplate_ngrams
+
+    plan = _formatted(boilerplate_ngrams(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-K must be a heap, not a sort"
+    assert "partial_count" in plan, "gram counts must combine map-side"
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_transitions_single_window_shuffle(spark, sf_dir):
+    """The lead() window partitions by user_id (one shuffle); the pair
+    aggregation over ~25 keys must combine map-side on top of it."""
+    from frolyk_spark.operators.relational import markov_transitions
+
+    plan = _formatted(markov_transitions(spark, sf_dir))
+    assert "partial_count" in plan, "transition counts must combine map-side"
+    assert "CartesianProduct" not in plan
+
+
+def test_json_props_pruned_scan(spark, sf_dir):
+    """from_json extraction must not block column pruning: the scan reads
+    only event_type and props."""
+    from frolyk_spark.operators.relational import json_props_stats
+
+    plan = _formatted(json_props_stats(spark, sf_dir))
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"event_type", "props"}, cols
