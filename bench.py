@@ -62,6 +62,8 @@ HEADLINE = [
     "order_value_quartiles",
     "price_discount_corr",
     "boilerplate_ngrams",
+    "anomaly_zscore",
+    "dedup_canonical",
     "q21_waiting_suppliers",
     "resample_gapfill",
     "multimodal_features",

@@ -826,8 +826,69 @@ FROM reach GROUP BY doc
 """
 
 
+# --- D39: cluster canonicalization (keep-best per near-dup cluster) ----------
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering: pick the member to KEEP per near-dup
+    cluster — here the longest document (n_chars, doc_id tiebreak), the
+    standard "keep the most complete copy" policy — and report cluster
+    size. Composes dedup_clusters (iterative CC over persisted-signature
+    band pairs) with a per-cluster top-1 window; near-dup clusters are
+    tiny by construction, so the window state is a handful of rows per
+    key and the join against documents is an equi-join on doc_id that
+    touches only clustered docs (a semi-join-sized subset of the corpus).
+
+    Oracle: the recursive-CTE closure from dedup_clusters + the same
+    ranking window.
+    """
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars_kept"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+def _dedup_canonical_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_dedup_minhash_sql()}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+reach(doc, label) AS (
+  SELECT DISTINCT doc_a AS doc, doc_a AS label FROM edges
+  UNION
+  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc = e.doc_b
+),
+cl AS (SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc),
+ranked AS (
+  SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+  FROM cl JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars_kept,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_canonical": dedup_canonical,
     "dedup_minhash": dedup_minhash,
     "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
@@ -851,4 +912,5 @@ ORACLES = {
     # recursive-CTE transitive closure: min reachable label == the
     # propagation fixpoint (upgraded from no-oracle in r3)
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_canonical": _dedup_canonical_sql(),
 }

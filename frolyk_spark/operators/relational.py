@@ -1577,8 +1577,80 @@ FROM s
 """
 
 
+# --- C44: z-score outlier counts from exact sums -----------------------------
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma outlier counts — the monitoring-style
+    anomaly scan, built so the flag decision is bit-deterministic across
+    engines.
+
+    The trick is the same exact-sufficient-statistics discipline as
+    price_discount_corr: values are cents-scaled to BIGINT, per-type
+    (n, Σx, Σx²) are exact order-free integer sums, and the 3-sigma test
+    is algebraically cleared of divisions — |z| > 3 becomes
+    (n·x − Σx)² > 9·(n·Σx² − Σx²) — evaluated in double with the
+    identical expression on both engines. Two passes: a 5-row stats
+    aggregate broadcast back over the scan (the classic
+    small-stats-join-back shape; no driver collect), then a
+    map-side-combinable outlier count.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.select(
+        "event_type",
+        F.expr("cast(floor(value * 100.0d + 0.5d) as bigint)").alias("x"),
+    )
+    stats = pre.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dn, dx = F.col("n").cast("double"), F.col("x").cast("double")
+    dsx, dsxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    dev = dn * dx - dsx
+    outliers = (
+        pre.join(F.broadcast(stats), "event_type")
+        .where(dev * dev > F.lit(9.0) * (dn * dsxx - dsx * dsx))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return stats.join(outliers, "event_type", "left").select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
+        F.round(dsx / dn / 100.0, 4).alias("mean_value"),
+        F.round(F.sqrt(dn * dsxx - dsx * dsx) / dn / 100.0, 4).alias("std_value"),
+    )
+
+
+ZSCORE_SQL = """
+WITH pre AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM pre GROUP BY event_type
+),
+o AS (
+  SELECT p.event_type, count(*) AS n_outliers
+  FROM pre p JOIN s USING (event_type)
+  WHERE (n * x - sx) * (n * x - sx) > 9.0 * (n * sxx - sx * sx)
+  GROUP BY p.event_type
+)
+SELECT s.event_type,
+       CAST(s.n AS BIGINT) AS n_events,
+       CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers,
+       round(sx / n / 100.0, 4) AS mean_value,
+       round(sqrt(n * sxx - sx * sx) / n / 100.0, 4) AS std_value
+FROM s LEFT JOIN o ON s.event_type = o.event_type
+"""
+
+
 QUERIES = {
     "json_props_stats": json_props_stats,
+    "anomaly_zscore": anomaly_zscore,
     "markov_transitions": markov_transitions,
     "order_value_quartiles": order_value_quartiles,
     "price_discount_corr": price_discount_corr,
@@ -1628,6 +1700,7 @@ QUERIES = {
 
 ORACLES = {
     "json_props_stats": JSON_PROPS_SQL,
+    "anomaly_zscore": ZSCORE_SQL,
     "markov_transitions": MARKOV_SQL,
     "order_value_quartiles": QUARTILES_SQL,
     "price_discount_corr": CORR_SQL,
