@@ -155,6 +155,32 @@ def write_compacted(
     return df.sparkSession.read.parquet(path)
 
 
+def write_training_shards(
+    packed: DataFrame, path: str, *, seqs_per_shard: int = 1024
+) -> DataFrame:
+    """Write sequence-packed rows (operators.pipeline.sequence_pack output)
+    as numbered training shards and return the re-read table — the last
+    hop of the corpus pipeline, where a trainer maps shard_id -> file set.
+
+    shard_id = seq_id // seqs_per_shard keeps every training sequence's
+    rows in exactly one shard (sequence boundaries never straddle shards,
+    so a shard is independently consumable). The frame is repartitioned
+    BY shard before the partitioned write: without that, every task holds
+    rows of many shards and partitionBy explodes into files-per-task×
+    shards small files — the classic small-file trap write_compacted
+    exists for; with it, each shard directory lands as one
+    sequentially-written file. Deterministic content per shard, so a
+    retried write is idempotent (mode=overwrite replaces whole shards).
+    """
+    out = packed.withColumn(
+        "shard_id", (F.col("seq_id") / F.lit(seqs_per_shard)).cast("bigint")
+    )
+    out.repartition("shard_id").write.partitionBy("shard_id").mode(
+        "overwrite"
+    ).parquet(path)
+    return packed.sparkSession.read.parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register temp views so operators can also be phrased in Spark SQL."""
     for name in names:

@@ -151,3 +151,38 @@ def test_write_compacted_sizes_files_from_plan_stats(spark, sf_dir, tmp_path):
     reread = write_compacted(li, one, target_file_bytes=1 << 40)
     assert reread.count() == n_rows
     assert len(parquet_files(one)) == 1, "huge target must compact to a single file"
+
+
+def test_write_training_shards_round_trip(spark, sf_dir, tmp_path):
+    """Shard writing: sequence boundaries never straddle shards, one file
+    per shard directory (repartition-by-shard before partitionBy), and the
+    packed rows survive the round trip exactly."""
+    import os
+
+    from frolyk_spark.operators.pipeline import sequence_pack
+    from frolyk_spark.sources.catalog import write_training_shards
+
+    packed = sequence_pack(spark, sf_dir)
+    out = str(tmp_path / "shards")
+    reread = write_training_shards(packed, out, seqs_per_shard=4)
+
+    exp = {tuple(r) for r in packed.collect()}
+    got = {tuple(r) for r in reread.drop("shard_id").collect()}
+    assert got == exp, "packed rows must survive the shard round trip"
+
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard_id=")]
+    assert len(shard_dirs) > 1, "small shard size must produce several shards"
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: one sequentially-written file per shard"
+
+    # every sequence lives in exactly one shard
+    import pyspark.sql.functions as F
+
+    straddle = (
+        reread.groupBy("seq_id")
+        .agg(F.count_distinct("shard_id").alias("n_shards"))
+        .where(F.col("n_shards") > 1)
+        .count()
+    )
+    assert straddle == 0, "a training sequence must never straddle shards"
