@@ -64,6 +64,7 @@ HEADLINE = [
     "boilerplate_ngrams",
     "anomaly_zscore",
     "dedup_canonical",
+    "conversion_funnel",
     "q21_waiting_suppliers",
     "resample_gapfill",
     "multimodal_features",

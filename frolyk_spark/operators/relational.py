@@ -1648,9 +1648,106 @@ FROM s LEFT JOIN o ON s.event_type = o.event_type
 """
 
 
+# --- C45: ordered conversion funnel ------------------------------------------
+
+#: funnel conversion window: each stage must follow the previous one
+#: within this interval (makes the funnel selective — without a window
+#: every long-lived user eventually "converts")
+FUNNEL_WINDOW_HOURS = 6
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered windowed funnel: users who viewed, then clicked
+    within {FUNNEL_WINDOW_HOURS}h AFTER their first view, then purchased
+    within {FUNNEL_WINDOW_HOURS}h after that click — the
+    product-analytics staple (what ClickHouse's windowFunnel
+    specializes).
+
+    Three stages of (conditional-min aggregate ⋈ events), each an
+    equi-join on user_id between the big scan and a per-user timestamp
+    frame — all shuffle-partitioned on the same key, so AQE plans them
+    as one co-partitioned chain (no re-shuffles of the aggregates), and
+    every aggregation map-side-combines. Strict > comparisons and min
+    anchors make each stage deterministic; timestamps are microsecond-
+    exact on both engines, so the window comparisons are too. Output is
+    one row of funnel counts — count(t) over nullable anchors.
+    """
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("t1").alias("n_viewed"),
+            F.count("t2").alias("n_clicked_after_view"),
+            F.count("t3").alias("n_purchased_after_click"),
+        )
+    )
+
+
+FUNNEL_SQL = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND e.ts <= t2.t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+),
+users AS (SELECT DISTINCT user_id FROM events)
+SELECT count(*) AS n_users,
+       count(t1.t1) AS n_viewed,
+       count(t2.t2) AS n_clicked_after_view,
+       count(t3.t3) AS n_purchased_after_click
+FROM users
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+
 QUERIES = {
     "json_props_stats": json_props_stats,
     "anomaly_zscore": anomaly_zscore,
+    "conversion_funnel": conversion_funnel,
     "markov_transitions": markov_transitions,
     "order_value_quartiles": order_value_quartiles,
     "price_discount_corr": price_discount_corr,
@@ -1701,6 +1798,7 @@ QUERIES = {
 ORACLES = {
     "json_props_stats": JSON_PROPS_SQL,
     "anomaly_zscore": ZSCORE_SQL,
+    "conversion_funnel": FUNNEL_SQL,
     "markov_transitions": MARKOV_SQL,
     "order_value_quartiles": QUARTILES_SQL,
     "price_discount_corr": CORR_SQL,
