@@ -38,3 +38,21 @@ def test_ann_lsh_shape(spark, sf_dir):
         assert ranks == list(range(1, len(group) + 1))
         cos_by_rank = [r.cos_sim for r in sorted(group, key=lambda r: r.rank)]
         assert cos_by_rank == sorted(cos_by_rank, reverse=True)
+
+
+def test_ann_pq_recall(spark, sf_dir):
+    from frolyk_spark.operators.similarity import ann_bruteforce, ann_pq
+
+    exact = _pairs(ann_bruteforce(spark, sf_dir))
+    approx = _pairs(ann_pq(spark, sf_dir))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall {recall:.2f} < 0.7"
+
+
+def test_ann_pq_deterministic(spark, sf_dir):
+    """Codebook training and ADC ranking are RNG-free: two runs agree."""
+    from frolyk_spark.operators.similarity import ann_pq
+
+    a = {tuple(r) for r in ann_pq(spark, sf_dir).collect()}
+    b = {tuple(r) for r in ann_pq(spark, sf_dir).collect()}
+    assert a == b
