@@ -1,0 +1,119 @@
+"""Semantic checks for the exact-sufficient-statistics operators (C42-C45,
+D37): the DuckDB oracles prove Spark and DuckDB agree, but both could
+agree on the wrong formula — these recompute each statistic naively
+(numpy/pandas over collected sf0.001 rows) and compare.
+"""
+
+import math
+
+import numpy as np
+
+
+def test_price_discount_corr_is_pearson(spark, sf_dir):
+    from frolyk_spark.operators.relational import price_discount_corr
+    from frolyk_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount"
+    )
+    rows = li.collect()
+    by_flag: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        x = int(r.l_quantity)
+        y = int(math.floor(r.l_discount * 100.0 + 0.5))
+        by_flag.setdefault(r.l_returnflag, []).append((x, y))
+    got = {r.l_returnflag: r.corr_qty_discount for r in price_discount_corr(spark, sf_dir).collect()}
+    for flag, pairs in by_flag.items():
+        xs = np.array([p[0] for p in pairs], dtype=np.float64)
+        ys = np.array([p[1] for p in pairs], dtype=np.float64)
+        expect = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[flag] - expect) < 1e-6, (flag, got[flag], expect)
+
+
+def test_anomaly_zscore_matches_naive(spark, sf_dir):
+    from frolyk_spark.operators.relational import anomaly_zscore
+    from frolyk_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[int]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(int(math.floor(r.value * 100.0 + 0.5)))
+    got = {r.event_type: r for r in anomaly_zscore(spark, sf_dir).collect()}
+    for t, xs in by_type.items():
+        a = np.array(xs, dtype=np.float64)
+        mu, sigma = a.mean(), a.std()  # population std, like the operator
+        n_out = int((np.abs(a - mu) > 3 * sigma).sum())
+        assert got[t].n_events == len(xs)
+        assert got[t].n_outliers == n_out, (t, got[t].n_outliers, n_out)
+        assert abs(got[t].mean_value - round(mu / 100.0, 4)) < 1e-9
+        assert abs(got[t].std_value - round(sigma / 100.0, 4)) < 1e-9
+
+
+def test_order_value_quartiles_match_numpy(spark, sf_dir):
+    from frolyk_spark.operators.relational import order_value_quartiles
+    from frolyk_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_p: dict[str, list[float]] = {}
+    for r in rows:
+        by_p.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    got = {r.o_orderpriority: r for r in order_value_quartiles(spark, sf_dir).collect()}
+    for p, vals in by_p.items():
+        a = np.array(sorted(vals))
+        for col, q in (("p25", 25), ("p50", 50), ("p75", 75)):
+            expect = float(np.percentile(a, q, method="linear"))
+            assert abs(got[p][col] - round(expect, 4)) < 1e-6, (p, col)
+
+
+def test_conversion_funnel_matches_naive(spark, sf_dir):
+    from frolyk_spark.operators.relational import (
+        FUNNEL_WINDOW_HOURS,
+        conversion_funnel,
+    )
+    from frolyk_spark.sources.catalog import load_table
+
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type").collect()
+    win = datetime.timedelta(hours=FUNNEL_WINDOW_HOURS)
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n_v = n_c = n_p = 0
+    for evs in by_user.values():
+        t1 = min((t for t, e in evs if e == "view"), default=None)
+        if t1 is None:
+            continue
+        n_v += 1
+        t2 = min((t for t, e in evs if e == "click" and t1 < t <= t1 + win), default=None)
+        if t2 is None:
+            continue
+        n_c += 1
+        if any(e == "purchase" and t2 < t <= t2 + win for t, e in evs):
+            n_p += 1
+    got = conversion_funnel(spark, sf_dir).collect()[0]
+    assert (got.n_users, got.n_viewed, got.n_clicked_after_view, got.n_purchased_after_click) == (
+        len(by_user), n_v, n_c, n_p,
+    )
+
+
+def test_embedding_quantize_roundtrip(spark, sf_dir):
+    """Dequantized codes reconstruct each component within scale/2, codes
+    stay in int8 range, and zero vectors take scale 1.0 with all-zero
+    codes."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.operators.similarity import embedding_quantize_frame
+    from frolyk_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = embedding_quantize_frame(emb).join(emb, "vec_id")
+    rows = q.select("vec_id", "scale", "codes", "embedding").collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.codes), r.vec_id
+        # scale is rounded to 6 decimals for output; allow that slack
+        for c, x in zip(r.codes, r.embedding):
+            assert abs(c * r.scale - x) <= r.scale / 2 + 1e-4, r.vec_id
