@@ -65,6 +65,7 @@ HEADLINE = [
     "anomaly_zscore",
     "dedup_canonical",
     "conversion_funnel",
+    "funnel_cogroup",
     "ann_pq",
     "q21_waiting_suppliers",
     "resample_gapfill",

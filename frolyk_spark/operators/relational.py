@@ -1744,10 +1744,66 @@ LEFT JOIN t3 USING (user_id)
 """
 
 
+# --- C45b: the same funnel as one grouped fold -------------------------------
+
+def funnel_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conversion_funnel's semantics in ONE pass: events shuffle once by
+    user_id and each user's sorted history folds to its funnel anchors in
+    an Arrow-batched applyInPandas — the complement of the join-chain
+    form (C45), same oracle. Trade-off at 100 TB: C45 re-scans events per
+    stage but each scan prunes to one event_type and never shuffles the
+    fact table; this form shuffles the (3-column) stream once and runs
+    the fold in Python. Which wins depends on how selective the stage
+    filters are; both shapes are linear and skew-free (per-user groups).
+    Timestamps stay microsecond-exact through Arrow, so the window
+    comparisons match the SQL form bit-for-bit.
+    """
+    import pandas as pd
+
+    win = pd.Timedelta(hours=FUNNEL_WINDOW_HOURS)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        uid = int(pdf["user_id"].iloc[0])
+        views = pdf.loc[pdf["event_type"] == "view", "ts"]
+        v = c = p = 0
+        if not views.empty:
+            v = 1
+            t1 = views.iloc[0]
+            clicks = pdf.loc[
+                (pdf["event_type"] == "click")
+                & (pdf["ts"] > t1)
+                & (pdf["ts"] <= t1 + win),
+                "ts",
+            ]
+            if not clicks.empty:
+                c = 1
+                t2 = clicks.iloc[0]
+                hit = (
+                    (pdf["event_type"] == "purchase")
+                    & (pdf["ts"] > t2)
+                    & (pdf["ts"] <= t2 + win)
+                )
+                p = int(hit.any())
+        return pd.DataFrame({"user_id": [uid], "v": [v], "c": [c], "p": [p]})
+
+    per_user = ev.groupBy("user_id").applyInPandas(
+        fold, "user_id bigint, v int, c int, p int"
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("v").cast("bigint").alias("n_viewed"),
+        F.sum("c").cast("bigint").alias("n_clicked_after_view"),
+        F.sum("p").cast("bigint").alias("n_purchased_after_click"),
+    )
+
+
 QUERIES = {
     "json_props_stats": json_props_stats,
     "anomaly_zscore": anomaly_zscore,
     "conversion_funnel": conversion_funnel,
+    "funnel_cogroup": funnel_cogroup,
     "markov_transitions": markov_transitions,
     "order_value_quartiles": order_value_quartiles,
     "price_discount_corr": price_discount_corr,
@@ -1799,6 +1855,8 @@ ORACLES = {
     "json_props_stats": JSON_PROPS_SQL,
     "anomaly_zscore": ZSCORE_SQL,
     "conversion_funnel": FUNNEL_SQL,
+    # same semantics, different engine facility: shares C45's oracle
+    "funnel_cogroup": FUNNEL_SQL,
     "markov_transitions": MARKOV_SQL,
     "order_value_quartiles": QUARTILES_SQL,
     "price_discount_corr": CORR_SQL,
