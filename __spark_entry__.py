@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in dict order under a wall-clock budget (~50 of 86 per round; r4 ran
     # 50). The r5 rotation is ordered by driver-row AGE:
     #   1. red_or_new: embedding_quantize (the one r4 red row — codes
-    #      output serialized to a scalar this round) and the ten
+    #      output serialized to a scalar this round) and the eleven
     #      operators new in r5 (no driver row at all; ann_pq is
     #      no-oracle by design — recall-gated in pytest like ann_lsh);
     #   2. last_green_r3: the 36 entries whose newest green row is r3 —
@@ -51,7 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize",
         "json_props_stats", "markov_transitions", "order_value_quartiles",
         "price_discount_corr", "boilerplate_ngrams", "anomaly_zscore",
-        "dedup_canonical", "conversion_funnel", "funnel_cogroup", "ann_pq",
+        "dedup_canonical", "conversion_funnel", "funnel_cogroup",
+        "key_skew_profile", "ann_pq",
     )
     last_green_r3 = (
         "q22_idle_balance", "value_deciles", "resample_gapfill",

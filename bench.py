@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_canonical",
     "conversion_funnel",
     "funnel_cogroup",
+    "key_skew_profile",
     "ann_pq",
     "q21_waiting_suppliers",
     "resample_gapfill",

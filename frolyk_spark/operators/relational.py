@@ -1799,11 +1799,79 @@ def funnel_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C46: join-key skew profile ----------------------------------------------
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cardinality profile of a join key (here lineitem.l_partkey)
+    — the diagnostic a 100 TB operator runs BEFORE choosing a join
+    strategy (broadcast head? salt? AQE skew threshold?). Reports key
+    count, row count, the exact p50/p75 of rows-per-key, the hottest key
+    and its share of the table.
+
+    One map-side-combinable count aggregation, then two consumers of the
+    tiny per-key frame: a one-row summary (exact quartiles of integer
+    counts — binary-exact fractions, portable) and a deterministic top-1
+    heap (TakeOrderedAndProject). The hot-key share is a division of two
+    exact integers, identical on both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.round(F.expr("percentile(c, 0.5D)"), 4).alias("p50_key_rows"),
+        F.round(F.expr("percentile(c, 0.75D)"), 4).alias("p75_key_rows"),
+    )
+    top = (
+        counts.orderBy(F.desc("c"), "l_partkey")
+        .limit(1)
+        .select(
+            F.col("l_partkey").alias("top_key"),
+            F.col("c").alias("top_key_rows"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "p50_key_rows",
+        "p75_key_rows",
+        "top_key",
+        F.round(
+            F.col("top_key_rows").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("top_key_share"),
+    )
+
+
+KEY_SKEW_SQL = """
+WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey),
+s AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         max(c) AS max_key_rows,
+         round(quantile_cont(c, 0.5), 4) AS p50_key_rows,
+         round(quantile_cont(c, 0.75), 4) AS p75_key_rows
+  FROM c
+),
+t AS (
+  SELECT l_partkey AS top_key, c AS top_key_rows
+  FROM c ORDER BY c DESC, l_partkey LIMIT 1
+)
+SELECT s.n_keys, s.n_rows, s.max_key_rows, s.p50_key_rows, s.p75_key_rows,
+       t.top_key,
+       round(CAST(t.top_key_rows AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6)
+         AS top_key_share
+FROM s, t
+"""
+
+
 QUERIES = {
     "json_props_stats": json_props_stats,
     "anomaly_zscore": anomaly_zscore,
     "conversion_funnel": conversion_funnel,
     "funnel_cogroup": funnel_cogroup,
+    "key_skew_profile": key_skew_profile,
     "markov_transitions": markov_transitions,
     "order_value_quartiles": order_value_quartiles,
     "price_discount_corr": price_discount_corr,
@@ -1857,6 +1925,7 @@ ORACLES = {
     "conversion_funnel": FUNNEL_SQL,
     # same semantics, different engine facility: shares C45's oracle
     "funnel_cogroup": FUNNEL_SQL,
+    "key_skew_profile": KEY_SKEW_SQL,
     "markov_transitions": MARKOV_SQL,
     "order_value_quartiles": QUARTILES_SQL,
     "price_discount_corr": CORR_SQL,
