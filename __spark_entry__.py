@@ -33,8 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 of 86 per round; r4 ran
-    # 50). The r5 rotation is ordered by driver-row AGE:
+    # in dict order under a wall-clock budget (~50 of 97 per round; r4 ran
+    # 50 of 86). The r5 rotation is ordered by driver-row AGE:
     #   1. red_or_new: embedding_quantize (the one r4 red row — codes
     #      output serialized to a scalar this round) and the eleven
     #      operators new in r5 (no driver row at all; ann_pq is

@@ -800,15 +800,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_clusters_sql() -> str:
-    """SQL oracle for the iterative CC: a recursive CTE computes the
-    transitive closure of reachable labels, and each vertex's cluster is
-    the MIN label it can reach — exactly the fixpoint the Spark-side
-    min-label propagation converges to. Tractable for the oracle because
-    near-dup components are tiny; the Spark side stays iterative (a
-    closure would be quadratic in component size at corpus scale)."""
-    return f"""
-WITH RECURSIVE pairs AS ({_dedup_minhash_sql()}),
+def _cc_closure_sql() -> str:
+    """Shared recursive-CTE fragment (pairs/edges/reach) for the CC
+    oracles: the transitive closure of reachable labels, where each
+    vertex's cluster is the MIN label it can reach — exactly the
+    fixpoint the Spark-side min-label propagation converges to. ONE
+    definition so _dedup_clusters_sql and _dedup_canonical_sql can never
+    drift apart. Tractable for the oracle because near-dup components
+    are tiny; the Spark side stays iterative (a closure would be
+    quadratic in component size at corpus scale)."""
+    return f"""pairs AS ({_dedup_minhash_sql()}),
 edges AS (
   SELECT doc_a, doc_b FROM pairs
   UNION ALL
@@ -818,7 +819,12 @@ reach(doc, label) AS (
   SELECT DISTINCT doc_a AS doc, doc_a AS label FROM edges
   UNION
   SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc = e.doc_b
-)
+)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_closure_sql()}
 SELECT doc AS doc_id,
        min(label) AS cluster_id,
        (min(label) = doc) AS is_canonical
@@ -860,17 +866,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_canonical_sql() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_dedup_minhash_sql()}),
-edges AS (
-  SELECT doc_a, doc_b FROM pairs
-  UNION ALL
-  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
-),
-reach(doc, label) AS (
-  SELECT DISTINCT doc_a AS doc, doc_a AS label FROM edges
-  UNION
-  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc = e.doc_b
-),
+WITH RECURSIVE {_cc_closure_sql()},
 cl AS (SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc),
 ranked AS (
   SELECT cl.cluster_id, cl.doc_id, d.n_chars,

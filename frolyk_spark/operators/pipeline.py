@@ -471,6 +471,9 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     per_doc = (
+        # the test parquet is a single split; spread the gram explode
+        # across cores (no-op at scale where the scan has many splits —
+        # same rationale as dedup.minhash_signatures_frame)
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
         .groupBy("gram", "doc_id")

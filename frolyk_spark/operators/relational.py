@@ -1424,14 +1424,30 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle mirrors Spark's from_json('k bigint') null semantics for
+# drifted data, not just the happy path: malformed JSON -> NULL (the
+# json_valid guard; DuckDB's json_extract ERRORS there), and a k that is
+# not a JSON integer literal (1.5, "69", true) -> NULL (the raw-text
+# regex; a bare CAST would round '1.5' to 2 and coerce quoted strings).
 JSON_PROPS_SQL = """
+WITH k AS (
+  SELECT event_type,
+         CASE WHEN raw IS NOT NULL AND regexp_matches(raw, '^-?[0-9]+$')
+              THEN CAST(raw AS BIGINT) END AS k
+  FROM (
+    SELECT event_type,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS VARCHAR) END AS raw
+    FROM events
+  )
+)
 SELECT event_type,
        count(*) AS n_events,
-       count(json_extract_string(props, '$.k')) AS n_with_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
-FROM events
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       count(DISTINCT k) AS n_distinct_k,
+       round(avg(k), 4) AS avg_k
+FROM k
 GROUP BY event_type
 """
 
@@ -1765,10 +1781,16 @@ def funnel_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts", kind="mergesort")
-        uid = int(pdf["user_id"].iloc[0])
+        # a NULL user_id arrives as NaN (Arrow nullable-int -> float64).
+        # The join form counts that group in n_users but reaches no
+        # funnel stage (equi-joins never match a null key, in Spark and
+        # in the SQL oracle alike) — mirror that exactly: count the
+        # group, skip the fold.
+        uid_raw = pdf["user_id"].iloc[0]
+        uid = None if pd.isna(uid_raw) else int(uid_raw)
         views = pdf.loc[pdf["event_type"] == "view", "ts"]
         v = c = p = 0
-        if not views.empty:
+        if uid is not None and not views.empty:
             v = 1
             t1 = views.iloc[0]
             clicks = pdf.loc[

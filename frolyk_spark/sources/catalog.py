@@ -172,9 +172,9 @@ def write_training_shards(
     sequentially-written file. Deterministic content per shard, so a
     retried write is idempotent (mode=overwrite replaces whole shards).
     """
-    out = packed.withColumn(
-        "shard_id", (F.col("seq_id") / F.lit(seqs_per_shard)).cast("bigint")
-    )
+    # integer floor division — `/` is double division in Spark and its
+    # rounding can misassign a sequence near 2^53
+    out = packed.withColumn("shard_id", F.expr(f"seq_id div {int(seqs_per_shard)}"))
     out.repartition("shard_id").write.partitionBy("shard_id").mode(
         "overwrite"
     ).parquet(path)

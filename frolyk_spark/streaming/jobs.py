@@ -19,11 +19,13 @@ engine (stateful aggregation, state store, commit log). Watermark/
 late-data, custom state, and checkpoint-recovery paths are exercised in
 tests/test_streaming.py (B4, B5, B7, A14). Result files land under
 .scratch/streams/results/pid<pid>/<uuid> and are read lazily; each gate
-run reclaims sibling pid roots whose owner process is dead (plus any
-legacy non-pid dirs by mtime), bounding the scratch footprint across
-rounds without ever deleting under a live reader — a returned DataFrame
-reads its parquet lazily, so an mtime cutoff alone could rmtree files a
-long-lived session still holds.
+run reclaims sibling pid roots whose owner process is dead, pid-reuse
+leftovers in our own root (dirs this process didn't create), and legacy
+non-pid dirs by mtime — bounding the scratch footprint across rounds
+without ever deleting under a live reader: a returned DataFrame reads
+its parquet lazily, so an mtime cutoff alone could rmtree files a
+long-lived session still holds. Dirs this process created are reclaimed
+only at the next process's run (each is a potentially-live reader).
 
 The file-stream source needs a *directory*; single-file tables are staged
 as a symlink under .scratch/streams (no data copy).
@@ -58,6 +60,12 @@ def _pid_alive(pid: int) -> bool:
     except PermissionError:
         return True
     return True
+
+
+#: result dirs THIS process created (and so may still be lazily reading).
+#: Anything under our pid root but not in here is a leftover from a dead
+#: process that happened to get our pid — safe to reclaim.
+_LIVE_RESULTS: set[str] = set()
 
 
 def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
@@ -102,10 +110,18 @@ def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
         cutoff = _time.time() - 3600
         for d in os.listdir(parent):
             p = os.path.join(parent, d)
-            if p == results_root:
-                continue
             try:
-                if d.startswith("pid") and d[3:].isdigit():
+                if p == results_root:
+                    # our own root: reclaim only dirs this process did NOT
+                    # create — leftovers from a dead process that was
+                    # assigned our pid. Dirs we created stay until process
+                    # exit: each is a potentially-live lazy reader, which
+                    # is exactly why a blanket mtime cutoff was unsafe.
+                    for sub in os.listdir(p):
+                        sp = os.path.join(p, sub)
+                        if sp not in _LIVE_RESULTS:
+                            shutil.rmtree(sp, ignore_errors=True)
+                elif d.startswith("pid") and d[3:].isdigit():
                     if not _pid_alive(int(d[3:])):
                         shutil.rmtree(p, ignore_errors=True)
                 elif os.path.getmtime(p) < cutoff:
@@ -113,6 +129,7 @@ def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
             except OSError:
                 pass
     out = os.path.join(results_root, name)
+    _LIVE_RESULTS.add(out)
 
     # foreachBatch is at-least-once: a retried batch id re-runs _sink, so
     # every write must be idempotent. Each batch overwrites its OWN subdir

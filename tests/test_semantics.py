@@ -117,3 +117,31 @@ def test_embedding_quantize_roundtrip(spark, sf_dir):
         # scale is rounded to 6 decimals for output; allow that slack
         for c, x in zip(r.codes, r.embedding):
             assert abs(c * r.scale - x) <= r.scale / 2 + 1e-4, r.vec_id
+
+
+def test_funnel_forms_agree_on_null_user(spark, sf_dir):
+    """A NULL user_id must not crash the grouped fold, and both funnel
+    forms must agree: the null group counts in n_users but reaches no
+    stage (equi-joins never match a null key)."""
+    import datetime
+
+    from frolyk_spark.operators import relational
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "view"),
+        (1, base + datetime.timedelta(minutes=5), "click"),
+        (1, base + datetime.timedelta(minutes=10), "purchase"),
+        (None, base, "view"),
+        (None, base + datetime.timedelta(minutes=5), "click"),
+        (None, base + datetime.timedelta(minutes=10), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    orig = relational.load_table
+    relational.load_table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+    try:
+        a = tuple(relational.conversion_funnel(spark, "unused").collect()[0])
+        b = tuple(relational.funnel_cogroup(spark, "unused").collect()[0])
+    finally:
+        relational.load_table = orig
+    assert a == b == (2, 1, 1, 1)
