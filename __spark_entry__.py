@@ -51,7 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize",
         "json_props_stats", "markov_transitions", "order_value_quartiles",
         "price_discount_corr", "boilerplate_ngrams", "anomaly_zscore",
-        "dedup_canonical", "conversion_funnel", "funnel_cogroup",
+        "dedup_canonical", "conversion_funnel", "funnel_fold",
         "key_skew_profile", "ann_pq",
     )
     last_green_r3 = (

@@ -65,7 +65,7 @@ HEADLINE = [
     "anomaly_zscore",
     "dedup_canonical",
     "conversion_funnel",
-    "funnel_cogroup",
+    "funnel_fold",
     "key_skew_profile",
     "ann_pq",
     "q21_waiting_suppliers",

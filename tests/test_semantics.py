@@ -120,7 +120,7 @@ def test_embedding_quantize_roundtrip(spark, sf_dir):
 
 
 def test_funnel_forms_agree_on_null_user(spark, sf_dir):
-    """A NULL user_id must not crash the grouped fold, and both funnel
+    """A NULL user_id must not break the array fold, and both funnel
     forms must agree: the null group counts in n_users but reaches no
     stage (equi-joins never match a null key)."""
     import datetime
@@ -141,7 +141,7 @@ def test_funnel_forms_agree_on_null_user(spark, sf_dir):
     relational.load_table = lambda s, d, n: df if n == "events" else orig(s, d, n)
     try:
         a = tuple(relational.conversion_funnel(spark, "unused").collect()[0])
-        b = tuple(relational.funnel_cogroup(spark, "unused").collect()[0])
+        b = tuple(relational.funnel_fold(spark, "unused").collect()[0])
     finally:
         relational.load_table = orig
     assert a == b == (2, 1, 1, 1)
