@@ -26,17 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.operators import (
-        dedup, multimodal, pipeline, relational, sampling, similarity, text,
-        vocab,
+        dedup, multimodal, partsupp, pipeline, relational, sampling,
+        similarity, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 of 97 per round; r4 ran
+    # in dict order under a wall-clock budget (~50 of 101 per round; r4 ran
     # 50 of 86). The r5 rotation is ordered by driver-row AGE:
     #   1. red_or_new: embedding_quantize (the one r4 red row — codes
-    #      output serialized to a scalar this round) and the eleven
+    #      output serialized to a scalar this round) and the fifteen
     #      operators new in r5 (no driver row at all; ann_pq is
     #      no-oracle by design — recall-gated in pytest like ann_lsh);
     #   2. last_green_r3: the 36 entries whose newest green row is r3 —
@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_discount_corr", "boilerplate_ngrams", "anomaly_zscore",
         "dedup_canonical", "conversion_funnel", "funnel_fold",
         "key_skew_profile", "ann_pq",
+        "q2_min_cost_supplier", "q11_important_parts",
+        "q16_parts_supplier_counts", "q20_concentrated_suppliers",
     )
     last_green_r3 = (
         "q22_idle_balance", "value_deciles", "resample_gapfill",
@@ -86,8 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats",
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (pipeline, relational, vocab, text, dedup, similarity,
-                multimodal, sampling, streaming_jobs, bridge):
+    for mod in (pipeline, relational, partsupp, vocab, text, dedup,
+                similarity, multimodal, sampling, streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for k in (*red_or_new, *last_green_r3, *r4_first_green,
@@ -99,13 +101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from frolyk_spark.operators import (
-        dedup, multimodal, pipeline, relational, sampling, similarity, text,
-        vocab,
+        dedup, multimodal, partsupp, pipeline, relational, sampling,
+        similarity, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     out: dict[str, str] = {}
+    out.update(partsupp.ORACLES)
     out.update(vocab.ORACLES)
     out.update(pipeline.ORACLES)
     out.update(multimodal.ORACLES)
