@@ -510,6 +510,129 @@ LIMIT {BOILER_TOP}
 """
 
 
+# --- D42: per-document n-gram novelty ----------------------------------------
+
+#: novelty shingle width (matches decontaminate's 8-gram convention)
+NOVELTY_W = 8
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    {NOVELTY_W}-grams that appear in NO other document — the per-doc
+    complement of boilerplate_ngrams (low novelty = template/boilerplate
+    page; high novelty = unique content worth keeping at higher sampling
+    weight).
+
+    One gram explode (distinct per doc via _word_grams), then the
+    document frequency comes from a count window PARTITIONED BY gram
+    over the postings — one gram-keyed shuffle total, where the
+    aggregate-then-join-back form would shuffle the postings by gram
+    twice. The per-doc reduce is map-side-combinable and the novelty
+    ratio is ONE division of exact BIGINTs. Hot grams (boilerplate in
+    every doc) concentrate a window partition; their postings are
+    bounded by corpus doc count, the same bound the df aggregate itself
+    has — AQE's skew handling applies to the window exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.expr(_word_grams(NOVELTY_W))).alias("gram"))
+    )
+    per = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    n_novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            n_novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_word_grams_duck(NOVELTY_W)}) AS gram
+  FROM documents
+),
+d AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df FROM g
+)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_grams,
+       cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM d
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- D43: temperature-scaled source sampling weights -------------------------
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α = 0.5) source sampling weights — the
+    multilingual/multi-source rebalancing rule (sample ∝ share^α, the
+    mBERT/XLM-R exponent-smoothing recipe): source_mix's uniform target
+    replaced by a root-share target that up-weights small sources
+    without flattening the mixture entirely.
+
+    α = 0.5 is deliberately the ONE temperature whose power is sqrt —
+    exactly-rounded in IEEE 754 and therefore bit-identical across
+    engines, unlike a general pow(x, α) (libm-dependent last ULP).
+    Weights are reported UNNORMALIZED (root_share, and the boost ratio
+    root_share/share a sampler applies on top of natural sampling):
+    normalizing would divide by Σ√share — a sum of doubles whose
+    accumulation order differs between engines — so the normalization
+    belongs to the consumer, not the compare path. One map-side-
+    combinable aggregation; windows run over the per-source frame (one
+    row per source, trivially small at any scale).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    agg = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    share = (
+        F.col("n_docs").cast("double")
+        / F.sum("n_docs").over(w).cast("double")
+    )
+    root = F.sqrt(share)
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round(root, 6).alias("root_share"),
+        F.round(root / share, 6).alias("boost"),
+    ).orderBy("source")
+
+
+SAMPLE_TEMPERATURE_SQL = """
+WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT source, n_docs,
+       round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
+         AS share,
+       round(sqrt(CAST(n_docs AS DOUBLE)
+                  / CAST(sum(n_docs) OVER () AS DOUBLE)), 6) AS root_share,
+       round(sqrt(CAST(n_docs AS DOUBLE)
+                  / CAST(sum(n_docs) OVER () AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE)
+                / CAST(sum(n_docs) OVER () AS DOUBLE)), 6) AS boost
+FROM s
+ORDER BY source
+"""
+
+
 QUERIES = {
     "sequence_pack": sequence_pack,
     "decontaminate": decontaminate,
@@ -519,6 +642,8 @@ QUERIES = {
     "cross_source_duplication": cross_source_duplication,
     "length_histogram": length_histogram,
     "boilerplate_ngrams": boilerplate_ngrams,
+    "ngram_novelty": ngram_novelty,
+    "sample_temperature": sample_temperature,
 }
 
 ORACLES = {
@@ -530,4 +655,6 @@ ORACLES = {
     "cross_source_duplication": _cross_source_duplication_sql(),
     "length_histogram": LENGTH_HISTOGRAM_SQL,
     "boilerplate_ngrams": BOILERPLATE_SQL,
+    "ngram_novelty": NGRAM_NOVELTY_SQL,
+    "sample_temperature": SAMPLE_TEMPERATURE_SQL,
 }

@@ -192,14 +192,103 @@ FROM ranked WHERE rank <= {TFIDF_K}
 """
 
 
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every source pair — the lexical
+    cousin of cross_source_duplication's signature-space matrix: two
+    feeds with near-identical vocabularies are candidates for merging
+    (or for one being a scrape of the other) before any per-document
+    dedup runs.
+
+    All counts are exact integers: distinct (source, word) postings, an
+    equi-join on word with a src_a < src_b guard for the pairwise
+    intersections (each word contributes at most C(sources-it-appears-in,
+    2) pairs — bounded by the SOURCE count squared, not the corpus), and
+    per-source vocabulary sizes broadcast back twice for the union via
+    inclusion-exclusion. Jaccard is ONE division of two exact BIGINTs —
+    exactly-rounded IEEE, bit-identical across engines. Output is
+    |sources|² rows at most, trivially small at any corpus scale.
+    """
+    from frolyk_spark.operators.dedup import _cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    postings = _cut_lineage(
+        # materialized once: the self-join would otherwise re-run the
+        # explode+distinct on BOTH sides (the dedup_simhash_pairs lesson)
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    sizes = postings.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_vocab").alias("vocab_a")
+    )
+    sz_b = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_vocab").alias("vocab_b")
+    )
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(sz_a), "src_a")
+        .join(F.broadcast(sz_b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            union.alias("n_union"),
+            F.round(
+                F.col("n_common").cast("double") / union.cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+VOCAB_OVERLAP_SQL = """
+WITH w AS (
+  SELECT DISTINCT source, word
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+),
+sz AS (SELECT source, cast(count(*) AS BIGINT) AS n_vocab FROM w GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         cast(count(*) AS BIGINT) AS n_common
+  FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       sa.n_vocab + sb.n_vocab - n_common AS n_union,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(sa.n_vocab + sb.n_vocab - n_common AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sz sa ON inter.src_a = sa.source
+JOIN sz sb ON inter.src_b = sb.source
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "vocab_topk": vocab_topk,
     "bigram_counts": bigram_counts,
     "tfidf_top_terms": tfidf_top_terms,
+    "source_vocab_overlap": source_vocab_overlap,
 }
 
 ORACLES = {
     "vocab_topk": VOCAB_TOPK_SQL,
     "bigram_counts": BIGRAM_COUNTS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "source_vocab_overlap": VOCAB_OVERLAP_SQL,
 }
