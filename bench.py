@@ -69,6 +69,13 @@ HEADLINE = [
     "key_skew_profile",
     "ann_pq",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_parts_supplier_counts",
+    "q20_concentrated_suppliers",
+    "source_vocab_overlap",
+    "ngram_novelty",
+    "sample_temperature",
     "resample_gapfill",
     "multimodal_features",
     # streaming + task bridge

@@ -160,22 +160,26 @@ LIMIT 100
 # --- C48: TPC-H Q11 pattern — important parts by value share -----------------
 
 Q11_REGION = "AFRICA"
-#: keep parts whose value exceeds this fraction of the group total
-Q11_FRACTION = 0.001
+#: keep parts whose value exceeds this multiple of the MEAN per-part value
+Q11_MEAN_MULT = 2
 
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 adapted: per-part discounted value from {Q11_REGION}
-    suppliers, keeping parts above {Q11_FRACTION} of the group total.
-    Q11's scalar subquery (the total) becomes a broadcast one-row
-    crossJoin over the per-part aggregate — the classic
+    suppliers, keeping parts above {Q11_MEAN_MULT}× the MEAN per-part
+    value. Q11's spec threshold (a fixed fraction of the total) shrinks
+    per-part shares as the part count grows — at sf0.1 it already
+    selects zero rows — so, like the spec's own fraction/SF scaling
+    rule, the threshold here is scale-free: value > mult·total/n_parts.
+    The scalar subquery (total + part count) becomes a broadcast
+    one-row crossJoin over the per-part aggregate — the classic
     small-stats-join-back shape, never a driver collect.
 
-    Value is the exact integer Σ cents·(100 − discount%), so the
-    threshold test compares two BIGINTs scaled by the same power of ten
-    (value·1000 > total evaluated in double — exact headroom to 2^53 /
-    1000 ≈ $9·10^8 of scaled value per part; identical expression both
-    engines). One lineitem aggregation, one part-key shuffle.
+    Value is the exact integer Σ cents·(100 − discount%); the threshold
+    compares value·n_parts with mult·total in DOUBLE (the products
+    exceed 2^53 at scale, but both engines evaluate the identical
+    expression on identical integers — same rounding, same verdict).
+    One lineitem aggregation, one part-key shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -189,12 +193,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(scaled).alias("value_scaled"))
     )
-    total = per_part.agg(F.sum("value_scaled").alias("total_scaled"))
+    total = per_part.agg(
+        F.sum("value_scaled").alias("total_scaled"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(
-            F.col("value_scaled").cast("double") * F.lit(1.0 / Q11_FRACTION)
-            > F.col("total_scaled").cast("double")
+            F.col("value_scaled").cast("double") * F.col("n_parts").cast("double")
+            > F.lit(float(Q11_MEAN_MULT)) * F.col("total_scaled").cast("double")
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -219,12 +226,14 @@ WITH per_part AS (
   WHERE r.r_name = '{Q11_REGION}'
   GROUP BY l.l_partkey
 ),
-t AS (SELECT CAST(sum(value_scaled) AS BIGINT) AS total_scaled FROM per_part)
+t AS (SELECT CAST(sum(value_scaled) AS BIGINT) AS total_scaled,
+             count(*) AS n_parts
+      FROM per_part)
 SELECT l_partkey AS p_partkey,
        round(CAST(value_scaled AS DOUBLE) / 10000.0, 2) AS value
 FROM per_part, t
-WHERE CAST(value_scaled AS DOUBLE) * {1.0 / Q11_FRACTION}
-      > CAST(total_scaled AS DOUBLE)
+WHERE CAST(value_scaled AS DOUBLE) * CAST(n_parts AS DOUBLE)
+      > {float(Q11_MEAN_MULT)} * CAST(total_scaled AS DOUBLE)
 ORDER BY value DESC, p_partkey
 """
 
