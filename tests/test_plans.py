@@ -343,3 +343,77 @@ def test_json_props_pruned_scan(spark, sf_dir):
     assert m, plan[:500]
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"event_type", "props"}, cols
+
+
+def test_partsupp_family_plan_shapes(spark, sf_dir):
+    """The derived-partsupp family (C47-C50) keeps the scale shapes: no
+    cartesian products; part/region filters reach the parquet scans; Q2's
+    decorrelation is a keyed window + top-100 heap; Q16's exclusion list
+    is an anti-join; Q11's scalar is the one legitimate one-row
+    nested-loop broadcast."""
+    import re as _re
+
+    from frolyk_spark.operators.partsupp import (
+        q2_min_cost_supplier,
+        q11_important_parts,
+        q16_parts_supplier_counts,
+        q20_concentrated_suppliers,
+    )
+
+    p2 = _formatted(q2_min_cost_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+    assert "TakeOrderedAndProject" in p2, "Q2 top-100 must be a heap"
+    assert "row_number" in p2, "Q2 decorrelation must be a window rank"
+    pushed = " ".join(_re.findall(r"PushedFilters: \[([^\]]*)\]", p2))
+    assert "p_size" in pushed and "r_name" in pushed, pushed
+
+    p11 = _formatted(q11_important_parts(spark, sf_dir))
+    assert "CartesianProduct" not in p11
+    # the broadcast one-row total may plan as BroadcastNestedLoopJoin —
+    # legitimate for a single-row side; the lineage cut keeps the
+    # lineitem aggregation from running twice (one Scan ExistingRDD feeds
+    # both sides)
+    assert p11.count("Scan parquet") == 0 or "lineitem" not in p11, (
+        "per_part must be materialized once, not recomputed per side"
+    )
+
+    p16 = _formatted(q16_parts_supplier_counts(spark, sf_dir))
+    assert "CartesianProduct" not in p16 and "BroadcastNestedLoopJoin" not in p16
+    assert "LeftAnti" in p16, "exclusion list must be an anti-join"
+    pushed16 = " ".join(_re.findall(r"PushedFilters: \[([^\]]*)\]", p16))
+    assert "p_brand" in pushed16 and "s_acctbal" in pushed16, pushed16
+
+    p20 = _formatted(q20_concentrated_suppliers(spark, sf_dir))
+    assert "CartesianProduct" not in p20 and "BroadcastNestedLoopJoin" not in p20
+    assert "LeftSemi" in p20, "qualifying suppliers must semi-join"
+    pushed20 = " ".join(_re.findall(r"PushedFilters: \[([^\]]*)\]", p20))
+    assert "p_name" in pushed20 and "r_name" in pushed20, pushed20
+
+
+def test_source_vocab_overlap_equi_join(spark, sf_dir):
+    """The pairwise intersection must be an equi-join on word (hash or
+    sort-merge), never a nested-loop over postings; the postings side is
+    materialized once (lineage cut) so the self-join doesn't re-run the
+    explode+distinct twice."""
+    from frolyk_spark.operators.vocab import source_vocab_overlap
+
+    plan = _formatted(source_vocab_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 0, (
+        "postings must come from the materialized cut, not a re-scan"
+    )
+
+
+def test_ngram_novelty_window_not_join_back(spark, sf_dir):
+    """Document frequency comes from a count window PARTITION BY gram —
+    one gram-keyed shuffle — not an aggregate-then-join-back (which would
+    shuffle the postings by gram twice)."""
+    from frolyk_spark.operators.pipeline import ngram_novelty
+
+    plan = _formatted(ngram_novelty(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
+        "df must come from a window, not a join-back"
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan, "the per-doc reduce must combine map-side"
