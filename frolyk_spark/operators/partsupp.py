@@ -13,13 +13,15 @@ a conditional-aggregate self-comparison feeding a semi-join chain (Q20) —
 while every number stays oracle-checkable against the same derivation in
 DuckDB.
 
-Scale shape: the derived relation is ONE map-side-combinable aggregation
-of lineitem keyed by (partkey, suppkey) — at 100 TB that is the ~double
-shuffle of a partsupp scan, but it is computed once and each query's
-subsequent joins run on the reduced pair table (|parts|×|suppliers-per-
-part| rows, ~50× smaller than lineitem). part and supplier join the pair
-table WITHOUT broadcast hints (both scale with SF; AQE picks broadcast
-when they fit), nation/region are fixed-cardinality broadcasts.
+Scale shape: where unit economics are needed (Q2), the derived relation
+is ONE map-side-combinable aggregation of lineitem keyed by (partkey,
+suppkey) — at 100 TB that is the ~double shuffle of a partsupp scan, but
+the query's subsequent joins run on the reduced pair table (|parts|×
+|suppliers-per-part| rows, ~50× smaller than lineitem). Q16/Q20 skip the
+pair materialization entirely and reduce straight from a two-column
+lineitem projection. part and supplier join WITHOUT broadcast hints
+(both scale with SF; AQE picks broadcast when they fit), nation/region
+are fixed-cardinality broadcasts.
 
 Cross-engine exactness discipline (same as relational.price_discount_corr):
 money is cents-scaled to BIGINT before summing (order-free integer sums),
@@ -44,7 +46,8 @@ from frolyk_spark.sources.catalog import load_table
 _CENTS = "cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint)"
 _CENTS_DUCK = "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
 
-#: the derived supplier-part relation, shared by all four queries
+#: the derived supplier-part relation (priced pairs — used where unit
+#: economics matter, e.g. Q2; Q16/Q20 reduce straight from lineitem)
 _PS_DUCK = f"""
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
          CAST(sum({_CENTS_DUCK}) AS BIGINT) AS ps_cents,
@@ -262,12 +265,21 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the anti-join side is tiny (6 rows at sf0.01) and
     broadcast. Group count is bounded by |brand|×|type|×|sizes| —
     a heap-friendly output at any SF.
+
+    Unlike Q2/Q11/Q20 this query needs only SUPPLIER existence per
+    group, and count_distinct already dedups within the aggregate — so
+    there is no materialized pair relation at all: a two-column lineitem
+    projection joins the filtered part dimension and reduces straight
+    into the expand-free distinct aggregate (the derived-ps GROUP BY
+    would be a second, redundant full-width shuffle).
     """
-    ps = _derived_ps(spark, sf_dir).select("ps_partkey", "ps_suppkey").distinct()
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != Q16_EXCL_BRAND)
         & (~F.col("p_type").startswith(Q16_EXCL_TYPE_PREFIX))
         & (F.col("p_size").isin(*Q16_SIZES))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
     )
     bad_supp = (
         load_table(spark, sf_dir, "supplier")
@@ -275,25 +287,24 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(bad_supp), ps.ps_suppkey == bad_supp.s_suppkey,
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey,
                 "left_anti")
-        .join(part, ps.ps_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
 Q16_SQL = f"""
-WITH ps AS ({_PS_DUCK})
 SELECT p.p_brand, p.p_type, p.p_size,
-       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
-FROM ps
-JOIN part p ON ps.ps_partkey = p.p_partkey
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
   AND p.p_type NOT LIKE '{Q16_EXCL_TYPE_PREFIX}%'
   AND p.p_size IN {Q16_SIZES}
-  AND ps.ps_suppkey NOT IN
+  AND l.l_suppkey NOT IN
       (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
