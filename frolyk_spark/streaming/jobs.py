@@ -391,6 +391,66 @@ GROUP BY c_mktsegment
 """
 
 
+# --- B12: online anomaly scoring (stream x static stats profile) ------------
+
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events scored against a STATIC per-type stats profile —
+    the online-scoring shape of a production monitor: train the profile
+    in batch (here: the same table, i.e. "profile the history, score the
+    replay"), broadcast it into the stream, flag 3-sigma outliers, and
+    keep running outlier counts per type.
+
+    The sigma test is anomaly_zscore's division-free exact form —
+    (n·x − Σx)² > 9·(n·Σx² − Σx²) over cents-scaled BIGINT sufficient
+    statistics — so the flag decision is bit-deterministic across
+    engines and across the batch/stream boundary. The stats side is a
+    tiny batch aggregate re-read per micro-batch (broadcastable,
+    stateless lookup join — same plan class as stream_static_join);
+    the only streaming state is the per-type counter.
+    """
+    x_expr = "cast(floor(value * 100.0d + 0.5d) as bigint)"
+    ev = load_table(spark, sf_dir, "events")
+    stats = (
+        ev.select("event_type", F.expr(x_expr).alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    dn, dx = F.col("n").cast("double"), F.col("x").cast("double")
+    dsx, dsxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    dev = dn * dx - dsx
+    flagged = (
+        events_stream(spark, sf_dir)
+        .select("event_type", F.expr(x_expr).alias("x"))
+        .join(F.broadcast(stats), "event_type")
+        .where(dev * dev > F.lit(9.0) * (dn * dsxx - dsx * dsx))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return run_available_now(flagged, mode="complete", prefix="anomaly")
+
+
+STREAM_ANOMALY_SQL = """
+WITH pre AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM pre GROUP BY event_type
+)
+SELECT p.event_type, count(*) AS n_outliers
+FROM pre p JOIN s USING (event_type)
+WHERE (n * x - sx) * (n * x - sx) > 9.0 * (n * sxx - sx * sx)
+GROUP BY p.event_type
+"""
+
+
 # --- B5: custom stateful operator as a query --------------------------------
 
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,9 +512,11 @@ QUERIES = {
     "stream_stateful": stream_stateful,
     "stream_stream_join": stream_stream_join,
     "stream_static_join": stream_static_join,
+    "stream_anomaly": stream_anomaly,
 }
 
 ORACLES = {
+    "stream_anomaly": STREAM_ANOMALY_SQL,
     "stream_tumbling": STREAM_TUMBLING_SQL,
     "stream_hopping": STREAM_HOPPING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
