@@ -181,6 +181,68 @@ def write_training_shards(
     return packed.sparkSession.read.parquet(path)
 
 
+#: bits per dimension in the z-value (16 bits x 2 dims = 32-bit z)
+_Z_BITS = 16
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: tuple[str, str], *, n_files: int = 16
+) -> DataFrame:
+    """Write ``df`` as parquet clustered on the Z-order (Morton) curve of
+    two numeric columns, and return the re-read table — the multi-column
+    data-skipping layout (Delta's OPTIMIZE ZORDER BY analog) for tables
+    filtered on EITHER or BOTH of two hot columns.
+
+    A single-column sort gives perfect min/max skipping on one column
+    and none on the other; interleaving the bits of both (after scaling
+    each to a {_Z_BITS}-bit rank from its min/max, a broadcast one-row
+    stats frame) gives every file a tight min/max envelope on BOTH, so a
+    parquet reader's row-group pruning skips ~sqrt-proportionally per
+    dimension. The interleave is a JVM higher-order fold (aggregate over
+    a bit sequence — zero Python), the layout is repartitionByRange on
+    the z-value (contiguous curve segments per file; range boundaries
+    from Spark's sampled range partitioner) + sortWithinPartitions so
+    row groups inside a file stay tight too. tests/test_bucketing.py
+    asserts the per-file span of each clustered column is a fraction of
+    its global span — the property data-skipping actually uses.
+    """
+    ca, cb = cols
+    stats = df.agg(
+        F.min(F.col(ca).cast("double")).alias("min_a"),
+        F.max(F.col(ca).cast("double")).alias("max_a"),
+        F.min(F.col(cb).cast("double")).alias("min_b"),
+        F.max(F.col(cb).cast("double")).alias("max_b"),
+    )
+    top = (1 << _Z_BITS) - 1
+    def _rank(col: str, lo: str, hi: str) -> str:
+        # scale to [0, top]; a constant column (hi == lo) ranks 0
+        return (
+            f"cast(if({hi} = {lo}, 0.0d, "
+            f"(cast({col} as double) - {lo}) / ({hi} - {lo}) * {top}.0d) "
+            f"as bigint)"
+        )
+    z = (
+        f"aggregate(sequence(0, {_Z_BITS - 1}), 0L, (acc, i) -> "
+        f"acc | shiftleft(shiftright(__ra, i) & 1L, 2 * i) "
+        f"    | shiftleft(shiftright(__rb, i) & 1L, 2 * i + 1))"
+    )
+    out = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__ra", F.expr(_rank(ca, "min_a", "max_a")))
+        .withColumn("__rb", F.expr(_rank(cb, "min_b", "max_b")))
+        .withColumn("__z", F.expr(z))
+        .drop("min_a", "max_a", "min_b", "max_b", "__ra", "__rb")
+    )
+    (
+        out.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return df.sparkSession.read.parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register temp views so operators can also be phrased in Spark SQL."""
     for name in names:

@@ -186,3 +186,51 @@ def test_write_training_shards_round_trip(spark, sf_dir, tmp_path):
         .count()
     )
     assert straddle == 0, "a training sequence must never straddle shards"
+
+
+def test_write_zordered_tightens_both_columns(spark, sf_dir, tmp_path):
+    """E9: z-order clustering must give every output file a tight min/max
+    envelope on BOTH clustered columns (the property parquet row-group /
+    file skipping uses), where a single-column sort tightens only one.
+    Also: round-trip preserves rows exactly."""
+    import os
+
+    from frolyk_spark.sources.catalog import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "events_z")
+    back = write_zordered(ev, out, ("user_id", "value"), n_files=16)
+
+    # round-trip: same rows, no z/helper columns leaked
+    assert back.columns == ["event_id", "user_id", "value"]
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= 8, files
+
+    # per-file spans: read each file alone, compare to the global span
+    glob = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("su"),
+        (F.max("value") - F.min("value")).alias("sv"),
+    ).collect()[0]
+    spans_u, spans_v = [], []
+    for f in files:
+        r = (
+            spark.read.parquet(os.path.join(out, f))
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("su"),
+                (F.max("value") - F.min("value")).alias("sv"),
+            )
+            .collect()[0]
+        )
+        spans_u.append(r.su / glob.su)
+        spans_v.append(r.sv / glob.sv)
+    mean_u = sum(spans_u) / len(spans_u)
+    mean_v = sum(spans_v) / len(spans_v)
+    # 16 files on a 2-D curve ≈ 4x4 grid: each file should cover roughly
+    # a quarter of each dimension; 0.6 is a generous bound that still
+    # fails for an unclustered or single-column-sorted layout (~1.0 on
+    # at least one dimension)
+    assert mean_u < 0.6, f"user_id not clustered: mean span {mean_u:.2f}"
+    assert mean_v < 0.6, f"value not clustered: mean span {mean_v:.2f}"
