@@ -89,12 +89,60 @@ FROM documents
 """
 
 
+# --- D44: exact-k per-group sample -------------------------------------------
+
+#: documents kept per source
+SAMPLE_K = 5
+
+
+def sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {SAMPLE_K} documents per source, deterministically — the
+    reservoir-sample shape without RNG: rank documents within each
+    source by the portable hash of doc_id (a stable uniform-ish order)
+    and keep the first {SAMPLE_K}. Fraction-based sampling (D18) can't
+    promise exact counts per group; this can, and membership still
+    survives reruns, engines, and relayouts.
+
+    Scale shape: one window rank per source partition (partition count =
+    source count; rows-per-source is the per-group data, the same bound
+    any per-group top-K has — Spark runs it as a partial top-K-per-
+    partition before the exchange via WindowGroupLimit). doc_id breaks
+    hash ties so boundary membership is total-ordered.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window
+
+    h = portable_hash_expr(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_K)
+        .select("source", "rk", "doc_id")
+    )
+
+
+def _sample_per_source_sql() -> str:
+    h = portable_hash_sql("cast(doc_id as varchar)")
+    return f"""
+SELECT source, rk, doc_id
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {h} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+WHERE rk <= {SAMPLE_K}
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "train_test_split": train_test_split,
+    "sample_per_source": sample_per_source,
 }
 
 ORACLES = {
     "sample_stratified": _sample_stratified_sql(),
     "train_test_split": _train_test_split_sql(),
+    "sample_per_source": _sample_per_source_sql(),
 }
