@@ -719,19 +719,9 @@ WHERE round({cos}, 4) >= {EMB_COS_T}
 CC_MAX_ITERS = 20
 
 
-def _cut_lineage(df: DataFrame) -> DataFrame:
-    """Per-round lineage cut for the iterative propagation. localCheckpoint
-    stores blocks on executors (non-reliable): one executor loss
-    mid-iteration fails the whole job, and each round's blocks pin executor
-    memory for the session lifetime. When the session has a reliable
-    checkpoint dir configured (sparkContext.setCheckpointDir — HDFS/object
-    store on a cluster), use checkpoint() instead: survives executor loss
-    and keeps state off the executors. Tests/local runs without a
-    checkpoint dir keep the fast local path."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+# shared infrastructure since r5 (three operator families use it); the
+# underscore alias keeps this module's call sites unchanged
+from frolyk_spark.functions.lineage import cut_lineage as _cut_lineage  # noqa: E402
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

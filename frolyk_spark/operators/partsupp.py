@@ -190,9 +190,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = F.expr(
         f"{_CENTS} * (100 - cast(floor(l_discount * 100.0d + 0.5d) as bigint))"
     )
-    from frolyk_spark.operators.dedup import _cut_lineage
+    from frolyk_spark.functions.lineage import cut_lineage
 
-    per_part = _cut_lineage(
+    per_part = cut_lineage(
         # materialized once: the broadcast-total crossJoin would otherwise
         # re-run the full lineitem aggregation on BOTH the scalar side and
         # the probe side (plan audit r5 — two lineitem scans)

@@ -1604,7 +1604,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_discount_corr: values are cents-scaled to BIGINT, per-type
     (n, Σx, Σx²) are exact order-free integer sums, and the 3-sigma test
     is algebraically cleared of divisions — |z| > 3 becomes
-    (n·x − Σx)² > 9·(n·Σx² − Σx²) — evaluated in double with the
+    (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — evaluated in double with the
     identical expression on both engines. Two passes: a 5-row stats
     aggregate broadcast back over the scan (the classic
     small-stats-join-back shape; no driver collect), then a

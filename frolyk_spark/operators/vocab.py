@@ -193,11 +193,14 @@ FROM ranked WHERE rank <= {TFIDF_K}
 
 
 def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary Jaccard between every source pair — the lexical
-    cousin of cross_source_duplication's signature-space matrix: two
-    feeds with near-identical vocabularies are candidates for merging
-    (or for one being a scrape of the other) before any per-document
-    dedup runs.
+    """Vocabulary Jaccard between source pairs — the lexical cousin of
+    cross_source_duplication's signature-space matrix: two feeds with
+    near-identical vocabularies are candidates for merging (or for one
+    being a scrape of the other) before any per-document dedup runs.
+    The output is SPARSE: only pairs sharing at least one word appear
+    (the intersection is an inner join; a fully-disjoint pair is a
+    jaccard-0 row the consumer infers by absence — same convention as
+    the duplication matrix).
 
     All counts are exact integers: distinct (source, word) postings, an
     equi-join on word with a src_a < src_b guard for the pairwise
@@ -208,10 +211,10 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-rounded IEEE, bit-identical across engines. Output is
     |sources|² rows at most, trivially small at any corpus scale.
     """
-    from frolyk_spark.operators.dedup import _cut_lineage
+    from frolyk_spark.functions.lineage import cut_lineage
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    postings = _cut_lineage(
+    postings = cut_lineage(
         # materialized once: the self-join would otherwise re-run the
         # explode+distinct on BOTH sides (the dedup_simhash_pairs lesson)
         docs.repartition(spark.sparkContext.defaultParallelism)

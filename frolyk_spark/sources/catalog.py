@@ -206,37 +206,46 @@ def write_zordered(
     asserts the per-file span of each clustered column is a fraction of
     its global span — the property data-skipping actually uses.
     """
+    import uuid as _uuid
+
     ca, cb = cols
+    # helper names carry a per-call suffix so they can never collide with
+    # (and silently drop) a caller column; user columns are backtick-quoted
+    # inside the SQL expressions so any legal column name works
+    sfx = _uuid.uuid4().hex[:8]
+    n_min_a, n_max_a = f"__zmin_a_{sfx}", f"__zmax_a_{sfx}"
+    n_min_b, n_max_b = f"__zmin_b_{sfx}", f"__zmax_b_{sfx}"
+    n_ra, n_rb, n_z = f"__zra_{sfx}", f"__zrb_{sfx}", f"__z_{sfx}"
     stats = df.agg(
-        F.min(F.col(ca).cast("double")).alias("min_a"),
-        F.max(F.col(ca).cast("double")).alias("max_a"),
-        F.min(F.col(cb).cast("double")).alias("min_b"),
-        F.max(F.col(cb).cast("double")).alias("max_b"),
+        F.min(F.col(ca).cast("double")).alias(n_min_a),
+        F.max(F.col(ca).cast("double")).alias(n_max_a),
+        F.min(F.col(cb).cast("double")).alias(n_min_b),
+        F.max(F.col(cb).cast("double")).alias(n_max_b),
     )
     top = (1 << _Z_BITS) - 1
     def _rank(col: str, lo: str, hi: str) -> str:
         # scale to [0, top]; a constant column (hi == lo) ranks 0
         return (
-            f"cast(if({hi} = {lo}, 0.0d, "
-            f"(cast({col} as double) - {lo}) / ({hi} - {lo}) * {top}.0d) "
+            f"cast(if(`{hi}` = `{lo}`, 0.0d, "
+            f"(cast(`{col}` as double) - `{lo}`) / (`{hi}` - `{lo}`) * {top}.0d) "
             f"as bigint)"
         )
     z = (
         f"aggregate(sequence(0, {_Z_BITS - 1}), 0L, (acc, i) -> "
-        f"acc | shiftleft(shiftright(__ra, i) & 1L, 2 * i) "
-        f"    | shiftleft(shiftright(__rb, i) & 1L, 2 * i + 1))"
+        f"acc | shiftleft(shiftright(`{n_ra}`, i) & 1L, 2 * i) "
+        f"    | shiftleft(shiftright(`{n_rb}`, i) & 1L, 2 * i + 1))"
     )
     out = (
         df.crossJoin(F.broadcast(stats))
-        .withColumn("__ra", F.expr(_rank(ca, "min_a", "max_a")))
-        .withColumn("__rb", F.expr(_rank(cb, "min_b", "max_b")))
-        .withColumn("__z", F.expr(z))
-        .drop("min_a", "max_a", "min_b", "max_b", "__ra", "__rb")
+        .withColumn(n_ra, F.expr(_rank(ca, n_min_a, n_max_a)))
+        .withColumn(n_rb, F.expr(_rank(cb, n_min_b, n_max_b)))
+        .withColumn(n_z, F.expr(z))
+        .drop(n_min_a, n_max_a, n_min_b, n_max_b, n_ra, n_rb)
     )
     (
-        out.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        out.repartitionByRange(n_files, n_z)
+        .sortWithinPartitions(n_z)
+        .drop(n_z)
         .write.mode("overwrite")
         .parquet(path)
     )

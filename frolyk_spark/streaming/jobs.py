@@ -401,7 +401,7 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep running outlier counts per type.
 
     The sigma test is anomaly_zscore's division-free exact form —
-    (n·x − Σx)² > 9·(n·Σx² − Σx²) over cents-scaled BIGINT sufficient
+    (n·x − Σx)² > 9·(n·Σx² − (Σx)²) over cents-scaled BIGINT sufficient
     statistics — so the flag decision is bit-deterministic across
     engines and across the batch/stream boundary. The stats side is a
     tiny batch aggregate re-read per micro-batch (broadcastable,
