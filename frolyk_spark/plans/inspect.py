@@ -1,0 +1,127 @@
+"""Physical-plan inspection: the pre-flight audit for 100 TB posture.
+
+A query can return the right rows while scanning every column, skipping
+pushdown, or planning a cartesian product — correctness tests can't see
+any of that. ``plan_report`` extracts the facts that matter from
+``explain("formatted")`` into a dict; ``assert_scale_shape`` turns them
+into a guard a pipeline (or a test — see tests/test_plans.py) runs before
+committing cluster hours. Pairs with operators.relational.key_skew_profile
+(the data-side pre-flight probe) — one checks the plan, the other the keys.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+#: join operators worth reporting, in the order they appear in plans
+_JOIN_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def _formatted(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Extract the scale-relevant facts of ``df``'s physical plan.
+
+    Returns a dict with:
+
+    - ``pushed_filters``: list of PushedFilters strings, one per scan —
+      empty strings mean a scan with NOTHING pushed (a filter evaluated
+      after the read).
+    - ``read_schemas``: list of per-scan column-name sets — the column
+      pruning story; a scan reading 16 columns for a 2-column projection
+      shows up here.
+    - ``joins``: dict of join-operator name -> count.
+    - ``scans``: number of file scans (a frame feeding a self-join twice
+      without a lineage cut shows as duplicate scans).
+    - ``exchanges``: number of shuffle exchanges.
+    - ``has_cartesian``: CartesianProduct anywhere in the plan.
+    - ``has_take_ordered``: top-K planned as a heap (TakeOrderedAndProject)
+      rather than a global sort + limit.
+    """
+    plan = _formatted(df)
+    read_schemas = [
+        {c.split(":")[0] for c in m.split(",") if c}
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    # "formatted" lists every operator twice (tree + details); count the
+    # numbered detail headers — exactly one per physical operator
+    def _op_count(op: str) -> int:
+        return len(re.findall(rf"\(\d+\) {op}", plan))
+
+    return {
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "read_schemas": read_schemas,
+        "joins": {op: _op_count(op) for op in _JOIN_OPS if op in plan},
+        "scans": _op_count("Scan parquet"),
+        "exchanges": _op_count("Exchange"),
+        "has_cartesian": "CartesianProduct" in plan,
+        "has_take_ordered": "TakeOrderedAndProject" in plan,
+        "plan": plan,
+    }
+
+
+def assert_scale_shape(
+    df: DataFrame,
+    *,
+    forbid_cartesian: bool = True,
+    forbid_nested_loop: bool = False,
+    require_pushed: tuple[str, ...] = (),
+    max_scan_columns: int | None = None,
+    max_scans: int | None = None,
+) -> dict:
+    """Guard a plan before running it at scale; returns the report.
+
+    - ``forbid_cartesian``: fail on CartesianProduct (default: on).
+    - ``forbid_nested_loop``: also fail on BroadcastNestedLoopJoin (off by
+      default — a broadcast ONE-ROW scalar legitimately plans as one).
+    - ``require_pushed``: substrings (usually column names) that must
+      appear in some scan's PushedFilters — the predicate actually
+      reached storage.
+    - ``max_scan_columns``: ceiling on columns read by any single scan
+      (column-pruning guard).
+    - ``max_scans``: ceiling on file scans (catches a self-join
+      recomputing its input instead of cutting lineage).
+
+    Raises ``AssertionError`` with the offending fact and a plan excerpt.
+    """
+    rep = plan_report(df)
+    excerpt = rep["plan"][:2000]
+    if forbid_cartesian and rep["has_cartesian"]:
+        raise AssertionError(f"plan contains CartesianProduct\n{excerpt}")
+    if forbid_nested_loop and "BroadcastNestedLoopJoin" in rep["joins"]:
+        raise AssertionError(f"plan contains BroadcastNestedLoopJoin\n{excerpt}")
+    pushed_all = " ".join(rep["pushed_filters"])
+    for needle in require_pushed:
+        if needle not in pushed_all:
+            raise AssertionError(
+                f"filter on {needle!r} did not reach any scan "
+                f"(pushed: {rep['pushed_filters']})\n{excerpt}"
+            )
+    if max_scan_columns is not None:
+        for cols in rep["read_schemas"]:
+            if len(cols) > max_scan_columns:
+                raise AssertionError(
+                    f"scan reads {len(cols)} columns (> {max_scan_columns}): "
+                    f"{sorted(cols)}\n{excerpt}"
+                )
+    if max_scans is not None and rep["scans"] > max_scans:
+        raise AssertionError(
+            f"{rep['scans']} file scans (> {max_scans}) — recomputed input? "
+            f"consider functions.lineage.cut_lineage\n{excerpt}"
+        )
+    return rep

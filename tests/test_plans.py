@@ -417,3 +417,43 @@ def test_ngram_novelty_window_not_join_back(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan, "the per-doc reduce must combine map-side"
+
+
+def test_plan_report_utility(spark, sf_dir):
+    """frolyk_spark.plans: the user-facing pre-flight audit extracts the
+    same facts these tests grep for, and assert_scale_shape enforces
+    them (positive + negative paths)."""
+    import pytest as _pytest
+
+    from frolyk_spark.plans import assert_scale_shape, plan_report
+    from frolyk_spark.operators.relational import q1_pricing_summary
+    from frolyk_spark.sources.catalog import load_table
+
+    q1 = q1_pricing_summary(spark, sf_dir)
+    rep = plan_report(q1)
+    assert not rep["has_cartesian"]
+    assert any("l_shipdate" in p for p in rep["pushed_filters"])
+    assert all(len(c) <= 7 for c in rep["read_schemas"])
+
+    # guard passes for the good plan...
+    assert_scale_shape(
+        q1, require_pushed=("l_shipdate",), max_scan_columns=7, max_scans=1
+    )
+
+    # ...and fails for a genuine cartesian product
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").limit(5)
+    nat = load_table(spark, sf_dir, "nation")
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    bad = li.crossJoin(nat.hint("shuffle_replicate_nl"))
+    with _pytest.raises(AssertionError, match="Cartesian"):
+        assert_scale_shape(bad)
+
+    # unpushed-filter detection: a filter on a computed expression can't
+    # reach the scan
+    from pyspark.sql import functions as F
+
+    unpushed = load_table(spark, sf_dir, "lineitem").where(
+        F.sqrt(F.col("l_quantity") + 1.0) > 100.0
+    )
+    with _pytest.raises(AssertionError, match="did not reach"):
+        assert_scale_shape(unpushed, require_pushed=("nonexistent_col",))
