@@ -457,3 +457,16 @@ def test_plan_report_utility(spark, sf_dir):
     )
     with _pytest.raises(AssertionError, match="did not reach"):
         assert_scale_shape(unpushed, require_pushed=("nonexistent_col",))
+
+
+def test_sample_per_source_partial_topk(spark, sf_dir):
+    """D44's rank filter must plan as WindowGroupLimit (per-partition
+    partial top-K before the exchange), one scan, one shuffle."""
+    from frolyk_spark.operators.sampling import sample_per_source
+    from frolyk_spark.plans import plan_report
+
+    rep = plan_report(sample_per_source(spark, sf_dir))
+    assert "WindowGroupLimit" in rep["plan"], "rank<=k must push a group limit"
+    assert rep["scans"] == 1 and rep["exchanges"] == 1, (
+        rep["scans"], rep["exchanges"],
+    )
