@@ -33,3 +33,17 @@ def test_no_oracle_query_runs(name, spark, sf_dir):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
+
+
+def test_rotation_order_is_sound():
+    """The driver runs queries() in dict order under a wall-clock budget;
+    the hand-ordered rotation must stay duplicate-free, fully resolvable,
+    and a superset-preserving reordering (every registered query appears
+    exactly once, nothing is dropped or shadowed)."""
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    # first entries are the explicitly-ordered rotation; re-calling must be
+    # deterministic
+    assert names == list(entry_mod.queries())
+    # every oracle key resolves and no rotation name is stale
+    assert set(ORACLES) <= set(names)
