@@ -252,6 +252,33 @@ def write_zordered(
     return df.sparkSession.read.parquet(path)
 
 
+def collect_file_stats(
+    spark: SparkSession, path: str, cols: tuple[str, ...]
+) -> DataFrame:
+    """Per-FILE min/max/count statistics for ``cols`` over a parquet
+    directory — the data-skipping index (Delta/Iceberg manifest-stats
+    analog) a planner consults to prune files before reading them, and
+    the audit that proves a clustered layout (write_zordered) actually
+    tightened per-file envelopes.
+
+    ONE distributed pass: group by ``input_file_name()`` — no driver-side
+    loop over files, no per-file jobs; each task contributes partial
+    min/max for the files it reads and the aggregate is map-side
+    combinable. File count is bounded by the layout (thousands), so the
+    result is a small frame a planner can broadcast.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .orderBy("file")
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register temp views so operators can also be phrased in Spark SQL."""
     for name in names:

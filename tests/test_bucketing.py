@@ -234,3 +234,27 @@ def test_write_zordered_tightens_both_columns(spark, sf_dir, tmp_path):
     # at least one dimension)
     assert mean_u < 0.6, f"user_id not clustered: mean span {mean_u:.2f}"
     assert mean_v < 0.6, f"value not clustered: mean span {mean_v:.2f}"
+
+
+def test_collect_file_stats_indexes_zordered_layout(spark, sf_dir, tmp_path):
+    """E10: the per-file stats index is one distributed pass (no driver
+    loop), covers every file, and over a z-ordered layout shows the
+    tight per-file envelopes a planner would prune with."""
+    import os
+
+    from frolyk_spark.sources.catalog import collect_file_stats, write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "events_z_stats")
+    write_zordered(ev, out, ("user_id", "value"), n_files=16)
+
+    stats = collect_file_stats(spark, out, ("user_id", "value"))
+    rows = stats.collect()
+    n_files = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert len(rows) == n_files
+    assert sum(r.n_rows for r in rows) == ev.count()
+    # stats usable for pruning: a point query on the hottest user should
+    # match only a fraction of files by min/max envelope
+    target = ev.agg(F.max("user_id")).collect()[0][0]
+    matching = [r for r in rows if r.min_user_id <= target <= r.max_user_id]
+    assert len(matching) < n_files, "stats must discriminate between files"
