@@ -34,6 +34,20 @@ LANG_PROFILES = {
 
 # --- D1: text stats / quality score -----------------------------------------
 
+def _round4(col):
+    """Portable 4-dp round-half-up: floor(x·10⁴ + 0.5)/10⁴ with the
+    identical expression on both engines. Spark's round() rounds the
+    SHORTEST decimal repr of the double (BigDecimal.valueOf: 0.59825 →
+    0.5983) while DuckDB rounds numerically (the same double is
+    0.59824999…, → 0.5982) — a boundary flake the sf0.1 sweep actually
+    hit on quality_score. Non-negative inputs only (ratios here)."""
+    return F.floor(col * 10000.0 + F.lit(0.5)) / 10000.0
+
+
+def _round4_sql(expr: str) -> str:
+    return f"floor(({expr}) * 10000.0 + 0.5) / 10000.0"
+
+
 def text_stats_frame(docs: DataFrame) -> DataFrame:
     """Frame-level form: works on any (doc_id, text) frame — catalog
     tables, arbitrary sources, or streaming micro-batches."""
@@ -56,9 +70,9 @@ def text_stats_frame(docs: DataFrame) -> DataFrame:
         n_chars.cast("bigint").alias("n_chars"),
         n_words.cast("bigint").alias("n_words"),
         n_distinct.cast("bigint").alias("n_distinct_words"),
-        F.round(avg_word_len, 4).alias("avg_word_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(quality, 4).alias("quality_score"),
+        _round4(avg_word_len).alias("avg_word_len"),
+        _round4(stop_ratio).alias("stopword_ratio"),
+        _round4(quality).alias("quality_score"),
     )
 
 
@@ -71,17 +85,17 @@ SELECT doc_id,
        cast(length(text) as bigint) AS n_chars,
        cast(len(string_split(text, ' ')) as bigint) AS n_words,
        cast(len(list_distinct(string_split(text, ' '))) as bigint) AS n_distinct_words,
-       round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
-             / len(string_split(text, ' ')), 4) AS avg_word_len,
-       round(len(list_filter(string_split(text, ' '),
-                             w -> w IN {STOPWORDS!r})) * 1.0
-             / len(string_split(text, ' ')), 4) AS stopword_ratio,
-       round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
-           + 0.3 * (len(list_distinct(string_split(text, ' '))) * 1.0
-                    / len(string_split(text, ' ')))
-           + 0.3 * (1 - len(list_filter(string_split(text, ' '),
-                                        w -> w IN {STOPWORDS!r})) * 1.0
-                        / len(string_split(text, ' '))), 4) AS quality_score
+       {_round4_sql("(length(text) - (len(string_split(text, ' ')) - 1)) * 1.0"
+                    " / len(string_split(text, ' '))")} AS avg_word_len,
+       {_round4_sql(f"len(list_filter(string_split(text, ' '),"
+                    f" w -> w IN {STOPWORDS!r})) * 1.0"
+                    " / len(string_split(text, ' '))")} AS stopword_ratio,
+       {_round4_sql(f"0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)"
+                    " + 0.3 * (len(list_distinct(string_split(text, ' '))) * 1.0"
+                    " / len(string_split(text, ' ')))"
+                    f" + 0.3 * (1 - len(list_filter(string_split(text, ' '),"
+                    f" w -> w IN {STOPWORDS!r})) * 1.0"
+                    " / len(string_split(text, ' ')))")} AS quality_score
 FROM documents
 """
 
