@@ -145,3 +145,24 @@ def test_funnel_forms_agree_on_null_user(spark, sf_dir):
     finally:
         relational.load_table = orig
     assert a == b == (2, 1, 1, 1)
+
+
+def test_portable_round_boundary(spark, duck):
+    """The portable floor(x·10⁴+0.5)/10⁴ round agrees across engines on
+    the boundary double that builtin round() diverges on (Spark rounds
+    the shortest decimal repr 0.59825 up; DuckDB rounds the numeric
+    double 0.59824999… down) — the text_stats sf0.1 sweep finding."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.operators.text import _round4
+
+    v = 0.59825
+    s = spark.range(1).select(_round4(F.lit(v)).alias("r")).collect()[0].r
+    d = duck.sql(
+        f"SELECT floor(CAST({v!r} AS DOUBLE) * 10000.0 + 0.5) / 10000.0"
+    ).fetchone()[0]
+    assert s == d == 0.5982
+
+    sr = spark.range(1).select(F.round(F.lit(v), 4).alias("r")).collect()[0].r
+    dr = duck.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 4)").fetchone()[0]
+    assert (sr, dr) == (0.5983, 0.5982), "engines agree now? revisit _round4"
