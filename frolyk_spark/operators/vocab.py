@@ -282,11 +282,61 @@ ORDER BY src_a, src_b
 """
 
 
+# --- D45: mergeable-sketch corpus profile ------------------------------------
+
+#: heavy hitters reported by the sketch profile
+SKETCH_K = 20
+
+
+def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched corpus profile — the sublinear-memory scale path beside
+    the exact aggregations (vocab_topk, count_distinct): approximate
+    heavy-hitter words with estimated counts (approx_top_k) and an HLL
+    (DataSketches) distinct-word estimate, all JVM-side MERGEABLE
+    sketch aggregates. At 100 TB this is the profile you can afford to
+    keep per shard/day and fold together without re-scanning — the HLL
+    mergeability (per-source sketches union to the corpus estimate) is
+    asserted in tests/test_approx.py, along with error bounds vs the
+    exact answers.
+
+    Output: one row per heavy hitter (rank, word, est_count) with the
+    corpus-level estimates repeated per row (keeps every column a
+    hashable scalar for the driver's rows-only check). No SQL oracle:
+    sketch internals are engine-specific, like approx_stats (C14).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+    )
+    agg = words.agg(
+        F.expr(f"approx_top_k(word, {SKETCH_K})").alias("topk"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(word))").alias(
+            "distinct_words_est"
+        ),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return agg.select(
+        F.posexplode("topk").alias("pos", "hit"),
+        "distinct_words_est",
+        "n_tokens",
+    ).select(
+        (F.col("pos") + 1).alias("rank"),
+        F.col("hit.item").alias("word"),
+        F.col("hit.count").alias("est_count"),
+        "distinct_words_est",
+        "n_tokens",
+    )
+
+
 QUERIES = {
     "vocab_topk": vocab_topk,
     "bigram_counts": bigram_counts,
     "tfidf_top_terms": tfidf_top_terms,
     "source_vocab_overlap": source_vocab_overlap,
+    # no-oracle: sketch internals are engine-specific; bounded by
+    # tests/test_approx.py against the exact aggregates
+    "sketch_profile": sketch_profile,
 }
 
 ORACLES = {
