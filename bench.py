@@ -76,8 +76,11 @@ HEADLINE = [
     "source_vocab_overlap",
     "ngram_novelty",
     "sample_temperature",
+    "sample_per_source",
+    "sketch_profile",
     "resample_gapfill",
     "multimodal_features",
+    "stream_anomaly",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",
