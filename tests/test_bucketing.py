@@ -258,3 +258,29 @@ def test_collect_file_stats_indexes_zordered_layout(spark, sf_dir, tmp_path):
     target = ev.agg(F.max("user_id")).collect()[0][0]
     matching = [r for r in rows if r.min_user_id <= target <= r.max_user_id]
     assert len(matching) < n_files, "stats must discriminate between files"
+
+
+def test_zorder_bit_fold_matches_reference(spark):
+    """The JVM Morton fold in write_zordered must equal the textbook
+    bit-interleave; checked against a Python reference over a range of
+    rank pairs including the 16-bit extremes."""
+    from pyspark.sql import functions as F
+
+    def morton_ref(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(0, 0), (1, 0), (0, 1), (65535, 65535), (65535, 0),
+             (0, 65535), (12345, 54321), (257, 4096), (43690, 21845)]
+    df = spark.createDataFrame(pairs, "ra long, rb long")
+    z = (
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> "
+        "acc | shiftleft(shiftright(ra, i) & 1L, 2 * i) "
+        "    | shiftleft(shiftright(rb, i) & 1L, 2 * i + 1))"
+    )
+    got = {(r.ra, r.rb): r.z for r in df.withColumn("z", F.expr(z)).collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == morton_ref(a, b), (a, b)
