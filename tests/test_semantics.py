@@ -166,3 +166,39 @@ def test_portable_round_boundary(spark, duck):
     sr = spark.range(1).select(F.round(F.lit(v), 4).alias("r")).collect()[0].r
     dr = duck.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 4)").fetchone()[0]
     assert (sr, dr) == (0.5983, 0.5982), "engines agree now? revisit _round4"
+
+
+def test_portable_round_randomized_cross_engine(spark, duck):
+    """_round4 must agree between engines on arbitrary doubles, including
+    manufactured .xxxx5 boundaries — batch-checked (one Spark job, one
+    DuckDB scan over the same 400 values).
+
+    The DuckDB side reads STORED doubles (registered frame — the same
+    path every real oracle takes from parquet). Feeding the values as
+    SQL literals instead would false-fail: DuckDB's constant folder
+    evaluates literal arithmetic through a non-IEEE path (0.38785…003 *
+    10000.0 folds to 3878.4999999999995, one ulp below the correctly
+    rounded product its execution engine produces for the same stored
+    double) — a folding artifact, unreachable by data-driven queries."""
+    import random
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.operators.text import _round4
+
+    rng = random.Random(42)
+    vals = [rng.random() for _ in range(200)]
+    # exact-boundary shapes: k/2·10⁻⁴ puts the true value ON the half
+    vals += [rng.randrange(0, 20000) / 2 * 1e-4 for _ in range(200)]
+
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
+    got_s = {r.i: r.r for r in sdf.select("i", _round4(F.col("v")).alias("r")).collect()}
+    duck.register("_r4vals", pd.DataFrame({"i": range(len(vals)), "v": vals}))
+    got_d = dict(
+        duck.sql("SELECT i, floor(v * 10000.0 + 0.5) / 10000.0 FROM _r4vals").fetchall()
+    )
+    duck.unregister("_r4vals")
+    for i in range(len(vals)):
+        assert got_s[i] == got_d[i], (i, vals[i], got_s[i], got_d[i])
