@@ -330,7 +330,10 @@ def _pq_codebooks(corpus: DataFrame, emb_col: str):
         Xm = X[:, m * sub : (m + 1) * sub]
         cb = Xm[: min(PQ_K, len(Xm))].copy()
         for _ in range(PQ_ITERS):
-            a = (((Xm[:, None, :] - cb[None, :, :]) ** 2).sum(-1)).argmin(1)
+            # argmin ||x-c||² == argmin (||c||² - 2 x·c): one matmul
+            # instead of an (N, K, sub) broadcast — ~4× on the training
+            # loop, same lowest-index tie-break (np.argmin)
+            a = ((cb**2).sum(-1)[None, :] - 2.0 * (Xm @ cb.T)).argmin(1)
             for k in range(len(cb)):
                 if (a == k).any():
                     cb[k] = Xm[a == k].mean(0)
@@ -365,16 +368,17 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = DIM // PQ_M
     books_arr = [np.asarray(b, dtype=np.float64) for b in books]
 
+    enc_cn2 = [(b**2).sum(-1) for b in books_arr]
+
     @pandas_udf("array<int>")
     def encode(emb: pd.Series) -> pd.Series:
         x = np.stack(emb.to_numpy()).astype(np.float64)
+        # matmul form of the subspace argmin (see _pq_codebooks) — this
+        # is the per-CORPUS hot path, one matmul per subspace per batch
         codes = np.stack(
             [
-                (
-                    ((x[:, m * sub : (m + 1) * sub][:, None, :] - books_arr[m][None, :, :]) ** 2)
-                    .sum(-1)
-                    .argmin(1)
-                )
+                (enc_cn2[m][None, :] - 2.0 * (x[:, m * sub : (m + 1) * sub] @ books_arr[m].T))
+                .argmin(1)
                 for m in range(PQ_M)
             ],
             axis=1,
