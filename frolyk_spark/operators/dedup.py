@@ -872,8 +872,156 @@ FROM ranked WHERE rk = 1
 """
 
 
+# --- D46: LSH banding-parameter sweep ----------------------------------------
+
+#: band counts swept (k=12 divisors: r = 6, 4, 3, 2 rows per band)
+SWEEP_BAND_COUNTS = (2, 3, 4, 6)
+
+
+def _band_hashes_for(sigs: DataFrame, b_cnt: int) -> DataFrame:
+    """band_hashes generalized to b_cnt bands of r = k/b_cnt slots."""
+    r = MINHASH_K // b_cnt
+    band_structs = ", ".join(
+        "struct({b} as band_id, {h} as band_hash)".format(
+            b=b,
+            h=portable_hash_spark_sql(
+                f"concat_ws(',', '{b}', "
+                + ", ".join(f"cast(s{j} as string)" for j in range(b * r, (b + 1) * r))
+                + ")"
+            ),
+        )
+        for b in range(b_cnt)
+    )
+    return sigs.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning table: for each banding of the k={MINHASH_K}
+    signature (b bands × r rows), the candidate-pair count and the mean
+    signature-agreement (estimated Jaccard) of those candidates — what an
+    engineer consults to pick the precision/recall point BEFORE running
+    dedup at corpus scale (more rows per band = stricter buckets = fewer,
+    higher-precision candidates; the S-curve 1-(1-j^r)^b made concrete on
+    the actual corpus). The data-side complement of key_skew_profile's
+    join diagnostic, for the dedup pipeline.
+
+    Shape: the persisted signature table (computed once per corpus) is
+    lineage-cut and re-banded per config — each config is the standard
+    banded equi-join plus two signature joins, all on the 12-slot table;
+    text is never touched. Per-config output is ONE row (exact integer
+    n_pairs / matches sums; the mean is one division), so the union is a
+    {len(SWEEP_BAND_COUNTS)}-row frame.
+    """
+    sigs = _cut_lineage(persisted_minhash_signatures(spark, sf_dir))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{j}").alias(f"a{j}") for j in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{j}").alias(f"b{j}") for j in range(MINHASH_K)],
+    )
+    matches = None
+    for j in range(MINHASH_K):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    out = None
+    for b_cnt in SWEEP_BAND_COUNTS:
+        bands = _band_hashes_for(sigs, b_cnt)
+        pairs_expr = (
+            "flatten(transform(ids,"
+            " (x, i) -> transform(slice(ids, i + 2, size(ids)),"
+            " y -> struct(x as doc_a, y as doc_b))))"
+        )
+        pairs = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .where(F.size("ids") > 1)
+            .select(F.explode(F.expr(pairs_expr)).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+        agg = (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.coalesce(F.sum(matches), F.lit(0)).cast("bigint").alias(
+                    "sum_matches"
+                ),
+            )
+            .select(
+                F.lit(b_cnt).cast("int").alias("bands"),
+                F.lit(MINHASH_K // b_cnt).cast("int").alias("rows_per_band"),
+                "n_pairs",
+                F.when(
+                    F.col("n_pairs") > 0,
+                    F.round(
+                        F.col("sum_matches").cast("double")
+                        / (F.lit(float(MINHASH_K)) * F.col("n_pairs").cast("double")),
+                        4,
+                    ),
+                ).alias("mean_est_jaccard"),
+            )
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("bands")
+
+
+def _lsh_band_sweep_sql() -> str:
+    seeds_duck = "[" + ", ".join(str(s) for s in MINHASH_SEEDS) + "]"
+    parts = []
+    for b_cnt in SWEEP_BAND_COUNTS:
+        r = MINHASH_K // b_cnt
+        band_hash = portable_hash_sql(
+            "cast(b as varchar) || ',' ||"
+            f" array_to_string(list_transform(sig[b * {r} + 1:b * {r} + {r}],"
+            " x -> cast(x as varchar)), ',')"
+        )
+        parts.append(f"""
+SELECT {b_cnt} AS bands, {r} AS rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CASE WHEN count(*) > 0 THEN
+         round(CAST(coalesce(sum(len(list_filter(range(1, {MINHASH_K} + 1),
+                     j -> sa.sig[j] = sb.sig[j]))), 0) AS DOUBLE)
+               / ({MINHASH_K}.0 * CAST(count(*) AS DOUBLE)), 4)
+       END AS mean_est_jaccard
+FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, b, {band_hash} AS band_hash
+        FROM sig, range(0, {b_cnt}) t(b)) a
+  JOIN (SELECT doc_id, b, {band_hash} AS band_hash
+        FROM sig, range(0, {b_cnt}) t(b)) b
+    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+) p
+JOIN sig sa ON p.doc_a = sa.doc_id
+JOIN sig sb ON p.doc_b = sb.doc_id""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {MINHASH_K}),
+                        j -> list_min(list_transform(shingles,
+                               s -> xor({portable_hash_sql('s')}, {seeds_duck}[j + 1])))) AS sig
+  FROM sh
+)
+{union}
+ORDER BY bands
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "lsh_band_sweep": lsh_band_sweep,
     "dedup_canonical": dedup_canonical,
     "dedup_minhash": dedup_minhash,
     "dedup_incremental": dedup_incremental,
@@ -895,6 +1043,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding": _dedup_embedding_sql(),
     "minhash_jaccard_estimate": _minhash_jaccard_estimate_sql(),
+    "lsh_band_sweep": _lsh_band_sweep_sql(),
     # recursive-CTE transitive closure: min reachable label == the
     # propagation fixpoint (upgraded from no-oracle in r3)
     "dedup_clusters": _dedup_clusters_sql(),
