@@ -329,6 +329,101 @@ def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D47: iterative BPE trainer ----------------------------------------------
+
+#: merge rounds learned by bpe_train
+BPE_MERGES = 6
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real (small) BPE training loop, distributed: start from
+    characters, and for {BPE_MERGES} rounds count adjacent token pairs
+    across the corpus, adopt the most frequent pair as a merge
+    (count DESC, pair ASC tie-break — deterministic), and re-segment
+    every word with a greedy left-to-right fold. bigram_counts is one
+    iteration of this; this is the actual trainer loop, the way a
+    corpus-scale tokenizer is really induced.
+
+    Scale shape per round: pair counting is one explode + map-side-
+    combinable aggregation; the winning pair is TakeOrdered(1) — ONE row
+    of model state to the driver per round (bounded, like IVF centroids
+    and dedup_clusters' convergence flag); re-segmentation is a map-only
+    JVM array fold (F.aggregate with Column lambdas — no Python, no
+    shuffle) with a lineage cut per round so round N+1 doesn't replay
+    rounds 1..N. Output is the learned merge table ({BPE_MERGES} rows).
+    No SQL oracle — iterative, like dedup_clusters — but the whole loop
+    is model-checked token-for-token against a pure-Python reference in
+    tests/test_semantics.py.
+    """
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+    )
+    toks = cut_lineage(
+        words.select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("toks")
+        )
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_MERGES + 1):
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (a, b) -> struct(a as a, b as b))"
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((step, a, b, a + b, cnt))
+
+        def make_fold(a: str, b: str):
+            la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+            def fold(out, t):
+                mergeable = (
+                    (F.size(out) > 0)
+                    & (F.element_at(out, -1) == la)
+                    & (t == lb)
+                )
+                return F.when(
+                    mergeable,
+                    F.concat(F.slice(out, 1, F.size(out) - 1), F.array(lab)),
+                ).otherwise(F.concat(out, F.array(t)))
+
+            return fold
+
+        fold = make_fold(a, b)
+        toks = cut_lineage(
+            toks.select(
+                F.aggregate(
+                    "toks",
+                    F.expr("cast(array() as array<string>)"),
+                    fold,
+                ).alias("toks")
+            )
+        )
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, cnt bigint"
+    )
+
+
 QUERIES = {
     "vocab_topk": vocab_topk,
     "bigram_counts": bigram_counts,
@@ -337,6 +432,9 @@ QUERIES = {
     # no-oracle: sketch internals are engine-specific; bounded by
     # tests/test_approx.py against the exact aggregates
     "sketch_profile": sketch_profile,
+    # no-oracle: iterative (driver-held merge state per round); model-
+    # checked against a pure-Python reference in tests/test_semantics.py
+    "bpe_train": bpe_train,
 }
 
 ORACLES = {

@@ -202,3 +202,45 @@ def test_portable_round_randomized_cross_engine(spark, duck):
     duck.unregister("_r4vals")
     for i in range(len(vals)):
         assert got_s[i] == got_d[i], (i, vals[i], got_s[i], got_d[i])
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """D47: the distributed BPE loop must produce the exact merge table a
+    pure-Python implementation of the same algorithm produces (count
+    DESC / pair ASC tie-break, greedy left-to-right re-segmentation)."""
+    from collections import Counter
+
+    import duckdb
+
+    from frolyk_spark.operators.vocab import BPE_MERGES, bpe_train
+
+    got = [
+        (r.step, r.left, r.right, r.merged, r.cnt)
+        for r in bpe_train(spark, sf_dir).orderBy("step").collect()
+    ]
+
+    texts = [
+        t for (t,) in duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    words = [list(w) for t in texts for w in t.split(" ") if w]
+    expected = []
+    for step in range(1, BPE_MERGES + 1):
+        counts = Counter()
+        for toks in words:
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += 1
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, a, b, a + b, cnt))
+        for toks in words:
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks[:] = out
+    assert got == expected
