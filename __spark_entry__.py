@@ -33,10 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 of 109 per round; r4 ran
+    # in dict order under a wall-clock budget (~50 of 111 per round; r4 ran
     # 50 of 86). The r5 rotation is ordered by driver-row AGE:
     #   1. red_or_new: embedding_quantize (the one r4 red row — codes
-    #      output serialized to a scalar this round) and the twenty-three
+    #      output serialized to a scalar this round) and the twenty-five
     #      operators new in r5 (no driver row at all; ann_pq is
     #      no-oracle by design — recall-gated in pytest like ann_lsh);
     #   2. last_green_r3: the 36 entries whose newest green row is r3 —
@@ -57,7 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_counts", "q20_concentrated_suppliers",
         "source_vocab_overlap", "ngram_novelty", "sample_temperature",
         "stream_anomaly", "sample_per_source", "sketch_profile",
-        "lsh_band_sweep", "bpe_train",
+        "lsh_band_sweep", "bpe_train", "lang_confusion", "source_yield",
     )
     last_green_r3 = (
         "q22_idle_balance", "value_deciles", "resample_gapfill",

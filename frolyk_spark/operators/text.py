@@ -432,11 +432,140 @@ FROM d, t
 """
 
 
+# --- D48: language-label confusion matrix ------------------------------------
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus's CLAIMED language labels and
+    the lang_id heuristic's predictions — the label-quality audit run
+    before trusting per-language sampling weights or filters (a feed
+    whose 'en' label disagrees with detection is mislabeled or mixed).
+
+    One map-only scoring pass (lang_id's pure SQL expressions), one
+    map-side-combinable count aggregation over |langs|² keys, plus an
+    exact per-label agreement rate (integer counts, one division).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    preds = lang_id_frame(docs).select("doc_id", "predicted_lang")
+    counts = (
+        docs.select("doc_id", "lang")
+        .join(preds, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            4,
+        ).alias("label_share"),
+    ).orderBy("lang", "predicted_lang")
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH preds AS ({LANG_ID_SQL.strip()}),
+labeled AS (
+  SELECT d.lang, p.predicted_lang
+  FROM documents d JOIN preds p ON d.doc_id = p.doc_id
+),
+counts AS (
+  SELECT lang, predicted_lang, count(*) AS n_docs
+  FROM labeled GROUP BY 1, 2
+)
+SELECT lang, predicted_lang, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4)
+         AS label_share
+FROM counts
+ORDER BY lang, predicted_lang
+"""
+
+
+# --- D49: per-source filter yield ---------------------------------------------
+
+def source_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source yield through the corpus_filter gates: how many docs
+    each feed contributes, how many survive the quality gate, the
+    language gate, and both — the per-feed acceptance report that tells
+    a pipeline owner WHICH source is burning ingest budget before any
+    document is dropped corpus-wide.
+
+    All counts are exact integers from ONE conditional aggregation over
+    the map-only scored frame (quality + language expressions fused into
+    a single pass — no joins); rates are single divisions of exact
+    BIGINTs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scored = text_stats_frame(docs).select("doc_id", "quality_score")
+    langs = lang_id_frame(docs).select("doc_id", "predicted_lang")
+    joined = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .join(langs, "doc_id")
+    )
+    q_ok = (F.col("quality_score") >= MIN_QUALITY).cast("int")
+    l_ok = F.col("predicted_lang").isin(*KEEP_LANGS).cast("int")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(q_ok).cast("bigint").alias("n_quality_ok"),
+        F.sum(l_ok).cast("bigint").alias("n_lang_ok"),
+        F.sum(q_ok * l_ok).cast("bigint").alias("n_pass"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_quality_ok",
+        "n_lang_ok",
+        "n_pass",
+        F.round(
+            F.col("n_pass").cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("yield_rate"),
+    ).orderBy("source")
+
+
+def _source_yield_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in KEEP_LANGS)
+    return f"""
+WITH stats AS ({TEXT_STATS_SQL.strip()}),
+preds AS ({LANG_ID_SQL.strip()}),
+scored AS (
+  SELECT d.source,
+         CASE WHEN s.quality_score >= {MIN_QUALITY} THEN 1 ELSE 0 END AS q_ok,
+         CASE WHEN p.predicted_lang IN ({langs}) THEN 1 ELSE 0 END AS l_ok
+  FROM documents d
+  JOIN stats s ON d.doc_id = s.doc_id
+  JOIN preds p ON d.doc_id = p.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q_ok) AS BIGINT) AS n_quality_ok,
+       CAST(sum(l_ok) AS BIGINT) AS n_lang_ok,
+       CAST(sum(q_ok * l_ok) AS BIGINT) AS n_pass,
+       round(CAST(sum(q_ok * l_ok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+         AS yield_rate
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
     "token_entropy": token_entropy,
     "text_stats": text_stats,
     "lang_id": lang_id,
+    "lang_confusion": lang_confusion,
+    "source_yield": source_yield,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "text_redact": text_redact,
@@ -448,6 +577,8 @@ ORACLES = {
     "token_entropy": TOKEN_ENTROPY_SQL,
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
+    "lang_confusion": _lang_confusion_sql(),
+    "source_yield": _source_yield_sql(),
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "text_redact": TEXT_REDACT_SQL,
