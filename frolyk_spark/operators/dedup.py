@@ -166,10 +166,10 @@ def persisted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-def band_hashes(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_hash) rows: b={MINHASH_B} bands of r=k/b
+def _band_hashes_for(sigs: DataFrame, b_cnt: int) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows for b_cnt bands of r = k/b_cnt
     signature slots, each band hashed to one bucket key."""
-    r = MINHASH_K // MINHASH_B
+    r = MINHASH_K // b_cnt
     band_structs = ", ".join(
         "struct({b} as band_id, {h} as band_hash)".format(
             b=b,
@@ -179,21 +179,29 @@ def band_hashes(sigs: DataFrame) -> DataFrame:
                 + ")"
             ),
         )
-        for b in range(MINHASH_B)
+        for b in range(b_cnt)
     )
     return sigs.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("band")
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
 
 
-def band_pairs(sigs: DataFrame) -> DataFrame:
-    """Candidate pairs from a signature table: band-hash bucket groupBy ->
-    in-bucket pair expansion from the sorted doc_id list. Near-dup buckets
-    are small by construction (docs only collide when a full band agrees);
-    a pathological giant bucket would be capped or routed through a join at
-    scale. Never all-pairs: the shuffle is equi-partitioned on the bucket
-    key."""
-    bands = band_hashes(sigs)
+def band_hashes(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows at the default b={MINHASH_B}."""
+    return _band_hashes_for(sigs, MINHASH_B)
+
+
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Candidate pairs from a (doc_id, band_id, band_hash) frame:
+    band-hash bucket groupBy -> in-bucket pair expansion from the sorted
+    doc_id list. Near-dup buckets are small by construction (docs only
+    collide when a full band agrees); a pathological giant bucket would
+    be capped or routed through a join at scale. Never all-pairs: the
+    shuffle is equi-partitioned on the bucket key."""
     pairs_expr = (
         "flatten(transform(ids,"
         " (x, i) -> transform(slice(ids, i + 2, size(ids)),"
@@ -207,6 +215,11 @@ def band_pairs(sigs: DataFrame) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def band_pairs(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs from a signature table at the default banding."""
+    return _pairs_from_bands(band_hashes(sigs))
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,29 +891,6 @@ FROM ranked WHERE rk = 1
 SWEEP_BAND_COUNTS = (2, 3, 4, 6)
 
 
-def _band_hashes_for(sigs: DataFrame, b_cnt: int) -> DataFrame:
-    """band_hashes generalized to b_cnt bands of r = k/b_cnt slots."""
-    r = MINHASH_K // b_cnt
-    band_structs = ", ".join(
-        "struct({b} as band_id, {h} as band_hash)".format(
-            b=b,
-            h=portable_hash_spark_sql(
-                f"concat_ws(',', '{b}', "
-                + ", ".join(f"cast(s{j} as string)" for j in range(b * r, (b + 1) * r))
-                + ")"
-            ),
-        )
-        for b in range(b_cnt)
-    )
-    return sigs.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("band")
-    ).select(
-        "doc_id",
-        F.col("band.band_id").alias("band_id"),
-        F.col("band.band_hash").alias("band_hash"),
-    )
-
-
 def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH tuning table: for each banding of the k={MINHASH_K}
     signature (b bands × r rows), the candidate-pair count and the mean
@@ -931,22 +921,11 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(MINHASH_K):
         term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
         matches = term if matches is None else matches + term
+    from frolyk_spark.functions.portable import round4
+
     out = None
     for b_cnt in SWEEP_BAND_COUNTS:
-        bands = _band_hashes_for(sigs, b_cnt)
-        pairs_expr = (
-            "flatten(transform(ids,"
-            " (x, i) -> transform(slice(ids, i + 2, size(ids)),"
-            " y -> struct(x as doc_a, y as doc_b))))"
-        )
-        pairs = (
-            bands.groupBy("band_id", "band_hash")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .where(F.size("ids") > 1)
-            .select(F.explode(F.expr(pairs_expr)).alias("p"))
-            .select("p.doc_a", "p.doc_b")
-            .distinct()
-        )
+        pairs = _pairs_from_bands(_band_hashes_for(sigs, b_cnt))
         agg = (
             pairs.join(sa, "doc_a")
             .join(sb, "doc_b")
@@ -962,10 +941,9 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_pairs",
                 F.when(
                     F.col("n_pairs") > 0,
-                    F.round(
+                    round4(
                         F.col("sum_matches").cast("double")
-                        / (F.lit(float(MINHASH_K)) * F.col("n_pairs").cast("double")),
-                        4,
+                        / (F.lit(float(MINHASH_K)) * F.col("n_pairs").cast("double"))
                     ),
                 ).alias("mean_est_jaccard"),
             )
@@ -984,13 +962,18 @@ def _lsh_band_sweep_sql() -> str:
             f" array_to_string(list_transform(sig[b * {r} + 1:b * {r} + {r}],"
             " x -> cast(x as varchar)), ',')"
         )
+        mean_expr = (
+            f"CAST(coalesce(sum(len(list_filter(range(1, {MINHASH_K} + 1),"
+            f" j -> sa.sig[j] = sb.sig[j]))), 0) AS DOUBLE)"
+            f" / ({MINHASH_K}.0 * CAST(count(*) AS DOUBLE))"
+        )
+        from frolyk_spark.functions.portable import round4_sql
+
         parts.append(f"""
 SELECT {b_cnt} AS bands, {r} AS rows_per_band,
        CAST(count(*) AS BIGINT) AS n_pairs,
        CASE WHEN count(*) > 0 THEN
-         round(CAST(coalesce(sum(len(list_filter(range(1, {MINHASH_K} + 1),
-                     j -> sa.sig[j] = sb.sig[j]))), 0) AS DOUBLE)
-               / ({MINHASH_K}.0 * CAST(count(*) AS DOUBLE)), 4)
+         {round4_sql(mean_expr)}
        END AS mean_est_jaccard
 FROM (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

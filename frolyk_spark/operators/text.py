@@ -34,18 +34,25 @@ LANG_PROFILES = {
 
 # --- D1: text stats / quality score -----------------------------------------
 
-def _round4(col):
-    """Portable 4-dp round-half-up: floor(x·10⁴ + 0.5)/10⁴ with the
-    identical expression on both engines. Spark's round() rounds the
-    SHORTEST decimal repr of the double (BigDecimal.valueOf: 0.59825 →
-    0.5983) while DuckDB rounds numerically (the same double is
-    0.59824999…, → 0.5982) — a boundary flake the sf0.1 sweep actually
-    hit on quality_score. Non-negative inputs only (ratios here)."""
-    return F.floor(col * 10000.0 + F.lit(0.5)) / 10000.0
+# portable ratio rounding — see functions.portable for the why
+from frolyk_spark.functions.portable import round4 as _round4
+from frolyk_spark.functions.portable import round4_sql as _round4_sql
 
 
-def _round4_sql(expr: str) -> str:
-    return f"floor(({expr}) * 10000.0 + 0.5) / 10000.0"
+def _quality_score_col() -> F.Column:
+    """The corpus_filter quality score as a bare per-row Column over
+    `text` — shared by text_stats_frame and the fused single-scan
+    consumers (source_yield)."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    quality = (
+        0.4 * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (n_distinct / n_words)
+        + 0.3 * (1 - stop_hits / n_words)
+    )
+    return _round4(quality)
 
 
 def text_stats_frame(docs: DataFrame) -> DataFrame:
@@ -59,12 +66,6 @@ def text_stats_frame(docs: DataFrame) -> DataFrame:
     # single-space separated text: total word chars = n_chars - (n_words - 1)
     avg_word_len = (n_chars - (n_words - 1)) / n_words
     stop_ratio = stop_hits / n_words
-    distinct_ratio = n_distinct / n_words
-    quality = (
-        0.4 * F.least(n_words / F.lit(100.0), F.lit(1.0))
-        + 0.3 * distinct_ratio
-        + 0.3 * (1 - stop_ratio)
-    )
     return docs.select(
         "doc_id",
         n_chars.cast("bigint").alias("n_chars"),
@@ -72,7 +73,7 @@ def text_stats_frame(docs: DataFrame) -> DataFrame:
         n_distinct.cast("bigint").alias("n_distinct_words"),
         _round4(avg_word_len).alias("avg_word_len"),
         _round4(stop_ratio).alias("stopword_ratio"),
-        _round4(quality).alias("quality_score"),
+        _quality_score_col().alias("quality_score"),
     )
 
 
@@ -106,21 +107,28 @@ def _profile_regex(words: tuple[str, ...]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
 
 
-def lang_id_frame(docs: DataFrame) -> DataFrame:
-    """Frame-level form (see text_stats_frame)."""
-    scored = docs.select(
-        "doc_id",
-        *[
-            F.regexp_count("text", F.lit(_profile_regex(ws))).cast("bigint").alias(f"s_{lang}")
-            for lang, ws in sorted(LANG_PROFILES.items())
-        ],
-    )
+def _lang_score_cols() -> list:
+    """Per-language indicator-word counts as per-row Columns over `text`."""
+    return [
+        F.regexp_count("text", F.lit(_profile_regex(ws))).cast("bigint").alias(f"s_{lang}")
+        for lang, ws in sorted(LANG_PROFILES.items())
+    ]
+
+
+def _predicted_lang_col() -> F.Column:
+    """Winning language from the projected s_* score columns; first lang
+    (asc) reaching the max wins — deterministic tie-break."""
     best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_PROFILES)])
     predicted = F.lit(None).cast("string")
-    # first lang (asc) reaching the max wins — deterministic tie-break
     for lang in sorted(LANG_PROFILES, reverse=True):
         predicted = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(predicted)
-    return scored.withColumn("predicted_lang", predicted)
+    return predicted
+
+
+def lang_id_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level form (see text_stats_frame)."""
+    scored = docs.select("doc_id", *_lang_score_cols())
+    return scored.withColumn("predicted_lang", _predicted_lang_col())
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,31 +448,29 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting per-language sampling weights or filters (a feed
     whose 'en' label disagrees with detection is mislabeled or mixed).
 
-    One map-only scoring pass (lang_id's pure SQL expressions), one
-    map-side-combinable count aggregation over |langs|² keys, plus an
-    exact per-label agreement rate (integer counts, one division).
+    One map-only scoring pass — lang_id's per-row score expressions
+    projected ALONGSIDE the carried claimed label in a single select
+    (no join back, one scan) — then one map-side-combinable count
+    aggregation over |langs|² keys, plus an exact per-label agreement
+    share (integer counts, one portable-rounded division).
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    scored = docs.select("lang", *_lang_score_cols()).withColumn(
+        "predicted_lang", _predicted_lang_col()
     )
-    preds = lang_id_frame(docs).select("doc_id", "predicted_lang")
-    counts = (
-        docs.select("doc_id", "lang")
-        .join(preds, "doc_id")
-        .groupBy("lang", "predicted_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
     w = Window.partitionBy("lang")
     return counts.select(
         "lang",
         "predicted_lang",
         "n_docs",
-        F.round(
+        _round4(
             F.col("n_docs").cast("double")
-            / F.sum("n_docs").over(w).cast("double"),
-            4,
+            / F.sum("n_docs").over(w).cast("double")
         ).alias("label_share"),
     ).orderBy("lang", "predicted_lang")
 
@@ -481,8 +487,8 @@ counts AS (
   FROM labeled GROUP BY 1, 2
 )
 SELECT lang, predicted_lang, n_docs,
-       round(CAST(n_docs AS DOUBLE)
-             / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4)
+       {_round4_sql("CAST(n_docs AS DOUBLE)"
+                    " / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)")}
          AS label_share
 FROM counts
 ORDER BY lang, predicted_lang
@@ -499,23 +505,21 @@ def source_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     document is dropped corpus-wide.
 
     All counts are exact integers from ONE conditional aggregation over
-    the map-only scored frame (quality + language expressions fused into
-    a single pass — no joins); rates are single divisions of exact
-    BIGINTs.
+    the map-only scored frame: the quality score and the language score
+    columns are projected in the SAME single select over the scan (no
+    joins, one pass — the same per-row expressions text_stats/lang_id
+    project separately); rates are single portable-rounded divisions of
+    exact BIGINTs.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
-    scored = text_stats_frame(docs).select("doc_id", "quality_score")
-    langs = lang_id_frame(docs).select("doc_id", "predicted_lang")
-    joined = (
-        docs.select("doc_id", "source")
-        .join(scored, "doc_id")
-        .join(langs, "doc_id")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    scored = docs.select(
+        "source",
+        _quality_score_col().alias("quality_score"),
+        *_lang_score_cols(),
+    ).withColumn("predicted_lang", _predicted_lang_col())
     q_ok = (F.col("quality_score") >= MIN_QUALITY).cast("int")
     l_ok = F.col("predicted_lang").isin(*KEEP_LANGS).cast("int")
-    agg = joined.groupBy("source").agg(
+    agg = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(q_ok).cast("bigint").alias("n_quality_ok"),
         F.sum(l_ok).cast("bigint").alias("n_lang_ok"),
@@ -527,8 +531,8 @@ def source_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_quality_ok",
         "n_lang_ok",
         "n_pass",
-        F.round(
-            F.col("n_pass").cast("double") / F.col("n_docs").cast("double"), 4
+        _round4(
+            F.col("n_pass").cast("double") / F.col("n_docs").cast("double")
         ).alias("yield_rate"),
     ).orderBy("source")
 
@@ -551,7 +555,7 @@ SELECT source,
        CAST(sum(q_ok) AS BIGINT) AS n_quality_ok,
        CAST(sum(l_ok) AS BIGINT) AS n_lang_ok,
        CAST(sum(q_ok * l_ok) AS BIGINT) AS n_pass,
-       round(CAST(sum(q_ok * l_ok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       {_round4_sql("CAST(sum(q_ok * l_ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
          AS yield_rate
 FROM scored
 GROUP BY source

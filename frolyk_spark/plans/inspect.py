@@ -34,6 +34,25 @@ def _formatted(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _top_level_columns(schema_body: str) -> set:
+    """Column names from a struct<...> body, splitting only on commas at
+    nesting depth 0 so array<…>/struct<…> column types stay intact."""
+    cols, depth, cur = [], 0, []
+    for ch in schema_body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        cols.append("".join(cur))
+    return {c.split(":")[0].strip() for c in cols if c.strip()}
+
+
 def plan_report(df: DataFrame) -> dict:
     """Extract the scale-relevant facts of ``df``'s physical plan.
 
@@ -54,9 +73,13 @@ def plan_report(df: DataFrame) -> dict:
       rather than a global sort + limit.
     """
     plan = _formatted(df)
+    # greedy-to-end-of-line captures survive nested types (array<double>,
+    # struct<…>) and bracketed filters (In(col, [a,b])) — a lazy
+    # [^>]*/[^\]]* form truncates at the FIRST closer, dropping trailing
+    # columns/filters and leaking nested field names as phantom columns
     read_schemas = [
-        {c.split(":")[0] for c in m.split(",") if c}
-        for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        _top_level_columns(m)
+        for m in re.findall(r"ReadSchema: struct<(.*)>", plan)
     ]
     # "formatted" lists every operator twice (tree + details); count the
     # numbered detail headers — exactly one per physical operator
@@ -64,7 +87,7 @@ def plan_report(df: DataFrame) -> dict:
         return len(re.findall(rf"\(\d+\) {op}", plan))
 
     return {
-        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "pushed_filters": re.findall(r"PushedFilters: \[(.*)\]", plan),
         "read_schemas": read_schemas,
         "joins": {op: _op_count(op) for op in _JOIN_OPS if op in plan},
         "scans": _op_count("Scan parquet"),

@@ -470,3 +470,25 @@ def test_sample_per_source_partial_topk(spark, sf_dir):
     assert rep["scans"] == 1 and rep["exchanges"] == 1, (
         rep["scans"], rep["exchanges"],
     )
+
+
+def test_plan_report_nested_types_and_bracketed_filters(spark, sf_dir):
+    """plan_report must not truncate ReadSchema at nested type closers
+    (array<float>) or PushedFilters at In(...)'s bracket."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.plans import plan_report
+    from frolyk_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")  # embedding: array<float>
+    rep = plan_report(emb.select("vec_id", "embedding", "label"))
+    assert {"vec_id", "embedding", "label"} in rep["read_schemas"], (
+        rep["read_schemas"]
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "de") & F.col("source").isNotNull()
+    )
+    rep2 = plan_report(docs.select("doc_id"))
+    pushed = " ".join(rep2["pushed_filters"])
+    assert "lang" in pushed and "source" in pushed, pushed
