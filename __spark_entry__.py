@@ -27,57 +27,40 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.operators import (
         dedup, multimodal, partsupp, pipeline, relational, sampling,
-        similarity, text, vocab,
+        similarity, temporal, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 of 111 per round; r4 ran
-    # 50 of 86). The r5 rotation is ordered by driver-row AGE:
-    #   1. red_or_new: embedding_quantize (the one r4 red row — codes
-    #      output serialized to a scalar this round) and the twenty-five
-    #      operators new in r5 (no driver row at all; ann_pq is
-    #      no-oracle by design — recall-gated in pytest like ann_lsh);
-    #   2. last_green_r3: the 36 entries whose newest green row is r3 —
-    #      the 17 r3-green entries r4's budget never reached plus the 19
-    #      twice-green (r2+r3) entries the r4 rotation parked last;
-    #   3. r4_first_green: the 6 entries whose ONLY green row is r4
-    #      (source_mix, q12_delay_priority, and the four r4-new ops) — one
-    #      confirmation, worth a second;
-    #   4. the remaining r4-green rows (r2+r4 then r3+r4) last — every one
-    #      has two green rows, the newest from last round.
-    red_or_new = (
-        "embedding_quantize",
-        "json_props_stats", "markov_transitions", "order_value_quartiles",
-        "price_discount_corr", "boilerplate_ngrams", "anomaly_zscore",
-        "dedup_canonical", "conversion_funnel", "funnel_fold",
-        "key_skew_profile", "ann_pq",
-        "q2_min_cost_supplier", "q11_important_parts",
-        "q16_parts_supplier_counts", "q20_concentrated_suppliers",
-        "source_vocab_overlap", "ngram_novelty", "sample_temperature",
-        "stream_anomaly", "sample_per_source", "sketch_profile",
-        "lsh_band_sweep", "bpe_train", "lang_confusion", "source_yield",
+    # in dict order under a wall-clock budget (~50 per round of the 114
+    # registered entries). The r6 rotation is ordered by driver-row AGE.
+    # CORRECTNESS_r05 was not delivered to the repo, so r5 coverage is
+    # estimated from the r5 registration order and the observed ~50/round
+    # budget (the 26 red_or_new entries plus roughly the first two dozen of
+    # the last_green_r3 block):
+    #   1. new_r6: the operators new this round — no driver row at all;
+    #   2. likely_last_green_r3: the TAIL of r5's last_green_r3 block, the
+    #      entries an r5 budget of ~50 would not have reached — their
+    #      newest green row is still r3 (two rounds stale);
+    #   3. r4_green_once / r4_green: entries whose newest green row is r4;
+    #   4. the head of r5's rotation (embedding_quantize + the 25 r5-new
+    #      ops, then the last_green_r3 head) — freshly checked in r5 if
+    #      the estimate holds, so they park last and still fit a ~50
+    #      budget's remainder partially.
+    new_r6 = (
+        "dup_span_coverage", "scd2_history", "supplier_peak_load",
+        "semantic_dedup", "bpe_encode",
     )
-    last_green_r3 = (
-        "q22_idle_balance", "value_deciles", "resample_gapfill",
-        "salted_join_segments", "multimodal_features", "media_resize",
-        "frame_sample", "sample_stratified", "train_test_split",
-        "stream_tumbling", "stream_hopping", "stream_dedup", "sessionize",
-        "stream_stateful", "stream_stream_join", "stream_static_join",
-        "task_pipeline",
-        "q1_pricing_summary", "q3_unshipped_revenue", "dedup_exact",
-        "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding", "dedup_clusters", "ann_bruteforce", "ann_lsh",
+    likely_last_green_r3 = (
+        "dedup_clusters", "ann_bruteforce", "ann_lsh",
         "ann_ivf", "embedding_stats", "text_stats", "lang_id",
         "token_count", "doc_fingerprint", "text_redact", "corpus_filter",
         "multimodal_manifest",
     )
-    r4_first_green = (
+    r4_green = (
         "source_mix", "q12_delay_priority", "minhash_jaccard_estimate",
         "cross_source_duplication", "length_histogram", "tfidf_top_terms",
-    )
-    r2_and_r4_green = (
         "q5_local_supplier", "q6_forecast", "q10_returned",
         "topk_orders_per_customer", "running_revenue", "event_deltas",
         "rollup_revenue", "cube_lineitem", "customers_with_orders",
@@ -90,27 +73,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_distribution", "q15_top_supplier", "q18_large_orders",
         "approx_stats",
     )
+    likely_r5_green = (
+        "embedding_quantize",
+        "json_props_stats", "markov_transitions", "order_value_quartiles",
+        "price_discount_corr", "boilerplate_ngrams", "anomaly_zscore",
+        "dedup_canonical", "conversion_funnel", "funnel_fold",
+        "key_skew_profile", "ann_pq",
+        "q2_min_cost_supplier", "q11_important_parts",
+        "q16_parts_supplier_counts", "q20_concentrated_suppliers",
+        "source_vocab_overlap", "ngram_novelty", "sample_temperature",
+        "stream_anomaly", "sample_per_source", "sketch_profile",
+        "lsh_band_sweep", "bpe_train", "lang_confusion", "source_yield",
+        "q22_idle_balance", "value_deciles", "resample_gapfill",
+        "salted_join_segments", "multimodal_features", "media_resize",
+        "frame_sample", "sample_stratified", "train_test_split",
+        "stream_tumbling", "stream_hopping", "stream_dedup", "sessionize",
+        "stream_stateful", "stream_stream_join", "stream_static_join",
+        "task_pipeline",
+        "q1_pricing_summary", "q3_unshipped_revenue", "dedup_exact",
+        "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_embedding",
+    )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (pipeline, relational, partsupp, vocab, text, dedup,
-                similarity, multimodal, sampling, streaming_jobs, bridge):
+    for mod in (pipeline, relational, partsupp, temporal, vocab, text,
+                dedup, similarity, multimodal, sampling, streaming_jobs,
+                bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*red_or_new, *last_green_r3, *r4_first_green,
-              *r2_and_r4_green):
-        out[k] = registry[k]
-    out.update(registry)  # r3+r4-green remainder; first-insertion order wins
+    for k in (*new_r6, *likely_last_green_r3, *r4_green, *likely_r5_green):
+        if k in registry:  # new_r6 names land as their operators merge
+            out[k] = registry[k]
+    out.update(registry)  # remainder; first-insertion order wins
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from frolyk_spark.operators import (
         dedup, multimodal, partsupp, pipeline, relational, sampling,
-        similarity, text, vocab,
+        similarity, temporal, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     out: dict[str, str] = {}
+    out.update(temporal.ORACLES)
     out.update(partsupp.ORACLES)
     out.update(vocab.ORACLES)
     out.update(pipeline.ORACLES)

@@ -580,6 +580,155 @@ ORDER BY doc_id
 """
 
 
+# --- D50: duplicated-text span coverage --------------------------------------
+
+#: gram width for the duplicated-span mask (matches the common dedup span
+#: granularity; independent of CONTAM_W so the two knobs tune separately)
+SPAN_W = 8
+
+
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a doc's token
+    positions covered by at least one word {SPAN_W}-gram that also occurs
+    in ANOTHER document — the RefinedWeb/CCNet "f_dup" signal used to drop
+    or trim documents dominated by cross-corpus boilerplate. ngram_novelty
+    counts *distinct grams*; this measures *token coverage*, which is what
+    a span-trimming pass actually acts on (overlapping dup grams must not
+    double-count, hence the interval union).
+
+    Shape: positional grams (pos kept, NOT distinct) → cross-doc gram df
+    over the (hash, doc) projection → hits filtered to shared grams EARLY
+    (the equi-join on gram hash drops unique-gram occurrences before any
+    window) → per-doc interval union via the classic running-max-end
+    window (sorted by start; new coverage = end − max(prev ends, start−1),
+    clamped at 0) → one per-doc reduce, left-joined back to the doc list
+    so clean docs report 0. Two gram-keyed shuffles (df + join) and one
+    doc-keyed window; hot (boilerplate) grams bound their postings by doc
+    count exactly as in ngram_novelty, and AQE skew-join covers the join.
+    Coverage rounds with the portable round4 (ratio → libm-free).
+    """
+    from frolyk_spark.functions.portable import round4
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    pos_grams = (
+        "transform(array(split(text, ' ')), ws -> transform("
+        f"sequence(1, greatest(size(ws) - {SPAN_W - 1}, 1)),"
+        f" i -> struct(i as pos, concat_ws(' ', slice(ws, i, {SPAN_W})) as g)))[0]"
+    )
+    postings = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "n_tokens", F.explode(F.expr(pos_grams)).alias("pg"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("pg.pos").cast("bigint").alias("pos"),
+            F.expr(portable_hash_spark_sql("pg.g")).alias("h"),
+        )
+    )
+    shared = (
+        postings.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h")
+    )
+    hits = postings.join(shared, "h").select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.least(F.col("pos") + SPAN_W - 1, F.col("n_tokens")).alias("e"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cover = hits.select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(
+            F.lit(0),
+            F.col("e")
+            - F.greatest(F.coalesce(F.max("e").over(w), F.lit(0)), F.col("pos") - 1),
+        ).alias("c"),
+    )
+    per_doc = cover.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("covered_tokens")
+    )
+    return (
+        docs.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            round4(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dup_span_coverage_sql() -> str:
+    from frolyk_spark.functions.portable import round4_sql
+
+    w = SPAN_W
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+p AS (
+  SELECT doc_id, cast(len(ws) AS BIGINT) AS n_tokens,
+         unnest(list_transform(
+           range(1, greatest(len(ws) - {w - 1}, 1) + 1),
+           i -> struct_pack(pos := i,
+                            g := array_to_string(ws[i:i+{w - 1}], ' ')))) AS pg
+  FROM t
+),
+postings AS (
+  SELECT doc_id, n_tokens, cast(pg.pos AS BIGINT) AS pos,
+         {portable_hash_sql('pg.g')} AS h
+  FROM p
+),
+shared AS (
+  SELECT h FROM (
+    SELECT h, count(*) AS df
+    FROM (SELECT DISTINCT h, doc_id FROM postings) GROUP BY h
+  ) WHERE df >= 2
+),
+hits AS (
+  SELECT doc_id, n_tokens, pos,
+         least(pos + {w - 1}, n_tokens) AS e
+  FROM postings JOIN shared USING (h)
+),
+cover AS (
+  SELECT doc_id, n_tokens,
+         greatest(0, e - greatest(coalesce(
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0), pos - 1)) AS c
+  FROM hits
+),
+per_doc AS (
+  SELECT doc_id, cast(sum(c) AS BIGINT) AS covered_tokens
+  FROM cover GROUP BY doc_id
+)
+SELECT d.doc_id,
+       cast(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       cast(coalesce(per_doc.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       {round4_sql('cast(coalesce(per_doc.covered_tokens, 0) AS DOUBLE)'
+                   ' / cast(len(string_split(d.text, chr(32))) AS DOUBLE)')}
+         AS dup_coverage
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --- D43: temperature-scaled source sampling weights -------------------------
 
 def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +793,7 @@ QUERIES = {
     "boilerplate_ngrams": boilerplate_ngrams,
     "ngram_novelty": ngram_novelty,
     "sample_temperature": sample_temperature,
+    "dup_span_coverage": dup_span_coverage,
 }
 
 ORACLES = {
@@ -657,4 +807,5 @@ ORACLES = {
     "boilerplate_ngrams": BOILERPLATE_SQL,
     "ngram_novelty": NGRAM_NOVELTY_SQL,
     "sample_temperature": SAMPLE_TEMPERATURE_SQL,
+    "dup_span_coverage": _dup_span_coverage_sql(),
 }

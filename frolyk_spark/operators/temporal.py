@@ -1,0 +1,203 @@
+"""Temporal-modeling operators (SURVEY §2 C52-C53): SCD2 dimension
+history and interval sweep-line concurrency.
+
+These round out the relational family (relational.py) with the two
+warehouse temporal patterns it didn't yet cover: slowly-changing-
+dimension versioning (the MERGE/SCD2 shape every dimension pipeline
+runs) and interval overlap analysis WITHOUT a pairwise join (the
+sweep-line rewrite — a pairwise interval self-join is quadratic per key
+and never survives a 100× scale-up; the sweep is linear in interval
+count and shuffles once).
+
+Reference parity note: the reference (JaapRood/frolyk) is a Kafka
+stream-processing library with no relational layer; these implement the
+charter's OLAP surface. Cross-engine conventions per CLAUDE.md:
+timestamps leave as epoch-µs bigints, dates as 'yyyy-MM-dd' strings,
+and every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frolyk_spark.sources.catalog import load_table
+
+
+# --- C52: SCD2 dimension history ---------------------------------------------
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's
+    event_type "state": collapse consecutive runs of the same type into
+    one versioned row with [valid_from_us, valid_to_us) validity and an
+    is_current flag — the standard SCD2 build every dimension pipeline
+    materializes from a change stream.
+
+    Scale shape: ONE user_id shuffle total. The run-change detection
+    (lag), the versioning (row_number) and the validity close-out (lead)
+    are all windows PARTITIONED BY user_id — Catalyst reuses the single
+    sort/exchange for all three, and a 1000-executor run partitions
+    cleanly by user. No joins, no driver state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(wc).cast("bigint").alias("version"),
+            "event_type",
+            F.col("ts_us").alias("valid_from_us"),
+            F.lead("ts_us").over(wc).alias("valid_to_us"),
+            F.lead("ts_us").over(wc).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_HISTORY_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  SELECT user_id, event_type, event_id, ts_us
+  FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       cast(row_number() OVER w AS BIGINT) AS version,
+       event_type,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER w AS valid_to_us,
+       lead(ts_us) OVER w IS NULL AS is_current
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, version
+"""
+
+
+# --- C53: interval sweep-line concurrency ------------------------------------
+
+def supplier_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open shipments per supplier via a sweep-line over
+    the per-lineitem active window [least(orderdate, shipdate),
+    greatest(orderdate, shipdate)] (the synthetic dates are unordered, so
+    the window is normalized) — the interval-overlap question answered
+    WITHOUT the pairwise interval self-join, which is quadratic per key
+    (600 lineitems/supplier → 180k pairs each) and dies at scale.
+
+    Sweep shape: each interval contributes +1 at start and -1 at
+    end+1 day; deltas are pre-aggregated per (supplier, date) — a
+    map-side-combinable groupBy, which also makes the running sum
+    tie-free — then ONE supplier-partitioned window computes the running
+    open count, its max (the peak), and the earliest date attaining it.
+    Linear in lineitems, one fact shuffle for the orders join (orderkey),
+    one for the sweep (suppkey).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_d")
+    )
+    iv = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.least("order_d", "ship_d").alias("start_d"),
+        F.greatest("order_d", "ship_d").alias("end_d"),
+    )
+    deltas = iv.select(
+        "l_suppkey",
+        F.explode(
+            F.array(
+                F.struct(F.col("start_d").alias("d"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.date_add("end_d", 1).alias("d"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("e"),
+    ).select("l_suppkey", F.col("e.d").alias("d"), F.col("e.delta").alias("delta"))
+    per_date = deltas.groupBy("l_suppkey", "d").agg(
+        F.sum("delta").cast("bigint").alias("net"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).cast("bigint").alias("starts"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("d")
+    ws = Window.partitionBy("l_suppkey")
+    swept = per_date.select(
+        "l_suppkey",
+        "d",
+        F.sum("net").over(w).alias("open_now"),
+        F.sum("starts").over(ws).alias("n_intervals"),
+    ).withColumn("peak_open", F.max("open_now").over(ws))
+    return (
+        swept.where(F.col("open_now") == F.col("peak_open"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("n_intervals").alias("n_intervals"),
+            F.max("peak_open").alias("peak_open"),
+            F.min("d").cast("string").alias("peak_date"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+SUPPLIER_PEAK_LOAD_SQL = """
+WITH iv AS (
+  SELECT l.l_suppkey,
+         least(cast(o.o_orderdate AS DATE), cast(l.l_shipdate AS DATE)) AS start_d,
+         greatest(cast(o.o_orderdate AS DATE), cast(l.l_shipdate AS DATE)) AS end_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT l_suppkey, start_d AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT l_suppkey, end_d + INTERVAL 1 DAY, -1 FROM iv
+),
+per_date AS (
+  SELECT l_suppkey, cast(d AS DATE) AS d,
+         cast(sum(delta) AS BIGINT) AS net,
+         cast(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS starts
+  FROM deltas GROUP BY l_suppkey, cast(d AS DATE)
+),
+swept AS (
+  SELECT l_suppkey, d,
+         cast(sum(net) OVER (PARTITION BY l_suppkey ORDER BY d) AS BIGINT)
+           AS open_now,
+         cast(sum(starts) OVER (PARTITION BY l_suppkey) AS BIGINT)
+           AS n_intervals
+  FROM per_date
+),
+peaked AS (
+  SELECT *, max(open_now) OVER (PARTITION BY l_suppkey) AS peak_open FROM swept
+)
+SELECT l_suppkey,
+       max(n_intervals) AS n_intervals,
+       max(peak_open) AS peak_open,
+       cast(min(d) AS VARCHAR) AS peak_date
+FROM peaked
+WHERE open_now = peak_open
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+QUERIES = {
+    "scd2_history": scd2_history,
+    "supplier_peak_load": supplier_peak_load,
+}
+
+ORACLES = {
+    "scd2_history": SCD2_HISTORY_SQL,
+    "supplier_peak_load": SUPPLIER_PEAK_LOAD_SQL,
+}
