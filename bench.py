@@ -81,6 +81,12 @@ HEADLINE = [
     "resample_gapfill",
     "multimodal_features",
     "stream_anomaly",
+    # r6 additions
+    "scd2_history",
+    "supplier_peak_load",
+    "dup_span_coverage",
+    "semantic_dedup",
+    "bpe_encode",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frolyk_spark.functions.hashing import portable_hash_spark_sql
 from frolyk_spark.sources.catalog import load_table
 
 #: vocabulary entries kept (top-K by term frequency, word tie-break)
@@ -335,6 +336,69 @@ def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 6
 
 
+def _merge_fold(a: str, b: str):
+    """Greedy left-to-right (a, b) -> a+b merge as an F.aggregate lambda."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def fold(out, t):
+        mergeable = (
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == la)
+            & (t == lb)
+        )
+        return F.when(
+            mergeable,
+            F.concat(F.slice(out, 1, F.size(out) - 1), F.array(lab)),
+        ).otherwise(F.concat(out, F.array(t)))
+
+    return fold
+
+
+def _bpe_loop(toks: DataFrame) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The shared BPE training loop: {BPE_MERGES} rounds of distributed
+    pair counting -> TakeOrdered(1) merge decision -> JVM array-fold
+    re-segmentation with a lineage cut per round. `toks` must have a
+    `toks: array<string>` column; any other columns (doc_id, wpos) are
+    carried through untouched. Returns (merge table, final segmentation).
+    """
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    carry = [c for c in toks.columns if c != "toks"]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_MERGES + 1):
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (a, b) -> struct(a as a, b as b))"
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((step, a, b, a + b, cnt))
+        toks = cut_lineage(
+            toks.select(
+                *carry,
+                F.aggregate(
+                    "toks",
+                    F.expr("cast(array() as array<string>)"),
+                    _merge_fold(a, b),
+                ).alias("toks"),
+            )
+        )
+    return merges, toks
+
+
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real (small) BPE training loop, distributed: start from
     characters, and for {BPE_MERGES} rounds count adjacent token pairs
@@ -370,57 +434,75 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks")
         )
     )
-    merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, BPE_MERGES + 1):
-        pairs = toks.select(
-            F.explode(
-                F.expr(
-                    "zip_with(slice(toks, 1, size(toks) - 1),"
-                    " slice(toks, 2, size(toks) - 1),"
-                    " (a, b) -> struct(a as a, b as b))"
-                )
-            ).alias("p")
-        )
-        top = (
-            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
-        merges.append((step, a, b, a + b, cnt))
-
-        def make_fold(a: str, b: str):
-            la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
-
-            def fold(out, t):
-                mergeable = (
-                    (F.size(out) > 0)
-                    & (F.element_at(out, -1) == la)
-                    & (t == lb)
-                )
-                return F.when(
-                    mergeable,
-                    F.concat(F.slice(out, 1, F.size(out) - 1), F.array(lab)),
-                ).otherwise(F.concat(out, F.array(t)))
-
-            return fold
-
-        fold = make_fold(a, b)
-        toks = cut_lineage(
-            toks.select(
-                F.aggregate(
-                    "toks",
-                    F.expr("cast(array() as array<string>)"),
-                    fold,
-                ).alias("toks")
-            )
-        )
+    merges, _ = _bpe_loop(toks)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, cnt bigint"
+    )
+
+
+# --- D52: BPE corpus encoding -------------------------------------------------
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the WHOLE corpus with the {BPE_MERGES}-round trained merges —
+    the tokenizer-apply pass that turns raw text into training pieces.
+    bpe_train emits the model; this carries (doc_id, word position) through
+    the identical learn+apply loop (re-learning the merges is the honest
+    cost of composition, like dedup_canonical re-running the propagation)
+    and emits the encoded corpus: per document, word/piece counts, the
+    compression ratio, and a portable hash of the full piece sequence in
+    document order (word pieces joined '|', words joined ' ') so any
+    segmentation drift is visible as a hash change.
+
+    Scale shape per round is bpe_train's (map-side-combinable pair counts,
+    ONE model row to the driver, map-only JVM fold, lineage cut); the
+    extra doc_id/wpos columns ride the map-only re-segmentation for free.
+    The final per-doc reduce collects each document's pieces once —
+    bounded by document length, the same bound doc_chunks carries. No SQL
+    oracle (iterative, like bpe_train); model-checked per document against
+    the pure-Python reference encoder in tests/test_semantics.py.
+    """
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("wpos", "w"))
+        .where(F.length("w") > 0)
+    )
+    toks = cut_lineage(
+        words.select(
+            "doc_id",
+            "wpos",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("toks"),
+        )
+    )
+    _, final = _bpe_loop(toks)
+    enc = final.select(
+        "doc_id",
+        "wpos",
+        F.concat_ws("|", "toks").alias("pw"),
+        F.size("toks").alias("np"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            F.array_sort(F.collect_list(F.struct("wpos", "pw"))).alias("ps"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                portable_hash_spark_sql(
+                    "concat_ws(' ', transform(ps, s -> s.pw))"
+                )
+            ).alias("enc_hash"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -435,6 +517,7 @@ QUERIES = {
     # no-oracle: iterative (driver-held merge state per round); model-
     # checked against a pure-Python reference in tests/test_semantics.py
     "bpe_train": bpe_train,
+    "bpe_encode": bpe_encode,
 }
 
 ORACLES = {

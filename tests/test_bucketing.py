@@ -284,3 +284,61 @@ def test_zorder_bit_fold_matches_reference(spark):
     got = {(r.ra, r.rb): r.z for r in df.withColumn("z", F.expr(z)).collect()}
     for a, b in pairs:
         assert got[(a, b)] == morton_ref(a, b), (a, b)
+
+
+def test_merge_upsert_updates_inserts_and_preserves_siblings(spark, sf_dir, tmp_path):
+    """E11: MERGE-style upsert must (a) replace rows whose key is in the
+    batch, (b) append new keys, (c) leave untouched partitions
+    byte-identical (their files are not rewritten), and (d) be idempotent
+    under at-least-once redelivery (re-merging the same batch changes
+    nothing) — the foreachBatch CDC-sink contract."""
+    import os
+
+    from frolyk_spark.sources.catalog import merge_upsert, write_partitioned
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_merge")
+    write_partitioned(events, out, ["event_type"])
+
+    def files_of(part):
+        d = os.path.join(out, f"event_type={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    base_n = spark.read.parquet(out).count()
+    # update stays in its key's own partition (merge_upsert's documented
+    # partition-stability contract); pick an untouched sibling dynamically
+    row0 = events.where("event_id = 0").first()
+    untouched = next(
+        t
+        for (t,) in events.select("event_type").distinct().collect()
+        if t not in (row0.event_type, "purchase")
+    )
+    untouched_before = files_of(untouched)
+
+    updates = spark.createDataFrame(
+        [
+            (0, 999, row0.event_type, 1.5),   # update: event_id 0 exists
+            (10_000_000, 7, "purchase", 2.5),  # insert: brand-new key
+        ],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    merged = merge_upsert(updates, out, key="event_id", partition_col="event_type")
+
+    assert merged.count() == base_n + 1, "one insert, updates replace in place"
+    got = {r.event_id: r for r in merged.where("event_id in (0, 10000000)").collect()}
+    assert got[0].user_id == 999 and got[0].event_type == row0.event_type
+    assert got[10_000_000].user_id == 7
+    assert files_of(untouched) == untouched_before, "untouched partition rewritten"
+
+    # idempotent retry: same batch again -> same table
+    again = merge_upsert(updates, out, key="event_id", partition_col="event_type")
+    assert again.count() == base_n + 1
+    assert {r.event_id: r.user_id for r in again.where("event_id in (0, 10000000)").collect()} == {
+        0: 999, 10_000_000: 7,
+    }

@@ -492,3 +492,41 @@ def test_plan_report_nested_types_and_bracketed_filters(spark, sf_dir):
     rep2 = plan_report(docs.select("doc_id"))
     pushed = " ".join(rep2["pushed_filters"])
     assert "lang" in pushed and "source" in pushed, pushed
+
+
+def test_r6_ops_plan_shapes(spark, sf_dir):
+    """r6 operators keep the scale shapes. scd2_history: one user_id
+    shuffle reused by all three windows (lag/row_number/lead), zero joins,
+    pruned scan. supplier_peak_load: the sweep-line never forms interval
+    pairs (no cartesian/NLJ), the orders join is on orderkey, and the
+    delta aggregation combines map-side. dup_span_coverage: gram joins
+    are equi-joins, no cartesian. semantic_dedup: the candidate self-join
+    runs on the lineage-cut assignment (the pandas-UDF scan appears once,
+    not once per join side)."""
+    import re
+
+    from frolyk_spark.operators.pipeline import dup_span_coverage
+    from frolyk_spark.operators.similarity import _semantic_candidate_pairs
+    from frolyk_spark.operators.temporal import scd2_history, supplier_peak_load
+    from frolyk_spark.plans import assert_scale_shape, plan_report
+
+    rep = assert_scale_shape(
+        scd2_history(spark, sf_dir), forbid_nested_loop=True, max_scans=1
+    )
+    assert not rep["joins"], "SCD2 must be pure windows"
+    assert len(re.findall(r"hashpartitioning\(user_id", rep["plan"])) == 1, (
+        "the three windows must share ONE user_id exchange"
+    )
+
+    rep = assert_scale_shape(
+        supplier_peak_load(spark, sf_dir), forbid_nested_loop=True
+    )
+    assert "partial_sum" in rep["plan"], "sweep deltas must combine map-side"
+
+    assert_scale_shape(dup_span_coverage(spark, sf_dir), forbid_nested_loop=True)
+
+    rep = plan_report(_semantic_candidate_pairs(spark, sf_dir))
+    assert not rep["has_cartesian"]
+    assert rep["plan"].count("ArrowEvalPython") <= 1, (
+        "cluster assignment must be lineage-cut, not recomputed per join side"
+    )

@@ -244,3 +244,51 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
                     out.append(t)
             toks[:] = out
     assert got == expected
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """D52: the distributed corpus encoding must match, per document, a
+    pure-Python train+encode of the same algorithm — piece counts AND the
+    portable hash of the exact piece sequence."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from frolyk_spark.operators.vocab import BPE_MERGES, bpe_encode
+
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, r.enc_hash)
+        for r in bpe_encode(spark, sf_dir).collect()
+    }
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    per_doc = {
+        doc_id: [list(w) for w in text.split(" ") if w] for doc_id, text in rows
+    }
+    all_words = [toks for ws in per_doc.values() for toks in ws]
+    for _ in range(BPE_MERGES):
+        counts = Counter()
+        for toks in all_words:
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += 1
+        if not counts:
+            break
+        (a, b), _cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for toks in all_words:
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks[:] = out
+
+    assert set(got) == set(per_doc)
+    for doc_id, ws in per_doc.items():
+        enc = " ".join("|".join(toks) for toks in ws)
+        h = int(hashlib.md5(enc.encode()).hexdigest()[:15], 16)
+        exp = (len(ws), sum(len(t) for t in ws), h)
+        assert got[doc_id] == exp, (doc_id, got[doc_id], exp)

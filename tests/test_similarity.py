@@ -56,3 +56,48 @@ def test_ann_pq_deterministic(spark, sf_dir):
     a = {tuple(r) for r in ann_pq(spark, sf_dir).collect()}
     b = {tuple(r) for r in ann_pq(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_semantic_dedup_precision_and_recall(spark, sf_dir):
+    """D51: every verified pair must be a true cos>=tau pair (precision
+    1.0 — the operator verifies with exact cosine, so anything else is a
+    bug), and the learned k-means blocking must recover >= 0.6 of the
+    TRUE unblocked pair set (multi-probe assignment is what buys this on
+    the weakly-clustered synthetic embeddings)."""
+    import duckdb
+    import numpy as np
+
+    from frolyk_spark.operators.similarity import (
+        SEM_TAU, _semantic_candidate_pairs, semantic_dedup,
+    )
+
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    ids = df.vec_id.to_numpy()
+    x = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    iu = np.triu_indices(len(x), 1)
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*iu)
+        if sims[i, j] >= SEM_TAU
+    }
+    assert truth, "synthetic data should contain near-dup pairs"
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in _semantic_candidate_pairs(spark, sf_dir).collect()
+    }
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"semantic blocking recall {recall:.2f} < 0.6"
+
+    # prune list: one row per pruned vec, keeper has the smaller id and a
+    # true cos>=tau link
+    prune = semantic_dedup(spark, sf_dir).collect()
+    assert len(prune) == len({r.vec_id for r in prune})
+    for r in prune:
+        assert r.kept_by < r.vec_id
+        assert (r.kept_by, r.vec_id) in truth

@@ -310,3 +310,59 @@ def test_streaming_corpus_ingest_matches_batch(spark, sf_dir, workdir):
     got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     want = {tuple(r) for r in corpus_filter(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+# --- B13: streaming CDC upsert sink (foreachBatch -> merge_upsert) ----------
+
+
+def test_streaming_cdc_upsert_sink(spark, workdir):
+    """merge_upsert as a foreachBatch body: a change stream upserts into a
+    partitioned parquet table; per-key latest value wins within the run,
+    siblings untouched, and a full restart-and-replay of the stream (new
+    checkpoint, same input) converges to the same table — the idempotent
+    at-least-once CDC sink story."""
+    from frolyk_spark.sources.catalog import merge_upsert, write_partitioned
+
+    schema = "event_id bigint, user_id bigint, event_type string, value double"
+    base = spark.createDataFrame(
+        [(i, i, "click" if i % 2 else "view", float(i)) for i in range(10)],
+        schema,
+    )
+    table = os.path.join(workdir, "table")
+    write_partitioned(base, table, ["event_type"])
+
+    in_dir = os.path.join(workdir, "in")
+    # two files -> with maxFilesPerTrigger=1, two micro-batches
+    _write_batch(spark, in_dir, [(0, 100, "view", 0.5), (20, 20, "click", 2.0)], schema)
+    _write_batch(spark, in_dir, [(0, 200, "view", 0.7), (21, 21, "view", 3.0)], schema)
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _eid: df.count() and merge_upsert(
+                    df, table, key="event_id", partition_col="event_type"
+                )
+            )
+            .option("checkpointLocation", os.path.join(workdir, name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.event_id: (r.user_id, r.event_type)
+            for r in spark.read.parquet(table).collect()
+        }
+
+    got = run("ckpt1")
+    assert len(got) == 12, "10 base keys + 2 inserts"
+    assert got[0][0] == 200, "second batch's update must win (batch order)"
+    assert got[20] == (20, "click") and got[21] == (21, "view")
+    assert got[1] == (1, "click"), "untouched key intact"
+
+    # replay everything against the merged table: same end state
+    assert run("ckpt2") == got
