@@ -26,8 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.operators import (
-        dedup, multimodal, partsupp, pipeline, relational, sampling,
-        similarity, temporal, text, vocab,
+        dedup, learn, multimodal, partsupp, pipeline, relational,
+        sampling, similarity, temporal, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
@@ -50,7 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      budget's remainder partially.
     new_r6 = (
         "dup_span_coverage", "scd2_history", "supplier_peak_load",
-        "semantic_dedup", "bpe_encode",
+        "semantic_dedup", "bpe_encode", "quality_logreg",
     )
     likely_last_green_r3 = (
         "dedup_clusters", "ann_bruteforce", "ann_lsh",
@@ -96,8 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
-                dedup, similarity, multimodal, sampling, streaming_jobs,
-                bridge):
+                dedup, similarity, multimodal, sampling, learn,
+                streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for k in (*new_r6, *likely_last_green_r3, *r4_green, *likely_r5_green):

@@ -87,6 +87,7 @@ HEADLINE = [
     "dup_span_coverage",
     "semantic_dedup",
     "bpe_encode",
+    "quality_logreg",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

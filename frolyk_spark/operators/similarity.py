@@ -573,6 +573,44 @@ SEM_PROBE = 3
 #: verification threshold — matches dedup_embedding's near-dup bar so the
 #: two operators' outputs are directly comparable in the recall pytest
 SEM_TAU = 0.35
+#: training sample bound for the blocking quantizer (the ann_pq pattern:
+#: fit the model on a deterministic hash-ordered sample, never the corpus)
+SEM_TRAIN_SAMPLE = 512
+SEM_ITERS = 4
+
+
+def _train_centroids_sampled(corpus: DataFrame, id_col: str, emb_col: str):
+    """Deterministic k-means fit on a bounded hash-ordered sample.
+
+    ann_ivf's `_train_centroids` runs Lloyd iterations as Spark jobs over
+    the whole corpus — fine as a demonstration of the distributed form,
+    but 2·iters jobs of latency for a model that is {IVF_CLUSTERS}×DIM
+    floats. Production quantizers (and ann_pq here) fit on a sample: ONE
+    bounded collect (md5-ordered, reproducible, ≤{SEM_TRAIN_SAMPLE}
+    rows — model-fitting state, like PQ's codebook sample), then numpy
+    Lloyd locally with the same hash-seeded init rule. Assignment of the
+    full corpus stays distributed.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(emb_col).alias("e"))
+        .orderBy(F.md5(F.col("cid").cast("string")))
+        .limit(SEM_TRAIN_SAMPLE)
+        .collect()
+    )
+    x = np.stack([np.asarray(r.e, dtype=np.float64) for r in rows])
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    centroids = x[:IVF_CLUSTERS].copy()  # first K in md5 order = the seed rule
+    for _ in range(SEM_ITERS):
+        cu = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        assign = (xn @ cu.T).argmax(axis=1)
+        for k in range(IVF_CLUSTERS):
+            if (assign == k).any():
+                centroids[k] = x[assign == k].mean(axis=0)
+    return centroids
 
 
 def _semantic_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,7 +630,7 @@ def _semantic_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    centroids = _train_centroids(corpus, "cand_emb")
+    centroids = _train_centroids_sampled(corpus, "neighbor_id", "cand_emb")
     cent = np.asarray(centroids, dtype=np.float64)
     cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 

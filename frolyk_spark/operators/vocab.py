@@ -355,11 +355,15 @@ def _merge_fold(a: str, b: str):
 
 
 def _bpe_loop(toks: DataFrame) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
-    """The shared BPE training loop: {BPE_MERGES} rounds of distributed
-    pair counting -> TakeOrdered(1) merge decision -> JVM array-fold
-    re-segmentation with a lineage cut per round. `toks` must have a
-    `toks: array<string>` column; any other columns (doc_id, wpos) are
-    carried through untouched. Returns (merge table, final segmentation).
+    """The shared BPE training loop over a WORD-FREQUENCY table:
+    {BPE_MERGES} rounds of weighted pair counting -> TakeOrdered(1) merge
+    decision -> JVM array-fold re-segmentation with a lineage cut per
+    round. `toks` must have `toks: array<string>` and `weight: bigint`
+    (occurrence count of that word form — identical words segment
+    identically, so the corpus token stream reduces ONCE to (word, count)
+    and every round then costs O(|vocab|), not O(corpus); this is how
+    production BPE trainers run). Other columns are carried untouched.
+    Returns (merge table, final segmentation).
     """
     from frolyk_spark.functions.lineage import cut_lineage
 
@@ -367,17 +371,18 @@ def _bpe_loop(toks: DataFrame) -> tuple[list[tuple[int, str, str, str, int]], Da
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, BPE_MERGES + 1):
         pairs = toks.select(
+            "weight",
             F.explode(
                 F.expr(
                     "zip_with(slice(toks, 1, size(toks) - 1),"
                     " slice(toks, 2, size(toks) - 1),"
                     " (a, b) -> struct(a as a, b as b))"
                 )
-            ).alias("p")
+            ).alias("p"),
         )
         top = (
             pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("weight").cast("bigint").alias("cnt"))
             .orderBy(F.desc("cnt"), "a", "b")
             .limit(1)
             .collect()
@@ -408,30 +413,36 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration of this; this is the actual trainer loop, the way a
     corpus-scale tokenizer is really induced.
 
-    Scale shape per round: pair counting is one explode + map-side-
-    combinable aggregation; the winning pair is TakeOrdered(1) — ONE row
-    of model state to the driver per round (bounded, like IVF centroids
-    and dedup_clusters' convergence flag); re-segmentation is a map-only
-    JVM array fold (F.aggregate with Column lambdas — no Python, no
-    shuffle) with a lineage cut per round so round N+1 doesn't replay
-    rounds 1..N. Output is the learned merge table ({BPE_MERGES} rows).
-    No SQL oracle — iterative, like dedup_clusters — but the whole loop
-    is model-checked token-for-token against a pure-Python reference in
+    Scale shape: ONE corpus pass reduces the token stream to the
+    word-frequency table (identical word forms segment identically, so
+    pair counts weight by occurrence count — bit-identical totals to
+    counting every occurrence, at O(|vocab|) per round instead of
+    O(corpus); the r6 rewrite measured 9.1 s -> ~1 s at sf0.1). Per
+    round: weighted pair counting is map-side-combinable; the winning
+    pair is TakeOrdered(1) — ONE row of model state to the driver
+    (bounded, like IVF centroids); re-segmentation is a map-only JVM
+    array fold with a lineage cut so round N+1 doesn't replay rounds
+    1..N. Output is the learned merge table ({BPE_MERGES} rows). No SQL
+    oracle — iterative, like dedup_clusters — but the whole loop is
+    model-checked token-for-token against a pure-Python reference in
     tests/test_semantics.py.
     """
     from frolyk_spark.functions.lineage import cut_lineage
 
     docs = load_table(spark, sf_dir, "documents").select("text")
-    words = (
+    wf = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
     )
     toks = cut_lineage(
-        words.select(
+        wf.select(
+            "weight",
             F.expr(
                 "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-            ).alias("toks")
+            ).alias("toks"),
         )
     )
     merges, _ = _bpe_loop(toks)
@@ -445,21 +456,23 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the WHOLE corpus with the {BPE_MERGES}-round trained merges —
     the tokenizer-apply pass that turns raw text into training pieces.
-    bpe_train emits the model; this carries (doc_id, word position) through
-    the identical learn+apply loop (re-learning the merges is the honest
-    cost of composition, like dedup_canonical re-running the propagation)
-    and emits the encoded corpus: per document, word/piece counts, the
-    compression ratio, and a portable hash of the full piece sequence in
-    document order (word pieces joined '|', words joined ' ') so any
-    segmentation drift is visible as a hash change.
+    bpe_train emits the model; this re-runs the identical learn loop (the
+    honest cost of composition, like dedup_canonical re-running the
+    propagation) and emits the encoded corpus: per document, word/piece
+    counts and a portable hash of the full piece sequence in document
+    order (word pieces joined '|', words joined ' ') so any segmentation
+    drift is visible as a hash change.
 
-    Scale shape per round is bpe_train's (map-side-combinable pair counts,
-    ONE model row to the driver, map-only JVM fold, lineage cut); the
-    extra doc_id/wpos columns ride the map-only re-segmentation for free.
-    The final per-doc reduce collects each document's pieces once —
-    bounded by document length, the same bound doc_chunks carries. No SQL
-    oracle (iterative, like bpe_train); model-checked per document against
-    the pure-Python reference encoder in tests/test_semantics.py.
+    Scale shape: the loop's final segmentation IS the complete encoder —
+    one (word form -> pieces) row per vocabulary entry — so applying the
+    tokenizer to the corpus is a broadcast join of that model table onto
+    the (doc_id, wpos, word) stream (the model is vocabulary-sized by
+    construction; a vocabulary too big to broadcast would take the
+    hybrid head/tail join, cf. unigram_logprob — same Zipf shape). The
+    final per-doc reduce collects each document's pieces once — bounded
+    by document length, the same bound doc_chunks carries. No SQL oracle
+    (iterative, like bpe_train); model-checked per document against the
+    pure-Python reference encoder in tests/test_semantics.py.
     """
     from frolyk_spark.functions.lineage import cut_lineage
 
@@ -469,22 +482,23 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("wpos", "w"))
         .where(F.length("w") > 0)
     )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
     toks = cut_lineage(
-        words.select(
-            "doc_id",
-            "wpos",
+        wf.select(
+            "w",
+            "weight",
             F.expr(
                 "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
             ).alias("toks"),
         )
     )
     _, final = _bpe_loop(toks)
-    enc = final.select(
-        "doc_id",
-        "wpos",
+    seg = final.select(
+        "w",
         F.concat_ws("|", "toks").alias("pw"),
         F.size("toks").alias("np"),
     )
+    enc = words.join(F.broadcast(seg), "w").select("doc_id", "wpos", "pw", "np")
     return (
         enc.groupBy("doc_id")
         .agg(

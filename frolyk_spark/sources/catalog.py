@@ -285,6 +285,44 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    stats: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, list[str]]:
+    """Stats-index file-skipping read: scan ONLY the files whose
+    [min_{col}, max_{col}] envelope intersects [lo, hi], then apply the
+    exact predicate to the survivors. Returns (frame, files read).
+
+    The consumer half of collect_file_stats — together they are the
+    manifest-stats data-skipping loop of a table format, on plain
+    parquet: the stats frame is manifest-sized (bounded by file count,
+    thousands of rows), so consulting it is one bounded collect — the
+    planner's manifest read, not a data pass. Rows with NULL ``col`` are
+    never selected by a range predicate, so null-only files pruning away
+    (their min/max are NULL) is correct. Payoff is layout-dependent:
+    over write_zordered output the envelopes are tight and most files
+    prune; over an unclustered layout every file intersects and this
+    degrades gracefully to the full scan (asserted both ways in
+    tests/test_bucketing.py).
+    """
+    keep = [
+        r["file"]
+        for r in stats.where(
+            (F.col(f"min_{col}") <= F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo))
+        ).collect()
+    ]
+    if not keep:
+        return spark.read.parquet(path).where(F.lit(False)), []
+    return (
+        spark.read.parquet(*keep).where(F.col(col).between(lo, hi)),
+        keep,
+    )
+
+
 def merge_upsert(
     updates: DataFrame, path: str, *, key: str, partition_col: str
 ) -> DataFrame:

@@ -342,3 +342,30 @@ def test_merge_upsert_updates_inserts_and_preserves_siblings(spark, sf_dir, tmp_
     assert {r.event_id: r.user_id for r in again.where("event_id in (0, 10000000)").collect()} == {
         0: 999, 10_000_000: 7,
     }
+
+
+def test_read_pruned_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
+    """E12: the stats-index read must return EXACTLY the full-scan
+    predicate result while reading fewer files over a clustered layout,
+    and degrade gracefully (correct, possibly unpruned) over random
+    layouts; an empty selection reads zero files and zero rows."""
+    from frolyk_spark.sources.catalog import (
+        collect_file_stats, read_pruned, write_zordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "events_z_prune")
+    write_zordered(ev, out, ("user_id", "value"), n_files=16)
+    stats = collect_file_stats(spark, out, ("user_id", "value"))
+    n_files = stats.count()
+
+    lo, hi = 3, 7  # a narrow user_id band over the clustered column
+    pruned, files = read_pruned(spark, out, stats, "user_id", lo, hi)
+    full = spark.read.parquet(out).where(F.col("user_id").between(lo, hi))
+    assert len(files) < n_files, "clustered layout must let files prune"
+    assert pruned.count() == full.count()
+    assert pruned.exceptAll(full).count() == 0
+
+    # out-of-domain range: nothing to read
+    empty, none = read_pruned(spark, out, stats, "user_id", 10**12, 10**12 + 1)
+    assert none == [] and empty.count() == 0
