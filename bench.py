@@ -88,6 +88,8 @@ HEADLINE = [
     "semantic_dedup",
     "bpe_encode",
     "quality_logreg",
+    "spending_percentiles",
+    "feature_hash_embedding",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -1886,8 +1886,61 @@ FROM s, t
 """
 
 
+# --- C54: rank-based distribution profile (percent_rank / cume_dist) --------
+
+def spending_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spending position WITHIN their nation: percent_rank
+    and cume_dist over lifetime order value, plus the within-nation ntile
+    quartile — the rank-window trio value_deciles (global ntile) doesn't
+    cover. Rank-based outputs are cross-engine exact by construction:
+    both engines define percent_rank = (rank-1)/(n-1) and cume_dist =
+    n_le/n as single IEEE divisions of small integers, and the money sum
+    ranks on cents-exact doubles, so no portable-rounding shim is needed
+    (ties broken by custkey to keep ranks deterministic).
+
+    Scale shape: one custkey-shuffle aggregation over orders, one
+    broadcast customer join (customer scales with SF but the join is on
+    the already-reduced per-customer frame — equi-join, AQE-handled),
+    then all three windows share ONE n_nationkey partitioning.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy("spend", "c_custkey")
+    return spend.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        "spend",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    ).orderBy("custkey")
+
+
+SPENDING_PERCENTILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey AS custkey,
+       c.c_nationkey AS nationkey,
+       s.spend,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       cast(ntile(4) OVER w AS BIGINT) AS quartile
+FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+WINDOW w AS (PARTITION BY c.c_nationkey ORDER BY s.spend, c.c_custkey)
+ORDER BY custkey
+"""
+
+
 QUERIES = {
     "json_props_stats": json_props_stats,
+    "spending_percentiles": spending_percentiles,
     "anomaly_zscore": anomaly_zscore,
     "conversion_funnel": conversion_funnel,
     "funnel_fold": funnel_fold,
@@ -1941,6 +1994,7 @@ QUERIES = {
 
 ORACLES = {
     "json_props_stats": JSON_PROPS_SQL,
+    "spending_percentiles": SPENDING_PERCENTILES_SQL,
     "anomaly_zscore": ZSCORE_SQL,
     "conversion_funnel": FUNNEL_SQL,
     # same semantics, different engine facility: shares C45's oracle

@@ -681,7 +681,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vec_id that has a cos >= {SEM_TAU} neighbor with a smaller id —
     with its keeper (highest-cosine such neighbor, min-id tie-break).
 
-    Scale shape: the quantizer is the IVF trainer (bounded centroid model
+    Scale shape: the quantizer fits on a bounded hash-ordered sample
+    (`_train_centroids_sampled` — the ann_pq pattern; bounded centroid model
     state); assignment is one numpy matmul per Arrow batch; candidate
     generation is an id-only equi-join on cluster; verification joins the
     vectors back by id. No all-pairs stage anywhere. No SQL oracle —

@@ -563,8 +563,75 @@ ORDER BY source
 """
 
 
+# --- D54: hashing-trick bag-of-words featurization ---------------------------
+
+#: hashed feature dimensions (Weinberger et al.'s hashing trick: bucket =
+#: hash mod FH_DIM, sign = the next hash bit — the fastText/VW input
+#: featurization that needs no vocabulary pass at all)
+FH_DIM = 16
+
+
+def feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document {FH_DIM}-dim hashed bag-of-words vector: every word
+    occurrence adds ±1 (sign = hash bit {FH_DIM}) to bucket hash mod
+    {FH_DIM} — the model-free text featurization (feature hashing /
+    "hashing trick") that turns a corpus into linear-model or ANN input
+    WITHOUT a vocabulary table or an embedding model. Complements
+    dedup_simhash (which sums a sign for EVERY bit per word — a dense
+    Rademacher projection for near-dup detection); this buckets each word
+    into ONE dimension, preserving additive BoW structure for learners.
+
+    Scale shape: one explode + ONE map-side-combinable aggregation keyed
+    by doc_id ({FH_DIM} conditional integer sums); all-integer arithmetic
+    on the portable hash, so the vector is bit-identical cross-engine and
+    the oracle compares exactly. Output columns e0..e{FH_DIM - 1}.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+    )
+    h = portable_hash_spark_sql("w")
+    hashed = words.select(
+        "doc_id",
+        F.expr(f"({h}) % {FH_DIM}").alias("bucket"),
+        F.expr(f"1 - 2 * ((({h}) div {FH_DIM}) % 2)").cast("bigint").alias("sign"),
+    )
+    sums = [
+        F.sum(F.when(F.col("bucket") == j, F.col("sign")).otherwise(0))
+        .cast("bigint")
+        .alias(f"e{j}")
+        for j in range(FH_DIM)
+    ]
+    return hashed.groupBy("doc_id").agg(*sums).orderBy("doc_id")
+
+
+def _feature_hash_sql() -> str:
+    h = portable_hash_sql("w")
+    cols = ",\n       ".join(
+        f"cast(sum(CASE WHEN bucket = {j} THEN sign ELSE 0 END) AS BIGINT) AS e{j}"
+        for j in range(FH_DIM)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ({h}) % {FH_DIM} AS bucket,
+         1 - 2 * ((({h}) // {FH_DIM}) % 2) AS sign
+  FROM words WHERE len(w) > 0
+)
+SELECT doc_id,
+       {cols}
+FROM hashed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
+    "feature_hash_embedding": feature_hash_embedding,
     "token_entropy": token_entropy,
     "text_stats": text_stats,
     "lang_id": lang_id,
@@ -578,6 +645,7 @@ QUERIES = {
 
 ORACLES = {
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "feature_hash_embedding": _feature_hash_sql(),
     "token_entropy": TOKEN_ENTROPY_SQL,
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
