@@ -530,3 +530,26 @@ def test_r6_ops_plan_shapes(spark, sf_dir):
     assert rep["plan"].count("ArrowEvalPython") <= 1, (
         "cluster assignment must be lineage-cut, not recomputed per join side"
     )
+
+
+def test_r6_wave2_plan_shapes(spark, sf_dir):
+    """spending_percentiles: the three rank windows must share ONE
+    nationkey exchange (after the custkey aggregation's). quality_logreg
+    scoring and feature_hash_embedding: map-side-combinable aggregation,
+    no cartesian anywhere."""
+    import re
+
+    from frolyk_spark.operators.learn import quality_logreg
+    from frolyk_spark.operators.relational import spending_percentiles
+    from frolyk_spark.operators.text import feature_hash_embedding
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(spending_percentiles(spark, sf_dir))
+    assert len(re.findall(r"hashpartitioning\(c_nationkey", rep["plan"])) == 1, (
+        "rank windows must share one nationkey exchange"
+    )
+
+    rep = assert_scale_shape(feature_hash_embedding(spark, sf_dir))
+    assert "partial_sum" in rep["plan"], "hashed sums must combine map-side"
+
+    assert_scale_shape(quality_logreg(spark, sf_dir))
