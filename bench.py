@@ -90,6 +90,8 @@ HEADLINE = [
     "quality_logreg",
     "spending_percentiles",
     "feature_hash_embedding",
+    "minhash_containment",
+    "embedding_pca",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

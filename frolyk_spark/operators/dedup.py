@@ -1002,8 +1002,97 @@ ORDER BY bands
 """
 
 
+# --- D55: containment (doc-in-doc) dedup -------------------------------------
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment for every minhash candidate pair:
+    |A∩B| / min(|A|, |B|) over the distinct hashed shingle sets. Jaccard
+    misses subset duplicates — a short doc embedded inside a long one has
+    low |A∩B|/|A∪B| but containment ≈ 1 — and catching those (quote
+    farms, wrapper pages, partial mirrors) is a standard corpus-dedup
+    pass alongside near-dup Jaccard.
+
+    Shape: candidates come from the SAME persisted-signature band buckets
+    every minhash consumer uses (no new corpus pass to propose pairs);
+    exact verification is two equi-joins of the candidate list against
+    the hashed shingle postings — the postings frame is lineage-cut
+    because it feeds three plan arms (both join sides and the set
+    sizes). Intersection counting inner-joins, so a band-collision pair
+    sharing zero shingles drops identically on both engines. Containment
+    rounds with the portable round4 (derived ratio).
+    """
+    from frolyk_spark.functions.portable import round4
+
+    sigs = persisted_minhash_signatures(spark, sf_dir)
+    pairs = band_pairs(sigs)
+    docs = load_table(spark, sf_dir, "documents")
+    post = _cut_lineage(
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
+        .select("doc_id", F.expr(portable_hash_spark_sql("s")).alias("h"))
+    )
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pa = post.select(F.col("doc_id").alias("doc_a"), "h")
+    pb = post.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        pairs.join(pa, "doc_a")
+        .join(pb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "inter",
+            round4(
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_containment_sql() -> str:
+    from frolyk_spark.functions.portable import round4_sql
+
+    return f"""
+WITH pairs AS ({_dedup_minhash_sql()}),
+ph AS (
+  SELECT doc_id, {portable_hash_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents)
+),
+sizes AS (
+  SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM ph GROUP BY doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, cast(count(*) AS BIGINT) AS inter
+  FROM pairs p
+  JOIN ph a ON a.doc_id = p.doc_a
+  JOIN ph b ON b.doc_id = p.doc_b AND b.h = a.h
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+       {round4_sql('cast(i.inter AS DOUBLE) / cast(least(sa.n, sb.n) AS DOUBLE)')}
+         AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "minhash_containment": minhash_containment,
     "lsh_band_sweep": lsh_band_sweep,
     "dedup_canonical": dedup_canonical,
     "dedup_minhash": dedup_minhash,
@@ -1019,6 +1108,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_containment": _minhash_containment_sql(),
     "dedup_minhash": _dedup_minhash_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -704,8 +704,93 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D56: PCA over the embedding corpus --------------------------------------
+
+#: principal components kept by embedding_pca
+PCA_K = 2
+
+
+def _fit_pca(corpus: DataFrame, emb_col: str):
+    """Mean vector + top-{PCA_K} principal axes from ONE distributed
+    pass: the d-dim mean and the d×d second-moment matrix are map-side-
+    combinable sums (the (i, j) explode fans each row out d² ways, but
+    the shuffle carries only d + d²/2 partial sums per partition — model
+    state, not data); the driver finishes with a numpy eigh on the d×d
+    matrix (bounded, deterministic). Upper triangle only — the matrix is
+    symmetric, so i <= j halves the fan-out."""
+    import numpy as np
+
+    d = DIM
+    moments = (
+        corpus.select(F.posexplode(emb_col).alias("i", "xi"), F.col(emb_col).alias("e"))
+        .select(
+            "i",
+            "xi",
+            F.posexplode("e").alias("j", "xj"),
+        )
+        .where(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xi").cast("double") * F.col("xj").cast("double")).alias("sxy"),
+            F.sum(F.col("xi").cast("double")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    n = max(r.n for r in moments)
+    mu = np.zeros(d)
+    m2 = np.zeros((d, d))
+    for r in moments:
+        m2[r.i, r.j] = m2[r.j, r.i] = r.sxy / n
+        if r.i == r.j:
+            mu[r.i] = r.sx / n
+    cov = m2 - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :PCA_K].T  # rows = components, descending variance
+    # deterministic sign: make each component's largest-|.| coordinate positive
+    for k in range(PCA_K):
+        j = int(np.abs(comps[k]).argmax())
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    return mu, comps
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PCA_K} PCA projection of every embedding — the dimensionality
+    reduction an embedding pipeline runs before clustering / visualization
+    / cheap prefilters (and the whitening step SemDeDup-style pipelines
+    apply). Fit is one distributed moment pass + a driver-side eigh on
+    the d×d covariance (model state, like IVF centroids); projection is
+    map-only with the mean and components as plan literals (a JVM
+    zip_with/aggregate fold per component — vectors never leave the JVM).
+    No SQL oracle (eigendecomposition); model-checked against numpy's
+    full-data PCA in tests/test_similarity.py, sign-canonicalized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    mu, comps = _fit_pca(corpus, "embedding")
+    projections = []
+    for k in range(PCA_K):
+        mu_arr = "array(" + ", ".join(repr(float(v)) for v in mu) + ")"
+        v_arr = "array(" + ", ".join(repr(float(v)) for v in comps[k]) + ")"
+        projections.append(
+            F.expr(
+                "aggregate(zip_with(zip_with(embedding, "
+                f"{mu_arr}, (x, m) -> cast(x as double) - m), {v_arr},"
+                " (c, v) -> c * v), cast(0.0 as double), (acc, t) -> acc + t)"
+            ).alias(f"pc{k + 1}")
+        )
+    return corpus.select(
+        "vec_id",
+        "label",
+        *[F.round(p, 6).alias(f"pc{k + 1}") for k, p in enumerate(projections)],
+    ).orderBy("vec_id")
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
+    # no-oracle: eigendecomposition; numpy model check in test_similarity
+    "embedding_pca": embedding_pca,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "ann_pq": ann_pq,

@@ -101,3 +101,37 @@ def test_semantic_dedup_precision_and_recall(spark, sf_dir):
     for r in prune:
         assert r.kept_by < r.vec_id
         assert (r.kept_by, r.vec_id) in truth
+
+
+def test_embedding_pca_matches_numpy(spark, sf_dir):
+    """D56: the one-pass distributed moment fit + projection must agree
+    with numpy's full-data PCA (tolerance: float sums accumulate in
+    partition order), with sign-canonicalized components and descending
+    explained variance."""
+    import duckdb
+    import numpy as np
+
+    from frolyk_spark.operators.similarity import PCA_K, embedding_pca
+
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    x = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / len(x)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :PCA_K].T
+    for k in range(PCA_K):
+        j = int(np.abs(comps[k]).argmax())
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    exp = (x - mu) @ comps.T
+
+    got = embedding_pca(spark, sf_dir).collect()
+    assert len(got) == len(x)
+    ids = df.vec_id.to_numpy()
+    idx = {int(v): i for i, v in enumerate(ids)}
+    g = np.array([[r.pc1, r.pc2] for r in got])
+    e = np.array([exp[idx[r.vec_id]] for r in got])
+    assert np.allclose(g, e, atol=2e-4), np.abs(g - e).max()  # 1e-6 rounding + sum order
+    assert g[:, 0].var() >= g[:, 1].var(), "pc1 must carry the most variance"
