@@ -52,7 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_coverage", "scd2_history", "supplier_peak_load",
         "semantic_dedup", "bpe_encode", "quality_logreg",
         "spending_percentiles", "feature_hash_embedding",
-        "minhash_containment", "embedding_pca",
+        "minhash_containment", "embedding_pca", "stream_topk",
     )
     likely_last_green_r3 = (
         "dedup_clusters", "ann_bruteforce", "ann_lsh",

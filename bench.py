@@ -92,6 +92,7 @@ HEADLINE = [
     "feature_hash_embedding",
     "minhash_containment",
     "embedding_pca",
+    "stream_topk",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -504,8 +504,61 @@ FROM events GROUP BY user_id
 """
 
 
+# --- B14: streaming windowed top-K ------------------------------------------
+
+STREAM_TOPK_K = 3
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-{STREAM_TOPK_K} users per 1-hour tumbling window —
+    the live-leaderboard shape. Rank windows are not allowed inside a
+    streaming aggregation (Spark rejects them on unbounded input), so
+    the streaming query maintains exactly the state a leaderboard needs
+    — (window, user) counts — and the rank is a view over the completed
+    state: the standard split for streaming top-K dashboards. Ties break
+    by user_id so the board is deterministic.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    state = run_available_now(agg, mode="complete", prefix="topk")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        state.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= STREAM_TOPK_K)
+        .select("window_start", "rank", "user_id", "n_events")
+        .orderBy("window_start", "rank")
+    )
+
+
+STREAM_TOPK_SQL = f"""
+WITH counts AS (
+  SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
+         user_id, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start,
+       cast(row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, user_id) AS BIGINT) AS rank,
+       user_id, n_events
+FROM counts
+QUALIFY rank <= {STREAM_TOPK_K}
+ORDER BY window_start, rank
+"""
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
+    "stream_topk": stream_topk,
     "stream_hopping": stream_hopping,
     "stream_dedup": stream_dedup,
     "sessionize": sessionize,
@@ -517,6 +570,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_anomaly": STREAM_ANOMALY_SQL,
+    "stream_topk": STREAM_TOPK_SQL,
     "stream_tumbling": STREAM_TUMBLING_SQL,
     "stream_hopping": STREAM_HOPPING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
