@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 114
+    # in dict order under a wall-clock budget (~50 per round of the 122
     # registered entries). The r6 rotation is ordered by driver-row AGE.
     # CORRECTNESS_r05 was not delivered to the repo, so r5 coverage is
     # estimated from the r5 registration order and the observed ~50/round
@@ -103,8 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for k in (*new_r6, *likely_last_green_r3, *r4_green, *likely_r5_green):
-        if k in registry:  # new_r6 names land as their operators merge
-            out[k] = registry[k]
+        out[k] = registry[k]  # KeyError = stale rotation name, fail fast
     out.update(registry)  # remainder; first-insertion order wins
     return out
 

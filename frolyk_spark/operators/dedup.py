@@ -110,6 +110,23 @@ MINHASH_SEEDS = tuple(
 )
 
 
+def _shingle_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) rows: one portable hash per DISTINCT shingle per doc.
+    The single source of the shingle stage — minhash signatures and the
+    containment verify both read it, so a shingling/hash change cannot
+    diverge them. The test parquet is a single split; the repartition
+    spreads the md5-heavy projection across cores (a no-op at scale where
+    the scan has many splits), and the explode is the evaluation barrier
+    that keeps each shingle hashed exactly once (see _SHINGLES_SPARK)."""
+    spark = docs.sparkSession
+    return (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
+        .select("doc_id", F.expr(portable_hash_spark_sql("s")).alias("h"))
+    )
+
+
 def minhash_signatures_frame(docs: DataFrame) -> DataFrame:
     """k={MINHASH_K} minhash signature table (doc_id, s0..s{MINHASH_K-1})
     for any (doc_id, text) frame.
@@ -123,16 +140,7 @@ def minhash_signatures_frame(docs: DataFrame) -> DataFrame:
        aggregation map-side-combines, so the doc_id shuffle carries only k
        longs per doc per partition, not the shingle set.
     """
-    spark = docs.sparkSession
-    # the test parquet is a single split; spread the md5-heavy projection
-    # across cores (real corpora scan with many splits, so this tiny
-    # row-shuffle is a no-op at scale)
-    shingled = (
-        docs.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
-        .select("doc_id", F.expr(portable_hash_spark_sql("s")).alias("h"))
-    )
+    shingled = _shingle_postings(docs)
     return shingled.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"h ^ {seed}L")).alias(f"s{j}")
@@ -1026,12 +1034,7 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = persisted_minhash_signatures(spark, sf_dir)
     pairs = band_pairs(sigs)
     docs = load_table(spark, sf_dir, "documents")
-    post = _cut_lineage(
-        docs.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
-        .select("doc_id", F.expr(portable_hash_spark_sql("s")).alias("h"))
-    )
+    post = _cut_lineage(_shingle_postings(docs))
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     pa = post.select(F.col("doc_id").alias("doc_a"), "h")
     pb = post.select(F.col("doc_id").alias("doc_b"), "h")

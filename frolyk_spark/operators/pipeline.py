@@ -605,8 +605,12 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     so clean docs report 0. Two gram-keyed shuffles (df + join) and one
     doc-keyed window; hot (boilerplate) grams bound their postings by doc
     count exactly as in ngram_novelty, and AQE skew-join covers the join.
-    Coverage rounds with the portable round4 (ratio → libm-free).
+    The postings frame feeds both the df aggregate and the hit join, so
+    it is lineage-cut (the CLAUDE.md self-join rule — without the cut the
+    per-gram md5 explode runs once per plan arm). Coverage rounds with
+    the portable round4 (ratio → libm-free).
     """
+    from frolyk_spark.functions.lineage import cut_lineage
     from frolyk_spark.functions.portable import round4
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -617,7 +621,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sequence(1, greatest(size(ws) - {SPAN_W - 1}, 1)),"
         f" i -> struct(i as pos, concat_ws(' ', slice(ws, i, {SPAN_W})) as g)))[0]"
     )
-    postings = (
+    postings = cut_lineage(
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "n_tokens", F.explode(F.expr(pos_grams)).alias("pg"))
         .select(

@@ -711,16 +711,32 @@ PCA_K = 2
 
 
 def _fit_pca(corpus: DataFrame, emb_col: str):
-    """Mean vector + top-{PCA_K} principal axes from ONE distributed
-    pass: the d-dim mean and the d×d second-moment matrix are map-side-
-    combinable sums (the (i, j) explode fans each row out d² ways, but
-    the shuffle carries only d + d²/2 partial sums per partition — model
-    state, not data); the driver finishes with a numpy eigh on the d×d
-    matrix (bounded, deterministic). Upper triangle only — the matrix is
-    symmetric, so i <= j halves the fan-out."""
+    """Mean vector + top-{PCA_K} principal axes from two map-side-
+    combinable passes: a d-group mean pass, then the d×d second-moment
+    pass (the (i, j) explode fans each row out ~d²/2 ways, but the
+    shuffle carries only d²/2 partial sums per partition — model state,
+    not data); the driver finishes with a numpy eigh on the d×d matrix
+    (bounded, deterministic). Upper triangle only — the matrix is
+    symmetric, so i <= j halves the fan-out. Two scans beat one here: a
+    scan is cheap, while folding the mean into the pair pass would
+    replicate d+1 extra aggregate slots into every one of the d²/2
+    groups (measured shuffle state 3x)."""
     import numpy as np
 
     d = DIM
+    # mean pass: d groups of (sum, count) — the diagonal-only state the
+    # pair pass would otherwise drag through every one of its d²/2 groups
+    # (a scan is cheap; redundant shuffled aggregate state is not)
+    means = (
+        corpus.select(F.posexplode(emb_col).alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("xi").cast("double")).alias("sx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = max(r.n for r in means)
+    mu = np.zeros(d)
+    for r in means:
+        mu[r.i] = r.sx / n
     moments = (
         corpus.select(F.posexplode(emb_col).alias("i", "xi"), F.col(emb_col).alias("e"))
         .select(
@@ -732,18 +748,12 @@ def _fit_pca(corpus: DataFrame, emb_col: str):
         .groupBy("i", "j")
         .agg(
             F.sum(F.col("xi").cast("double") * F.col("xj").cast("double")).alias("sxy"),
-            F.sum(F.col("xi").cast("double")).alias("sx"),
-            F.count(F.lit(1)).alias("n"),
         )
         .collect()
     )
-    n = max(r.n for r in moments)
-    mu = np.zeros(d)
     m2 = np.zeros((d, d))
     for r in moments:
         m2[r.i, r.j] = m2[r.j, r.i] = r.sxy / n
-        if r.i == r.j:
-            mu[r.i] = r.sx / n
     cov = m2 - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)
     comps = vecs[:, ::-1][:, :PCA_K].T  # rows = components, descending variance

@@ -465,10 +465,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the loop's final segmentation IS the complete encoder —
     one (word form -> pieces) row per vocabulary entry — so applying the
-    tokenizer to the corpus is a broadcast join of that model table onto
-    the (doc_id, wpos, word) stream (the model is vocabulary-sized by
-    construction; a vocabulary too big to broadcast would take the
-    hybrid head/tail join, cf. unigram_logprob — same Zipf shape). The
+    tokenizer to the corpus is an equi-join of that model table onto
+    the (doc_id, wpos, word) stream (un-hinted: AQE broadcasts it while
+    the vocabulary is small and shuffles when it is not; the hybrid
+    head/tail join is the upgrade if the Zipf-shaped tail ever
+    dominates, cf. unigram_logprob). The
     final per-doc reduce collects each document's pieces once — bounded
     by document length, the same bound doc_chunks carries. No SQL oracle
     (iterative, like bpe_train); model-checked per document against the
@@ -498,7 +499,12 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "toks").alias("pw"),
         F.size("toks").alias("np"),
     )
-    enc = words.join(F.broadcast(seg), "w").select("doc_id", "wpos", "pw", "np")
+    # no broadcast HINT: the vocabulary scales with corpus size (Heaps'
+    # law), so forcing it violates the no-hints-on-SF-scaling rule — AQE
+    # broadcasts it while it is small and shuffles when it is not (the
+    # hybrid head/tail join is the upgrade path if the shuffled tail ever
+    # dominates, cf. unigram_logprob)
+    enc = words.join(seg, "w").select("doc_id", "wpos", "pw", "np")
     return (
         enc.groupBy("doc_id")
         .agg(

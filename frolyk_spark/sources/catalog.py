@@ -353,8 +353,22 @@ def merge_upsert(
     batch that MOVES a key to a new partition leaves the stale row in the
     old one, because finding it would require the full-table scan this
     primitive exists to avoid; handle moves upstream as delete+insert.
+    And ``updates`` must carry ONE row per key: with several, "which row
+    wins" is an ordering question this primitive has no order column to
+    answer, so it fails loudly (Delta's MERGE errors on multiple matches
+    for the same reason) instead of silently writing duplicate keys —
+    collapse the batch upstream (e.g. latest-by-sequence-number) first.
     """
     spark = updates.sparkSession
+    r = updates.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(key)).alias("k")
+    ).collect()[0]
+    if r.n != r.k:
+        raise ValueError(
+            f"merge_upsert: updates batch has {r.n} rows but {r.k} distinct "
+            f"{key!r} values — collapse to one row per key (latest wins is an "
+            "upstream ordering decision) before merging"
+        )
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     base = spark.read.parquet(path).where(F.col(partition_col).isin(touched))
     merged = base.join(

@@ -369,3 +369,24 @@ def test_read_pruned_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
     # out-of-domain range: nothing to read
     empty, none = read_pruned(spark, out, stats, "user_id", 10**12, 10**12 + 1)
     assert none == [] and empty.count() == 0
+
+
+def test_merge_upsert_rejects_duplicate_keys_in_batch(spark, sf_dir, tmp_path):
+    """E11: a batch carrying two rows for one key has no defined winner
+    (no order column) — merge_upsert must fail loudly, like Delta's
+    MERGE on multiple matches, never write duplicate keys silently."""
+    import pytest
+
+    from frolyk_spark.sources.catalog import merge_upsert, write_partitioned
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_dupkey")
+    write_partitioned(events, out, ["event_type"])
+    dup = spark.createDataFrame(
+        [(0, 1, "view", 1.0), (0, 2, "view", 2.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        merge_upsert(dup, out, key="event_id", partition_col="event_type")
