@@ -93,6 +93,7 @@ HEADLINE = [
     "minhash_containment",
     "embedding_pca",
     "stream_topk",
+    "containment_chains",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

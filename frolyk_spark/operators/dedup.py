@@ -1093,9 +1093,73 @@ ORDER BY i.doc_a, i.doc_b
 """
 
 
+# --- D57: transitive containment chains (Spark recursive CTE) ----------------
+
+#: chain edges: containment at or above this is treated as "contained in"
+CHAIN_T = 0.7
+
+
+def containment_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the containment relation — mirror-of-a-mirror
+    chains (a ⊑ b ⊑ c), with the minimum hop count per (ancestor,
+    descendant) pair — expressed as a Spark 4 `WITH RECURSIVE` CTE, the
+    declarative recursion surface the engine gained in 4.0. The edge set
+    is ACYCLIC by construction (doc_a < doc_b on every containment pair),
+    which is what makes UNION ALL recursion terminate: Spark does not yet
+    support deduplicating UNION in recursive CTEs, so cyclic closures
+    (dedup_clusters) stay on the iterative min-label loop; DAG closures
+    belong on this form. Path fan-out is bounded by near-dup component
+    size (tiny by construction — the same bound dedup_clusters leans on).
+    Oracle: the identical recursion in DuckDB over the identical edges.
+    """
+    edges = (
+        minhash_containment(spark, sf_dir)
+        .where(F.col("containment") >= CHAIN_T)
+        .select("doc_a", "doc_b")
+    )
+    return _chain_closure(spark, edges)
+
+
+def _chain_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Min-hop transitive closure of an acyclic (doc_a < doc_b) edge
+    frame via `WITH RECURSIVE` (multi-hop semantics pytest-checked on a
+    synthetic DAG in tests/test_semantics.py)."""
+    edges.createOrReplaceTempView("_frolyk_containment_edges")
+    return spark.sql(
+        """
+WITH RECURSIVE chain(anc, descn, depth) AS (
+  SELECT doc_a, doc_b, 1 FROM _frolyk_containment_edges
+  UNION ALL
+  SELECT c.anc, e.doc_b, c.depth + 1
+  FROM chain c JOIN _frolyk_containment_edges e ON e.doc_a = c.descn
+)
+SELECT anc AS doc_a, descn AS doc_b, cast(min(depth) AS BIGINT) AS min_depth
+FROM chain GROUP BY anc, descn ORDER BY doc_a, doc_b
+"""
+    )
+
+
+def _containment_chains_sql() -> str:
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a, doc_b FROM ({_minhash_containment_sql()})
+  WHERE containment >= {CHAIN_T}
+),
+chain(anc, descn, depth) AS (
+  SELECT doc_a, doc_b, 1 FROM edges
+  UNION ALL
+  SELECT c.anc, e.doc_b, c.depth + 1
+  FROM chain c JOIN edges e ON e.doc_a = c.descn
+)
+SELECT anc AS doc_a, descn AS doc_b, cast(min(depth) AS BIGINT) AS min_depth
+FROM chain GROUP BY anc, descn ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_containment": minhash_containment,
+    "containment_chains": containment_chains,
     "lsh_band_sweep": lsh_band_sweep,
     "dedup_canonical": dedup_canonical,
     "dedup_minhash": dedup_minhash,
@@ -1112,6 +1176,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_containment": _minhash_containment_sql(),
+    "containment_chains": _containment_chains_sql(),
     "dedup_minhash": _dedup_minhash_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
     "dedup_simhash": DEDUP_SIMHASH_SQL,

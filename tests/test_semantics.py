@@ -292,3 +292,25 @@ def test_bpe_encode_matches_python_reference(spark, sf_dir):
         h = int(hashlib.md5(enc.encode()).hexdigest()[:15], 16)
         exp = (len(ws), sum(len(t) for t in ws), h)
         assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
+
+
+def test_containment_chain_closure_multi_hop(spark):
+    """D57: the recursive closure must surface transitively-implied pairs
+    with their MIN hop count — including pairs with both a direct edge
+    and a longer route (min wins), and 3-hop chains."""
+    from frolyk_spark.operators.dedup import _chain_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (10, 20)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {(r.doc_a, r.doc_b): r.min_depth for r in _chain_closure(spark, edges).collect()}
+    assert got == {
+        (1, 2): 1,
+        (2, 3): 1,
+        (3, 4): 1,
+        (1, 3): 1,   # direct edge beats the 2-hop route
+        (2, 4): 2,
+        (1, 4): 2,   # via the 1->3 shortcut, not the 3-hop path
+        (10, 20): 1,
+    }
