@@ -323,6 +323,24 @@ def read_pruned(
     )
 
 
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the per-file schemas of a parquet
+    directory (``mergeSchema``) so files written before a column existed
+    read as NULL for it — the additive-evolution contract every
+    long-lived ingest table needs (a plain read samples ONE footer and
+    silently drops columns the sampled file predates).
+
+    Only additive evolution is supported by parquet merging; a column
+    whose TYPE conflicts across files fails Spark's merge — loudly, which
+    is correct (a type change is a rewrite, not an evolution). Cost note:
+    merging reads every file footer once at planning time; table formats
+    amortize this with a manifest, plain parquet pays it per query —
+    fine for daily layouts, another reason collect_file_stats-style
+    indexing precedes 100 TB scans.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def merge_upsert(
     updates: DataFrame, path: str, *, key: str, partition_col: str
 ) -> DataFrame:

@@ -390,3 +390,30 @@ def test_merge_upsert_rejects_duplicate_keys_in_batch(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="distinct"):
         merge_upsert(dup, out, key="event_id", partition_col="event_type")
+
+
+def test_read_evolved_unions_schemas_and_nulls_old_files(spark, sf_dir, tmp_path):
+    """E13: files written before a column existed must read as NULL for
+    it under read_evolved; a plain read sampling one footer can silently
+    drop the new column; a cross-file TYPE conflict must fail loudly."""
+    import pytest
+
+    from frolyk_spark.sources.catalog import read_evolved
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.mode("append").parquet(out)
+
+    df = read_evolved(spark, out)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    # type conflict: score re-lands as string -> must raise, not coerce
+    spark.createDataFrame([(3, "c", "oops")], "id bigint, name string, score string").write.mode(
+        "append"
+    ).parquet(out)
+    with pytest.raises(Exception, match="[Mm]erge|[Ss]chema|[Tt]ype"):
+        read_evolved(spark, out).collect()
