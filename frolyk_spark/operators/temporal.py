@@ -113,12 +113,21 @@ def supplier_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.to_date("o_orderdate").alias("order_d")
     )
     iv = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_suppkey",
+        F.col("l_suppkey").alias("key"),
         F.least("order_d", "ship_d").alias("start_d"),
         F.greatest("order_d", "ship_d").alias("end_d"),
     )
+    return sweep_peak_frame(iv).select(
+        F.col("key").alias("l_suppkey"), "n_intervals", "peak_open", "peak_date"
+    ).orderBy("l_suppkey")
+
+
+def sweep_peak_frame(iv: DataFrame) -> DataFrame:
+    """Frame-level sweep: (key, start_d, end_d) closed date intervals ->
+    (key, n_intervals, peak_open, peak_date). Property-tested against a
+    brute-force day-count reference in tests/test_properties.py."""
     deltas = iv.select(
-        "l_suppkey",
+        "key",
         F.explode(
             F.array(
                 F.struct(F.col("start_d").alias("d"), F.lit(1).alias("delta")),
@@ -127,28 +136,27 @@ def supplier_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("e"),
-    ).select("l_suppkey", F.col("e.d").alias("d"), F.col("e.delta").alias("delta"))
-    per_date = deltas.groupBy("l_suppkey", "d").agg(
+    ).select("key", F.col("e.d").alias("d"), F.col("e.delta").alias("delta"))
+    per_date = deltas.groupBy("key", "d").agg(
         F.sum("delta").cast("bigint").alias("net"),
         F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).cast("bigint").alias("starts"),
     )
-    w = Window.partitionBy("l_suppkey").orderBy("d")
-    ws = Window.partitionBy("l_suppkey")
+    w = Window.partitionBy("key").orderBy("d")
+    ws = Window.partitionBy("key")
     swept = per_date.select(
-        "l_suppkey",
+        "key",
         "d",
         F.sum("net").over(w).alias("open_now"),
         F.sum("starts").over(ws).alias("n_intervals"),
     ).withColumn("peak_open", F.max("open_now").over(ws))
     return (
         swept.where(F.col("open_now") == F.col("peak_open"))
-        .groupBy("l_suppkey")
+        .groupBy("key")
         .agg(
             F.max("n_intervals").alias("n_intervals"),
             F.max("peak_open").alias("peak_open"),
             F.min("d").cast("string").alias("peak_date"),
         )
-        .orderBy("l_suppkey")
     )
 
 

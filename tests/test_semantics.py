@@ -314,3 +314,45 @@ def test_containment_chain_closure_multi_hop(spark):
         (1, 4): 2,   # via the 1->3 shortcut, not the 3-hop path
         (10, 20): 1,
     }
+
+
+def test_sweep_peak_matches_bruteforce_reference(spark):
+    """C53: the sweep-line peak must equal a brute-force per-day count on
+    randomized interval sets (one key per generated case — a single Spark
+    job checks 40 cases, including same-day intervals, full overlaps,
+    touching endpoints, and singleton keys)."""
+    import datetime
+    import random
+
+    from frolyk_spark.operators.temporal import sweep_peak_frame
+
+    rng = random.Random(1234)
+    base = datetime.date(2024, 1, 1)
+    cases = {}
+    rows = []
+    for key in range(40):
+        n = rng.randint(1, 12)
+        ivs = []
+        for _ in range(n):
+            s = rng.randint(0, 30)
+            e = s + rng.randint(0, 10)
+            ivs.append((s, e))
+            rows.append(
+                (key, base + datetime.timedelta(s), base + datetime.timedelta(e))
+            )
+        cases[key] = ivs
+
+    df = spark.createDataFrame(rows, "key bigint, start_d date, end_d date")
+    got = {r.key: r for r in sweep_peak_frame(df).collect()}
+
+    for key, ivs in cases.items():
+        counts = {}
+        for s, e in ivs:
+            for d in range(s, e + 1):
+                counts[d] = counts.get(d, 0) + 1
+        peak = max(counts.values())
+        peak_day = min(d for d, c in counts.items() if c == peak)
+        r = got[key]
+        assert r.n_intervals == len(ivs), key
+        assert r.peak_open == peak, (key, r.peak_open, peak)
+        assert r.peak_date == str(base + datetime.timedelta(peak_day)), key
