@@ -356,3 +356,59 @@ def test_sweep_peak_matches_bruteforce_reference(spark):
         assert r.n_intervals == len(ivs), key
         assert r.peak_open == peak, (key, r.peak_open, peak)
         assert r.peak_date == str(base + datetime.timedelta(peak_day)), key
+
+
+def test_dup_span_coverage_matches_bruteforce_reference(spark, tmp_path):
+    """D50: on a crafted corpus (known shared 8-grams, overlapping dup
+    spans, exact dups, short docs), the interval-union coverage must
+    equal a brute-force position-marking reference."""
+    import duckdb as _duck
+
+    from frolyk_spark.operators.pipeline import SPAN_W, dup_span_coverage
+
+    texts = {
+        0: "a b c d e f g h i j k l m n o p",        # shares prefix gram with 1
+        1: "a b c d e f g h X Y Z Q R S T U",
+        2: "m m m m m m m m m m m m m m m m",        # self-repeats only (df=1)
+        3: "a b c d e f g h i j k l m n o p",        # exact dup of 0
+        4: "short doc",                               # < SPAN_W tokens
+        5: "short doc",                               # whole-text fallback dup of 4
+        6: "Z Z a b c d e f g h i j Z Z Z Z",        # interior shared span
+    }
+    pdf = _duck.sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, '{v}')" for k, v in texts.items())
+        + ") t(doc_id, text)"
+    ).df()
+    sf = str(tmp_path / "sfx")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    _duck.sql("SELECT doc_id, text FROM pdf").write_parquet(os.path.join(sf, "documents.parquet"))
+
+    # brute-force reference: mark every position covered by a gram that
+    # appears (as a distinct gram) in >= 2 docs; short docs fall back to
+    # one whole-text gram at pos 1 (the operator's documented rule)
+    def grams(words):
+        if len(words) < SPAN_W:
+            return [(1, " ".join(words))]
+        return [
+            (i + 1, " ".join(words[i : i + SPAN_W]))
+            for i in range(len(words) - SPAN_W + 1)
+        ]
+
+    docs_of = {}
+    for k, t in texts.items():
+        for _, g in set(grams(t.split(" "))):
+            docs_of.setdefault(g, set()).add(k)
+    expected = {}
+    for k, t in texts.items():
+        ws = t.split(" ")
+        covered = set()
+        for pos, g in grams(ws):
+            if len(docs_of[g]) >= 2:
+                covered.update(range(pos, min(pos + SPAN_W - 1, len(ws)) + 1))
+        expected[k] = (len(ws), len(covered))
+
+    got = {r.doc_id: (r.n_tokens, r.covered_tokens) for r in dup_span_coverage(spark, sf).collect()}
+    assert got == expected, (got, expected)
