@@ -1108,8 +1108,12 @@ def containment_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what makes UNION ALL recursion terminate: Spark does not yet
     support deduplicating UNION in recursive CTEs, so cyclic closures
     (dedup_clusters) stay on the iterative min-label loop; DAG closures
-    belong on this form. Path fan-out is bounded by near-dup component
-    size (tiny by construction — the same bound dedup_clusters leans on).
+    belong on this form. UNION ALL enumerates PATHS, which is exponential
+    in clique size (a k-clique of mutual dups has ~2^(k-2) routes per
+    extreme pair and would trip Spark's 1M-row recursion limit — a cliff
+    the DuckDB oracle doesn't share), so the closure guards on vertex
+    degree and fails loudly past {CHAIN_MAX_DEGREE}: a cluster that
+    dense is dedup_clusters/dedup_canonical territory, not a chain.
     Oracle: the identical recursion in DuckDB over the identical edges.
     """
     edges = (
@@ -1118,6 +1122,13 @@ def containment_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return _chain_closure(spark, edges)
+
+
+#: max vertex degree the path-enumerating closure accepts: a 13-clique
+#: (degree 12) enumerates ~2^11 routes per extreme pair, ~200k recursion
+#: rows total — comfortably under Spark's 1M-row recursion limit; past
+#: that the growth is exponential, so fail loudly instead of cliff-diving
+CHAIN_MAX_DEGREE = 12
 
 
 def _chain_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
@@ -1129,8 +1140,25 @@ def _chain_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
     containment verify) would re-execute once per recursion level —
     the self-join lineage rule, with recursion as the multiplier
     (measured 5.9 s -> 2.3 s warm at sf0.1; the remainder is the
-    containment verify itself, paid once)."""
+    containment verify itself, paid once). Degree-guarded (one cheap
+    agg over the edge list, bounded like merge_upsert's key check)
+    because UNION ALL path enumeration is exponential in clique size."""
     edges = _cut_lineage(edges)
+    deg = (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionAll(edges.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.max("deg").alias("m"))
+        .collect()[0]
+    )
+    if deg.m is not None and deg.m > CHAIN_MAX_DEGREE:
+        raise ValueError(
+            f"containment graph has a vertex of degree {deg.m} > "
+            f"{CHAIN_MAX_DEGREE}: a duplicate cluster this dense makes "
+            "path-enumerating recursion exponential — run dedup_clusters/"
+            "dedup_canonical on it instead of chain closure"
+        )
     edges.createOrReplaceTempView("_frolyk_containment_edges")
     return spark.sql(
         """

@@ -124,8 +124,9 @@ def supplier_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sweep_peak_frame(iv: DataFrame) -> DataFrame:
     """Frame-level sweep: (key, start_d, end_d) closed date intervals ->
-    (key, n_intervals, peak_open, peak_date). Property-tested against a
-    brute-force day-count reference in tests/test_properties.py."""
+    (key, n_intervals, peak_open, peak_date). Checked against a
+    brute-force day-count reference on randomized interval sets in
+    tests/test_semantics.py."""
     deltas = iv.select(
         "key",
         F.explode(

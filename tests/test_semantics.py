@@ -412,3 +412,20 @@ def test_dup_span_coverage_matches_bruteforce_reference(spark, tmp_path):
 
     got = {r.doc_id: (r.n_tokens, r.covered_tokens) for r in dup_span_coverage(spark, sf).collect()}
     assert got == expected, (got, expected)
+
+
+def test_chain_closure_rejects_dense_clusters(spark):
+    """D57: past CHAIN_MAX_DEGREE the path enumeration is exponential —
+    the closure must fail loudly with redirection, never cliff-dive into
+    Spark's recursion row limit."""
+    import pytest
+
+    from frolyk_spark.operators.dedup import CHAIN_MAX_DEGREE, _chain_closure
+
+    k = CHAIN_MAX_DEGREE + 2  # clique of k -> max degree k-1 > bound
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(k) for b in range(a + 1, k)],
+        "doc_a bigint, doc_b bigint",
+    )
+    with pytest.raises(ValueError, match="degree"):
+        _chain_closure(spark, clique)
