@@ -94,6 +94,8 @@ HEADLINE = [
     "embedding_pca",
     "stream_topk",
     "containment_chains",
+    "time_weighted_avg",
+    "ohlc_bars",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -201,12 +201,163 @@ ORDER BY l_suppkey
 """
 
 
+# --- C55: time-weighted average (hypertable-style) ----------------------------
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` — the TimescaleDB
+    `time_weight('LOCF', ...)` rollup: each observation holds until the
+    next one, so its weight is the µs gap to the successor, and the
+    average is Σ value·gap / Σ gap over the user's observed span.
+
+    Cross-engine exact by the sufficient-statistics discipline: values
+    cents-scale to BIGINT, gaps are integer µs, so the weighted sum is
+    an exact BIGINT on both engines and ONE double division ends the
+    compare path (portable round4). Users with a single event have no
+    observed span and are excluded (both engines identically, via the
+    null lead). One user_id shuffle: the lead window and the final
+    per-user reduce share the partitioning.
+    """
+    from frolyk_spark.functions.portable import round4
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_holds"),
+            F.sum("gap_us").cast("bigint").alias("span_us"),
+            F.sum(F.col("cents") * F.col("gap_us")).cast("bigint").alias("wsum"),
+        )
+        .select(
+            "user_id",
+            "n_holds",
+            "span_us",
+            round4(
+                F.col("wsum").cast("double")
+                / F.col("span_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH gapped AS (
+  SELECT user_id,
+         cast(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_holds,
+       cast(sum(gap_us) AS BIGINT) AS span_us,
+       floor(cast(sum(cents * gap_us) AS DOUBLE)
+             / cast(sum(gap_us) AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+         AS twa_value
+FROM gapped
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- C56: OHLC bars ------------------------------------------------------------
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars of `value` per event_type —
+    the candlestick rollup every timeseries store ships. Open/close are
+    the first/last observation in the bar under the deterministic
+    (ts, event_id) order — computed with first()/last() over ONE bar
+    window (unbounded frame), which shares its exchange with the
+    min/max/count aggregates; money values are cents-exact doubles, so
+    no portable rounding is needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    w = (
+        Window.partitionBy("event_type", "bar")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "event_type",
+            bar.alias("bar"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .select(
+            "event_type",
+            "bar",
+            "value",
+            F.first("value").over(w).alias("open"),
+            F.last("value").over(w).alias("close"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("open").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("close").alias("close"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("event_type", "bar_start")
+    )
+
+
+OHLC_BARS_SQL = """
+WITH bars AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar, ts, event_id, value,
+         first_value(value) OVER w AS open,
+         last_value(value) OVER
+           (PARTITION BY event_type, date_trunc('hour', ts)
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+       cast(count(*) AS BIGINT) AS n,
+       max(open) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(close) AS close
+FROM bars
+GROUP BY event_type, bar
+ORDER BY event_type, bar_start
+"""
+
+
 QUERIES = {
     "scd2_history": scd2_history,
     "supplier_peak_load": supplier_peak_load,
+    "time_weighted_avg": time_weighted_avg,
+    "ohlc_bars": ohlc_bars,
 }
 
 ORACLES = {
     "scd2_history": SCD2_HISTORY_SQL,
     "supplier_peak_load": SUPPLIER_PEAK_LOAD_SQL,
+    "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
+    "ohlc_bars": OHLC_BARS_SQL,
 }

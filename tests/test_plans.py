@@ -569,3 +569,21 @@ def test_containment_chains_recursion_reads_cut_edges(spark, sf_dir):
         f"recursion must read checkpointed edges, not recompute them: "
         f"{rep['scans']} scans"
     )
+
+
+def test_timeseries_ops_share_one_exchange(spark, sf_dir):
+    """C55/C56: the TWA lead window + per-user reduce must share ONE
+    user_id exchange; the OHLC bar window + aggregate must share ONE
+    (event_type, bar) partitioning. No joins anywhere."""
+    import re
+
+    from frolyk_spark.operators.temporal import ohlc_bars, time_weighted_avg
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(time_weighted_avg(spark, sf_dir), forbid_nested_loop=True)
+    assert not rep["joins"]
+    assert len(re.findall(r"hashpartitioning\(user_id", rep["plan"])) == 1
+
+    rep = assert_scale_shape(ohlc_bars(spark, sf_dir), forbid_nested_loop=True)
+    assert not rep["joins"]
+    assert len(re.findall(r"hashpartitioning\(event_type", rep["plan"])) == 1
