@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 125
+    # in dict order under a wall-clock budget (~50 per round of the 126
     # registered entries). The r6 rotation is ordered by driver-row AGE.
     # CORRECTNESS_r05 was not delivered to the repo, so r5 coverage is
     # estimated from the r5 registration order and the observed ~50/round
@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spending_percentiles", "feature_hash_embedding",
         "minhash_containment", "embedding_pca", "stream_topk",
         "containment_chains", "time_weighted_avg", "ohlc_bars",
+        "stream_ohlc",
     )
     likely_last_green_r3 = (
         "dedup_clusters", "ann_bruteforce", "ann_lsh",

@@ -96,6 +96,7 @@ HEADLINE = [
     "containment_chains",
     "time_weighted_avg",
     "ohlc_bars",
+    "stream_ohlc",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

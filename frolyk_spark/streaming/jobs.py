@@ -556,9 +556,63 @@ ORDER BY window_start, rank
 """
 
 
+# --- B15: streaming OHLC bars -------------------------------------------------
+
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlesticks per event_type, maintained BY the
+    streaming aggregation: open/close are min_by/max_by over a portable
+    zero-padded (ts_us, event_id) string key — ordered aggregates that,
+    unlike the batch form's rank windows (C56), are legal on unbounded
+    input, so the bar state updates incrementally per micro-batch. The
+    oracle is the identical arg_min/arg_max aggregation in DuckDB; the
+    string key (not a struct) keeps the ordering engine-portable.
+    """
+    ev = events_stream(spark, sf_dir)
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min_by("value", k).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", k).alias("close"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("bar_start"),
+            "event_type",
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+    return run_available_now(agg, mode="complete", prefix="ohlc")
+
+
+STREAM_OHLC_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS bar_start,
+       event_type,
+       cast(count(*) AS BIGINT) AS n,
+       arg_min(value, lpad(cast(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(cast(event_id AS VARCHAR), 10, '0')) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, lpad(cast(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(cast(event_id AS VARCHAR), 10, '0')) AS close
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_topk": stream_topk,
+    "stream_ohlc": stream_ohlc,
     "stream_hopping": stream_hopping,
     "stream_dedup": stream_dedup,
     "sessionize": sessionize,
@@ -571,6 +625,7 @@ QUERIES = {
 ORACLES = {
     "stream_anomaly": STREAM_ANOMALY_SQL,
     "stream_topk": STREAM_TOPK_SQL,
+    "stream_ohlc": STREAM_OHLC_SQL,
     "stream_tumbling": STREAM_TUMBLING_SQL,
     "stream_hopping": STREAM_HOPPING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
