@@ -39,7 +39,15 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort/exchange for all three, and a 1000-executor run partitions
     cleanly by user. No joins, no driver state.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return scd2_frame(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id", "version"
+    )
+
+
+def scd2_frame(ev: DataFrame) -> DataFrame:
+    """Frame-level SCD2 build over (user_id, event_type, event_id, ts).
+    Checked against a brute-force run-collapse reference on randomized
+    event streams in tests/test_semantics.py."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.select(
@@ -52,16 +60,13 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
     )
     wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    return (
-        changes.select(
-            "user_id",
-            F.row_number().over(wc).cast("bigint").alias("version"),
-            "event_type",
-            F.col("ts_us").alias("valid_from_us"),
-            F.lead("ts_us").over(wc).alias("valid_to_us"),
-            F.lead("ts_us").over(wc).isNull().alias("is_current"),
-        )
-        .orderBy("user_id", "version")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wc).cast("bigint").alias("version"),
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(wc).alias("valid_to_us"),
+        F.lead("ts_us").over(wc).isNull().alias("is_current"),
     )
 
 

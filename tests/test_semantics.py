@@ -429,3 +429,54 @@ def test_chain_closure_rejects_dense_clusters(spark):
     )
     with pytest.raises(ValueError, match="degree"):
         _chain_closure(spark, clique)
+
+
+def test_scd2_frame_matches_bruteforce_reference(spark):
+    """C52: the windowed SCD2 build must equal a brute-force run-collapse
+    on randomized event streams (30 users, repeated types, simultaneous
+    timestamps broken by event_id — the tie the windows must respect)."""
+    import datetime
+    import random
+
+    from frolyk_spark.operators.temporal import scd2_frame
+
+    rng = random.Random(99)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    streams = {}
+    for user in range(30):
+        n = rng.randint(1, 15)
+        evs = []
+        t = 0
+        for _ in range(n):
+            # occasional equal timestamps force the event_id tie-break
+            t += rng.choice([0, 1, 1, 5])
+            evs.append((eid, t, rng.choice("abc")))
+            eid += 1
+        streams[user] = evs
+        for e, t, ty in evs:
+            rows.append((user, e, base + datetime.timedelta(seconds=t), ty))
+
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        (r.user_id, r.version): (r.event_type, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in scd2_frame(df).collect()
+    }
+
+    def us(t):
+        return int((base + datetime.timedelta(seconds=t)).timestamp() * 1_000_000)
+
+    expected = {}
+    for user, evs in streams.items():
+        ordered = sorted(evs, key=lambda e: (e[1], e[0]))
+        runs = []
+        for e, t, ty in ordered:
+            if not runs or runs[-1][0] != ty:
+                runs.append((ty, t))
+        for v, (ty, t) in enumerate(runs, start=1):
+            nxt = us(runs[v][1]) if v < len(runs) else None
+            expected[(user, v)] = (ty, us(t), nxt, nxt is None)
+    assert got == expected
