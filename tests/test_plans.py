@@ -527,8 +527,12 @@ def test_r6_ops_plan_shapes(spark, sf_dir):
 
     rep = plan_report(_semantic_candidate_pairs(spark, sf_dir))
     assert not rep["has_cartesian"]
-    assert rep["plan"].count("ArrowEvalPython") <= 1, (
-        "cluster assignment must be lineage-cut, not recomputed per join side"
+    assert "FlatMapGroupsInPandas" in rep["plan"], (
+        "verification must be the per-cluster matmul (applyInPandas), "
+        "not a per-pair interpreted-HOF join"
+    )
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", rep["plan"])) <= 1, (
+        "one assignment UDF stage only"
     )
 
 
