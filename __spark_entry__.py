@@ -34,51 +34,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registration order matters: the driver's correctness gate runs entries
     # in dict order under a wall-clock budget (~50 per round of the 126
-    # registered entries). The r6 rotation is ordered by driver-row AGE.
-    # CORRECTNESS_r05 was not delivered to the repo, so r5 coverage is
-    # estimated from the r5 registration order and the observed ~50/round
-    # budget (the 26 red_or_new entries plus roughly the first two dozen of
-    # the last_green_r3 block):
-    #   1. new_r6: the operators new this round — no driver row at all;
-    #   2. likely_last_green_r3: the TAIL of r5's last_green_r3 block, the
-    #      entries an r5 budget of ~50 would not have reached — their
-    #      newest green row is still r3 (two rounds stale);
-    #   3. r4_green_once / r4_green: entries whose newest green row is r4;
-    #   4. the head of r5's rotation (embedding_quantize + the 25 r5-new
-    #      ops, then the last_green_r3 head) — freshly checked in r5 if
-    #      the estimate holds, so they park last and still fit a ~50
-    #      budget's remainder partially.
-    new_r6 = (
-        "dup_span_coverage", "scd2_history", "supplier_peak_load",
-        "semantic_dedup", "bpe_encode", "quality_logreg",
-        "spending_percentiles", "feature_hash_embedding",
-        "minhash_containment", "embedding_pca", "stream_topk",
-        "containment_chains", "time_weighted_avg", "ohlc_bars",
-        "stream_ohlc",
-    )
-    likely_last_green_r3 = (
-        "dedup_clusters", "ann_bruteforce", "ann_lsh",
-        "ann_ivf", "embedding_stats", "text_stats", "lang_id",
-        "token_count", "doc_fingerprint", "text_redact", "corpus_filter",
-        "multimodal_manifest",
-    )
-    r4_green = (
-        "source_mix", "q12_delay_priority", "minhash_jaccard_estimate",
-        "cross_source_duplication", "length_histogram", "tfidf_top_terms",
-        "q5_local_supplier", "q6_forecast", "q10_returned",
-        "topk_orders_per_customer", "running_revenue", "event_deltas",
-        "rollup_revenue", "cube_lineitem", "customers_with_orders",
-        "customers_without_orders", "distinct_parts_per_supplier",
-        "event_type_pivot", "asof_purchase_click", "clicks_before_purchase",
-        "set_ops_customers", "explode_words", "daily_revenue",
-        "q4_order_priority", "q7_volume_shipping", "q14_promo_revenue",
-        "q9_product_profit", "salted_skew_agg", "asof_cogroup",
-        "retention_cohorts", "grouping_sets_revenue", "q8_market_share",
-        "q13_order_distribution", "q15_top_supplier", "q18_large_orders",
-        "approx_stats",
-    )
-    likely_r5_green = (
-        "embedding_quantize",
+    # registered entries). The r7 rotation is ordered strictly by driver-row
+    # AGE, red/never-checked first, computed from the delivered
+    # CORRECTNESS_r01..r06 artifacts (r5 was never delivered, so the 25
+    # r5-wave operators have no driver row at all):
+    #   1. red_r4: embedding_quantize — newest driver row is the r4 RED
+    #      (unhashable array output; the r5 concat_ws fix is local-only);
+    #   2. never_checked: the 25 r5-wave entries with NO driver row ever;
+    #   3. stale_r3: newest green row is r3 — includes the whole streaming
+    #      family (VERDICT r6 item 6) and the flagship q1/q3/dedup block;
+    #   4. stale_r4: newest green row is r4;
+    #   5. green_r6: freshly checked last round — park last.
+    # 1+25+24 = 50 = the observed per-round budget, so a ~50 budget clears
+    # the entire unevidenced backlog this round.
+    red_r4 = ("embedding_quantize",)
+    never_checked = (
         "json_props_stats", "markov_transitions", "order_value_quartiles",
         "price_discount_corr", "boilerplate_ngrams", "anomaly_zscore",
         "dedup_canonical", "conversion_funnel", "funnel_fold",
@@ -88,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap", "ngram_novelty", "sample_temperature",
         "stream_anomaly", "sample_per_source", "sketch_profile",
         "lsh_band_sweep", "bpe_train", "lang_confusion", "source_yield",
+    )
+    stale_r3 = (
         "q22_idle_balance", "value_deciles", "resample_gapfill",
         "salted_join_segments", "multimodal_features", "media_resize",
         "frame_sample", "sample_stratified", "train_test_split",
@@ -98,15 +70,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_embedding",
     )
+    stale_r4 = (
+        "q4_order_priority", "q7_volume_shipping", "q14_promo_revenue",
+        "q9_product_profit", "salted_skew_agg", "asof_cogroup",
+        "retention_cohorts", "grouping_sets_revenue", "q8_market_share",
+        "q13_order_distribution", "q15_top_supplier", "q18_large_orders",
+        "approx_stats", "sequence_pack", "decontaminate", "doc_chunks",
+        "repetition_stats", "q21_waiting_suppliers", "q17_small_qty_revenue",
+        "q19_discount_revenue", "vocab_topk", "bigram_counts",
+        "unigram_logprob", "token_entropy", "dedup_incremental",
+        "dedup_simhash_pairs",
+    )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
                 dedup, similarity, multimodal, sampling, learn,
                 streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*new_r6, *likely_last_green_r3, *r4_green, *likely_r5_green):
+    for k in (*red_r4, *never_checked, *stale_r3, *stale_r4):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
-    out.update(registry)  # remainder; first-insertion order wins
+    out.update(registry)  # green_r6 remainder; first-insertion order wins
     return out
 
 
