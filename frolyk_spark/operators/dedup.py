@@ -203,25 +203,63 @@ def band_hashes(sigs: DataFrame) -> DataFrame:
     return _band_hashes_for(sigs, MINHASH_B)
 
 
-def _pairs_from_bands(bands: DataFrame) -> DataFrame:
+#: max docs per band bucket expanded to exact quadratic pairs; bigger
+#: buckets (near-identical boilerplate floods — EXPECTED at 100 TB, not
+#: pathological) are star-routed instead (see _pairs_from_bands)
+LSH_BUCKET_CAP = 1024
+
+
+def _pairs_from_bands(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Candidate pairs from a (doc_id, band_id, band_hash) frame:
     band-hash bucket groupBy -> in-bucket pair expansion from the sorted
-    doc_id list. Near-dup buckets are small by construction (docs only
-    collide when a full band agrees); a pathological giant bucket would
-    be capped or routed through a join at scale. Never all-pairs: the
-    shuffle is equi-partitioned on the bucket key."""
+    doc_id list. Never all-pairs: the shuffle is equi-partitioned on the
+    bucket key.
+
+    Giant-bucket guard (VERDICT r6): a bucket of n near-identical docs
+    (template/boilerplate floods) would expand to n(n-1)/2 pairs inside a
+    single task — 10^5 docs = 5*10^9 structs = OOM/straggler. Buckets with
+    <= `cap` docs take the exact quadratic path; oversize buckets are
+    routed through a linear STAR expansion anchored at the bucket's min
+    doc_id (n-1 pairs). The star spans the bucket, so connected-components
+    consumers (dedup_clusters, dedup_canonical) see identical clusters;
+    pair-level consumers see a documented subset for buckets that were
+    going to be merged wholesale anyway. Residual bound: the collected id
+    array itself is linear (8 bytes/doc — a 10^6-doc bucket is ~8 MB in
+    one aggregation row), only the expansion was quadratic."""
     pairs_expr = (
         "flatten(transform(ids,"
         " (x, i) -> transform(slice(ids, i + 2, size(ids)),"
         " y -> struct(x as doc_a, y as doc_b))))"
     )
+    star_expr = (
+        "transform(slice(ids, 2, size(ids) - 1),"
+        " y -> struct(ids[0] as doc_a, y as doc_b))"
+    )
     return (
         bands.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
-        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(
+            F.explode(
+                F.when(F.size("ids") <= cap, F.expr(pairs_expr)).otherwise(
+                    F.expr(star_expr)
+                )
+            ).alias("p")
+        )
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def oversize_band_buckets(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Report frame for the guard above: (band_id, band_hash, n_docs) of
+    every bucket that will be star-routed rather than pair-expanded, so a
+    pipeline can log/alert on boilerplate floods instead of silently
+    degrading candidate recall."""
+    return (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > cap)
     )
 
 

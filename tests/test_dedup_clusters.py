@@ -94,3 +94,49 @@ def test_minhash_catches_high_jaccard_pairs(spark, sf_dir):
     assert true_pairs, "test data should contain planted near-dups"
     missed = true_pairs - cand_pairs
     assert not missed, f"LSH missed high-jaccard pairs: {sorted(missed)[:5]}"
+
+
+def test_giant_bucket_guard_star_routes(spark):
+    """LSH giant-bucket guard (VERDICT r6 #2): a mega-bucket (1k docs with
+    identical signatures — a boilerplate flood) must NOT expand to the
+    ~500k quadratic pairs; it star-routes to n-1 pairs anchored at the min
+    doc_id, while preserving full bucket connectivity. Small buckets keep
+    the exact quadratic expansion."""
+    from frolyk_spark.operators.dedup import (
+        LSH_BUCKET_CAP, _pairs_from_bands, oversize_band_buckets,
+    )
+
+    n = 1200
+    assert n > LSH_BUCKET_CAP
+    mega = spark.range(n).selectExpr(
+        "id as doc_id", "0 as band_id", "42 as band_hash"
+    )
+    small = spark.range(5).selectExpr(
+        "id + 10000 as doc_id", "1 as band_id", "7 as band_hash"
+    )
+    bands = mega.unionByName(small)
+
+    pairs = _pairs_from_bands(bands).collect()
+    mega_pairs = {(r.doc_a, r.doc_b) for r in pairs if r.doc_b < 10000}
+    small_pairs = {(r.doc_a, r.doc_b) for r in pairs if r.doc_b >= 10000}
+    # star: exactly n-1 pairs, all anchored at doc 0, spanning the bucket
+    assert mega_pairs == {(0, i) for i in range(1, n)}
+    # quadratic path untouched below the cap: all 10 sorted pairs
+    assert small_pairs == {
+        (10000 + a, 10000 + b) for a in range(5) for b in range(a + 1, 5)
+    }
+    # the report frame names exactly the routed bucket
+    report = oversize_band_buckets(bands).collect()
+    assert [(r.band_id, r.band_hash, r.n_docs) for r in report] == [(0, 42, n)]
+
+
+def test_giant_bucket_guard_cap_boundary(spark):
+    """A bucket of exactly `cap` docs still takes the exact path."""
+    from frolyk_spark.operators.dedup import _pairs_from_bands
+
+    cap = 16
+    bands = spark.range(cap).selectExpr(
+        "id as doc_id", "0 as band_id", "1 as band_hash"
+    )
+    got = {(r.doc_a, r.doc_b) for r in _pairs_from_bands(bands, cap=cap).collect()}
+    assert got == {(a, b) for a in range(cap) for b in range(a + 1, cap)}
