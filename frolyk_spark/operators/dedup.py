@@ -1140,19 +1140,11 @@ CHAIN_T = 0.7
 def containment_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the containment relation — mirror-of-a-mirror
     chains (a ⊑ b ⊑ c), with the minimum hop count per (ancestor,
-    descendant) pair — expressed as a Spark 4 `WITH RECURSIVE` CTE, the
-    declarative recursion surface the engine gained in 4.0. The edge set
-    is ACYCLIC by construction (doc_a < doc_b on every containment pair),
-    which is what makes UNION ALL recursion terminate: Spark does not yet
-    support deduplicating UNION in recursive CTEs, so cyclic closures
-    (dedup_clusters) stay on the iterative min-label loop; DAG closures
-    belong on this form. UNION ALL enumerates PATHS, which is exponential
-    in clique size (a k-clique of mutual dups has ~2^(k-2) routes per
-    extreme pair and would trip Spark's 1M-row recursion limit — a cliff
-    the DuckDB oracle doesn't share), so the closure guards on vertex
-    degree and fails loudly past {CHAIN_MAX_DEGREE}: a cluster that
-    dense is dedup_clusters/dedup_canonical territory, not a chain.
-    Oracle: the identical recursion in DuckDB over the identical edges.
+    descendant) pair. The edge set is ACYCLIC by construction (doc_a <
+    doc_b on every containment pair), so the closure is a level-synchronous
+    BFS over pair states (_chain_closure). Oracle: the equivalent
+    `WITH RECURSIVE` min-depth recursion in DuckDB over identical edges —
+    tractable there because oracle-scale chains are tiny.
     """
     edges = (
         minhash_containment(spark, sf_dir)
@@ -1162,53 +1154,63 @@ def containment_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chain_closure(spark, edges)
 
 
-#: max vertex degree the path-enumerating closure accepts: a 13-clique
-#: (degree 12) enumerates ~2^11 routes per extreme pair, ~200k recursion
-#: rows total — comfortably under Spark's 1M-row recursion limit; past
-#: that the growth is exponential, so fail loudly instead of cliff-diving
-CHAIN_MAX_DEGREE = 12
+#: longest chain the BFS closure will follow before failing loudly — an
+#: acyclic containment chain deeper than this means the threshold is
+#: admitting everything (a ⊑ b at 0.7 is near-duplication; 64 nested
+#: mirrors-of-mirrors is a data bug, not a chain)
+CHAIN_MAX_DEPTH = 64
 
 
 def _chain_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
-    """Min-hop transitive closure of an acyclic (doc_a < doc_b) edge
-    frame via `WITH RECURSIVE` (multi-hop semantics pytest-checked on a
-    synthetic DAG in tests/test_semantics.py). The edge frame is
-    lineage-cut first: the recursion references it in the anchor AND in
-    every recursive step, so an uncut edge pipeline (here: the whole
-    containment verify) would re-execute once per recursion level —
-    the self-join lineage rule, with recursion as the multiplier
-    (measured 5.9 s -> 2.3 s warm at sf0.1; the remainder is the
-    containment verify itself, paid once). Degree-guarded (one cheap
-    agg over the edge list, bounded like merge_upsert's key check)
-    because UNION ALL path enumeration is exponential in clique size."""
+    """Min-hop transitive closure of an acyclic (doc_a < doc_b) edge frame
+    via a LEVEL-SYNCHRONOUS BFS frontier loop (multi-hop semantics
+    pytest-checked on a synthetic DAG in tests/test_semantics.py).
+
+    r6 ADVICE retired the previous `WITH RECURSIVE` form: UNION ALL
+    recursion enumerates PATHS, and path counts are exponential in DAG
+    *shape*, not vertex degree — a chained-diamond DAG (a->{b1,b2}->c->…)
+    doubles path counts per stage at degree 3, while a benign 14-mirror
+    star (linear paths) tripped the old CHAIN_MAX_DEGREE guard. The BFS
+    frontier materializes at most one row per NEW (anc, descn) pair per
+    level (distinct + anti-join vs the accumulated closure), so total work
+    is O(diameter * |closure|) for EVERY DAG shape — polynomial by
+    construction, no shape guard needed. Each level is one equi-join on
+    the frontier's tail vertex + one distinct + one anti-join, all
+    shuffle-partitioned on keys; driver-side state is one boolean
+    (isEmpty) per level. The edge frame is lineage-cut once — every level
+    joins it, and an uncut edge pipeline (the whole containment verify)
+    would re-execute per level (measured 5.9 s -> 2.3 s warm at sf0.1);
+    frontier/closure are cut per level like dedup_clusters' labels."""
     edges = _cut_lineage(edges)
-    deg = (
-        edges.select(F.col("doc_a").alias("v"))
-        .unionAll(edges.select(F.col("doc_b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .agg(F.max("deg").alias("m"))
-        .collect()[0]
-    )
-    if deg.m is not None and deg.m > CHAIN_MAX_DEGREE:
-        raise ValueError(
-            f"containment graph has a vertex of degree {deg.m} > "
-            f"{CHAIN_MAX_DEGREE}: a duplicate cluster this dense makes "
-            "path-enumerating recursion exponential — run dedup_clusters/"
-            "dedup_canonical on it instead of chain closure"
+    closure = edges.select("doc_a", "doc_b", F.lit(1).alias("min_depth"))
+    frontier = closure.select("doc_a", "doc_b")
+    for depth in range(2, CHAIN_MAX_DEPTH + 1):
+        # extend the frontier one hop; BFS order makes first-reach = min-hop
+        nxt = (
+            frontier.alias("c")
+            .join(edges.alias("e"), F.col("c.doc_b") == F.col("e.doc_a"))
+            .select(F.col("c.doc_a").alias("doc_a"), F.col("e.doc_b").alias("doc_b"))
+            .distinct()
+            .join(closure.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
         )
-    edges.createOrReplaceTempView("_frolyk_containment_edges")
-    return spark.sql(
-        """
-WITH RECURSIVE chain(anc, descn, depth) AS (
-  SELECT doc_a, doc_b, 1 FROM _frolyk_containment_edges
-  UNION ALL
-  SELECT c.anc, e.doc_b, c.depth + 1
-  FROM chain c JOIN _frolyk_containment_edges e ON e.doc_a = c.descn
-)
-SELECT anc AS doc_a, descn AS doc_b, cast(min(depth) AS BIGINT) AS min_depth
-FROM chain GROUP BY anc, descn ORDER BY doc_a, doc_b
-"""
+        nxt = _cut_lineage(nxt)
+        if nxt.isEmpty():
+            break
+        closure = _cut_lineage(
+            closure.unionByName(nxt.withColumn("min_depth", F.lit(depth)))
+        )
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"containment chains deeper than {CHAIN_MAX_DEPTH} hops — the "
+            "containment threshold is admitting everything; raise CHAIN_T "
+            "or run dedup_clusters on this corpus"
+        )
+    return (
+        closure.select(
+            "doc_a", "doc_b", F.col("min_depth").cast("bigint").alias("min_depth")
+        )
+        .orderBy("doc_a", "doc_b")
     )
 
 

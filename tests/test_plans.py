@@ -560,10 +560,10 @@ def test_r6_wave2_plan_shapes(spark, sf_dir):
 
 
 def test_containment_chains_recursion_reads_cut_edges(spark, sf_dir):
-    """D57: the recursive closure must run over the LINEAGE-CUT edge
-    frame — if the cut is dropped, the whole containment verify (parquet
-    scans, shingle joins) reappears in the plan once per recursion
-    reference; after the cut the plan has no parquet scans at all."""
+    """D57: the BFS closure must run over the LINEAGE-CUT edge frame — if
+    the cut is dropped, the whole containment verify (parquet scans,
+    shingle joins) reappears in the plan once per BFS level; after the
+    cut the returned plan has no parquet scans at all."""
     from frolyk_spark.operators.dedup import containment_chains
     from frolyk_spark.plans import plan_report
 

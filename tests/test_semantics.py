@@ -414,21 +414,42 @@ def test_dup_span_coverage_matches_bruteforce_reference(spark, tmp_path):
     assert got == expected, (got, expected)
 
 
-def test_chain_closure_rejects_dense_clusters(spark):
-    """D57: past CHAIN_MAX_DEGREE the path enumeration is exponential —
-    the closure must fail loudly with redirection, never cliff-dive into
-    Spark's recursion row limit."""
-    import pytest
+def test_chain_closure_polynomial_on_adversarial_shapes(spark):
+    """D57 (r6 ADVICE): the BFS closure must stay polynomial on the shapes
+    that broke the old path-enumerating recursion — a dense clique (old
+    guard's target), a 14-mirror star (old guard's false positive), and a
+    chained-diamond DAG whose PATH count doubles per stage while vertex
+    degree stays at 2 (old guard's false negative)."""
+    from frolyk_spark.operators.dedup import _chain_closure
 
-    from frolyk_spark.operators.dedup import CHAIN_MAX_DEGREE, _chain_closure
-
-    k = CHAIN_MAX_DEGREE + 2  # clique of k -> max degree k-1 > bound
+    # 14-clique oriented a<b: every pair has a direct edge -> depth 1
+    k = 14
     clique = spark.createDataFrame(
         [(a, b) for a in range(k) for b in range(a + 1, k)],
         "doc_a bigint, doc_b bigint",
     )
-    with pytest.raises(ValueError, match="degree"):
-        _chain_closure(spark, clique)
+    got = {(r.doc_a, r.doc_b): r.min_depth for r in _chain_closure(spark, clique).collect()}
+    assert got == {(a, b): 1 for a in range(k) for b in range(a + 1, k)}
+
+    # star: one short doc mirrored 14 times — linear, must NOT be rejected
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 15)], "doc_a bigint, doc_b bigint"
+    )
+    got = {(r.doc_a, r.doc_b): r.min_depth for r in _chain_closure(spark, star).collect()}
+    assert got == {(0, i): 1 for i in range(1, 15)}
+
+    # 20 chained diamonds: 2^20 distinct PATHS end-to-end, but only
+    # O(stages^2) distinct pairs — completes fast, min-depth = 2 hops/stage
+    edges, stages = [], 20
+    for s in range(stages):
+        a, b1, b2, c = 3 * s, 3 * s + 1, 3 * s + 2, 3 * (s + 1)
+        edges += [(a, b1), (a, b2), (b1, c), (b2, c)]
+    diamonds = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {(r.doc_a, r.doc_b): r.min_depth for r in _chain_closure(spark, diamonds).collect()}
+    # spine distances: hub 0 to hub 3*s is 2*s hops; 0 to last mid-vertex
+    assert got[(0, 3 * stages)] == 2 * stages
+    assert got[(0, 3 * (stages - 1) + 1)] == 2 * (stages - 1) + 1
+    assert got[(0, 3)] == 2 and got[(0, 1)] == 1
 
 
 def test_scd2_frame_matches_bruteforce_reference(spark):
