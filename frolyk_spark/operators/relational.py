@@ -1899,9 +1899,10 @@ def spending_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties broken by custkey to keep ranks deterministic).
 
     Scale shape: one custkey-shuffle aggregation over orders, one
-    broadcast customer join (customer scales with SF but the join is on
-    the already-reduced per-customer frame — equi-join, AQE-handled),
-    then all three windows share ONE n_nationkey partitioning.
+    UN-HINTED customer equi-join (customer scales with SF, so no
+    broadcast hint — AQE broadcasts while it is small, per the
+    no-hints-on-SF-scaling rule), then all three windows share ONE
+    n_nationkey partitioning.
     """
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

@@ -671,10 +671,16 @@ def _semantic_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_a": lo, "vec_b": hi, "cos_raw": sims[ii[keep], jj[keep]]}
         )
 
+    # pairs that meet in several shared clusters must dedupe on the PAIR
+    # KEY, not distinct() over cos_raw too: per-cluster BLAS matmuls over
+    # different-sized matrices can order the dot-product summation
+    # differently, leaving last-ULP-different cosines for the same pair
+    # (r6 ADVICE); max() picks one deterministically
     return (
         assigned.groupBy("cluster")
         .applyInPandas(per_cluster, "vec_a bigint, vec_b bigint, cos_raw double")
-        .distinct()
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_raw").alias("cos_raw"))
     )
 
 

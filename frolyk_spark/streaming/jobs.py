@@ -570,7 +570,10 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     k = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        # full bigint width: lpad TRUNCATES past its length in both
+        # engines, so a 10-char pad would collapse 11+-digit event_ids
+        # into tied keys and make open/close nondeterministic (r6 ADVICE)
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -599,11 +602,11 @@ SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS bar_start,
        event_type,
        cast(count(*) AS BIGINT) AS n,
        arg_min(value, lpad(cast(epoch_us(ts) AS VARCHAR), 20, '0')
-                      || lpad(cast(event_id AS VARCHAR), 10, '0')) AS open,
+                      || lpad(cast(event_id AS VARCHAR), 20, '0')) AS open,
        max(value) AS high,
        min(value) AS low,
        arg_max(value, lpad(cast(epoch_us(ts) AS VARCHAR), 20, '0')
-                      || lpad(cast(event_id AS VARCHAR), 10, '0')) AS close
+                      || lpad(cast(event_id AS VARCHAR), 20, '0')) AS close
 FROM events
 GROUP BY 1, 2
 """
