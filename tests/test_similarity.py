@@ -135,3 +135,43 @@ def test_embedding_pca_matches_numpy(spark, sf_dir):
     e = np.array([exp[idx[r.vec_id]] for r in got])
     assert np.allclose(g, e, atol=2e-4), np.abs(g - e).max()  # 1e-6 rounding + sum order
     assert g[:, 0].var() >= g[:, 1].var(), "pc1 must carry the most variance"
+
+
+def test_semantic_blocking_group_size_bounded(spark, sf_dir):
+    """D51 (VERDICT r6 item 4): nlist is derived from corpus size so the
+    per-cluster verify matmul is bounded by construction — assert the
+    derivation formula and that no actual cluster group exceeds a modest
+    skew multiple of the target on the synthetic corpus."""
+    import numpy as np
+
+    from frolyk_spark.operators.similarity import (
+        IVF_CLUSTERS, SEM_PROBE, SEM_TARGET_CLUSTER_ROWS,
+        _semantic_nlist, _train_centroids_sampled,
+    )
+    from frolyk_spark.sources.catalog import load_table
+
+    # the formula: floored at the small-corpus default, linear in n above
+    assert _semantic_nlist(100) == IVF_CLUSTERS
+    big = 10_000_000
+    assert _semantic_nlist(big) == -(-SEM_PROBE * big // SEM_TARGET_CLUSTER_ROWS)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    nlist = _semantic_nlist(n)
+    cent = np.asarray(
+        _train_centroids_sampled(
+            emb.selectExpr("vec_id as neighbor_id", "embedding as cand_emb"),
+            "neighbor_id", "cand_emb", nlist=nlist,
+        ),
+        dtype=np.float64,
+    )
+    assert len(cent) <= nlist
+    # replicate the multi-probe assignment and check realized group sizes
+    rows = emb.collect()
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cu = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(x @ cu.T), axis=1)[:, :SEM_PROBE]
+    sizes = np.bincount(probes.ravel(), minlength=len(cent))
+    bound = max(8 * SEM_TARGET_CLUSTER_ROWS, 8 * SEM_PROBE * n // len(cent))
+    assert sizes.max() <= bound, (sizes.max(), bound)
