@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_anomaly", "sample_per_source", "sketch_profile",
         "lsh_band_sweep", "bpe_train", "lang_confusion", "source_yield",
     )
+    new_r7 = ("media_decode",)
     stale_r3 = (
         "q22_idle_balance", "value_deciles", "resample_gapfill",
         "salted_join_segments", "multimodal_features", "media_resize",
@@ -87,7 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*red_r4, *never_checked, *stale_r3, *stale_r4):
+    for k in (*red_r4, *never_checked, *new_r7, *stale_r3, *stale_r4):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
     out.update(registry)  # green_r6 remainder; first-insertion order wins
     return out

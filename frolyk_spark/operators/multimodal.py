@@ -74,11 +74,25 @@ FROM documents
 # --- D14: feature extraction over Arrow batches -------------------------------
 
 def _decode_media(payload: bytes, modality: str):
-    """Real decode would go through PIL/librosa/pyav — not in this image.
-    STUB: fails loudly rather than fake-decoding."""
+    """Decode boundary. Image and audio are REAL decoders now (r7):
+    dependency-free spec-conforming BMP and WAV parsers
+    (frolyk_spark.functions.codecs — header validation, stride arithmetic,
+    bottom-up row flip, RIFF chunk walking), exercised end-to-end by
+    media_decode below. Video stays a loud stub — compressed codecs
+    genuinely need pyav.
+
+    Returns (dim1, dim2, content): image -> (width, height, BGR bytes),
+    audio -> (sample_rate, n_samples, samples list)."""
+    from frolyk_spark.functions.codecs import decode_bmp, decode_wav
+
+    if modality == "image":
+        return decode_bmp(payload)
+    if modality == "audio":
+        rate, samples = decode_wav(payload)
+        return rate, len(samples), samples
     raise NotImplementedError(
-        f"media decode for {modality!r} requires PIL/librosa/pyav; "
-        "install them and replace this stub"
+        f"media decode for {modality!r} requires pyav; "
+        "install it and extend this dispatch"
     )
 
 
@@ -290,10 +304,142 @@ FROM frames
 """
 
 
+# --- D58: real encode -> decode round trip (BMP/WAV) --------------------------
+
+#: md5-hex repeats per asset content source (768 bytes, covers the largest
+#: image (3*32*8) and audio (2*255) content this operator synthesizes)
+MEDIA_SRC_REPEATS = 48
+
+
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode over mapInPandas (closes the r6 'decode stubbed'
+    gap for image/audio): synthesize an actual spec-conforming container
+    per document — uncompressed 24-bit BMP for even doc_ids, PCM16 mono
+    WAV for odd — around deterministic md5-derived content bytes, then
+    decode it back with the real parsers behind `_decode_media` (header
+    validation, stride/bottom-up handling, RIFF chunk walk) and emit
+    decoded stats. The DuckDB oracle computes the SAME stats directly from
+    the content-generation rule, so a decoder that mis-parses stride,
+    origin, or chunk layout diverges. Both encode and decode run
+    executor-side in one Arrow-batched pass over the documents scan — no
+    shuffle, payloads never leave the executors.
+
+    Columns: dim1/dim2 = (width, height) for images, (sample_rate,
+    n_samples) for audio; content_sum = sum of decoded BGR byte values /
+    sum of decoded signed samples; head_val = top-left pixel as a BGR
+    24-bit int / first sample."""
+    import hashlib
+
+    from frolyk_spark.functions.codecs import encode_bmp, encode_wav
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "modality": [], "dim1": [], "dim2": [],
+                "content_sum": [], "head_val": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                src = bytes.fromhex(
+                    hashlib.md5(text.encode()).hexdigest() * MEDIA_SRC_REPEATS
+                )
+                if doc_id % 2 == 0:
+                    w = 4 * (1 + doc_id % 8)
+                    h = 2 + doc_id % 7
+                    payload = encode_bmp(src[: 3 * w * h], w, h)
+                    dw, dh, content = _decode_media(bytes(payload), "image")
+                    out["modality"].append("image")
+                    out["dim1"].append(dw)
+                    out["dim2"].append(dh)
+                    out["content_sum"].append(sum(content))
+                    out["head_val"].append(
+                        content[0] * 65536 + content[1] * 256 + content[2]
+                    )
+                else:
+                    n = 64 + doc_id % 192
+                    rate = 8000 + 100 * (doc_id % 80)
+                    samples = [
+                        int.from_bytes(src[2 * i : 2 * i + 2], "little", signed=True)
+                        for i in range(n)
+                    ]
+                    payload = encode_wav(samples, rate)
+                    drate, dn, dsamples = _decode_media(bytes(payload), "audio")
+                    out["modality"].append("audio")
+                    out["dim1"].append(drate)
+                    out["dim2"].append(dn)
+                    out["content_sum"].append(sum(dsamples))
+                    out["head_val"].append(dsamples[0])
+                out["doc_id"].append(doc_id)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id bigint, modality string, dim1 bigint, dim2 bigint,"
+        " content_sum bigint, head_val bigint",
+    )
+
+
+def _media_decode_sql() -> str:
+    # byte j (0-based) of the content source = hex chars 2j+1..2j+2
+    byte_at = (
+        "cast(concat('0x', substr(hexsrc, 2 * __J__ + 1, 2)) as bigint)"
+    )
+
+    def b(j_expr: str) -> str:
+        return byte_at.replace("__J__", f"({j_expr})")
+
+    # signed little-endian int16 from bytes (2i, 2i+1)
+    sample = (
+        f"({b('2 * i')} + 256 * {b('2 * i + 1')}) "
+        f"- CASE WHEN {b('2 * i + 1')} >= 128 THEN 65536 ELSE 0 END"
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, repeat(md5(text), {MEDIA_SRC_REPEATS}) AS hexsrc
+  FROM documents
+),
+img AS (
+  SELECT doc_id, hexsrc,
+         4 * (1 + doc_id % 8) AS w,
+         2 + doc_id % 7 AS h
+  FROM src WHERE doc_id % 2 = 0
+),
+aud AS (
+  SELECT doc_id, hexsrc,
+         8000 + 100 * (doc_id % 80) AS rate,
+         64 + doc_id % 192 AS n
+  FROM src WHERE doc_id % 2 = 1
+),
+img_rows AS (
+  SELECT doc_id, 'image' AS modality,
+         cast(w AS BIGINT) AS dim1, cast(h AS BIGINT) AS dim2,
+         cast(list_aggregate(list_transform(range(0, cast(3 * w * h as int)),
+                                            j -> {b('j')}), 'sum') AS BIGINT)
+           AS content_sum,
+         cast({b('0')} * 65536 + {b('1')} * 256 + {b('2')} AS BIGINT)
+           AS head_val
+  FROM img
+),
+aud_rows AS (
+  SELECT doc_id, 'audio' AS modality,
+         cast(rate AS BIGINT) AS dim1, cast(n AS BIGINT) AS dim2,
+         cast(list_aggregate(list_transform(range(0, cast(n as int)),
+                                            i -> {sample}), 'sum') AS BIGINT)
+           AS content_sum,
+         cast(({b('0')} + 256 * {b('1')})
+              - CASE WHEN {b('1')} >= 128 THEN 65536 ELSE 0 END AS BIGINT)
+           AS head_val
+  FROM aud
+)
+SELECT * FROM img_rows UNION ALL SELECT * FROM aud_rows
+"""
+
+
 QUERIES = {
     "multimodal_manifest": multimodal_manifest,
     "multimodal_features": multimodal_features,
     "media_resize": media_resize,
+    "media_decode": media_decode,
     "frame_sample": frame_sample,
 }
 
@@ -303,5 +449,6 @@ ORACLES = {
     # even the Python-side extraction is value-checkable
     "multimodal_features": _features_sql(),
     "media_resize": _resize_sql(),
+    "media_decode": _media_decode_sql(),
     "frame_sample": _frame_sample_sql(),
 }

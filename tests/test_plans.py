@@ -591,3 +591,20 @@ def test_timeseries_ops_share_one_exchange(spark, sf_dir):
     rep = assert_scale_shape(ohlc_bars(spark, sf_dir), forbid_nested_loop=True)
     assert not rep["joins"]
     assert len(re.findall(r"hashpartitioning\(event_type", rep["plan"])) == 1
+
+
+def test_media_decode_is_one_mapinpandas_pass(spark, sf_dir):
+    """D58: the encode->decode round trip must be a single Arrow-batched
+    pass over a two-column documents scan — no join, no exchange, payload
+    bytes never shuffle."""
+    from frolyk_spark.operators.multimodal import media_decode
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(
+        media_decode(spark, sf_dir),
+        forbid_nested_loop=True,
+        max_scan_columns=2,
+        max_scans=1,
+    )
+    assert not rep["joins"]
+    assert "Exchange" not in rep["plan"], "decode pass must not shuffle"
