@@ -97,6 +97,9 @@ HEADLINE = [
     "time_weighted_avg",
     "ohlc_bars",
     "stream_ohlc",
+    # r7 additions
+    "media_decode",
+    "span_trim",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -587,31 +587,16 @@ ORDER BY doc_id
 SPAN_W = 8
 
 
-def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document duplicated-text fraction: the share of a doc's token
-    positions covered by at least one word {SPAN_W}-gram that also occurs
-    in ANOTHER document — the RefinedWeb/CCNet "f_dup" signal used to drop
-    or trim documents dominated by cross-corpus boilerplate. ngram_novelty
-    counts *distinct grams*; this measures *token coverage*, which is what
-    a span-trimming pass actually acts on (overlapping dup grams must not
-    double-count, hence the interval union).
-
-    Shape: positional grams (pos kept, NOT distinct) → cross-doc gram df
-    over the (hash, doc) projection → hits filtered to shared grams EARLY
-    (the equi-join on gram hash drops unique-gram occurrences before any
-    window) → per-doc interval union via the classic running-max-end
-    window (sorted by start; new coverage = end − max(prev ends, start−1),
-    clamped at 0) → one per-doc reduce, left-joined back to the doc list
-    so clean docs report 0. Two gram-keyed shuffles (df + join) and one
-    doc-keyed window; hot (boilerplate) grams bound their postings by doc
-    count exactly as in ngram_novelty, and AQE skew-join covers the join.
-    The postings frame feeds both the df aggregate and the hit join, so
-    it is lineage-cut (the CLAUDE.md self-join rule — without the cut the
-    per-gram md5 explode runs once per plan arm). Coverage rounds with
-    the portable round4 (ratio → libm-free).
-    """
+def _span_hit_frames(spark: SparkSession, sf_dir: str):
+    """Shared candidate machinery for D50/D59: returns (docs, hits) where
+    docs = (doc_id, text, n_tokens) and hits = one row per positional
+    {SPAN_W}-gram occurrence whose gram also occurs in ANOTHER document,
+    with its covered token interval [pos, e]. Postings are lineage-cut
+    (they feed both the df aggregate and the hit join — the CLAUDE.md
+    self-join rule; without the cut the per-gram md5 explode runs once
+    per plan arm). Hot (boilerplate) grams bound their postings by doc
+    count exactly as in ngram_novelty; AQE skew-join covers the join."""
     from frolyk_spark.functions.lineage import cut_lineage
-    from frolyk_spark.functions.portable import round4
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
@@ -645,6 +630,65 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.least(F.col("pos") + SPAN_W - 1, F.col("n_tokens")).alias("e"),
     )
+    return docs, hits
+
+
+def _span_hits_sql_ctes() -> str:
+    """The matching DuckDB CTE block (t/p/postings/shared/hits) — ONE
+    definition so the D50 and D59 oracles can never drift apart."""
+    w = SPAN_W
+    return f"""t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+p AS (
+  SELECT doc_id, cast(len(ws) AS BIGINT) AS n_tokens,
+         unnest(list_transform(
+           range(1, greatest(len(ws) - {w - 1}, 1) + 1),
+           i -> struct_pack(pos := i,
+                            g := array_to_string(ws[i:i+{w - 1}], ' ')))) AS pg
+  FROM t
+),
+postings AS (
+  SELECT doc_id, n_tokens, cast(pg.pos AS BIGINT) AS pos,
+         {portable_hash_sql('pg.g')} AS h
+  FROM p
+),
+shared AS (
+  SELECT h FROM (
+    SELECT h, count(*) AS df
+    FROM (SELECT DISTINCT h, doc_id FROM postings) GROUP BY h
+  ) WHERE df >= 2
+),
+hits AS (
+  SELECT doc_id, n_tokens, pos,
+         least(pos + {w - 1}, n_tokens) AS e
+  FROM postings JOIN shared USING (h)
+)"""
+
+
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a doc's token
+    positions covered by at least one word {SPAN_W}-gram that also occurs
+    in ANOTHER document — the RefinedWeb/CCNet "f_dup" signal used to drop
+    or trim documents dominated by cross-corpus boilerplate. ngram_novelty
+    counts *distinct grams*; this measures *token coverage*, which is what
+    a span-trimming pass actually acts on (overlapping dup grams must not
+    double-count, hence the interval union).
+
+    Shape: positional grams (pos kept, NOT distinct) → cross-doc gram df
+    over the (hash, doc) projection → hits filtered to shared grams EARLY
+    (the equi-join on gram hash drops unique-gram occurrences before any
+    window; candidate machinery shared with span_trim via
+    _span_hit_frames) → per-doc interval union via the classic
+    running-max-end window (sorted by start; new coverage = end − max(prev
+    ends, start−1), clamped at 0) → one per-doc reduce, left-joined back
+    to the doc list so clean docs report 0. Two gram-keyed shuffles
+    (df + join) and one doc-keyed window. Coverage rounds with the
+    portable round4 (ratio → libm-free).
+    """
+    from frolyk_spark.functions.portable import round4
+
+    docs, hits = _span_hit_frames(spark, sf_dir)
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -681,35 +725,8 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_span_coverage_sql() -> str:
     from frolyk_spark.functions.portable import round4_sql
 
-    w = SPAN_W
     return f"""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-),
-p AS (
-  SELECT doc_id, cast(len(ws) AS BIGINT) AS n_tokens,
-         unnest(list_transform(
-           range(1, greatest(len(ws) - {w - 1}, 1) + 1),
-           i -> struct_pack(pos := i,
-                            g := array_to_string(ws[i:i+{w - 1}], ' ')))) AS pg
-  FROM t
-),
-postings AS (
-  SELECT doc_id, n_tokens, cast(pg.pos AS BIGINT) AS pos,
-         {portable_hash_sql('pg.g')} AS h
-  FROM p
-),
-shared AS (
-  SELECT h FROM (
-    SELECT h, count(*) AS df
-    FROM (SELECT DISTINCT h, doc_id FROM postings) GROUP BY h
-  ) WHERE df >= 2
-),
-hits AS (
-  SELECT doc_id, n_tokens, pos,
-         least(pos + {w - 1}, n_tokens) AS e
-  FROM postings JOIN shared USING (h)
-),
+WITH {_span_hits_sql_ctes()},
 cover AS (
   SELECT doc_id, n_tokens,
          greatest(0, e - greatest(coalesce(
@@ -729,6 +746,93 @@ SELECT d.doc_id,
                    ' / cast(len(string_split(d.text, chr(32))) AS DOUBLE)')}
          AS dup_coverage
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --- D59: duplicate-span trimming (RefinedWeb-style span removal) ------------
+
+def span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granularity dedup (the RefinedWeb exact-substring recipe,
+    Penedo et al. 2023 §5, arXiv:2306.01116): instead of DROPPING documents
+    dominated by cross-corpus boilerplate (dup_span_coverage's signal),
+    REMOVE the duplicated spans and keep the rest — per document, delete
+    every token position covered by a word {SPAN_W}-gram that also occurs
+    in another document, and rebuild the surviving text in order.
+
+    Composes D50's shared candidate machinery (_span_hit_frames), then:
+    hit intervals → covered positions (explode of sequence(pos, e) —
+    bounded fan-out, each position is covered by at most {SPAN_W}
+    overlapping grams, then distinct) → the token stream anti-joins the
+    covered set on (doc_id, pos) → per-doc ordered rebuild
+    (sort_array over (pos, token) structs + concat_ws). Shuffles: the
+    two gram-keyed ones from D50, one (doc_id, pos)-keyed distinct +
+    anti-join over the token stream, one doc-keyed rebuild — all
+    equi-keyed, nothing quadratic, per-doc state bounded by doc length.
+    Fully-duplicated docs survive as empty text (kept_tokens 0), the
+    trim analogue of D50's coverage 1.0.
+    """
+    docs, hits = _span_hit_frames(spark, sf_dir)
+    covered = (
+        hits.select("doc_id", F.explode(F.sequence("pos", "e")).alias("p"))
+        .distinct()
+    )
+    tokens = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    ).select("doc_id", (F.col("i") + 1).cast("bigint").alias("p"), "tok")
+    rebuilt = (
+        tokens.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("trimmed_text"),
+        )
+    )
+    return (
+        docs.select("doc_id", "n_tokens")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _span_trim_sql() -> str:
+    return f"""
+WITH {_span_hits_sql_ctes()},
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(range(pos, e + 1)) AS p FROM hits
+  )
+),
+tokens AS (
+  SELECT doc_id, u.p AS p, ws[u.p] AS tok
+  FROM t, unnest(range(1, len(ws) + 1)) u(p)
+),
+reb AS (
+  SELECT tk.doc_id,
+         cast(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(tk.tok, ' ' ORDER BY tk.p) AS trimmed_text
+  FROM tokens tk
+  LEFT JOIN covered c ON c.doc_id = tk.doc_id AND c.p = tk.p
+  WHERE c.p IS NULL
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+       cast(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       cast(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       coalesce(reb.trimmed_text, '') AS trimmed_text
+FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
 ORDER BY d.doc_id
 """
 
@@ -798,6 +902,7 @@ QUERIES = {
     "ngram_novelty": ngram_novelty,
     "sample_temperature": sample_temperature,
     "dup_span_coverage": dup_span_coverage,
+    "span_trim": span_trim,
 }
 
 ORACLES = {
@@ -812,4 +917,5 @@ ORACLES = {
     "ngram_novelty": NGRAM_NOVELTY_SQL,
     "sample_temperature": SAMPLE_TEMPERATURE_SQL,
     "dup_span_coverage": _dup_span_coverage_sql(),
+    "span_trim": _span_trim_sql(),
 }

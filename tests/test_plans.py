@@ -608,3 +608,14 @@ def test_media_decode_is_one_mapinpandas_pass(spark, sf_dir):
     )
     assert not rep["joins"]
     assert "Exchange" not in rep["plan"], "decode pass must not shuffle"
+
+
+def test_span_trim_scale_shape(spark, sf_dir):
+    """D59: the trim must stay on equi-keyed shuffles — no cartesian, no
+    nested loop, and the covered-position anti-join must be a real
+    equi-join on (doc_id, p)."""
+    from frolyk_spark.operators.pipeline import span_trim
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(span_trim(spark, sf_dir), forbid_nested_loop=True)
+    assert "LeftAnti" in rep["plan"], "covered positions must anti-join"

@@ -413,6 +413,29 @@ def test_dup_span_coverage_matches_bruteforce_reference(spark, tmp_path):
     got = {r.doc_id: (r.n_tokens, r.covered_tokens) for r in dup_span_coverage(spark, sf).collect()}
     assert got == expected, (got, expected)
 
+    # D59 on the same crafted corpus: the trimmed text must be exactly the
+    # uncovered tokens in order (brute-force reference), and the trim must
+    # be CONSISTENT with D50: kept_tokens == n_tokens - covered_tokens
+    from frolyk_spark.operators.pipeline import span_trim
+
+    trim_expected = {}
+    for k, t in texts.items():
+        ws = t.split(" ")
+        covered = set()
+        for pos, g in grams(ws):
+            if len(docs_of[g]) >= 2:
+                covered.update(range(pos, min(pos + SPAN_W - 1, len(ws)) + 1))
+        kept = [w for i, w in enumerate(ws, start=1) if i not in covered]
+        trim_expected[k] = (len(ws), len(kept), " ".join(kept))
+
+    trim_got = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.trimmed_text)
+        for r in span_trim(spark, sf).collect()
+    }
+    assert trim_got == trim_expected, (trim_got, trim_expected)
+    for k in texts:
+        assert trim_got[k][1] == got[k][0] - expected[k][1]
+
 
 def test_chain_closure_polynomial_on_adversarial_shapes(spark):
     """D57 (r6 ADVICE): the BFS closure must stay polynomial on the shapes
