@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 126
+    # in dict order under a wall-clock budget (~50 per round of the 128
     # registered entries). The r7 rotation is ordered strictly by driver-row
     # AGE, red/never-checked first, computed from the delivered
     # CORRECTNESS_r01..r06 artifacts (r5 was never delivered, so the 25
@@ -45,8 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      family (VERDICT r6 item 6) and the flagship q1/q3/dedup block;
     #   4. stale_r4: newest green row is r4;
     #   5. green_r6: freshly checked last round — park last.
-    # 1+25+24 = 50 = the observed per-round budget, so a ~50 budget clears
-    # the entire unevidenced backlog this round.
+    # The two r7-new entries slot after the never-checked block (equally
+    # row-less); 1+25+2+22 of stale_r3 fills the ~50 budget, clearing the
+    # entire unevidenced backlog plus most of the two-round-stale block.
     red_r4 = ("embedding_quantize",)
     never_checked = (
         "json_props_stats", "markov_transitions", "order_value_quartiles",
