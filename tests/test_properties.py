@@ -170,3 +170,30 @@ def test_ppjoin_filters_never_prune_true_pairs(docs, t):
     true_pairs, surviving = _ppjoin_model(docs, t)
     missed = true_pairs - surviving
     assert not missed, f"true pairs pruned: {missed}"
+
+
+# --- BMP/WAV codec round trips (D58 decode boundary) --------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=12),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=120, deadline=None)
+def test_bmp_roundtrip_property(w, h, rng):
+    from frolyk_spark.functions.codecs import decode_bmp, encode_bmp
+
+    content = bytes(rng.randrange(256) for _ in range(3 * w * h))
+    assert decode_bmp(encode_bmp(content, w, h)) == (w, h, content)
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=256),
+    st.sampled_from([8000, 16000, 22050, 44100]),
+)
+@settings(max_examples=120, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    from frolyk_spark.functions.codecs import decode_wav, encode_wav
+
+    assert decode_wav(encode_wav(samples, rate)) == (rate, samples)
