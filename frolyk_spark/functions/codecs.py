@@ -1,14 +1,18 @@
 """Dependency-free media codecs for the multimodal decode boundary.
 
-Real, spec-conforming encoders/decoders for the two container formats that
+Real, spec-conforming encoders/decoders for the container formats that
 need no external library — uncompressed 24-bit BMP (BITMAPFILEHEADER +
-BITMAPINFOHEADER, bottom-up rows, 4-byte row stride) and PCM16 WAV (RIFF
-container, fmt + data chunks). Formats per the public specifications
-(Windows BMP file format; Microsoft/IBM RIFF WAVE). These back
-``_decode_media`` for the image/audio modalities so the multimodal decode
-path runs REAL byte-level parsing (header validation, stride arithmetic,
-bottom-up row flip, chunk walking) instead of a stub; video keeps the
-pyav stub — compressed codecs genuinely need the library.
+BITMAPINFOHEADER, bottom-up rows, 4-byte row stride), PCM16 WAV (RIFF
+container, fmt + data chunks), and FVID, a documented trivial video
+container (fixed header + length-prefixed BMP frames) in the spirit of
+uncompressed AVI/MJPEG: each frame is a complete, independently decodable
+still image. BMP/WAV are per the public specifications (Windows BMP file
+format; Microsoft/IBM RIFF WAVE). These back ``_decode_media`` for all
+three modalities so the multimodal decode path runs REAL byte-level
+parsing (header validation, stride arithmetic, bottom-up row flip, chunk
+walking, per-frame container traversal) instead of a stub; only
+*compressed* video codecs (H.264/VP9/...) keep the pyav stub — those
+genuinely need the library.
 
 Everything here is pure Python over ``bytes`` — it runs executor-side
 inside Arrow batches (mapInPandas), never on the driver.
@@ -103,6 +107,55 @@ def encode_wav(samples: list[int], sample_rate: int) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+FVID_MAGIC = b"FVID"
+FVID_HEADER_SIZE = 4 + 2 + 4 * 3 + 4  # magic, version, w/h/fps, n_frames
+
+
+def encode_fvid(frames: list[bytes], width: int, height: int, fps: int) -> bytes:
+    """Encode ``frames`` (each a logical row-major BGR content buffer of
+    len 3*width*height) as an FVID container: a fixed little-endian header
+    (magic ``FVID``, u16 version=1, u32 width/height/fps, u32 frame count)
+    followed by one ``u32 length`` + complete BMP blob per frame."""
+    header = FVID_MAGIC + struct.pack("<HIIII", 1, width, height, fps, len(frames))
+    parts = [header]
+    for content in frames:
+        blob = encode_bmp(content, width, height)
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def decode_fvid(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an FVID container; return (width, height, fps, frame contents)
+    with each frame decoded through the real BMP parser (so stride/origin
+    handling is exercised per frame). Validates magic, version, per-frame
+    dimension agreement with the container header, and exact trailing
+    length — fails loudly on truncation or foreign payloads."""
+    if payload[:4] != FVID_MAGIC:
+        raise ValueError(f"not an FVID container: magic {payload[:4]!r}")
+    version, width, height, fps, n_frames = struct.unpack_from("<HIIII", payload, 4)
+    if version != 1:
+        raise ValueError(f"unsupported FVID version {version}")
+    pos, frames = FVID_HEADER_SIZE, []
+    for k in range(n_frames):
+        if pos + 4 > len(payload):
+            raise ValueError(f"truncated FVID: frame {k} length missing")
+        (blen,) = struct.unpack_from("<I", payload, pos)
+        blob = payload[pos + 4 : pos + 4 + blen]
+        if len(blob) != blen:
+            raise ValueError(f"truncated FVID: frame {k} body short")
+        fw, fh, content = decode_bmp(blob)
+        if (fw, fh) != (width, height):
+            raise ValueError(
+                f"FVID frame {k} dims {fw}x{fh} != container {width}x{height}"
+            )
+        frames.append(content)
+        pos += 4 + blen
+    if pos != len(payload):
+        raise ValueError(f"FVID trailing garbage: {len(payload) - pos} bytes")
+    return width, height, fps, frames
 
 
 def decode_wav(payload: bytes) -> tuple[int, list[int]]:

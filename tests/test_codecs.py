@@ -1,13 +1,15 @@
-"""Dependency-free BMP/WAV codecs behind the multimodal decode boundary:
-spec-level golden bytes, padded-stride round trips, bottom-up flip, and
-RIFF chunk walking past extra chunks."""
+"""Dependency-free BMP/WAV/FVID codecs behind the multimodal decode
+boundary: spec-level golden bytes, padded-stride round trips, bottom-up
+flip, RIFF chunk walking past extra chunks, and length-prefixed video
+frame traversal."""
 
 import struct
 
 import pytest
 
 from frolyk_spark.functions.codecs import (
-    BMP_HEADER_SIZE, bmp_stride, decode_bmp, decode_wav, encode_bmp, encode_wav,
+    BMP_HEADER_SIZE, FVID_HEADER_SIZE, FVID_MAGIC, bmp_stride, decode_bmp,
+    decode_fvid, decode_wav, encode_bmp, encode_fvid, encode_wav,
 )
 
 
@@ -74,3 +76,40 @@ def test_wav_rejects_non_pcm16_mono():
     struct.pack_into("<H", payload, 22, 2)  # 2 channels
     with pytest.raises(ValueError, match="layout"):
         decode_wav(bytes(payload))
+
+
+def _frames(w, h, n):
+    return [
+        bytes((11 * f + 5 * i + 3) % 256 for i in range(3 * w * h)) for f in range(n)
+    ]
+
+
+@pytest.mark.parametrize("w,h,n", [(1, 1, 1), (3, 2, 4), (5, 4, 2), (8, 5, 6)])
+def test_fvid_roundtrip(w, h, n):
+    """Padded-stride widths and multi-frame walks round-trip exactly; the
+    header carries the declared geometry and fps."""
+    frames = _frames(w, h, n)
+    payload = encode_fvid(frames, w, h, 24)
+    assert payload[:4] == FVID_MAGIC
+    assert struct.unpack_from("<HIIII", payload, 4) == (1, w, h, 24, n)
+    dw, dh, fps, got = decode_fvid(payload)
+    assert (dw, dh, fps) == (w, h, 24)
+    assert got == frames
+
+
+def test_fvid_rejects_bad_payloads():
+    payload = encode_fvid(_frames(3, 2, 2), 3, 2, 10)
+    with pytest.raises(ValueError, match="magic"):
+        decode_fvid(b"AVI " + payload[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_fvid(payload[:-3])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_fvid(payload + b"\x00")
+    # frame dims disagreeing with the container header must fail: splice a
+    # 2x3 BMP where a 3x2 frame is declared (same byte budget, lying header)
+    other = encode_bmp(_frames(2, 3, 1)[0], 2, 3)
+    spliced = payload[:FVID_HEADER_SIZE] + struct.pack("<I", len(other)) + other
+    one_frame = bytearray(spliced)
+    struct.pack_into("<I", one_frame, 18, 1)  # n_frames = 1
+    with pytest.raises(ValueError, match="dims"):
+        decode_fvid(bytes(one_frame))

@@ -197,3 +197,20 @@ def test_wav_roundtrip_property(samples, rate):
     from frolyk_spark.functions.codecs import decode_wav, encode_wav
 
     assert decode_wav(encode_wav(samples, rate)) == (rate, samples)
+
+
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=120),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=80, deadline=None)
+def test_fvid_roundtrip_property(w, h, n, fps, rng):
+    from frolyk_spark.functions.codecs import decode_fvid, encode_fvid
+
+    frames = [
+        bytes(rng.randrange(256) for _ in range(3 * w * h)) for _ in range(n)
+    ]
+    assert decode_fvid(encode_fvid(frames, w, h, fps)) == (w, h, fps, frames)
