@@ -100,6 +100,9 @@ HEADLINE = [
     # r7 additions
     "media_decode",
     "span_trim",
+    "video_decode",
+    "dsir_select",
+    "decontaminate_bloom",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

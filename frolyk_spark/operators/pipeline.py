@@ -890,6 +890,255 @@ ORDER BY source
 """
 
 
+# --- D62: Bloom-filter decontamination ---------------------------------------
+
+#: Bloom width in bits (a CONSTANT — the broadcast state is bounded by it,
+#: not by the benchmark or corpus size) and probes per key
+BLOOM_M = 1 << 15
+BLOOM_K = 3
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the 100 TB scale
+    path for D20: instead of broadcasting the benchmark's full distinct
+    gram-hash set (which grows with the eval suite), broadcast its Bloom
+    bit set — AT MOST {BLOOM_M} set positions regardless of benchmark
+    size — and route only Bloom-positive grams to the exact check. Emits,
+    per suspect document, the Bloom-positive gram count next to the exact
+    overlap count, so the false-positive surcharge is measured, not
+    assumed.
+
+    Probe positions use double hashing (Kirsch-Mitzenmacher: pos_i =
+    (h + i·h2) mod m, h2 forced odd so it is coprime with the power-of-two
+    m and the {BLOOM_K} positions are distinct). Everything derives from
+    the portable md5 hash, so DuckDB reproduces the bitmap AND its false
+    positives bit-for-bit — membership here is set-containment of all
+    {BLOOM_K} positions in the set-bit relation, the join form of the
+    bitmap test (a production variant packs the same positions into a
+    {BLOOM_M}-bit array broadcast as one value; the join form keeps the
+    cross-engine compare exact).
+
+    Scale shape: the set-bit frame is bounded by the CONSTANT {BLOOM_M},
+    so its broadcast is legitimate bounded state; corpus grams probe it
+    map-side (no corpus shuffle before the per-doc count). The corpus gram
+    frame feeds the Bloom probe, the exact check, and the per-doc gram
+    count, and is lineage-cut once."""
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = F.explode(F.expr(_word_grams(CONTAM_W))).alias("g")
+    h2 = f"(pmod(shiftright(gh, 20), {BLOOM_M}) | 1)"
+    pos_array = F.expr(
+        "array(" + ", ".join(
+            f"pmod(gh + {i} * {h2}, {BLOOM_M})" for i in range(BLOOM_K)
+        ) + ")"
+    )
+    bench = cut_lineage(
+        docs.where(F.col("doc_id") < CONTAM_BENCH_N)
+        .select(grams)
+        .select(F.expr(portable_hash_spark_sql("g")).alias("gh"))
+        .distinct()
+    )
+    bench_bits = bench.select(F.explode(pos_array).alias("pos")).distinct()
+    corpus = cut_lineage(
+        docs.where(F.col("doc_id") >= CONTAM_BENCH_N)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", grams)
+        .select("doc_id", F.expr(portable_hash_spark_sql("g")).alias("gh"))
+        .distinct()
+    )
+    # lineage-cut: the Bloom-positive gram set feeds both the per-doc count
+    # and the exact check, which rejoin on doc_id below
+    bloom_pos = cut_lineage(
+        corpus.select("doc_id", "gh", F.explode(pos_array).alias("pos"))
+        .join(F.broadcast(bench_bits), "pos")
+        .groupBy("doc_id", "gh")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .where(F.col("n_set") == BLOOM_K)
+        .select("doc_id", "gh")
+    )
+    bloom_docs = bloom_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("bloom_hits")
+    )
+    # Bloom filters have no false negatives, so the exact check only needs
+    # the Bloom-positive grams — the routing the docstring promises
+    exact_docs = (
+        bloom_pos.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    n_grams = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        bloom_docs.join(exact_docs, "doc_id", "left")
+        .join(n_grams, "doc_id")
+        .select(
+            "doc_id", "n_grams", "bloom_hits",
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+        )
+    )
+
+
+def _decontaminate_bloom_sql() -> str:
+    h2 = f"((gh >> 20) % {BLOOM_M} | 1)"
+    pos_list = ", ".join(
+        f"(gh + {i} * {h2}) % {BLOOM_M}" for i in range(BLOOM_K)
+    )
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT {portable_hash_sql('g')} AS gh
+  FROM (SELECT unnest({_word_grams_duck(CONTAM_W)}) AS g
+        FROM documents WHERE doc_id < {CONTAM_BENCH_N})
+),
+bench_bits AS (
+  SELECT DISTINCT pos FROM (SELECT unnest([{pos_list}]) AS pos FROM bench)
+),
+corpus AS (
+  SELECT DISTINCT doc_id, {portable_hash_sql('g')} AS gh
+  FROM (SELECT doc_id, unnest({_word_grams_duck(CONTAM_W)}) AS g
+        FROM documents WHERE doc_id >= {CONTAM_BENCH_N})
+),
+bloom_pos AS (
+  SELECT doc_id, gh
+  FROM (SELECT doc_id, gh, unnest([{pos_list}]) AS pos FROM corpus)
+  JOIN bench_bits USING (pos)
+  GROUP BY doc_id, gh
+  HAVING count(*) = {BLOOM_K}
+),
+bloom_docs AS (
+  SELECT doc_id, count(*) AS bloom_hits FROM bloom_pos GROUP BY doc_id
+),
+exact_docs AS (
+  SELECT doc_id, count(*) AS exact_hits
+  FROM bloom_pos JOIN bench USING (gh) GROUP BY doc_id
+),
+n_grams AS (
+  SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id
+)
+SELECT doc_id,
+       cast(n_grams AS BIGINT) AS n_grams,
+       cast(bloom_hits AS BIGINT) AS bloom_hits,
+       cast(coalesce(exact_hits, 0) AS BIGINT) AS exact_hits
+FROM bloom_docs
+LEFT JOIN exact_docs USING (doc_id)
+JOIN n_grams USING (doc_id)
+"""
+
+
+# --- D61: DSIR-style importance selection ------------------------------------
+
+#: hashed-feature width for dsir_select — a CONSTANT (hash range), so the
+#: bucket-count model is bounded state regardless of corpus size
+DSIR_BUCKETS = 4096
+#: the target domain whose n-gram distribution defines "important"
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) in its engine-portable integer-exact form: score each
+    document by how much more frequent its hashed bigram features are in a
+    TARGET domain (lang = {DSIR_TARGET_LANG}) than in the raw corpus, and
+    select documents whose mean target-frequency ratio exceeds the corpus
+    mean. The paper compares Σ c_g·log p̂_t(g) against Σ c_g·log p̂_r(g);
+    log is a transcendental this repo's compare-path rules ban, so the
+    selector is the cross-multiplied ratio test on exact integer sufficient
+    statistics instead: selected ⇔ sum_t · N_r > sum_r · N_t, where
+    sum_t/sum_r are the doc's summed target/raw bucket counts and N_t/N_r
+    the corpus totals — scale-free (a multiple-of-mean rule) and
+    bit-identical in both engines. At sf0.1 the products stay ~2^45,
+    far inside int64; at 100 TB promote the two products to decimal(38,0)
+    (the statistics themselves stay int64-safe much longer).
+
+    Scale shape: bucket counts are bounded model state ({DSIR_BUCKETS}
+    rows) by CONSTRUCTION — the hash range, not the data, sets their size —
+    so broadcasting them is legitimate under the bounded-state rule; the
+    corpus gram stream is probed map-side with no corpus-keyed shuffle
+    before the per-doc aggregation. The bucketed gram frame feeds three
+    consumers (raw counts, target counts, per-doc probe) and is lineage-cut
+    once; the one-row totals scalar joins as a broadcast crossJoin."""
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # adjacent-word pairs; transform(array(split(...)))[0] is the evaluation
+    # barrier binding the split ONCE per row (vocab.bigram_counts pattern)
+    pairs_expr = (
+        "transform(array(split(text, ' ')), ws -> "
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        "(a, b) -> concat(a, ' ', b)))[0]"
+    )
+    bucketed = cut_lineage(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.explode(F.expr(pairs_expr)).alias("g"))
+        .select(
+            "doc_id", "lang",
+            F.pmod(F.expr(portable_hash_spark_sql("g")), F.lit(DSIR_BUCKETS))
+            .alias("b"),
+        )
+    )
+    raw = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("n_r"))
+    tgt = (
+        bucketed.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    counts = cut_lineage(
+        raw.join(tgt, "b", "left").select(
+            "b", "n_r", F.coalesce("n_t", F.lit(0)).alias("n_t")
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
+    )
+    per_doc = (
+        bucketed.join(F.broadcast(counts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("n_t").alias("sum_t"),
+            F.sum("n_r").alias("sum_r"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id", "n_grams", "sum_t", "sum_r",
+        (F.col("sum_t") * F.col("tot_r") > F.col("sum_r") * F.col("tot_t"))
+        .cast("int")
+        .alias("selected"),
+    )
+
+
+DSIR_SELECT_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, lang, ({portable_hash_sql('p')}) % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(2, len(string_split(text, ' ')) + 1),
+                                 i -> string_split(text, ' ')[i-1] || ' ' ||
+                                      string_split(text, ' ')[i])) AS p
+    FROM documents
+  )
+),
+raw AS (SELECT b, count(*) AS n_r FROM grams GROUP BY b),
+tgt AS (SELECT b, count(*) AS n_t FROM grams
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+counts AS (
+  SELECT raw.b, n_r, coalesce(n_t, 0) AS n_t
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+),
+totals AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM counts),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams, sum(n_t) AS sum_t, sum(n_r) AS sum_r
+  FROM grams JOIN counts USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       cast(n_grams AS BIGINT) AS n_grams,
+       cast(sum_t AS BIGINT) AS sum_t,
+       cast(sum_r AS BIGINT) AS sum_r,
+       CASE WHEN sum_t * tot_r > sum_r * tot_t THEN 1 ELSE 0 END AS selected
+FROM per_doc, totals
+"""
+
+
 QUERIES = {
     "sequence_pack": sequence_pack,
     "decontaminate": decontaminate,
@@ -903,6 +1152,8 @@ QUERIES = {
     "sample_temperature": sample_temperature,
     "dup_span_coverage": dup_span_coverage,
     "span_trim": span_trim,
+    "dsir_select": dsir_select,
+    "decontaminate_bloom": decontaminate_bloom,
 }
 
 ORACLES = {
@@ -918,4 +1169,6 @@ ORACLES = {
     "sample_temperature": SAMPLE_TEMPERATURE_SQL,
     "dup_span_coverage": _dup_span_coverage_sql(),
     "span_trim": _span_trim_sql(),
+    "dsir_select": DSIR_SELECT_SQL,
+    "decontaminate_bloom": _decontaminate_bloom_sql(),
 }

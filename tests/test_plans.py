@@ -619,3 +619,38 @@ def test_span_trim_scale_shape(spark, sf_dir):
 
     rep = assert_scale_shape(span_trim(spark, sf_dir), forbid_nested_loop=True)
     assert "LeftAnti" in rep["plan"], "covered positions must anti-join"
+
+
+def test_r7_wave2_plan_shapes(spark, sf_dir):
+    """dsir_select: the bucket-count model (bounded at DSIR_BUCKETS rows by
+    the hash range) must broadcast into the corpus probe — no corpus-keyed
+    shuffle before the per-doc aggregation — and the one-row totals scalar
+    is the only nested-loop. decontaminate_bloom: both the set-bit relation
+    (bounded at BLOOM_M) and the benchmark hash set must broadcast; no
+    cartesian. video_decode: one Arrow-batched pass over one scan, zero
+    shuffles."""
+    from frolyk_spark.operators.multimodal import video_decode
+    from frolyk_spark.operators.pipeline import decontaminate_bloom, dsir_select
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(dsir_select(spark, sf_dir))
+    assert rep["joins"].get("BroadcastHashJoin", 0) >= 1, (
+        "bucket counts must broadcast into the gram probe"
+    )
+    assert rep["joins"].get("BroadcastNestedLoopJoin", 0) <= 1, (
+        "only the one-row totals scalar may nested-loop"
+    )
+
+    rep = assert_scale_shape(
+        decontaminate_bloom(spark, sf_dir), forbid_nested_loop=True
+    )
+    assert rep["joins"].get("BroadcastHashJoin", 0) >= 2, (
+        "set bits and benchmark hashes must both broadcast"
+    )
+    assert not rep["joins"].get("SortMergeJoin") or (
+        rep["joins"]["SortMergeJoin"] <= 2
+    ), "per-doc rejoins only"
+
+    rep = assert_scale_shape(video_decode(spark, sf_dir), max_scans=1)
+    assert rep["exchanges"] == 0, "decode+sample must be one map-only pass"
+    assert "MapInPandas" in rep["plan"]
