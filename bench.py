@@ -103,6 +103,7 @@ HEADLINE = [
     "video_decode",
     "dsir_select",
     "decontaminate_bloom",
+    "cluster_profile",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -833,6 +833,59 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# --- D63: corpus topic profile via k-means clustering -------------------------
+
+#: minimum cluster count for tiny corpora
+CLUSTER_K_MIN = 4
+
+
+def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic profile for data-mixing curation: k-means-cluster the
+    embedding space and report, per cluster, its size, dominant label, and
+    label purity — the table a pipeline reads to rebalance topic mix or
+    spot mode collapse before training (the clustering stage of
+    cluster-balanced selection, cf. SemDeDup's blocking reused here).
+
+    Scale shape: k is DERIVED from corpus size (n / SEM_TARGET_CLUSTER_ROWS,
+    floored at {CLUSTER_K_MIN}) so expected cluster membership stays
+    constant as the corpus grows; centroids fit on the bounded hash-ordered
+    sample (`_train_centroids_sampled`, production-quantizer form — ONE
+    bounded collect, model state O(k·dim)); full-corpus assignment is a
+    distributed Arrow-batch matmul; the profile is one two-level
+    map-side-combinable aggregation. No oracle (iterative fit) — the numpy
+    model check in tests/test_similarity.py re-derives the fit +
+    assignment independently and matches the profile exactly; the driver
+    records the weaker rows-only check.
+
+    Dominant-label ties are impossible by construction: max_by orders on
+    (count, label), distinct per row within a cluster."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    n = emb.count()
+    k = max(CLUSTER_K_MIN, math.ceil(n / SEM_TARGET_CLUSTER_ROWS))
+    centroids = _train_centroids_sampled(emb, "vec_id", "embedding", nlist=k)
+    assigned = _assign_cluster(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        "embedding",
+        centroids,
+    )
+    per_label = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_label.groupBy("cluster").agg(
+        F.sum("cnt").alias("n_members"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max_by("label", F.struct("cnt", "label")).alias("dominant_label"),
+        F.max("cnt").alias("dominant_count"),
+    ).select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_members", "n_labels", "dominant_label", "dominant_count",
+    )
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     # no-oracle: eigendecomposition; numpy model check in test_similarity
@@ -845,6 +898,9 @@ QUERIES = {
     # no-oracle: k-means blocking is iterative; precision/recall-gated in
     # tests/test_similarity.py against the exact numpy pair set
     "semantic_dedup": semantic_dedup,
+    # no-oracle: iterative k-means fit; exact numpy model check in
+    # tests/test_similarity.py re-derives fit + assignment + profile
+    "cluster_profile": cluster_profile,
 }
 
 # ann_lsh / ann_ivf are deliberately oracle-free: approximate results are

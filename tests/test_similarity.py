@@ -175,3 +175,67 @@ def test_semantic_blocking_group_size_bounded(spark, sf_dir):
     sizes = np.bincount(probes.ravel(), minlength=len(cent))
     bound = max(8 * SEM_TARGET_CLUSTER_ROWS, 8 * SEM_PROBE * n // len(cent))
     assert sizes.max() <= bound, (sizes.max(), bound)
+
+
+def test_cluster_profile_matches_numpy_model(spark, sf_dir):
+    """Independent numpy re-derivation of the WHOLE cluster_profile path —
+    md5-ordered seeding, Lloyd iterations, full-corpus cosine assignment,
+    and the per-cluster label profile — must match the Spark output
+    EXACTLY (the fit is deterministic numpy on a deterministic sample, so
+    this is equality, not tolerance)."""
+    import collections
+    import hashlib
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from frolyk_spark.operators.similarity import (
+        CLUSTER_K_MIN, SEM_ITERS, SEM_TARGET_CLUSTER_ROWS, SEM_TRAIN_SAMPLE,
+        cluster_profile,
+    )
+
+    rows = duckdb.sql(
+        f"select vec_id, embedding, label from '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = {r[0]: r[2] for r in rows}
+    n = len(rows)
+    k = max(CLUSTER_K_MIN, math.ceil(n / SEM_TARGET_CLUSTER_ROWS))
+    order = sorted(
+        range(n), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest()
+    )
+    x = X[order[: max(SEM_TRAIN_SAMPLE, 4 * k)]]
+    nlist = min(k, len(x))
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:nlist].copy()
+    for _ in range(SEM_ITERS):
+        cu = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        a = (xn @ cu.T).argmax(axis=1)
+        for c in range(nlist):
+            if (a == c).any():
+                cent[c] = x[a == c].mean(axis=0)
+    cu = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = (Xn @ cu.T).argmax(axis=1)
+    per: dict[int, collections.Counter] = collections.defaultdict(
+        collections.Counter
+    )
+    for i, c in enumerate(assign):
+        per[int(c)][labels[ids[i]]] += 1
+    expected = {
+        c: (
+            sum(cnt.values()),
+            len(cnt),
+            max(cnt.items(), key=lambda kv: (kv[1], kv[0]))[0],
+            max(cnt.values()),
+        )
+        for c, cnt in per.items()
+    }
+    got = {
+        r.cluster: (r.n_members, r.n_labels, r.dominant_label, r.dominant_count)
+        for r in cluster_profile(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(v[0] for v in got.values()) == n
