@@ -61,7 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_sweep", "bpe_train", "lang_confusion", "source_yield",
     )
     new_r7 = ("media_decode", "span_trim", "video_decode",
-              "dsir_select", "decontaminate_bloom", "cluster_profile")
+              "dsir_select", "decontaminate_bloom", "cluster_profile",
+              "data_quality_audit")
     stale_r3 = (
         "q22_idle_balance", "value_deciles", "resample_gapfill",
         "salted_join_segments", "multimodal_features", "media_resize",

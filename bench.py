@@ -104,6 +104,7 @@ HEADLINE = [
     "dsir_select",
     "decontaminate_bloom",
     "cluster_profile",
+    "data_quality_audit",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

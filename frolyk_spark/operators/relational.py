@@ -1939,7 +1939,106 @@ ORDER BY custkey
 """
 
 
+# --- C57: data-quality audit --------------------------------------------------
+# The expectation gate a pipeline runs before trusting an ingested table:
+# null/domain checks fold into ONE map-side-combinable aggregation over one
+# pruned scan; key uniqueness is one groupBy; referential integrity is one
+# left join on the key (counting unmatched rows — the outer-join form keeps
+# it a single pass over the pairs). All counts are integers → exact oracle.
+
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation audit of `lineitem`: one row per check with its
+    violation and checked counts. Checks: quantity in [1, 50], discount in
+    [0, 0.1], extendedprice > 0 (all null-counting), (l_orderkey,
+    l_linenumber) uniqueness (violations = surplus rows beyond the first
+    per key), and lineitem→orders referential integrity.
+
+    Scale shape: the three domain checks share one scan + one partial_sum
+    aggregation; uniqueness shuffles once on the compound key; the
+    referential check shuffles on orderkey only (no hint — orders scales
+    with SF, AQE broadcasts while small). Each branch reduces to one row
+    before the union, so the union is driver-cheap at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def bad(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    scalar = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        bad(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("q_bad"),
+        bad(
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("d_bad"),
+        bad(
+            F.col("l_extendedprice").isNull() | (F.col("l_extendedprice") <= 0)
+        ).alias("p_bad"),
+    ).selectExpr(
+        "stack(3, 'quantity_range', q_bad, n,"
+        " 'discount_range', d_bad, n,"
+        " 'price_positive', p_bad, n) AS (check_name, n_violations, n_checked)"
+    )
+    keys = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.lit("line_key_unique").alias("check_name"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    ref = (
+        li.select("l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .agg(
+            F.lit("order_ref_integrity").alias("check_name"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+    )
+    return scalar.unionAll(keys).unionAll(ref)
+
+
+DATA_QUALITY_SQL = """
+WITH scalar AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) AS q_bad,
+         sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1
+                  THEN 1 ELSE 0 END) AS d_bad,
+         sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+                  THEN 1 ELSE 0 END) AS p_bad
+  FROM lineitem
+)
+SELECT 'quantity_range' AS check_name, cast(q_bad AS BIGINT) AS n_violations,
+       cast(n AS BIGINT) AS n_checked FROM scalar
+UNION ALL
+SELECT 'discount_range', cast(d_bad AS BIGINT), cast(n AS BIGINT) FROM scalar
+UNION ALL
+SELECT 'price_positive', cast(p_bad AS BIGINT), cast(n AS BIGINT) FROM scalar
+UNION ALL
+SELECT 'line_key_unique',
+       cast(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT),
+       cast(count(*) AS BIGINT)
+FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'order_ref_integrity',
+       cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       cast(count(*) AS BIGINT)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
 QUERIES = {
+    "data_quality_audit": data_quality_audit,
     "json_props_stats": json_props_stats,
     "spending_percentiles": spending_percentiles,
     "anomaly_zscore": anomaly_zscore,
@@ -1994,6 +2093,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "data_quality_audit": DATA_QUALITY_SQL,
     "json_props_stats": JSON_PROPS_SQL,
     "spending_percentiles": SPENDING_PERCENTILES_SQL,
     "anomaly_zscore": ZSCORE_SQL,

@@ -393,3 +393,143 @@ def merge_upsert(
         updates.select(key).distinct(), key, "left_anti"
     ).unionByName(updates.select(*base.columns))
     return overwrite_partitions(merged, path, [partition_col])
+
+
+# --- E14: versioned snapshots (manifest log) ----------------------------------
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _list_versions(path: str) -> list[int]:
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Commit ``df`` as a new immutable SNAPSHOT of the table at ``path``
+    and return its version — the minimal table-format commit protocol
+    (Delta's `_delta_log/N.json` shape) on plain parquet:
+
+    1. data files are written ONCE under ``path/data/`` and never mutated
+       or renamed-over; until a manifest references them they are
+       invisible to every reader (a crash here leaves orphans for
+       `vacuum_versioned`, never a torn table);
+    2. the manifest ``_manifests/vN.json`` lists exactly the data files of
+       snapshot N — manifest CREATION is the atomic commit point. It is
+       created with O_EXCL (the local stand-in for an object store's
+       put-if-absent / conditional PUT), so two concurrent committers
+       cannot both win version N: the loser re-lists and retries at N+1.
+       Optimistic concurrency, no locks, no reliance on directory listing
+       consistency for readers.
+
+    Readers (`read_versioned`) resolve a version to its exact file list
+    and read ONLY those files — planning cost is one small JSON per query
+    instead of the per-file footer walk `read_evolved` documents, which is
+    the manifest amortization table formats exist for."""
+    import json
+    import uuid
+
+    staging = os.path.join(path, "data", f".stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    files = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join(path, "data", f"{uuid.uuid4().hex}-{name}")
+        os.replace(os.path.join(staging, name), final)
+        files.append(os.path.relpath(final, path))
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    for _ in range(64):  # bounded optimistic-concurrency retries
+        version = (max(_list_versions(path), default=-1)) + 1
+        target = os.path.join(_manifest_dir(path), f"v{version}.json")
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            continue  # lost the race for this version: retry at N+1
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        return version
+    raise RuntimeError(f"write_versioned: could not claim a version at {path}")
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read snapshot ``version`` (default: latest) — exactly the files its
+    manifest lists, so concurrent commits and orphaned staging files are
+    invisible (time travel is just naming an older manifest)."""
+    import json
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(*[os.path.join(path, p) for p in manifest["files"]])
+
+
+def rollback_versioned(path: str, version: int) -> int:
+    """Restore snapshot ``version`` as a NEW version (roll-forward
+    rollback, Delta's RESTORE semantics): history is preserved, the bad
+    version stays inspectable, and no data file is touched — the new
+    manifest simply references the old version's files."""
+    import json
+
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        manifest = json.load(f)
+    for _ in range(64):
+        new_version = (max(_list_versions(path), default=-1)) + 1
+        target = os.path.join(_manifest_dir(path), f"v{new_version}.json")
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": new_version, "files": manifest["files"]}, f)
+        return new_version
+    raise RuntimeError(f"rollback_versioned: could not claim a version at {path}")
+
+
+def vacuum_versioned(path: str, keep_last: int = 2) -> list[str]:
+    """Drop manifests beyond the newest ``keep_last`` and delete data files
+    no remaining manifest references (including crash-orphaned staging
+    files). Returns the deleted paths. The reference set is computed from
+    the KEPT manifests — a rollback manifest keeps its old files alive, so
+    time travel within the retention window always works."""
+    import json
+    import shutil
+
+    versions = _list_versions(path)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    referenced: set[str] = set()
+    for v in keep:
+        with open(os.path.join(_manifest_dir(path), f"v{v}.json")) as f:
+            referenced.update(json.load(f)["files"])
+    deleted = []
+    for v in versions:
+        if v not in keep:
+            m = os.path.join(_manifest_dir(path), f"v{v}.json")
+            os.remove(m)
+            deleted.append(m)
+    data_dir = os.path.join(path, "data")
+    for name in sorted(os.listdir(data_dir)):
+        full = os.path.join(data_dir, name)
+        rel = os.path.relpath(full, path)
+        if name.startswith(".stage-"):
+            shutil.rmtree(full)
+            deleted.append(full)
+        elif os.path.isfile(full) and rel not in referenced and name.endswith(".parquet"):
+            os.remove(full)
+            deleted.append(full)
+    return deleted

@@ -417,3 +417,63 @@ def test_read_evolved_unions_schemas_and_nulls_old_files(spark, sf_dir, tmp_path
     ).parquet(out)
     with pytest.raises(Exception, match="[Mm]erge|[Ss]chema|[Tt]ype"):
         read_evolved(spark, out).collect()
+
+
+def test_versioned_snapshots_commit_read_rollback(spark, sf_dir, tmp_path):
+    """E14 manifest log: commits are atomic snapshots (readers see exactly
+    one manifest's file list), time travel reads any retained version,
+    rollback is a new version referencing the old files, and a lost
+    O_EXCL race retries at the next version."""
+    import os
+
+    from frolyk_spark.sources.catalog import (
+        read_versioned, rollback_versioned, vacuum_versioned, write_versioned,
+    )
+
+    out = str(tmp_path / "vtable")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    v0 = write_versioned(ev.where(F.col("event_id") % 2 == 0), out)
+    v1 = write_versioned(ev, out)
+    assert (v0, v1) == (0, 1)
+    n_all = ev.count()
+    n_even = ev.where(F.col("event_id") % 2 == 0).count()
+    assert read_versioned(spark, out).count() == n_all  # latest
+    assert read_versioned(spark, out, 0).count() == n_even  # time travel
+    # rollback restores v0's content as v2 without touching files
+    v2 = rollback_versioned(out, 0)
+    assert v2 == 2
+    assert read_versioned(spark, out).count() == n_even
+    # a pre-existing manifest (lost race) forces a retry at the next slot
+    pre = os.path.join(out, "_manifests", "v3.json")
+    with open(pre, "w") as f:
+        f.write('{"version": 3, "files": []}')
+    v4 = write_versioned(ev.limit(5), out)
+    assert v4 == 4
+    os.remove(pre)
+
+
+def test_versioned_vacuum_keeps_referenced_files(spark, sf_dir, tmp_path):
+    """Vacuum drops old manifests and every unreferenced data file
+    (including crash-orphaned staging dirs) but keeps files a RETAINED
+    rollback manifest still references — retained versions stay readable."""
+    import os
+
+    from frolyk_spark.sources.catalog import (
+        read_versioned, rollback_versioned, vacuum_versioned, write_versioned,
+    )
+
+    out = str(tmp_path / "vtable2")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    write_versioned(ev.limit(50), out)                  # v0
+    write_versioned(ev.limit(10), out)                  # v1
+    rollback_versioned(out, 0)                          # v2 -> v0's files
+    os.makedirs(os.path.join(out, "data", ".stage-orphan"), exist_ok=True)
+    deleted = vacuum_versioned(out, keep_last=2)        # keep v1, v2
+    # v0's manifest went, the orphan staging dir went
+    assert any("v0.json" in d for d in deleted)
+    assert any(".stage-orphan" in d for d in deleted)
+    # v2 (rollback) still references v0's FILES, so they must survive
+    assert read_versioned(spark, out, 2).count() == 50
+    assert read_versioned(spark, out, 1).count() == 10
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, out, 0)
