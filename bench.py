@@ -105,6 +105,7 @@ HEADLINE = [
     "decontaminate_bloom",
     "cluster_profile",
     "data_quality_audit",
+    "benchmark_leakage",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

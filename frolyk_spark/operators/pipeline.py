@@ -890,6 +890,72 @@ ORDER BY source
 """
 
 
+# --- D64: benchmark leakage report -------------------------------------------
+
+def benchmark_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse direction of D20: per BENCHMARK document, how
+    compromised is it — how many corpus documents share at least one
+    {CONTAM_W}-word-gram with it, and the largest distinct-gram overlap
+    any single corpus document reaches. This is the report an eval owner
+    reads (which benchmark items must be dropped or re-held-out), where
+    D20 is the report a corpus owner reads (which training docs to
+    remove).
+
+    Scale shape: the benchmark gram POSTINGS (gram hash + benchmark doc)
+    are eval-suite-sized and broadcast; the corpus gram stream probes them
+    map-side, so the only corpus-keyed shuffle is the (bench_doc,
+    corpus_doc) pair aggregation — bounded by actual overlap, not corpus
+    size. Gram sets are per-doc distinct on both sides (the shared
+    `_word_grams` shingles), so the pair count IS the distinct shared-gram
+    count."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = F.explode(F.expr(_word_grams(CONTAM_W))).alias("g")
+    bench = (
+        docs.where(F.col("doc_id") < CONTAM_BENCH_N)
+        .select(F.col("doc_id").alias("bench_doc"), grams)
+        .select("bench_doc", F.expr(portable_hash_spark_sql("g")).alias("h"))
+    )
+    corpus = (
+        docs.where(F.col("doc_id") >= CONTAM_BENCH_N)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("doc_id").alias("corpus_doc"), grams)
+        .select("corpus_doc", F.expr(portable_hash_spark_sql("g")).alias("h"))
+    )
+    pairs = (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("bench_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs.groupBy("bench_doc").agg(
+        F.count(F.lit(1)).alias("n_corpus_docs"),
+        F.max("shared").alias("max_shared_grams"),
+    )
+
+
+BENCHMARK_LEAKAGE_SQL = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_doc, {portable_hash_sql('g')} AS h
+  FROM (SELECT doc_id, unnest({_word_grams_duck(CONTAM_W)}) AS g
+        FROM documents WHERE doc_id < {CONTAM_BENCH_N})
+),
+corpus AS (
+  SELECT doc_id AS corpus_doc, {portable_hash_sql('g')} AS h
+  FROM (SELECT doc_id, unnest({_word_grams_duck(CONTAM_W)}) AS g
+        FROM documents WHERE doc_id >= {CONTAM_BENCH_N})
+),
+pairs AS (
+  SELECT bench_doc, corpus_doc, count(*) AS shared
+  FROM corpus JOIN bench USING (h)
+  GROUP BY bench_doc, corpus_doc
+)
+SELECT bench_doc,
+       cast(count(*) AS BIGINT) AS n_corpus_docs,
+       cast(max(shared) AS BIGINT) AS max_shared_grams
+FROM pairs
+GROUP BY bench_doc
+"""
+
+
 # --- D62: Bloom-filter decontamination ---------------------------------------
 
 #: Bloom width in bits (a CONSTANT — the broadcast state is bounded by it,
@@ -1154,6 +1220,7 @@ QUERIES = {
     "span_trim": span_trim,
     "dsir_select": dsir_select,
     "decontaminate_bloom": decontaminate_bloom,
+    "benchmark_leakage": benchmark_leakage,
 }
 
 ORACLES = {
@@ -1171,4 +1238,5 @@ ORACLES = {
     "span_trim": _span_trim_sql(),
     "dsir_select": DSIR_SELECT_SQL,
     "decontaminate_bloom": _decontaminate_bloom_sql(),
+    "benchmark_leakage": BENCHMARK_LEAKAGE_SQL,
 }

@@ -477,3 +477,49 @@ def test_versioned_vacuum_keeps_referenced_files(spark, sf_dir, tmp_path):
     assert read_versioned(spark, out, 1).count() == 10
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, out, 0)
+
+
+def test_versioned_snapshots_random_op_sequence_matches_model(spark, tmp_path):
+    """Model-based check: a seeded random interleaving of commit /
+    rollback / vacuum must leave the manifest log equivalent to a plain
+    Python model (version -> expected row count; vacuum retires versions
+    older than the retention window). Catches protocol drift the
+    scenario tests can't (e.g. rollback-of-rollback, vacuum right after
+    rollback, vacuum twice)."""
+    import random
+
+    from frolyk_spark.sources.catalog import (
+        read_versioned, rollback_versioned, vacuum_versioned, write_versioned,
+    )
+
+    rng = random.Random(20260814)
+    out = str(tmp_path / "vmodel")
+    model: dict[int, int] = {}  # version -> row count
+    live: list[int] = []        # versions still readable
+    for step in range(14):
+        op = rng.choice(["commit", "commit", "rollback", "vacuum"])
+        if op == "commit" or not live:
+            n = rng.randrange(1, 40)
+            v = write_versioned(spark.range(n), out)
+            assert v == max(model, default=-1) + 1
+            model[v] = n
+            live.append(v)
+        elif op == "rollback":
+            src = rng.choice(live)
+            v = rollback_versioned(out, src)
+            model[v] = model[src]
+            live.append(v)
+        else:
+            keep = rng.randrange(1, 4)
+            vacuum_versioned(out, keep_last=keep)
+            live = sorted(live)[-keep:]
+        # the latest read always matches the newest model version
+        newest = max(model)
+        assert read_versioned(spark, out).count() == model[newest]
+        # every retained version reads its exact model count
+        for v in live:
+            assert read_versioned(spark, out, v).count() == model[v]
+        # a vacuumed version must be gone, not wrong
+        for v in sorted(set(model) - set(live)):
+            with pytest.raises(FileNotFoundError):
+                read_versioned(spark, out, v)

@@ -654,3 +654,13 @@ def test_r7_wave2_plan_shapes(spark, sf_dir):
     rep = assert_scale_shape(video_decode(spark, sf_dir), max_scans=1)
     assert rep["exchanges"] == 0, "decode+sample must be one map-only pass"
     assert "MapInPandas" in rep["plan"]
+
+    from frolyk_spark.operators.relational import data_quality_audit
+
+    rep = assert_scale_shape(
+        data_quality_audit(spark, sf_dir), forbid_nested_loop=True
+    )
+    assert "partial_sum" in rep["plan"], (
+        "domain checks must combine map-side"
+    )
+    assert not rep["joins"].get("CartesianProduct")
