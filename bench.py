@@ -106,6 +106,7 @@ HEADLINE = [
     "cluster_profile",
     "data_quality_audit",
     "benchmark_leakage",
+    "stream_quarantine",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

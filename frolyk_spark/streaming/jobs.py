@@ -68,10 +68,16 @@ def _pid_alive(pid: int) -> bool:
 _LIVE_RESULTS: set[str] = set()
 
 
-def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
+def run_available_now(
+    df: DataFrame, *, mode: str, prefix: str, batch_hook=None
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
     foreachBatch parquet sink and return the result read back as a regular
-    (distributed) DataFrame.
+    (distributed) DataFrame. ``batch_hook(batch_df, batch_id)``, when
+    given, runs inside foreachBatch BEFORE the result write — the
+    side-sink seam (quarantine routing, CDC fan-out); hooks must be
+    idempotent per batch_id, exactly like the result write itself
+    (foreachBatch is at-least-once).
 
     This is the oracle-gate harness, but it keeps the 100× posture the
     operators have: results land in parquet partitions, never on the
@@ -137,6 +143,8 @@ def run_available_now(df: DataFrame, *, mode: str, prefix: str) -> DataFrame:
     # single dir so the last batch's full result wins. Dir names avoid '='
     # so the reader doesn't parse them as partition columns.
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_hook is not None:
+            batch_hook(batch_df, batch_id)
         sub = "complete" if mode == "complete" else f"b{batch_id}"
         batch_df.write.mode("overwrite").parquet(os.path.join(out, sub))
 
@@ -612,7 +620,83 @@ GROUP BY 1, 2
 """
 
 
+# --- B16: streaming expectations with quarantine routing ----------------------
+
+#: expectation bounds for stream_quarantine (business rules, not data
+#: invariants — the split must be non-degenerate to be worth testing)
+QUAR_MAX_VALUE = 250.0
+QUAR_MAX_K = 90
+
+
+def _quarantine_flag():
+    return (
+        (F.col("value") > QUAR_MAX_VALUE)
+        | (F.get_json_object("props", "$.k").cast("int") > QUAR_MAX_K)
+    ).cast("int")
+
+
+def _stream_quarantine_run(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    """Run the expectations split; returns (routed rows frame, quarantine
+    sink path). Split and routing happen per micro-batch inside
+    foreachBatch — the Delta-Live-Tables expectations shape: rows failing
+    any expectation go to a quarantine side-sink (per-batch overwrite, so
+    at-least-once redelivery replaces instead of duplicating), every row
+    flows on annotated with its verdict."""
+    routed = events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        _quarantine_flag().alias("quarantined"),
+    )
+    qdir = os.path.join(
+        SCRATCH, "results", f"pid{os.getpid()}", f"quarantine_{uuid.uuid4().hex[:8]}"
+    )
+    _LIVE_RESULTS.add(qdir)
+
+    def hook(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.where(F.col("quarantined") == 1).write.mode("overwrite").parquet(
+            os.path.join(qdir, f"b{batch_id}")
+        )
+
+    rows = run_available_now(
+        routed, mode="append", prefix="quarantine", batch_hook=hook
+    )
+    return rows, qdir
+
+
+def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming expectations gate (B16): per event_type, how many rows
+    passed vs were quarantined by the business-rule expectations
+    (value <= {QUAR_MAX_VALUE}, props.k <= {QUAR_MAX_K}). The verdict
+    split and the quarantine side-sink run inside the stream; this
+    summary aggregates the routed (distributed, parquet-backed) output.
+    tests/test_streaming.py checks the side-sink itself: quarantine rows
+    + clean rows partition the input exactly."""
+    rows, _ = _stream_quarantine_run(spark, sf_dir)
+    return rows.groupBy("event_type").agg(
+        F.sum(1 - F.col("quarantined")).cast("bigint").alias("n_clean"),
+        F.sum("quarantined").cast("bigint").alias("n_quarantined"),
+    )
+
+
+STREAM_QUARANTINE_SQL = f"""
+SELECT event_type,
+       cast(sum(CASE WHEN value > {QUAR_MAX_VALUE}
+                       OR cast(json_extract_string(props, 'k') as int) > {QUAR_MAX_K}
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+       cast(sum(CASE WHEN value > {QUAR_MAX_VALUE}
+                       OR cast(json_extract_string(props, 'k') as int) > {QUAR_MAX_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "stream_quarantine": stream_quarantine,
     "stream_tumbling": stream_tumbling,
     "stream_topk": stream_topk,
     "stream_ohlc": stream_ohlc,
@@ -626,6 +710,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_quarantine": STREAM_QUARANTINE_SQL,
     "stream_anomaly": STREAM_ANOMALY_SQL,
     "stream_topk": STREAM_TOPK_SQL,
     "stream_ohlc": STREAM_OHLC_SQL,

@@ -366,3 +366,27 @@ def test_streaming_cdc_upsert_sink(spark, workdir):
 
     # replay everything against the merged table: same end state
     assert run("ckpt2") == got
+
+
+def test_stream_quarantine_side_sink_partitions_input(spark, sf_dir):
+    """B16 expectations routing: the quarantine side-sink (written inside
+    foreachBatch via the batch_hook seam) must hold exactly the rows the
+    verdict column flags, and clean + quarantined must partition the
+    source with no row lost or duplicated."""
+    import os
+
+    from frolyk_spark.sources.catalog import load_table
+    from frolyk_spark.streaming.jobs import _stream_quarantine_run
+
+    rows, qdir = _stream_quarantine_run(spark, sf_dir)
+    n_src = load_table(spark, sf_dir, "events").count()
+    routed = rows.select("event_id", "quarantined").collect()
+    assert len(routed) == n_src
+    assert len({r.event_id for r in routed}) == n_src, "no dup/lost rows"
+    flagged = {r.event_id for r in routed if r.quarantined == 1}
+    assert flagged, "expectations must actually fire on this data"
+    batch_dirs = [os.path.join(qdir, d) for d in os.listdir(qdir)]
+    quarantined = {
+        r.event_id for r in spark.read.parquet(*batch_dirs).collect()
+    }
+    assert quarantined == flagged
