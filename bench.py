@@ -107,6 +107,7 @@ HEADLINE = [
     "data_quality_audit",
     "benchmark_leakage",
     "stream_quarantine",
+    "rfm_segments",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -2037,8 +2037,89 @@ FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+# --- C58: RFM customer segmentation --------------------------------------------
+
+#: RFM scoring cutoff ("today" for recency)
+RFM_CUTOFF = "2001-09-01"
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the customer base: per customer, recency (days
+    from last order to {RFM_CUTOFF}), frequency (order count) and monetary
+    value (cents-exact bigint), each quartiled by ntile — bucket 1 is best
+    (most recent / most frequent / highest spend) — then rolled up to
+    segment cells (segment = 100·R + 10·F + M). All-integer output →
+    exact oracle; monetary follows the cents-scale BIGINT rule, and every
+    ntile ordering carries a custkey tie-break for total order.
+
+    Scale note (the value_deciles caveat): the three ntile windows sort
+    the PER-CUSTOMER aggregate — tiny next to orders but single-partition;
+    at extreme customer cardinality the scale path swaps exact ntile for
+    approx_percentile cutoffs + a when-chain (engine-specific, hence not
+    used in this oracle-checked variant). The orders scan itself reduces
+    map-side to one row per customer first."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_CUTOFF).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    wr = W.orderBy("recency_days", "o_custkey")
+    wf = W.orderBy(F.desc("frequency"), "o_custkey")
+    wm = W.orderBy(F.desc("monetary_cents"), "o_custkey")
+    scored = per_cust.select(
+        "monetary_cents",
+        F.ntile(4).over(wr).alias("r_b"),
+        F.ntile(4).over(wf).alias("f_b"),
+        F.ntile(4).over(wm).alias("m_b"),
+    )
+    return (
+        scored.groupBy("r_b", "f_b", "m_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("monetary_cents"),
+        )
+        .select(
+            (F.col("r_b") * 100 + F.col("f_b") * 10 + F.col("m_b"))
+            .cast("bigint")
+            .alias("segment"),
+            "n_customers",
+            "monetary_cents",
+        )
+    )
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', cast(max(o_orderdate) AS DATE), DATE '{RFM_CUTOFF}')
+           AS recency_days,
+         count(*) AS frequency,
+         sum(cast(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT monetary_cents,
+         ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_b,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_b,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_b
+  FROM per_cust
+)
+SELECT cast(r_b * 100 + f_b * 10 + m_b AS BIGINT) AS segment,
+       cast(count(*) AS BIGINT) AS n_customers,
+       cast(sum(monetary_cents) AS BIGINT) AS monetary_cents
+FROM scored
+GROUP BY r_b, f_b, m_b
+"""
+
+
 QUERIES = {
     "data_quality_audit": data_quality_audit,
+    "rfm_segments": rfm_segments,
     "json_props_stats": json_props_stats,
     "spending_percentiles": spending_percentiles,
     "anomaly_zscore": anomaly_zscore,
@@ -2094,6 +2175,7 @@ QUERIES = {
 
 ORACLES = {
     "data_quality_audit": DATA_QUALITY_SQL,
+    "rfm_segments": RFM_SQL,
     "json_props_stats": JSON_PROPS_SQL,
     "spending_percentiles": SPENDING_PERCENTILES_SQL,
     "anomaly_zscore": ZSCORE_SQL,
