@@ -1027,9 +1027,13 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("bloom_hits")
     )
     # Bloom filters have no false negatives, so the exact check only needs
-    # the Bloom-positive grams — the routing the docstring promises
+    # the Bloom-positive grams — the routing the docstring promises. This
+    # join is UN-HINTED on purpose: the bench hash set is the state this
+    # operator exists to stop broadcasting at scale (AQE still broadcasts
+    # it while small; past that it shuffles on gh, keyed by the tiny
+    # Bloom-positive suspect set).
     exact_docs = (
-        bloom_pos.join(F.broadcast(bench), "gh")
+        bloom_pos.join(bench, "gh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("exact_hits"))
     )

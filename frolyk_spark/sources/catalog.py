@@ -412,6 +412,38 @@ def _list_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def _claim_version(path: str, files: list[str]) -> int:
+    """Publish a COMPLETE manifest at the next free version and return it.
+
+    The manifest body is written to a private temp file first and
+    published with ``os.link`` — link fails with FileExistsError if the
+    version is taken (the local stand-in for an object store's
+    put-if-absent / conditional PUT) and, crucially, the name only ever
+    appears with its full content: a reader can never observe a claimed
+    but empty ``vN.json`` (the naive O_EXCL-create-then-write protocol
+    has exactly that torn window). Lost races re-list and retry at N+1 —
+    optimistic concurrency, no locks."""
+    import json
+    import uuid
+
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    for _ in range(64):  # bounded optimistic-concurrency retries
+        version = (max(_list_versions(path), default=-1)) + 1
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        target = os.path.join(mdir, f"v{version}.json")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the race for this version: retry at N+1
+        os.remove(tmp)
+        return version
+    raise RuntimeError(f"could not claim a version at {path}")
+
+
 def write_versioned(df: DataFrame, path: str) -> int:
     """Commit ``df`` as a new immutable SNAPSHOT of the table at ``path``
     and return its version — the minimal table-format commit protocol
@@ -422,18 +454,16 @@ def write_versioned(df: DataFrame, path: str) -> int:
        invisible to every reader (a crash here leaves orphans for
        `vacuum_versioned`, never a torn table);
     2. the manifest ``_manifests/vN.json`` lists exactly the data files of
-       snapshot N — manifest CREATION is the atomic commit point. It is
-       created with O_EXCL (the local stand-in for an object store's
-       put-if-absent / conditional PUT), so two concurrent committers
-       cannot both win version N: the loser re-lists and retries at N+1.
-       Optimistic concurrency, no locks, no reliance on directory listing
-       consistency for readers.
+       snapshot N — manifest PUBLICATION is the atomic commit point (see
+       `_claim_version`: content-complete link-into-place, put-if-absent
+       semantics, lost races retry at N+1). No reliance on directory
+       listing consistency for readers.
 
     Readers (`read_versioned`) resolve a version to its exact file list
     and read ONLY those files — planning cost is one small JSON per query
     instead of the per-file footer walk `read_evolved` documents, which is
     the manifest amortization table formats exist for."""
-    import json
+    import shutil
     import uuid
 
     staging = os.path.join(path, "data", f".stage-{uuid.uuid4().hex}")
@@ -445,18 +475,8 @@ def write_versioned(df: DataFrame, path: str) -> int:
         final = os.path.join(path, "data", f"{uuid.uuid4().hex}-{name}")
         os.replace(os.path.join(staging, name), final)
         files.append(os.path.relpath(final, path))
-    os.makedirs(_manifest_dir(path), exist_ok=True)
-    for _ in range(64):  # bounded optimistic-concurrency retries
-        version = (max(_list_versions(path), default=-1)) + 1
-        target = os.path.join(_manifest_dir(path), f"v{version}.json")
-        try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
-            continue  # lost the race for this version: retry at N+1
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": version, "files": files}, f)
-        return version
-    raise RuntimeError(f"write_versioned: could not claim a version at {path}")
+    shutil.rmtree(staging, ignore_errors=True)  # only _SUCCESS/.crc remain
+    return _claim_version(path, files)
 
 
 def read_versioned(
@@ -483,32 +503,33 @@ def rollback_versioned(path: str, version: int) -> int:
     """Restore snapshot ``version`` as a NEW version (roll-forward
     rollback, Delta's RESTORE semantics): history is preserved, the bad
     version stays inspectable, and no data file is touched — the new
-    manifest simply references the old version's files."""
+    manifest (published via the same atomic `_claim_version` protocol)
+    simply references the old version's files."""
     import json
 
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
         manifest = json.load(f)
-    for _ in range(64):
-        new_version = (max(_list_versions(path), default=-1)) + 1
-        target = os.path.join(_manifest_dir(path), f"v{new_version}.json")
-        try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
-            continue
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": new_version, "files": manifest["files"]}, f)
-        return new_version
-    raise RuntimeError(f"rollback_versioned: could not claim a version at {path}")
+    return _claim_version(path, manifest["files"])
 
 
-def vacuum_versioned(path: str, keep_last: int = 2) -> list[str]:
+def vacuum_versioned(
+    path: str, keep_last: int = 2, grace_seconds: float = 600.0
+) -> list[str]:
     """Drop manifests beyond the newest ``keep_last`` and delete data files
     no remaining manifest references (including crash-orphaned staging
-    files). Returns the deleted paths. The reference set is computed from
+    dirs). Returns the deleted paths. The reference set is computed from
     the KEPT manifests — a rollback manifest keeps its old files alive, so
-    time travel within the retention window always works."""
+    time travel within the retention window always works.
+
+    ``grace_seconds`` is the in-flight-commit guard (Delta's retention
+    period): a concurrent `write_versioned` moves data files into place
+    BEFORE its manifest publishes, so an unreferenced file younger than
+    the grace window may belong to a commit about to land and is left
+    alone; only files older than the window are treated as orphans. Set
+    it to 0 only when no writer can be concurrent (as the tests do)."""
     import json
     import shutil
+    import time
 
     versions = _list_versions(path)
     keep = versions[-keep_last:] if keep_last > 0 else []
@@ -522,12 +543,19 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> list[str]:
             m = os.path.join(_manifest_dir(path), f"v{v}.json")
             os.remove(m)
             deleted.append(m)
+    cutoff = time.time() - grace_seconds
     data_dir = os.path.join(path, "data")
     for name in sorted(os.listdir(data_dir)):
         full = os.path.join(data_dir, name)
         rel = os.path.relpath(full, path)
+        try:
+            young = os.path.getmtime(full) >= cutoff
+        except OSError:
+            continue  # raced with a concurrent cleanup
+        if young:
+            continue  # possibly an in-flight commit: outside our window
         if name.startswith(".stage-"):
-            shutil.rmtree(full)
+            shutil.rmtree(full, ignore_errors=True)
             deleted.append(full)
         elif os.path.isfile(full) and rel not in referenced and name.endswith(".parquet"):
             os.remove(full)

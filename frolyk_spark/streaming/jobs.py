@@ -629,10 +629,15 @@ QUAR_MAX_K = 90
 
 
 def _quarantine_flag():
-    return (
-        (F.col("value") > QUAR_MAX_VALUE)
-        | (F.get_json_object("props", "$.k").cast("int") > QUAR_MAX_K)
-    ).cast("int")
+    """NULL-REJECTING verdict: a row is clean only when every expectation
+    verifiably holds; a missing/non-numeric props.k (or null value) makes
+    the conjunction NULL and the coalesce quarantines it. Without the
+    coalesce the flag itself would be NULL and the row would silently
+    vanish from BOTH counts while the batch oracle counted it clean."""
+    clean = (F.col("value") <= QUAR_MAX_VALUE) & (
+        F.get_json_object("props", "$.k").cast("int") <= QUAR_MAX_K
+    )
+    return (~F.coalesce(clean, F.lit(False))).cast("int")
 
 
 def _stream_quarantine_run(
@@ -682,14 +687,18 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# null-rejecting, mirroring _quarantine_flag: clean only when every
+# expectation VERIFIABLY holds (missing k -> NULL conjunction -> quarantined)
 STREAM_QUARANTINE_SQL = f"""
 SELECT event_type,
-       cast(sum(CASE WHEN value > {QUAR_MAX_VALUE}
-                       OR cast(json_extract_string(props, 'k') as int) > {QUAR_MAX_K}
-                THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
-       cast(sum(CASE WHEN value > {QUAR_MAX_VALUE}
-                       OR cast(json_extract_string(props, 'k') as int) > {QUAR_MAX_K}
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+       cast(sum(CASE WHEN coalesce(value <= {QUAR_MAX_VALUE}
+                  AND cast(json_extract_string(props, 'k') as int) <= {QUAR_MAX_K},
+                  false)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       cast(sum(CASE WHEN coalesce(value <= {QUAR_MAX_VALUE}
+                  AND cast(json_extract_string(props, 'k') as int) <= {QUAR_MAX_K},
+                  false)
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
 FROM events
 GROUP BY event_type
 """

@@ -468,7 +468,7 @@ def test_versioned_vacuum_keeps_referenced_files(spark, sf_dir, tmp_path):
     write_versioned(ev.limit(10), out)                  # v1
     rollback_versioned(out, 0)                          # v2 -> v0's files
     os.makedirs(os.path.join(out, "data", ".stage-orphan"), exist_ok=True)
-    deleted = vacuum_versioned(out, keep_last=2)        # keep v1, v2
+    deleted = vacuum_versioned(out, keep_last=2, grace_seconds=0)  # keep v1, v2
     # v0's manifest went, the orphan staging dir went
     assert any("v0.json" in d for d in deleted)
     assert any(".stage-orphan" in d for d in deleted)
@@ -511,7 +511,7 @@ def test_versioned_snapshots_random_op_sequence_matches_model(spark, tmp_path):
             live.append(v)
         else:
             keep = rng.randrange(1, 4)
-            vacuum_versioned(out, keep_last=keep)
+            vacuum_versioned(out, keep_last=keep, grace_seconds=0)
             live = sorted(live)[-keep:]
         # the latest read always matches the newest model version
         newest = max(model)
@@ -523,3 +523,28 @@ def test_versioned_snapshots_random_op_sequence_matches_model(spark, tmp_path):
         for v in sorted(set(model) - set(live)):
             with pytest.raises(FileNotFoundError):
                 read_versioned(spark, out, v)
+
+
+def test_versioned_vacuum_grace_window_spares_inflight_files(spark, tmp_path):
+    """An unreferenced data file YOUNGER than the grace window may belong
+    to a commit whose manifest hasn't published yet — vacuum must leave it
+    (and young staging dirs) alone; only aged orphans are reclaimed."""
+    import os
+    import time
+
+    from frolyk_spark.sources.catalog import vacuum_versioned, write_versioned
+
+    out = str(tmp_path / "vgrace")
+    write_versioned(spark.range(5), out)
+    young = os.path.join(out, "data", "deadbeef-part-inflight.parquet")
+    with open(young, "wb") as f:
+        f.write(b"not yet manifested")
+    old = os.path.join(out, "data", "cafebabe-part-orphan.parquet")
+    with open(old, "wb") as f:
+        f.write(b"crashed long ago")
+    aged = time.time() - 7200
+    os.utime(old, (aged, aged))
+    deleted = vacuum_versioned(out, keep_last=1)  # default grace window
+    assert old in deleted
+    assert not os.path.exists(old)
+    assert os.path.exists(young), "in-flight file inside grace must survive"
