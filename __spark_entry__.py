@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 128
+    # in dict order under a wall-clock budget (~50 per round of the 136
     # registered entries). The r7 rotation is ordered strictly by driver-row
     # AGE, red/never-checked first, computed from the delivered
     # CORRECTNESS_r01..r06 artifacts (r5 was never delivered, so the 25
@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_r7 = ("media_decode", "span_trim", "video_decode",
               "dsir_select", "decontaminate_bloom", "cluster_profile",
               "data_quality_audit", "benchmark_leakage", "stream_quarantine",
-              "rfm_segments")
+              "rfm_segments", "market_basket")
     stale_r3 = (
         "q22_idle_balance", "value_deciles", "resample_gapfill",
         "salted_join_segments", "multimodal_features", "media_resize",

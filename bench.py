@@ -108,6 +108,7 @@ HEADLINE = [
     "benchmark_leakage",
     "stream_quarantine",
     "rfm_segments",
+    "market_basket",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -2037,6 +2037,99 @@ FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+# --- C59: market-basket co-occurrence lift -------------------------------------
+
+def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over (user, day) event baskets: for every
+    event-type pair (a < b), the baskets containing both, each alone, and
+    the lift n_both·n_baskets / (n_a·n_b) (>1 = the types co-occur within
+    a day more than independence predicts). Integer supports + one
+    portable-round4 ratio. Baskets are per-DAY because lifetime user sets
+    saturate (every long-lived user eventually does every type — lift
+    degenerates to 1).
+
+    Scale shape: the per-basket distinct-type set reduces events map-side
+    first (one shuffle on the basket key); the pair expansion is a
+    self-join of that set ON the basket key (each basket contributes at
+    most |types|² pairs — bounded by the FIXED event-type cardinality, not
+    by event volume); per-type and total supports are bounded frames
+    (≤ type-cardinality rows / one row) and broadcast; the basket frame
+    feeds three consumers and is lineage-cut once."""
+    from frolyk_spark.functions.lineage import cut_lineage
+    from frolyk_spark.functions.portable import round4
+
+    ev = _t(spark, sf_dir, "events")
+    baskets = cut_lineage(
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").alias("bday"), "event_type"
+        ).distinct()
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    total = baskets.select("user_id", "bday").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    a = baskets.select("user_id", "bday", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "bday", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "bday"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_single").alias("n_a")
+    )
+    nb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_single").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            round4(
+                (F.col("n_both") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def _market_basket_sql() -> str:
+    from frolyk_spark.functions.portable import round4_sql
+
+    lift = round4_sql(
+        "cast(n_both * n_baskets as double) / cast(n_a * n_b as double)"
+    )
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS bday, event_type
+  FROM events
+),
+singles AS (SELECT event_type, count(*) AS n_single FROM baskets GROUP BY 1),
+total AS (
+  SELECT count(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, bday FROM baskets)
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM baskets a JOIN baskets b USING (user_id, bday)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       na.n_single AS n_a, nb.n_single AS n_b,
+       {lift} AS lift
+FROM pairs
+JOIN singles na ON na.event_type = type_a
+JOIN singles nb ON nb.event_type = type_b
+CROSS JOIN total
+"""
+
+
 # --- C58: RFM customer segmentation --------------------------------------------
 
 #: RFM scoring cutoff ("today" for recency)
@@ -2120,6 +2213,7 @@ GROUP BY r_b, f_b, m_b
 QUERIES = {
     "data_quality_audit": data_quality_audit,
     "rfm_segments": rfm_segments,
+    "market_basket": market_basket,
     "json_props_stats": json_props_stats,
     "spending_percentiles": spending_percentiles,
     "anomaly_zscore": anomaly_zscore,
@@ -2176,6 +2270,7 @@ QUERIES = {
 ORACLES = {
     "data_quality_audit": DATA_QUALITY_SQL,
     "rfm_segments": RFM_SQL,
+    "market_basket": _market_basket_sql(),
     "json_props_stats": JSON_PROPS_SQL,
     "spending_percentiles": SPENDING_PERCENTILES_SQL,
     "anomaly_zscore": ZSCORE_SQL,
