@@ -109,6 +109,7 @@ HEADLINE = [
     "stream_quarantine",
     "rfm_segments",
     "market_basket",
+    "training_pipeline",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

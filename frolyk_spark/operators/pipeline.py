@@ -1209,6 +1209,116 @@ FROM per_doc, totals
 """
 
 
+# --- D65: end-to-end training-data pipeline -----------------------------------
+
+def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pass a user actually runs between "raw corpus" and
+    "training chunks", as ONE operator: quality + language + exact-dedup
+    filtering (D17's composite), benchmark-doc exclusion and n-gram
+    decontamination (D20), then chunking (D21) of the survivors — reported
+    per predicted language as integer stage counts (docs after filtering,
+    contaminated, final, chunks, chunk tokens). The DuckDB oracle composes
+    the SAME stage SQL texts (corpus_filter / decontaminate / doc_chunks
+    oracles embedded as subqueries), so a drift in any stage OR in how the
+    stages hand off surfaces as a mismatch.
+
+    Scale shape: each stage keeps its own audited plan (this function
+    adds only doc_id equi-joins between them); the filtered frame feeds
+    three consumers (contamination join, chunk join, final agg) and is
+    lineage-cut once. Chunking runs only on filtered docs — the order a
+    real pipeline uses (cheap filters first, generator fan-out last)."""
+    from frolyk_spark.functions.lineage import cut_lineage
+    from frolyk_spark.operators.text import corpus_filter_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = cut_lineage(
+        corpus_filter_frame(docs)
+        .where(F.col("doc_id") >= CONTAM_BENCH_N)
+        .select("doc_id", "predicted_lang")
+    )
+    contam = decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_contam")
+    )
+    chunk_text = f"concat_ws(' ', slice(split(text, ' '), start, {CHUNK_TOKENS}))"
+    per_doc_chunks = (
+        docs.join(filtered.select("doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"sequence(1, greatest(size(split(text, ' ')), 1), {CHUNK_STRIDE})"
+                )
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"size(slice(split(text, ' '), start, {CHUNK_TOKENS}))")
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_chunks"),
+            F.sum("n_tokens").alias("doc_tokens"),
+        )
+    )
+    final_flag = F.col("is_contam").isNull()
+    return (
+        filtered.join(contam, "doc_id", "left")
+        .join(per_doc_chunks, "doc_id", "left")
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_filtered"),
+            F.sum(F.when(F.col("is_contam") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.when(final_flag, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_final"),
+            F.sum(F.when(final_flag, F.col("doc_chunks")).otherwise(0))
+            .cast("bigint")
+            .alias("n_chunks"),
+            F.sum(F.when(final_flag, F.col("doc_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_chunk_tokens"),
+        )
+    )
+
+
+def _training_pipeline_sql() -> str:
+    from frolyk_spark.operators.text import _corpus_filter_sql
+
+    return f"""
+WITH filtered AS (
+  SELECT doc_id, predicted_lang
+  FROM ({_corpus_filter_sql()}) t
+  WHERE doc_id >= {CONTAM_BENCH_N}
+),
+contam AS (SELECT doc_id FROM ({DECONTAMINATE_SQL}) t),
+chunk_stats AS (
+  SELECT doc_id, count(*) AS doc_chunks, sum(n_tokens) AS doc_tokens
+  FROM ({DOC_CHUNKS_SQL}) ch
+  JOIN filtered USING (doc_id)
+  GROUP BY doc_id
+)
+SELECT f.predicted_lang,
+       cast(count(*) AS BIGINT) AS n_filtered,
+       cast(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       cast(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_final,
+       cast(sum(CASE WHEN c.doc_id IS NULL THEN cs.doc_chunks ELSE 0 END)
+            AS BIGINT) AS n_chunks,
+       cast(sum(CASE WHEN c.doc_id IS NULL THEN cs.doc_tokens ELSE 0 END)
+            AS BIGINT) AS sum_chunk_tokens
+FROM filtered f
+LEFT JOIN contam c ON f.doc_id = c.doc_id
+LEFT JOIN chunk_stats cs ON f.doc_id = cs.doc_id
+GROUP BY f.predicted_lang
+"""
+
+
 QUERIES = {
     "sequence_pack": sequence_pack,
     "decontaminate": decontaminate,
@@ -1225,6 +1335,7 @@ QUERIES = {
     "dsir_select": dsir_select,
     "decontaminate_bloom": decontaminate_bloom,
     "benchmark_leakage": benchmark_leakage,
+    "training_pipeline": training_pipeline,
 }
 
 ORACLES = {
@@ -1243,4 +1354,5 @@ ORACLES = {
     "dsir_select": DSIR_SELECT_SQL,
     "decontaminate_bloom": _decontaminate_bloom_sql(),
     "benchmark_leakage": BENCHMARK_LEAKAGE_SQL,
+    "training_pipeline": _training_pipeline_sql(),
 }

@@ -664,3 +664,7 @@ def test_r7_wave2_plan_shapes(spark, sf_dir):
         "domain checks must combine map-side"
     )
     assert not rep["joins"].get("CartesianProduct")
+
+    from frolyk_spark.operators.pipeline import training_pipeline
+
+    assert_scale_shape(training_pipeline(spark, sf_dir), forbid_nested_loop=True)
