@@ -214,3 +214,40 @@ def test_fvid_roundtrip_property(w, h, n, fps, rng):
         bytes(rng.randrange(256) for _ in range(3 * w * h)) for _ in range(n)
     ]
     assert decode_fvid(encode_fvid(frames, w, h, fps)) == (w, h, fps, frames)
+
+
+@given(st.integers(min_value=0, max_value=(1 << 60) - 1))
+@settings(max_examples=300, deadline=None)
+def test_bloom_probe_positions_distinct_and_in_range(gh):
+    """decontaminate_bloom's double hashing must yield BLOOM_K DISTINCT
+    in-range positions for every 60-bit gram hash — h2 is forced odd, so
+    it is coprime with the power-of-two BLOOM_M and i·h2 mod m never
+    collides for i < k. A collision would silently lower the effective k
+    (more false positives than the docstring's math claims)."""
+    from frolyk_spark.operators.pipeline import BLOOM_K, BLOOM_M
+
+    h2 = ((gh >> 20) % BLOOM_M) | 1
+    pos = [(gh + i * h2) % BLOOM_M for i in range(BLOOM_K)]
+    assert len(set(pos)) == BLOOM_K
+    assert all(0 <= p < BLOOM_M for p in pos)
+
+
+def test_dsir_products_inside_int64_at_test_scale():
+    """dsir_select's cross-multiplied selector stays integer-exact only
+    while sum·total < 2^63; assert the REAL margin at the largest test SF
+    so growth toward the documented decimal(38,0) escalation point is
+    visible, not silent."""
+    import duckdb
+
+    from frolyk_spark.operators.pipeline import DSIR_SELECT_SQL
+
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        "'/root/testdata/sf0.1/documents.parquet'"
+    )
+    r = con.sql(
+        f"SELECT max(sum_t * (SELECT sum(sum_r) FROM ({DSIR_SELECT_SQL}))) "
+        f"FROM ({DSIR_SELECT_SQL})"
+    ).fetchone()[0]
+    assert int(r) < 2**62, f"dsir product margin exhausted: {r:.3e}"
