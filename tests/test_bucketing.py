@@ -548,3 +548,28 @@ def test_versioned_vacuum_grace_window_spares_inflight_files(spark, tmp_path):
     assert old in deleted
     assert not os.path.exists(old)
     assert os.path.exists(young), "in-flight file inside grace must survive"
+
+
+def test_versioned_concurrent_commits_get_distinct_complete_versions(
+    spark, tmp_path
+):
+    """Four threads committing simultaneously must each win a DISTINCT
+    version (the link-into-place claim is put-if-absent), and every
+    published manifest must be complete — each version reads back exactly
+    the row count its committer wrote."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from frolyk_spark.sources.catalog import read_versioned, write_versioned
+
+    out = str(tmp_path / "vconc")
+    counts = [11, 22, 33, 44]
+
+    def commit(n):
+        return n, write_versioned(spark.range(n), out)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(commit, counts))
+    versions = [v for _, v in results]
+    assert sorted(versions) == [0, 1, 2, 3], versions
+    for n, v in results:
+        assert read_versioned(spark, out, v).count() == n
