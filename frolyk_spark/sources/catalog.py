@@ -561,3 +561,26 @@ def vacuum_versioned(
             os.remove(full)
             deleted.append(full)
     return deleted
+
+
+# --- E15: columnar interchange (ORC <-> parquet) ------------------------------
+
+def export_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "orc",
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Interchange writer for the second native columnar format: export a
+    frame as ORC (or any native Spark format) and return the re-read
+    frame. ORC matters operationally — Hive-era lakes are ORC, and both
+    directions (ingest ORC → process → parquet, or export back) must keep
+    the declarative-plan guarantees: tests assert the ORC scan still shows
+    PushedFilters + pruned ReadSchema and that directory partitioning
+    prunes, so switching the storage format costs none of the 100 TB scan
+    posture."""
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    return df.sparkSession.read.format(fmt).load(path)

@@ -101,3 +101,36 @@ def test_normalize_events_ts_accepts_long_nanos(spark):
     assert out.schema["ts"].dataType.typeName() == "timestamp"
     # nanos truncate to micros
     assert out.collect()[0].ts.microsecond == 123456
+
+
+def test_orc_interchange_keeps_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """E15: the ORC path must preserve the scan posture — filters reach
+    the ORC reader (PushedFilters), projection prunes ReadSchema, content
+    round-trips exactly, and directory partitioning prunes."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.plans import plan_report
+    from frolyk_spark.sources.catalog import export_table, load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "li_orc")
+    back = export_table(li, out, fmt="orc")
+    assert back.count() == li.count()
+    # value-exact round trip (checksum over all columns)
+    def chk(df):
+        return df.select(
+            F.sum(F.xxhash64("l_orderkey", "l_partkey", "l_quantity", "l_returnflag") % 100003)
+        ).collect()[0][0]
+    assert chk(back) == chk(li)
+    rep = plan_report(back.where(F.col("l_quantity") > 40).select("l_orderkey"))
+    assert any("l_quantity" in p for p in rep["pushed_filters"]), rep["pushed_filters"]
+    assert all(len(cols) <= 2 for cols in rep["read_schemas"]), rep["read_schemas"]
+
+    part_out = str(tmp_path / "li_orc_part")
+    backp = export_table(li, part_out, fmt="orc", partition_by=["l_returnflag"])
+    pruned = backp.where(F.col("l_returnflag") == "R")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "l_returnflag=R" in plan or "PartitionFilters" in plan
+    assert pruned.count() == li.where(F.col("l_returnflag") == "R").count()
