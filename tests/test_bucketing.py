@@ -573,3 +573,25 @@ def test_versioned_concurrent_commits_get_distinct_complete_versions(
     assert sorted(versions) == [0, 1, 2, 3], versions
     for n, v in results:
         assert read_versioned(spark, out, v).count() == n
+
+
+def test_pipeline_summary_snapshots_and_rolls_back(spark, sf_dir, tmp_path):
+    """Integration of D65 × E14: commit the composed pipeline's summary as
+    a snapshot, commit a narrowed re-run as the next version, and RESTORE —
+    the table reads back exactly the first run's rows."""
+    from frolyk_spark.operators.pipeline import training_pipeline
+    from frolyk_spark.sources.catalog import (
+        read_versioned, rollback_versioned, write_versioned,
+    )
+
+    out = str(tmp_path / "pipeline_summary")
+    full = training_pipeline(spark, sf_dir)
+    v0 = write_versioned(full, out)
+    narrowed = full.where(F.col("predicted_lang") == "en")
+    v1 = write_versioned(narrowed, out)
+    assert (v0, v1) == (0, 1)
+    assert read_versioned(spark, out).count() == narrowed.count()
+    rollback_versioned(out, 0)
+    got = sorted(map(tuple, read_versioned(spark, out).collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
