@@ -67,7 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_r7 = ("media_decode", "span_trim", "video_decode",
               "dsir_select", "decontaminate_bloom", "cluster_profile",
               "data_quality_audit", "benchmark_leakage", "stream_quarantine",
-              "rfm_segments", "market_basket", "training_pipeline")
+              "rfm_segments", "market_basket", "training_pipeline",
+              "ewma_value")
     stale_r3 = (
         "q22_idle_balance", "value_deciles", "resample_gapfill",
         "salted_join_segments", "multimodal_features", "media_resize",

@@ -110,6 +110,7 @@ HEADLINE = [
     "rfm_segments",
     "market_basket",
     "training_pipeline",
+    "ewma_value",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

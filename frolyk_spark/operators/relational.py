@@ -2037,6 +2037,93 @@ FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+# --- C60: exponentially-weighted moving average (exact-arithmetic form) --------
+
+#: EWMA window (events per user) — bounded so the power-of-two weight sum
+#: stays integer-exact in int64
+EWMA_K = 16
+
+
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value — the time-series smoothing signal —
+    in the one parameterization that is exact cross-engine: α = 1/2 over
+    the last {EWMA_K} events, so every weight is a power of two and the
+    weighted sum is INTEGER arithmetic on cents (newest event weight
+    2^{EWMA_K}-1 halving backwards; the recursive s_i = (v_i + s_(i-1))/2
+    form is this, truncated). A float recursion would be order-sensitive
+    and engine-divergent; here only the FINAL displayed average divides,
+    through the portable round4. Deterministic (ts, event_id) ordering.
+
+    Scale shape: one window rank per user partition (WindowGroupLimit
+    prunes to the top-{EWMA_K} per user before the full sort materializes,
+    the same partial top-K any per-group recency query uses), then one
+    map-side-combinable weighted sum."""
+    from frolyk_spark.functions.portable import round4
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.desc(F.unix_micros("ts")), F.desc("event_id")
+    )
+    ranked = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= EWMA_K)
+    )
+    weight = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({EWMA_K} - rk as int))"
+    )
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.sum(F.col("cents") * weight).alias("ewma_num"),
+            F.sum(weight).alias("weight_sum"),
+        )
+        .select(
+            "user_id", "n_used", "ewma_num", "weight_sum",
+            round4(
+                F.col("ewma_num").cast("double")
+                / (F.col("weight_sum") * 100).cast("double")
+            ).alias("ewma_value"),
+        )
+    )
+
+
+def _ewma_sql() -> str:
+    from frolyk_spark.functions.portable import round4_sql
+
+    ratio = round4_sql(
+        "cast(ewma_num as double) / cast(weight_sum * 100 as double)"
+    )
+    return f"""
+WITH ranked AS (
+  SELECT user_id,
+         cast(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+         ) AS rk
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         count(*) AS n_used,
+         sum(cents * (1::BIGINT << ({EWMA_K} - rk))) AS ewma_num,
+         sum(1::BIGINT << ({EWMA_K} - rk)) AS weight_sum
+  FROM ranked WHERE rk <= {EWMA_K}
+  GROUP BY user_id
+)
+SELECT user_id,
+       cast(n_used AS BIGINT) AS n_used,
+       cast(ewma_num AS BIGINT) AS ewma_num,
+       cast(weight_sum AS BIGINT) AS weight_sum,
+       {ratio} AS ewma_value
+FROM agg
+"""
+
+
 # --- C59: market-basket co-occurrence lift -------------------------------------
 
 def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2214,6 +2301,7 @@ QUERIES = {
     "data_quality_audit": data_quality_audit,
     "rfm_segments": rfm_segments,
     "market_basket": market_basket,
+    "ewma_value": ewma_value,
     "json_props_stats": json_props_stats,
     "spending_percentiles": spending_percentiles,
     "anomaly_zscore": anomaly_zscore,
@@ -2271,6 +2359,7 @@ ORACLES = {
     "data_quality_audit": DATA_QUALITY_SQL,
     "rfm_segments": RFM_SQL,
     "market_basket": _market_basket_sql(),
+    "ewma_value": _ewma_sql(),
     "json_props_stats": JSON_PROPS_SQL,
     "spending_percentiles": SPENDING_PERCENTILES_SQL,
     "anomaly_zscore": ZSCORE_SQL,
