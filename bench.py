@@ -111,6 +111,7 @@ HEADLINE = [
     "market_basket",
     "training_pipeline",
     "ewma_value",
+    "top_paths",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

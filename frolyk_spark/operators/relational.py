@@ -2037,6 +2037,108 @@ FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+# --- C61: session path analysis ------------------------------------------------
+
+#: session gap (µs) — matches streaming sessionize's 30 minutes
+PATH_GAP_US = 1_800_000_000
+#: path truncation (events per session) — bounds the path-string domain
+PATH_MAX_EVENTS = 8
+
+
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths: sessionize each user's event stream
+    (gaps-and-islands, {PATH_GAP_US} µs gap), string the first
+    {PATH_MAX_EVENTS} event types of each session into a `a>b>c` path,
+    and rank paths by session count — the "how do users actually move"
+    table funnel analysis starts from. Deterministic (ts_us, event_id)
+    total order everywhere; count-DESC + path-ASC tie-break;
+    TakeOrderedAndProject top-K, never a global sort.
+
+    Scale shape: two windows share ONE user_id exchange (break flags and
+    running session id), the per-session path is one ordered aggregation
+    (array_sort over ≤ session-length structs, sliced to the cap before
+    the join), and the final count is a map-side-combinable groupBy over
+    the bounded path domain."""
+    ev = _t(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    flagged = base.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts_us").over(wo).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wo) >= PATH_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("brk").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    paths = (
+        flagged.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts_us", "event_id", "event_type")
+                            )
+                        ),
+                        1,
+                        PATH_MAX_EVENTS,
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+def _top_paths_sql() -> str:
+    return f"""
+WITH ord AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {PATH_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM ord
+),
+numbered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, sid ORDER BY ts_us, event_id
+  ) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM numbered WHERE rn <= {PATH_MAX_EVENTS}
+  GROUP BY user_id, sid
+)
+SELECT path, cast(count(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
 # --- C60: exponentially-weighted moving average (exact-arithmetic form) --------
 
 #: EWMA window (events per user) — bounded so the power-of-two weight sum
@@ -2302,6 +2404,7 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "market_basket": market_basket,
     "ewma_value": ewma_value,
+    "top_paths": top_paths,
     "json_props_stats": json_props_stats,
     "spending_percentiles": spending_percentiles,
     "anomaly_zscore": anomaly_zscore,
@@ -2360,6 +2463,7 @@ ORACLES = {
     "rfm_segments": RFM_SQL,
     "market_basket": _market_basket_sql(),
     "ewma_value": _ewma_sql(),
+    "top_paths": _top_paths_sql(),
     "json_props_stats": JSON_PROPS_SQL,
     "spending_percentiles": SPENDING_PERCENTILES_SQL,
     "anomaly_zscore": ZSCORE_SQL,
