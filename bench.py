@@ -112,6 +112,7 @@ HEADLINE = [
     "training_pipeline",
     "ewma_value",
     "top_paths",
+    "skyline_parts",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -2037,6 +2037,77 @@ FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+# --- C62: skyline (Pareto frontier) query ---------------------------------------
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of `part`: the Pareto frontier of (retail price ↓,
+    size ↑) — a part survives iff no other part is at most as expensive
+    AND at least as large with one strict. Classic multi-criteria catalog
+    query (Börzsönyi et al., "The Skyline Operator", ICDE 2001), in the
+    O(sort) window form instead of the naive O(n²) dominance self-join:
+    cents-exact price groups reduce to their max size map-side, one
+    ordered window takes the running max size over STRICTLY cheaper
+    groups (lag-1 of the running max), and a group survives iff its max
+    size exceeds it; frontier parts are the group members at that size
+    (price-size ties are mutually non-dominating and all kept).
+
+    Scale note: the window orders the per-PRICE aggregate — the
+    value_deciles caveat (single partition over distinct prices; at
+    extreme price cardinality the swap is range-partitioned prefix maxima,
+    the two-phase prefix-sum shape sequence_pack already uses)."""
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        "p_partkey", "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    groups = base.groupBy("price_cents").agg(F.max("p_size").alias("max_size"))
+    wp = W.orderBy("price_cents")
+    frontier = (
+        groups.withColumn(
+            "prev_max",
+            F.max("max_size").over(wp.rowsBetween(W.unboundedPreceding, -1)),
+        )
+        .where(
+            F.col("prev_max").isNull() | (F.col("max_size") > F.col("prev_max"))
+        )
+        .select(
+            F.col("price_cents").alias("f_price"),
+            F.col("max_size").alias("f_size"),
+        )
+    )
+    return base.join(
+        frontier,
+        (F.col("price_cents") == F.col("f_price"))
+        & (F.col("p_size") == F.col("f_size")),
+    ).select("p_partkey", "price_cents", "p_size")
+
+
+SKYLINE_SQL = """
+WITH base AS (
+  SELECT p_partkey, p_size,
+         cast(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+),
+groups AS (
+  SELECT price_cents, max(p_size) AS max_size FROM base GROUP BY price_cents
+),
+frontier AS (
+  SELECT price_cents, max_size
+  FROM (
+    SELECT price_cents, max_size,
+           max(max_size) OVER (
+             ORDER BY price_cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM groups
+  )
+  WHERE prev_max IS NULL OR max_size > prev_max
+)
+SELECT b.p_partkey, b.price_cents, b.p_size
+FROM base b
+JOIN frontier f ON b.price_cents = f.price_cents AND b.p_size = f.max_size
+"""
+
+
 # --- C61: session path analysis ------------------------------------------------
 
 #: session gap (µs) — matches streaming sessionize's 30 minutes
@@ -2405,6 +2476,7 @@ QUERIES = {
     "market_basket": market_basket,
     "ewma_value": ewma_value,
     "top_paths": top_paths,
+    "skyline_parts": skyline_parts,
     "json_props_stats": json_props_stats,
     "spending_percentiles": spending_percentiles,
     "anomaly_zscore": anomaly_zscore,
@@ -2464,6 +2536,7 @@ ORACLES = {
     "market_basket": _market_basket_sql(),
     "ewma_value": _ewma_sql(),
     "top_paths": _top_paths_sql(),
+    "skyline_parts": SKYLINE_SQL,
     "json_props_stats": JSON_PROPS_SQL,
     "spending_percentiles": SPENDING_PERCENTILES_SQL,
     "anomaly_zscore": ZSCORE_SQL,
