@@ -668,3 +668,44 @@ def test_r7_wave2_plan_shapes(spark, sf_dir):
     from frolyk_spark.operators.pipeline import training_pipeline
 
     assert_scale_shape(training_pipeline(spark, sf_dir), forbid_nested_loop=True)
+
+
+def test_r7_wave3_plan_shapes(spark, sf_dir):
+    """rfm_segments/ewma_value/top_paths/skyline_parts: aggregate-level
+    windows only, no cartesians, heap top-K where a top-K exists.
+    market_basket: the basket self-join is an equi-join (never a
+    cartesian) and the singles/total frames broadcast. training_pipeline
+    covered in wave2."""
+    import re
+
+    from frolyk_spark.operators.relational import (
+        ewma_value, market_basket, rfm_segments, skyline_parts, top_paths,
+    )
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(rfm_segments(spark, sf_dir))
+    assert not rep["has_cartesian"]
+
+    rep = assert_scale_shape(ewma_value(spark, sf_dir), max_scans=1)
+    assert "partial_sum" in rep["plan"], "weighted sums must combine map-side"
+    assert re.search(r"WindowGroupLimit", rep["plan"]), (
+        "per-user top-K must prune before the sort materializes"
+    )
+
+    rep = assert_scale_shape(top_paths(spark, sf_dir), max_scans=1)
+    assert rep["has_take_ordered"], "top-20 must be a heap, not a global sort"
+    assert len(re.findall(r"hashpartitioning\(user_id", rep["plan"])) == 1, (
+        "break flags and session ids must share ONE user_id exchange"
+    )
+
+    rep = assert_scale_shape(skyline_parts(spark, sf_dir))
+    assert not rep["has_cartesian"]
+    assert rep["joins"].get("SortMergeJoin", 0) + rep["joins"].get(
+        "BroadcastHashJoin", 0
+    ) >= 1, "frontier re-join must be an equi-join"
+
+    rep = assert_scale_shape(market_basket(spark, sf_dir))
+    assert not rep["has_cartesian"]
+    assert rep["joins"].get("BroadcastHashJoin", 0) >= 2, (
+        "singles and total supports must broadcast"
+    )
