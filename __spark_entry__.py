@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "dsir_select", "decontaminate_bloom", "cluster_profile",
               "data_quality_audit", "benchmark_leakage", "stream_quarantine",
               "rfm_segments", "market_basket", "training_pipeline",
-              "ewma_value", "top_paths", "skyline_parts")
+              "ewma_value", "top_paths", "skyline_parts", "scd2_lookup")
     stale_r3 = (
         "q22_idle_balance", "value_deciles", "resample_gapfill",
         "salted_join_segments", "multimodal_features", "media_resize",

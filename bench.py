@@ -113,6 +113,7 @@ HEADLINE = [
     "ewma_value",
     "top_paths",
     "skyline_parts",
+    "scd2_lookup",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

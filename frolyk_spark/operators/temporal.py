@@ -93,6 +93,74 @@ ORDER BY user_id, version
 """
 
 
+# --- C63: point-in-time (SCD2 as-of) lookup -----------------------------------
+
+def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: for every purchase event, the SCD2 state
+    version (C52's history) prevailing STRICTLY BEFORE it (valid at
+    ts−1 µs) — the point-in-time join every event/dimension pipeline runs
+    ("which version of the customer record did this order see").
+
+    Implemented in the union-window form, not an interval join: history
+    starts (kind 0) and probes (kind 1) union into one stream, ONE
+    user_id window computes last_value(version/state) ignoring nulls, and
+    probe rows read their prevailing version off the running state. That
+    is one shuffle on the dimension key — the interval-predicate join
+    (`valid_from <= t < valid_to`) the oracle uses is quadratic per key
+    under skew and needs a range-join optimizer Spark lacks. Ordering
+    (ts, kind, version) makes same-timestamp version stacks resolve to
+    the LAST version — exactly the row whose half-open interval is
+    non-empty, matching the oracle's containment predicate. Purchases
+    before any state change drop on both sides (inner-join semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_frame(ev).select(
+        "user_id",
+        F.col("valid_from_us").alias("ts_k"),
+        F.lit(0).alias("kind"),
+        "version",
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.unix_micros("ts") - 1).alias("ts_k"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("version"),
+        F.lit(None).cast("string").alias("state"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_k", "kind", "version")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = hist.unionByName(probes).select(
+        "user_id", "kind", "event_id",
+        F.last("version", ignorenulls=True).over(w).alias("prev_version"),
+        F.last("state", ignorenulls=True).over(w).alias("prev_state"),
+    )
+    return u.where(
+        (F.col("kind") == 1) & F.col("prev_version").isNotNull()
+    ).select("event_id", "user_id", "prev_version", "prev_state")
+
+
+SCD2_LOOKUP_SQL = f"""
+WITH history AS ({SCD2_HISTORY_SQL.replace("ORDER BY user_id, version", "")}),
+probes AS (
+  SELECT event_id, user_id, epoch_us(ts) - 1 AS t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       h.version AS prev_version,
+       h.event_type AS prev_state
+FROM probes p
+JOIN history h
+  ON p.user_id = h.user_id
+ AND h.valid_from_us <= p.t
+ AND (h.valid_to_us IS NULL OR p.t < h.valid_to_us)
+"""
+
+
 # --- C53: interval sweep-line concurrency ------------------------------------
 
 def supplier_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +423,7 @@ ORDER BY event_type, bar_start
 
 QUERIES = {
     "scd2_history": scd2_history,
+    "scd2_lookup": scd2_lookup,
     "supplier_peak_load": supplier_peak_load,
     "time_weighted_avg": time_weighted_avg,
     "ohlc_bars": ohlc_bars,
@@ -362,6 +431,7 @@ QUERIES = {
 
 ORACLES = {
     "scd2_history": SCD2_HISTORY_SQL,
+    "scd2_lookup": SCD2_LOOKUP_SQL,
     "supplier_peak_load": SUPPLIER_PEAK_LOAD_SQL,
     "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
     "ohlc_bars": OHLC_BARS_SQL,
