@@ -45,10 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      family (VERDICT r6 item 6) and the flagship q1/q3/dedup block;
     #   4. stale_r4: newest green row is r4;
     #   5. green_r6: freshly checked last round — park last.
-    # The r7-new entries (15 after the second and third waves) slot after
+    # The r7-new entries (16 after the second and third waves) slot after
     # the never-checked block — equally row-less, and new operators need
     # their FIRST driver row more than three-round-stale greens need a
-    # refresh. Budget math: 1 + 25 + 15 = 41, so ~9 of the 24 stale_r3
+    # refresh. Budget math: 1 + 25 + 16 = 42, so ~8 of the 24 stale_r3
     # entries fit a ~50-entry budget (most new entries are sub-2 s, so the
     # WALL-CLOCK budget likely stretches further) — most of the streaming
     # family; the flagship q1/q3/dedup tail of stale_r3 likely slips to

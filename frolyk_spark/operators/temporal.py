@@ -1,5 +1,6 @@
-"""Temporal-modeling operators (SURVEY §2 C52-C53): SCD2 dimension
-history and interval sweep-line concurrency.
+"""Temporal-modeling operators (SURVEY §2 C52-C53, C55-C56, C63):
+SCD2 dimension history + point-in-time lookup, interval sweep-line
+concurrency, time-weighted averages, and OHLC bars.
 
 These round out the relational family (relational.py) with the two
 warehouse temporal patterns it didn't yet cover: slowly-changing-
