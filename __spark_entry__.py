@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 136
+    # in dict order under a wall-clock budget (~50 per round of the 142
     # registered entries). The r7 rotation is ordered strictly by driver-row
     # AGE, red/never-checked first, computed from the delivered
     # CORRECTNESS_r01..r06 artifacts (r5 was never delivered, so the 25
