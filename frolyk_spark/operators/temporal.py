@@ -113,7 +113,13 @@ def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LAST version — exactly the row whose half-open interval is
     non-empty, matching the oracle's containment predicate. Purchases
     before any state change drop on both sides (inner-join semantics)."""
-    ev = load_table(spark, sf_dir, "events")
+    return scd2_lookup_frame(load_table(spark, sf_dir, "events"))
+
+
+def scd2_lookup_frame(ev: DataFrame) -> DataFrame:
+    """Frame-level point-in-time lookup (see scd2_lookup). Checked against
+    a brute-force prevailing-run reference on randomized streams in
+    tests/test_semantics.py."""
     hist = scd2_frame(ev).select(
         "user_id",
         F.col("valid_from_us").alias("ts_k"),

@@ -524,3 +524,62 @@ def test_scd2_frame_matches_bruteforce_reference(spark):
             nxt = us(runs[v][1]) if v < len(runs) else None
             expected[(user, v)] = (ty, us(t), nxt, nxt is None)
     assert got == expected
+
+
+def test_scd2_lookup_matches_bruteforce_reference(spark):
+    """C63: the union-window point-in-time lookup must equal the naive
+    per-purchase scan for the prevailing run at ts−1 µs, on randomized
+    streams with simultaneous timestamps (event_id tie-break) and
+    purchases that open their user's very first run (which must DROP —
+    no prevailing state strictly before them)."""
+    import datetime
+    import random
+
+    from frolyk_spark.operators.temporal import scd2_lookup_frame
+
+    rng = random.Random(4242)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    streams = {}
+    for user in range(25):
+        n = rng.randint(1, 14)
+        evs = []
+        t = 0
+        for _ in range(n):
+            t += rng.choice([0, 1, 1, 7])
+            evs.append((eid, t, rng.choice(["purchase", "view", "click"])))
+            eid += 1
+        streams[user] = evs
+        for e, t, ty in evs:
+            rows.append((user, e, base + datetime.timedelta(seconds=t), ty))
+
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        r.event_id: (r.user_id, r.prev_version, r.prev_state)
+        for r in scd2_lookup_frame(df).collect()
+    }
+
+    expected = {}
+    for user, evs in streams.items():
+        ordered = sorted(evs, key=lambda e: (e[1], e[0]))
+        # runs: (type, start_t, start_idx) collapsing consecutive repeats
+        runs = []
+        for i, (e, t, ty) in enumerate(ordered):
+            if not runs or runs[-1][0] != ty:
+                runs.append((ty, t, i))
+        for e, t, ty in ordered:
+            if ty != "purchase":
+                continue
+            # prevailing run at time t - 1µs: the last run whose start
+            # time is STRICTLY before t (same-second run starts are not
+            # yet valid at t-1µs, sub-second resolution in this data)
+            prev = [
+                (v, r) for v, r in enumerate(runs, start=1) if r[1] < t
+            ]
+            if prev:
+                v, r = prev[-1]
+                expected[e] = (user, v, r[0])
+    assert got == expected
