@@ -1239,7 +1239,9 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam = decontaminate(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("is_contam")
     )
-    chunk_text = f"concat_ws(' ', slice(split(text, ' '), start, {CHUNK_TOKENS}))"
+    # chunk generator mirrors doc_chunks (D21) minus the chunk hash; the
+    # composed oracle embeds DOC_CHUNKS_SQL itself, so a drift between the
+    # two sites fails the gate
     per_doc_chunks = (
         docs.join(filtered.select("doc_id"), "doc_id")
         .select(

@@ -2146,19 +2146,22 @@ def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "sid", F.sum("brk").over(wo.rowsBetween(W.unboundedPreceding, 0))
     )
+    # truncate to the path cap BEFORE aggregating — the session window
+    # shares the existing user_id sort, and a never-idle key (a bot
+    # pinging inside the gap forever) contributes {PATH_MAX_EVENTS} rows
+    # to the collect, not its entire history (unbounded per-group state
+    # was the r7 review's finding here; the oracle already had this shape)
+    ws = W.partitionBy("user_id", "sid").orderBy("ts_us", "event_id")
+    capped = flagged.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= PATH_MAX_EVENTS
+    )
     paths = (
-        flagged.groupBy("user_id", "sid")
+        capped.groupBy("user_id", "sid")
         .agg(
             F.array_join(
                 F.transform(
-                    F.slice(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("ts_us", "event_id", "event_type")
-                            )
-                        ),
-                        1,
-                        PATH_MAX_EVENTS,
+                    F.array_sort(
+                        F.collect_list(F.struct("ts_us", "event_id", "event_type"))
                     ),
                     lambda x: x.event_type,
                 ),

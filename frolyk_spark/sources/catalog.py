@@ -544,6 +544,23 @@ def vacuum_versioned(
             os.remove(m)
             deleted.append(m)
     cutoff = time.time() - grace_seconds
+    # crash-orphaned temp manifests (a committer that died between writing
+    # .tmp-* and linking it) age out under the same grace window
+    mdir_entries = (
+        sorted(os.listdir(_manifest_dir(path)))
+        if os.path.isdir(_manifest_dir(path))
+        else []
+    )
+    for name in mdir_entries:
+        if not name.startswith(".tmp-"):
+            continue
+        full = os.path.join(_manifest_dir(path), name)
+        try:
+            if os.path.getmtime(full) < cutoff:
+                os.remove(full)
+                deleted.append(full)
+        except OSError:
+            continue
     data_dir = os.path.join(path, "data")
     for name in sorted(os.listdir(data_dir)):
         full = os.path.join(data_dir, name)

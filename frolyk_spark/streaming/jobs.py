@@ -146,10 +146,20 @@ def run_available_now(
     # single dir so the last batch's full result wins. Dir names avoid '='
     # so the reader doesn't parse them as partition columns.
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_hook is not None:
-            batch_hook(batch_df, batch_id)
         sub = "complete" if mode == "complete" else f"b{batch_id}"
-        batch_df.write.mode("overwrite").parquet(os.path.join(out, sub))
+        if batch_hook is not None:
+            # two actions consume this batch (hook sink + result write);
+            # cache once so the micro-batch source and its projections are
+            # not recomputed per sink — the standard foreachBatch
+            # multi-sink pattern
+            batch_df.persist()
+            try:
+                batch_hook(batch_df, batch_id)
+                batch_df.write.mode("overwrite").parquet(os.path.join(out, sub))
+            finally:
+                batch_df.unpersist()
+        else:
+            batch_df.write.mode("overwrite").parquet(os.path.join(out, sub))
 
     try:
         query = (
@@ -631,15 +641,24 @@ QUAR_MAX_VALUE = 250.0
 QUAR_MAX_K = 90
 
 
+def _quarantine_k():
+    """props.k as an int, NULL for anything non-conforming — guarded the
+    way JSON_PROPS_SQL guards (integer-literal regex before the cast):
+    a bare cast would be an ANSI runtime error in Spark 4 on '1.5'/'abc'
+    and would silently ROUND in DuckDB's strict cast ('1.5' -> 2), a
+    crash-or-diverge on exactly the dirty data this gate exists for."""
+    raw = F.get_json_object("props", "$.k")
+    return F.when(raw.rlike(r"^-?[0-9]+$"), raw.cast("int"))
+
+
 def _quarantine_flag():
     """NULL-REJECTING verdict: a row is clean only when every expectation
-    verifiably holds; a missing/non-numeric props.k (or null value) makes
-    the conjunction NULL and the coalesce quarantines it. Without the
-    coalesce the flag itself would be NULL and the row would silently
-    vanish from BOTH counts while the batch oracle counted it clean."""
-    clean = (F.col("value") <= QUAR_MAX_VALUE) & (
-        F.get_json_object("props", "$.k").cast("int") <= QUAR_MAX_K
-    )
+    verifiably holds; a missing/malformed/non-integer props.k (or null
+    value) makes the conjunction NULL and the coalesce quarantines it.
+    Without the coalesce the flag itself would be NULL and the row would
+    silently vanish from BOTH counts while the batch oracle counted it
+    clean."""
+    clean = (F.col("value") <= QUAR_MAX_VALUE) & (_quarantine_k() <= QUAR_MAX_K)
     return (~F.coalesce(clean, F.lit(False))).cast("int")
 
 
@@ -656,7 +675,7 @@ def _stream_quarantine_run(
         "event_id",
         "event_type",
         "value",
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        _quarantine_k().alias("k_val"),
         _quarantine_flag().alias("quarantined"),
     )
     qdir = os.path.join(
@@ -690,19 +709,31 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# null-rejecting, mirroring _quarantine_flag: clean only when every
-# expectation VERIFIABLY holds (missing k -> NULL conjunction -> quarantined)
+# null-rejecting, mirroring _quarantine_flag exactly, including the JSON
+# guards: json_valid before extraction (a strict json_extract_string ERRORS
+# on malformed props), integer-literal regex before the cast (a strict cast
+# ROUNDS '1.5' -> 2 where Spark yields NULL). Clean only when every
+# expectation VERIFIABLY holds; anything non-conforming -> quarantined.
 STREAM_QUARANTINE_SQL = f"""
+WITH g AS (
+  SELECT event_type, value,
+         CASE WHEN raw IS NOT NULL AND regexp_matches(raw, '^-?[0-9]+$')
+              THEN CAST(raw AS INT) END AS k_val
+  FROM (
+    SELECT event_type, value,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, 'k') END AS raw
+    FROM events
+  )
+)
 SELECT event_type,
        cast(sum(CASE WHEN coalesce(value <= {QUAR_MAX_VALUE}
-                  AND cast(json_extract_string(props, 'k') as int) <= {QUAR_MAX_K},
-                  false)
+                  AND k_val <= {QUAR_MAX_K}, false)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
        cast(sum(CASE WHEN coalesce(value <= {QUAR_MAX_VALUE}
-                  AND cast(json_extract_string(props, 'k') as int) <= {QUAR_MAX_K},
-                  false)
+                  AND k_val <= {QUAR_MAX_K}, false)
                 THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
-FROM events
+FROM g
 GROUP BY event_type
 """
 

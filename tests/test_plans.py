@@ -709,3 +709,14 @@ def test_r7_wave3_plan_shapes(spark, sf_dir):
     assert rep["joins"].get("BroadcastHashJoin", 0) >= 2, (
         "singles and total supports must broadcast"
     )
+
+    from frolyk_spark.operators.temporal import scd2_lookup
+
+    rep = assert_scale_shape(scd2_lookup(spark, sf_dir), max_scans=2)
+    assert not rep["joins"], (
+        "the point-in-time lookup must be the union-window form — "
+        "ANY join here means it regressed to the interval-predicate join"
+    )
+    assert len(re.findall(r"hashpartitioning\(user_id", rep["plan"])) <= 2, (
+        "history build and lookup window must not multiply user_id exchanges"
+    )

@@ -234,9 +234,12 @@ def test_bloom_probe_positions_distinct_and_in_range(gh):
 
 def test_dsir_products_inside_int64_at_test_scale():
     """dsir_select's cross-multiplied selector stays integer-exact only
-    while sum·total < 2^63; assert the REAL margin at the largest test SF
-    so growth toward the documented decimal(38,0) escalation point is
-    visible, not silent."""
+    while sum_t·tot_r and sum_r·tot_t fit int64; assert BOTH actual
+    selector products at the largest test SF so growth toward the
+    documented decimal(38,0) escalation point is visible, not silent.
+    (tot_t/tot_r are the corpus totals the selector really multiplies —
+    an earlier form of this test used Σ_docs sum_r, a ~350x-larger
+    quadratic-growth quantity that would fire spuriously.)"""
     import duckdb
 
     from frolyk_spark.operators.pipeline import DSIR_SELECT_SQL
@@ -246,8 +249,21 @@ def test_dsir_products_inside_int64_at_test_scale():
         "create view documents as select * from "
         "'/root/testdata/sf0.1/documents.parquet'"
     )
-    r = con.sql(
-        f"SELECT max(sum_t * (SELECT sum(sum_r) FROM ({DSIR_SELECT_SQL}))) "
-        f"FROM ({DSIR_SELECT_SQL})"
-    ).fetchone()[0]
-    assert int(r) < 2**62, f"dsir product margin exhausted: {r:.3e}"
+    # recompute the totals exactly as the operator defines them: sums of
+    # the per-bucket counts = total gram occurrences (target / raw)
+    mt, mr, tot_t, tot_r = con.sql(
+        f"""
+        WITH d AS ({DSIR_SELECT_SQL})
+        SELECT max(sum_t), max(sum_r),
+               (SELECT count(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) FROM documents
+                  WHERE lang = 'en') t) - (SELECT count(*) FROM documents
+                                           WHERE lang = 'en'),
+               (SELECT count(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) FROM documents) t)
+               - (SELECT count(*) FROM documents)
+        FROM d
+        """
+    ).fetchone()
+    assert int(mt) * int(tot_r) < 2**62, (mt, tot_r)
+    assert int(mr) * int(tot_t) < 2**62, (mr, tot_t)

@@ -132,5 +132,10 @@ def test_orc_interchange_keeps_pushdown_and_pruning(spark, sf_dir, tmp_path):
     backp = export_table(li, part_out, fmt="orc", partition_by=["l_returnflag"])
     pruned = backp.where(F.col("l_returnflag") == "R")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "l_returnflag=R" in plan or "PartitionFilters" in plan
+    # the filter must appear INSIDE the PartitionFilters list — every
+    # partitioned scan prints an (often empty) "PartitionFilters: [...]",
+    # so matching the bare label would never fail
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[[^\]]*l_returnflag", plan), plan[:800]
     assert pruned.count() == li.where(F.col("l_returnflag") == "R").count()

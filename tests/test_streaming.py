@@ -390,3 +390,61 @@ def test_stream_quarantine_side_sink_partitions_input(spark, sf_dir):
         r.event_id for r in spark.read.parquet(*batch_dirs).collect()
     }
     assert quarantined == flagged
+
+
+def test_quarantine_flag_rejects_malformed_props_both_engines(spark):
+    """B16 guard: non-integer k, malformed JSON, missing props, and
+    over-limit values must all QUARANTINE — identically in Spark and in
+    the oracle's guard CTE (a bare cast would crash Spark's ANSI mode on
+    '1.5'/'abc' and silently ROUND in DuckDB: '1.5' -> 2 -> clean)."""
+    import duckdb
+
+    from frolyk_spark.streaming.jobs import _quarantine_flag
+
+    rows = [
+        (1, 10.0, '{"k": 5}'),      # clean
+        (2, 10.0, '{"k": 95}'),     # k over limit
+        (3, 300.0, '{"k": 5}'),     # value over limit
+        (4, 10.0, '{"k": "abc"}'),  # non-numeric k
+        (5, 10.0, '{"k": 1.5}'),    # non-integer k (the DuckDB round trap)
+        (6, 10.0, "not json"),      # malformed props
+        (7, 10.0, None),            # missing props
+        (8, 10.0, "{}"),            # no k key
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, value double, props string")
+    got = {
+        r.event_id: r.q
+        for r in df.select("event_id", _quarantine_flag().alias("q")).collect()
+    }
+    expected = {1: 0, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1}
+    assert got == expected
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, {v}, " + ("NULL" if p is None else "'" + p.replace("'", "''") + "'") + ")"
+        for i, v, p in rows
+    )
+    duck = dict(
+        con.sql(
+            f"""
+            WITH events(event_id, value, props) AS (VALUES {vals}),
+            g AS (
+              SELECT event_id, value,
+                     CASE WHEN raw IS NOT NULL
+                            AND regexp_matches(raw, '^-?[0-9]+$')
+                          THEN CAST(raw AS INT) END AS k_val
+              FROM (
+                SELECT event_id, value,
+                       CASE WHEN json_valid(props)
+                            THEN json_extract_string(props, 'k') END AS raw
+                FROM events
+              )
+            )
+            SELECT event_id,
+                   CASE WHEN coalesce(value <= 250.0 AND k_val <= 90, false)
+                        THEN 0 ELSE 1 END
+            FROM g
+            """
+        ).fetchall()
+    )
+    assert duck == expected
