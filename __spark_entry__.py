@@ -33,51 +33,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 142
-    # registered entries). The r7 rotation is ordered strictly by driver-row
-    # AGE, red/never-checked first, computed from the delivered
-    # CORRECTNESS_r01..r06 artifacts (r5 was never delivered, so the 25
-    # r5-wave operators have no driver row at all):
-    #   1. red_r4: embedding_quantize — newest driver row is the r4 RED
-    #      (unhashable array output; the r5 concat_ws fix is local-only);
-    #   2. never_checked: the 25 r5-wave entries with NO driver row ever;
-    #   3. stale_r3: newest green row is r3 — includes the whole streaming
-    #      family (VERDICT r6 item 6) and the flagship q1/q3/dedup block;
-    #   4. stale_r4: newest green row is r4;
-    #   5. green_r6: freshly checked last round — park last.
-    # The r7-new entries (16 after the second and third waves) slot after
-    # the never-checked block — equally row-less, and new operators need
-    # their FIRST driver row more than three-round-stale greens need a
-    # refresh. Budget math: 1 + 25 + 16 = 42, so ~8 of the 24 stale_r3
-    # entries fit a ~50-entry budget (most new entries are sub-2 s, so the
-    # WALL-CLOCK budget likely stretches further) — most of the streaming
-    # family; the flagship q1/q3/dedup tail of stale_r3 likely slips to
-    # r8, which is the right trade (those have r3 greens AND run in every
-    # local pytest sweep).
-    red_r4 = ("embedding_quantize",)
-    never_checked = (
-        "json_props_stats", "markov_transitions", "order_value_quartiles",
-        "price_discount_corr", "boilerplate_ngrams", "anomaly_zscore",
-        "dedup_canonical", "conversion_funnel", "funnel_fold",
-        "key_skew_profile", "ann_pq",
-        "q2_min_cost_supplier", "q11_important_parts",
-        "q16_parts_supplier_counts", "q20_concentrated_suppliers",
-        "source_vocab_overlap", "ngram_novelty", "sample_temperature",
-        "stream_anomaly", "sample_per_source", "sketch_profile",
-        "lsh_band_sweep", "bpe_train", "lang_confusion", "source_yield",
-    )
-    new_r7 = ("media_decode", "span_trim", "video_decode",
-              "dsir_select", "decontaminate_bloom", "cluster_profile",
-              "data_quality_audit", "benchmark_leakage", "stream_quarantine",
-              "rfm_segments", "market_basket", "training_pipeline",
-              "ewma_value", "top_paths", "skyline_parts", "scd2_lookup")
+    # in dict order under a wall-clock budget (~50 per round of the 142+
+    # registered entries). The r8 rotation is ordered strictly by driver-row
+    # AGE (CORRECTNESS_r01..r07 artifacts): the r7 driver consumed the
+    # first 49 r7-rotation entries (through sample_stratified), leaving
+    # exactly the 42 entries below whose newest green row is r3/r4 —
+    # VERDICT r7 item 1 says burn the whole rotation on them:
+    #   1. stale_r3 (16): newest green row is r3 — the streaming family,
+    #      the task bridge, flagship q1/q3, and the core dedup block;
+    #   2. stale_r4 (26): newest green row is r4 — the TPC-H q4..q21
+    #      tail, tokenizer aggs, incremental dedup;
+    #   3. new_r8: operators added this round — need their FIRST row;
+    #   4. the r6/r7-green remainder via registry order (all ≤2 rounds
+    #      old; whatever budget remains refreshes the head of it).
+    # After this round no entry's newest driver row should predate r6.
     stale_r3 = (
-        "q22_idle_balance", "value_deciles", "resample_gapfill",
-        "salted_join_segments", "multimodal_features", "media_resize",
-        "frame_sample", "sample_stratified", "train_test_split",
-        "stream_tumbling", "stream_hopping", "stream_dedup", "sessionize",
-        "stream_stateful", "stream_stream_join", "stream_static_join",
-        "task_pipeline",
+        "train_test_split", "stream_tumbling", "stream_hopping",
+        "stream_dedup", "sessionize", "stream_stateful",
+        "stream_stream_join", "stream_static_join", "task_pipeline",
         "q1_pricing_summary", "q3_unshipped_revenue", "dedup_exact",
         "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_embedding",
@@ -93,15 +66,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob", "token_entropy", "dedup_incremental",
         "dedup_simhash_pairs",
     )
+    new_r8: tuple[str, ...] = ()  # appended as r8 operators land
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
                 dedup, similarity, multimodal, sampling, learn,
                 streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*red_r4, *never_checked, *new_r7, *stale_r3, *stale_r4):
+    for k in (*stale_r3, *stale_r4, *new_r8):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
-    out.update(registry)  # green_r6 remainder; first-insertion order wins
+    out.update(registry)  # green_r6/r7 remainder; first-insertion order wins
     return out
 
 

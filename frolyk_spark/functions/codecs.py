@@ -67,6 +67,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     (the bottom-up storage is flipped back, stride padding stripped).
     Validates magic, bpp, and compression — fails loudly on anything this
     decoder does not actually support."""
+    if len(payload) < BMP_HEADER_SIZE:
+        # validate BEFORE unpacking so truncation surfaces as the
+        # documented ValueError, never a bare struct.error
+        raise ValueError(f"truncated BMP header: {len(payload)} bytes")
     magic, _file_size, _r1, _r2, data_off = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError(f"not a BMP: magic {magic!r}")
@@ -169,7 +173,16 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            # a declared length past the payload end would otherwise
+            # shorten silently via slicing and surface later as a
+            # struct.error (or as silently-missing samples)
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: {len(body)} of {clen} bytes"
+            )
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"short WAV fmt chunk: {len(body)} bytes")
             fmt_tag, channels, rate, _brate, _align, bps = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
@@ -182,4 +195,6 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
         raise ValueError("WAV missing fmt/data chunk")
     if channels != 1 or bps != 16:
         raise ValueError(f"unsupported WAV layout: {channels}ch {bps}bit")
+    if len(data) % 2:
+        raise ValueError(f"odd-length PCM16 data chunk: {len(data)} bytes")
     return rate, list(struct.unpack(f"<{len(data) // 2}h", data))

@@ -222,10 +222,13 @@ def _pairs_from_bands(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     routed through a linear STAR expansion anchored at the bucket's min
     doc_id (n-1 pairs). The star spans the bucket, so connected-components
     consumers (dedup_clusters, dedup_canonical) see identical clusters;
-    pair-level consumers see a documented subset for buckets that were
-    going to be merged wholesale anyway. Residual bound: the collected id
-    array itself is linear (8 bytes/doc — a 10^6-doc bucket is ~8 MB in
-    one aggregation row), only the expansion was quadratic."""
+    pair-level consumers see the same star the DuckDB oracles now emit —
+    _dedup_minhash_sql / _lsh_band_sweep_sql mirror the cap, so
+    engine-vs-oracle parity is structural at any bucket size (r8; planted
+    mega-bucket parity test in test_dedup_clusters.py). Residual bound:
+    the collected id array itself is linear (8 bytes/doc — a 10^6-doc
+    bucket is ~8 MB in one aggregation row), only the expansion was
+    quadratic."""
     pairs_expr = (
         "flatten(transform(ids,"
         " (x, i) -> transform(slice(ids, i + 2, size(ids)),"
@@ -281,7 +284,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_pairs(minhash_signatures(spark, sf_dir))
 
 
-def _dedup_minhash_sql() -> str:
+def _dedup_minhash_sql(cap: int = LSH_BUCKET_CAP) -> str:
+    """Oracle for the banded candidate join, INCLUDING the giant-bucket
+    star-routing of _pairs_from_bands (VERDICT r7 #2: the cap used to live
+    only Spark-side, so a >cap bucket at oracle scale would have turned
+    every pair-level minhash oracle red — Spark emitting a strict subset).
+    Buckets of <= cap docs pair quadratically; bigger buckets emit only the
+    (min doc_id, other) star — `a.doc_id < b.doc_id` plus the anchor filter
+    reproduces exactly the Spark expansion. Parity is cross-engine-tested
+    on a planted mega-bucket at a tiny cap (test_dedup_clusters.py)."""
     r = MINHASH_K // MINHASH_B
     seeds_duck = "[" + ", ".join(str(s) for s in MINHASH_SEEDS) + "]"
     band_hash = portable_hash_sql(
@@ -303,10 +314,16 @@ sig AS (
 bands AS (
   SELECT doc_id, b, {band_hash} AS band_hash
   FROM sig, range(0, {MINHASH_B}) t(b)
+),
+bsz AS (
+  SELECT b, band_hash, count(*) AS n_docs, min(doc_id) AS anchor
+  FROM bands GROUP BY b, band_hash
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+JOIN bsz s ON s.b = a.b AND s.band_hash = a.band_hash
+WHERE s.n_docs <= {cap} OR a.doc_id = s.anchor
 """
 
 
@@ -1022,12 +1039,20 @@ SELECT {b_cnt} AS bands, {r} AS rows_per_band,
          {round4_sql(mean_expr)}
        END AS mean_est_jaccard
 FROM (
+  WITH bands_{b_cnt} AS (
+    SELECT doc_id, b, {band_hash} AS band_hash
+    FROM sig, range(0, {b_cnt}) t(b)
+  ),
+  bsz_{b_cnt} AS (
+    SELECT b, band_hash, count(*) AS n_docs, min(doc_id) AS anchor
+    FROM bands_{b_cnt} GROUP BY b, band_hash
+  )
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (SELECT doc_id, b, {band_hash} AS band_hash
-        FROM sig, range(0, {b_cnt}) t(b)) a
-  JOIN (SELECT doc_id, b, {band_hash} AS band_hash
-        FROM sig, range(0, {b_cnt}) t(b)) b
+  FROM bands_{b_cnt} a
+  JOIN bands_{b_cnt} b
     ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  JOIN bsz_{b_cnt} s ON s.b = a.b AND s.band_hash = a.band_hash
+  WHERE s.n_docs <= {LSH_BUCKET_CAP} OR a.doc_id = s.anchor
 ) p
 JOIN sig sa ON p.doc_a = sa.doc_id
 JOIN sig sb ON p.doc_b = sb.doc_id""")

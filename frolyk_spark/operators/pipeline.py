@@ -1115,9 +1115,12 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics instead: selected ⇔ sum_t · N_r > sum_r · N_t, where
     sum_t/sum_r are the doc's summed target/raw bucket counts and N_t/N_r
     the corpus totals — scale-free (a multiple-of-mean rule) and
-    bit-identical in both engines. At sf0.1 the products stay ~2^45,
-    far inside int64; at 100 TB promote the two products to decimal(38,0)
-    (the statistics themselves stay int64-safe much longer).
+    bit-identical in both engines. The two products multiply as
+    decimal(19,0) operands → exact decimal(38,0) results on BOTH engines
+    (operand casts, not a product cast, because DuckDB caps decimal width
+    at 38 and would reject decimal(38,0)·bigint): at 100 TB the per-doc
+    sums reach ~10¹⁵ and the products ~10³⁰ — past int64 (9.2·10¹⁸), far
+    inside decimal(38,0). The statistics themselves stay int64.
 
     Scale shape: bucket counts are bounded model state ({DSIR_BUCKETS}
     rows) by CONSTRUCTION — the hash range, not the data, sets their size —
@@ -1168,9 +1171,13 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_r").alias("sum_r"),
         )
     )
+    dec = "decimal(19,0)"
     return per_doc.crossJoin(F.broadcast(totals)).select(
         "doc_id", "n_grams", "sum_t", "sum_r",
-        (F.col("sum_t") * F.col("tot_r") > F.col("sum_r") * F.col("tot_t"))
+        (
+            F.col("sum_t").cast(dec) * F.col("tot_r").cast(dec)
+            > F.col("sum_r").cast(dec) * F.col("tot_t").cast(dec)
+        )
         .cast("int")
         .alias("selected"),
     )
@@ -1204,7 +1211,9 @@ SELECT doc_id,
        cast(n_grams AS BIGINT) AS n_grams,
        cast(sum_t AS BIGINT) AS sum_t,
        cast(sum_r AS BIGINT) AS sum_r,
-       CASE WHEN sum_t * tot_r > sum_r * tot_t THEN 1 ELSE 0 END AS selected
+       CASE WHEN cast(sum_t AS DECIMAL(19,0)) * cast(tot_r AS DECIMAL(19,0))
+               > cast(sum_r AS DECIMAL(19,0)) * cast(tot_t AS DECIMAL(19,0))
+            THEN 1 ELSE 0 END AS selected
 FROM per_doc, totals
 """
 

@@ -9,6 +9,7 @@ through the DataFrame API.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -407,8 +408,11 @@ def _list_versions(path: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(mdir):
-        if name.startswith("v") and name.endswith(".json"):
-            out.append(int(name[1:-5]))
+        # strict ^v(\d+)\.json$ — a stray non-numeric name ('vNEXT.json',
+        # editor backup) must not crash every read/commit with ValueError
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if m:
+            out.append(int(m.group(1)))
     return sorted(out)
 
 
@@ -562,7 +566,10 @@ def vacuum_versioned(
         except OSError:
             continue
     data_dir = os.path.join(path, "data")
-    for name in sorted(os.listdir(data_dir)):
+    # a table in manifest-only state (bad path, concurrent full cleanup)
+    # has no data/ yet — vacuum is a clean no-op, not FileNotFoundError
+    data_entries = sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []
+    for name in data_entries:
         full = os.path.join(data_dir, name)
         rel = os.path.relpath(full, path)
         try:

@@ -595,3 +595,29 @@ def test_pipeline_summary_snapshots_and_rolls_back(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, read_versioned(spark, out).collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want
+
+
+def test_versioned_manifest_dir_tolerates_stray_files(spark, tmp_path):
+    """ADVICE r7: a non-numeric 'v*.json' name in _manifests (editor
+    backup, stray note) must be ignored by version listing, not crash
+    every read/commit with ValueError; and vacuum on a table whose data/
+    directory is absent must be a clean no-op."""
+    import os
+
+    from frolyk_spark.sources.catalog import (
+        read_versioned, vacuum_versioned, write_versioned,
+    )
+
+    out = str(tmp_path / "tbl")
+    write_versioned(spark.range(3).toDF("id"), out)
+    with open(os.path.join(out, "_manifests", "vNEXT.json"), "w") as fh:
+        fh.write("not a manifest")
+    # listing skips the stray name: read and a second commit both work
+    assert read_versioned(spark, out).count() == 3
+    write_versioned(spark.range(5).toDF("id"), out)
+    assert read_versioned(spark, out).count() == 5
+
+    # manifest-only state: no data/ directory — vacuum must no-op
+    bare = str(tmp_path / "bare")
+    os.makedirs(os.path.join(bare, "_manifests"))
+    assert vacuum_versioned(bare, keep_last=1, grace_seconds=0) == []

@@ -113,3 +113,35 @@ def test_fvid_rejects_bad_payloads():
     struct.pack_into("<I", one_frame, 18, 1)  # n_frames = 1
     with pytest.raises(ValueError, match="dims"):
         decode_fvid(bytes(one_frame))
+
+
+def test_truncation_always_raises_valueerror():
+    """ADVICE r7: truncated payloads must surface as the documented
+    ValueError, never a bare struct.error — header-short BMPs, WAV chunks
+    whose declared length runs past the payload, and odd-length PCM16
+    data chunks."""
+    from frolyk_spark.functions.codecs import decode_bmp, decode_wav, encode_wav
+
+    bmp = encode_bmp(_frames(3, 2, 1)[0], 3, 2)
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        decode_bmp(bmp[:30])
+
+    wav = encode_wav([1, -2, 3, -4], 8000)
+    # chop mid-data: the data chunk's declared length now exceeds payload
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(wav[:-3])
+    # declared data length made odd (PCM16 needs 2 bytes/sample): patch the
+    # data chunk length down by 1 and drop the final byte so the chunk is
+    # intact but odd
+    idx = wav.index(b"data")
+    (dlen,) = struct.unpack_from("<I", wav, idx + 4)
+    patched = bytearray(wav[:-1])
+    struct.pack_into("<I", patched, idx + 4, dlen - 1)
+    with pytest.raises(ValueError, match="odd-length PCM16"):
+        decode_wav(bytes(patched))
+    # fmt chunk shorter than the 16 PCM bytes
+    fidx = wav.index(b"fmt ")
+    short = bytearray(wav)
+    struct.pack_into("<I", short, fidx + 4, 8)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(short))

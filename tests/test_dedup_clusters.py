@@ -140,3 +140,49 @@ def test_giant_bucket_guard_cap_boundary(spark):
     )
     got = {(r.doc_a, r.doc_b) for r in _pairs_from_bands(bands, cap=cap).collect()}
     assert got == {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+
+
+def test_star_routing_oracle_parity(spark):
+    """The DuckDB oracle mirrors the giant-bucket star-routing (VERDICT r7
+    #2): on a corpus with a planted >cap bucket, Spark's _pairs_from_bands
+    and the _dedup_minhash_sql oracle must produce the IDENTICAL pair set —
+    end-to-end through shingling, signatures, banding, and the cap — so
+    parity no longer depends on test corpora never hitting the cap."""
+    import duckdb
+    import pandas as pd
+
+    from frolyk_spark.operators.dedup import (
+        _dedup_minhash_sql, _pairs_from_bands, band_hashes,
+        minhash_signatures_frame,
+    )
+
+    cap = 4
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "red orange yellow green blue indigo violet pink brown black white",
+    ]
+    rows = [(i, boiler) for i in range(10)] + [
+        (100 + i, t) for i, t in enumerate(uniq)
+    ] + [(200, uniq[0])]  # one exact twin in a small (<=cap) bucket
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    docs = spark.createDataFrame(pdf)
+    sigs = minhash_signatures_frame(docs)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _pairs_from_bands(band_hashes(sigs), cap=cap).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {tuple(r) for r in con.sql(_dedup_minhash_sql(cap=cap)).fetchall()}
+    con.close()
+
+    # the planted bucket must actually exceed the cap for this to test the
+    # star path, and the small twin bucket must take the quadratic path
+    assert {(0, i) for i in range(1, 10)} <= got
+    assert (100, 200) in got
+    assert (1, 2) not in got, "star path should have pruned non-anchor pairs"
+    assert got == want
