@@ -66,7 +66,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob", "token_entropy", "dedup_incremental",
         "dedup_simhash_pairs",
     )
-    new_r8: tuple[str, ...] = ()  # appended as r8 operators land
+    new_r8 = (
+        "stream_dedup_incremental",  # B17: continuous-ingest minhash probe
+        "line_dedup",                # D66: CCNet line-granularity dedup
+    )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
                 dedup, similarity, multimodal, sampling, learn,

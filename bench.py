@@ -114,6 +114,9 @@ HEADLINE = [
     "top_paths",
     "skyline_parts",
     "scd2_lookup",
+    # r8 additions
+    "stream_dedup_incremental",
+    "line_dedup",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -438,8 +438,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_incremental_sql() -> str:
+    # cap=2^62 ≈ uncapped: the incremental probe join is NOT star-routed
+    # Spark-side (its per-bucket cost is bounded by batch size, not corpus
+    # size), so its oracle must expand buckets fully — only the band_pairs
+    # consumers mirror the LSH_BUCKET_CAP star
     return f"""
-WITH pairs AS ({_dedup_minhash_sql()})
+WITH pairs AS ({_dedup_minhash_sql(cap=1 << 62)})
 SELECT doc_a, doc_b FROM pairs
 WHERE doc_a % {NEW_DOC_MOD} = {NEW_DOC_MOD - 1}
    OR doc_b % {NEW_DOC_MOD} = {NEW_DOC_MOD - 1}

@@ -837,6 +837,114 @@ ORDER BY d.doc_id
 """
 
 
+# --- D66: line-granularity dedup (CCNet recipe) ------------------------------
+
+#: words per pseudo-line; the corpus has no newlines, so "lines" are fixed
+#: non-overlapping {LINE_W}-word segments (power of two keeps every derived
+#: arithmetic integer-exact)
+LINE_W = 8
+
+
+def line_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Line-granularity dedup of a (doc_id, text) frame — the CCNet recipe
+    (Wenzek et al. 2019, arXiv:1911.00359 §3.1: drop duplicated lines
+    across the corpus, keeping one copy) that RefinedWeb also applies
+    before document-level dedup. The corpus text has no newlines, so a
+    "line" is a fixed non-overlapping {LINE_W}-word segment — the
+    pseudo-paragraph unit; unlike span_trim (overlapping {CONTAM_W}-gram
+    spans, NO copy kept), this keeps the globally FIRST occurrence of
+    every segment (min (doc_id, seg_idx)) and drops the rest, which is
+    what makes it the boilerplate-normalizing pre-pass rather than a
+    similarity trimmer.
+
+    Shape: segment fan-out is map-only (one struct per {LINE_W} words);
+    keep-first is ONE row_number window keyed on the 60-bit portable
+    segment hash (hot boilerplate segments concentrate on their hash
+    partition — linear state, same posture as ngram_novelty's df window);
+    the ordered rebuild is one doc_id groupBy (sort_array + concat_ws,
+    span_trim's pattern). Two equi-keyed shuffles total, nothing
+    quadratic, no driver state."""
+    spark = docs.sparkSession
+    segs_expr = (
+        "transform(array(split(text, ' ')), ws -> transform("
+        f"sequence(0, ((size(ws) + {LINE_W - 1}) div {LINE_W}) - 1),"
+        f" i -> struct(i as seg_idx,"
+        f" concat_ws(' ', slice(ws, i * {LINE_W} + 1, {LINE_W})) as seg)))[0]"
+    )
+    segs = (
+        docs.select("doc_id", "text")
+        # single-split test parquet: spread the md5-heavy projection
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.expr(segs_expr)).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.seg_idx").cast("bigint").alias("seg_idx"),
+            F.col("s.seg").alias("seg"),
+        )
+        .withColumn("h", F.expr(portable_hash_spark_sql("seg")))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    marked = segs.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("seg_idx", "seg")))
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("deduped_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-granularity dedup over the documents table — see
+    line_dedup_frame for the recipe and scale shape. Per doc: segment
+    count, surviving-segment count, and the rebuilt keep-first text
+    (fully-boilerplate docs survive as empty text, n_kept 0)."""
+    return line_dedup_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _line_dedup_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+segs AS (
+  SELECT doc_id, (s).seg_idx AS seg_idx, (s).seg AS seg FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(ws) + {LINE_W - 1}) // {LINE_W}),
+                  i -> struct_pack(seg_idx := i,
+                       seg := array_to_string(
+                         ws[i * {LINE_W} + 1 : i * {LINE_W} + {LINE_W}],
+                         ' ')))) AS s
+    FROM w)
+),
+marked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY {portable_hash_sql('seg')}
+                            ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_segs,
+       cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                  FILTER (WHERE rn = 1), '') AS deduped_text
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --- D43: temperature-scaled source sampling weights -------------------------
 
 def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,6 +1451,7 @@ QUERIES = {
     "sample_temperature": sample_temperature,
     "dup_span_coverage": dup_span_coverage,
     "span_trim": span_trim,
+    "line_dedup": line_dedup,
     "dsir_select": dsir_select,
     "decontaminate_bloom": decontaminate_bloom,
     "benchmark_leakage": benchmark_leakage,
@@ -1362,6 +1471,7 @@ ORACLES = {
     "sample_temperature": SAMPLE_TEMPERATURE_SQL,
     "dup_span_coverage": _dup_span_coverage_sql(),
     "span_trim": _span_trim_sql(),
+    "line_dedup": _line_dedup_sql(),
     "dsir_select": DSIR_SELECT_SQL,
     "decontaminate_bloom": _decontaminate_bloom_sql(),
     "benchmark_leakage": BENCHMARK_LEAKAGE_SQL,

@@ -39,6 +39,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frolyk_spark.operators.dedup import _dedup_incremental_sql
 from frolyk_spark.sources.catalog import load_table
 from frolyk_spark.sources.streams import SCRATCH, events_stream, stage_stream_dir  # noqa: F401
 
@@ -738,8 +739,127 @@ GROUP BY event_type
 """
 
 
+# --- B17: streaming incremental near-dup detection ----------------------------
+
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup detection (B17): D28's batch-vs-corpus
+    minhash probe run INSIDE the stream — the production shape of dedup on
+    a live feed, composing the streaming harness (B-block), the persisted
+    signature table (E4), and the banded LSH candidate join (D6).
+
+    The "new" split (doc_id % NEW_DOC_MOD == NEW_DOC_MOD-1, same as D28)
+    is staged as a multi-file drop and consumed with maxFilesPerTrigger=1,
+    so the run exercises REAL multi-batch ingest. Per micro-batch, inside
+    foreachBatch: sign the batch fresh (minhash_signatures_frame), band-join
+    its buckets against corpus signatures ∪ previously-ingested batches ∪
+    itself (old×old never forms — the probe side is always just the batch),
+    emit (least, greatest) candidate pairs to a per-batch sink, then append
+    the batch's signatures to the accumulating store. Every per-batch write
+    overwrites its own subdir, so at-least-once redelivery replaces rather
+    than duplicates (B7's idempotence contract). A pair is emitted exactly
+    once — by the batch of its LATER document — so the union over batches
+    equals D28's one-shot result and the op shares D28's exact DuckDB
+    oracle, independent of how ingest happened to be batched.
+
+    Scale: per-batch cost is O(batch signatures) + an equi-join probed by
+    the batch; corpus text is never re-read (signatures only); accumulated
+    state is the signature table itself — the E4 artifact a real pipeline
+    already persists. Results land in parquet, never on the driver."""
+    import shutil
+
+    from frolyk_spark.operators.dedup import (
+        NEW_DOC_MOD, band_hashes, minhash_signatures_frame,
+        persisted_minhash_signatures,
+    )
+
+    is_new = F.pmod("doc_id", F.lit(NEW_DOC_MOD)) == NEW_DOC_MOD - 1
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # stage the "new" docs as a 4-file drop (keyed on the resolved source,
+    # like stage_stream_dir; written once per dataset)
+    import hashlib
+
+    target = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(f"{target}:{NEW_DOC_MOD}".encode()).hexdigest()[:12]
+    stage = os.path.join(SCRATCH, "streams", f"newdocs_{key}.parquet")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        docs.where(is_new).repartition(4).write.mode("overwrite").parquet(stage)
+
+    corpus_sigs = persisted_minhash_signatures(spark, sf_dir).where(~is_new)
+
+    name = f"sdi_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    out, accum = os.path.join(root, "pairs"), os.path.join(root, "sigs")
+    ckpt = os.path.join(SCRATCH, "checkpoints", name)
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sigs = minhash_signatures_frame(batch_df)
+        batch_sigs.persist()
+        try:
+            seen = corpus_sigs
+            prior = sorted(
+                os.path.join(accum, d)
+                for d in (os.listdir(accum) if os.path.isdir(accum) else [])
+                if d != f"b{batch_id}"  # a redelivered batch never self-probes
+            )
+            if prior:
+                seen = seen.unionByName(spark.read.parquet(*prior))
+            n = band_hashes(batch_sigs).alias("n")
+            m = band_hashes(seen.unionByName(batch_sigs)).alias("m")
+            pairs = (
+                n.join(
+                    m,
+                    (F.col("n.band_id") == F.col("m.band_id"))
+                    & (F.col("n.band_hash") == F.col("m.band_hash"))
+                    & (F.col("n.doc_id") != F.col("m.doc_id")),
+                )
+                .select(
+                    F.least("n.doc_id", "m.doc_id").alias("doc_a"),
+                    F.greatest("n.doc_id", "m.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            pairs.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+            batch_sigs.write.mode("overwrite").parquet(
+                os.path.join(accum, f"b{batch_id}")
+            )
+        finally:
+            batch_sigs.unpersist()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_probe)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    parts = sorted(
+        os.path.join(out, d) for d in (os.listdir(out) if os.path.isdir(out) else [])
+    )
+    if not parts:
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint"
+        )
+    return spark.read.parquet(*parts)
+
+
 QUERIES = {
     "stream_quarantine": stream_quarantine,
+    "stream_dedup_incremental": stream_dedup_incremental,
     "stream_tumbling": stream_tumbling,
     "stream_topk": stream_topk,
     "stream_ohlc": stream_ohlc,
@@ -754,6 +874,9 @@ QUERIES = {
 
 ORACLES = {
     "stream_quarantine": STREAM_QUARANTINE_SQL,
+    # B17 shares D28's exact pair semantics (union over batches ==
+    # the one-shot batch-vs-corpus probe), so it shares D28's oracle
+    "stream_dedup_incremental": _dedup_incremental_sql(),
     "stream_anomaly": STREAM_ANOMALY_SQL,
     "stream_topk": STREAM_TOPK_SQL,
     "stream_ohlc": STREAM_OHLC_SQL,

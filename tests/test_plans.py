@@ -720,3 +720,16 @@ def test_r7_wave3_plan_shapes(spark, sf_dir):
     assert len(re.findall(r"hashpartitioning\(user_id", rep["plan"])) <= 2, (
         "history build and lookup window must not multiply user_id exchanges"
     )
+
+
+def test_line_dedup_scale_shape(spark, sf_dir):
+    """D66: keep-first line dedup must stay on two equi-keyed exchanges
+    (segment-hash window + doc rebuild) over ONE documents scan — no
+    cartesian, no nested loop, no lineage recompute."""
+    from frolyk_spark.operators.pipeline import line_dedup
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(
+        line_dedup(spark, sf_dir), forbid_nested_loop=True, max_scans=1
+    )
+    assert "RunningWindowFunction" in rep["plan"] or "Window" in rep["plan"]

@@ -583,3 +583,62 @@ def test_scd2_lookup_matches_bruteforce_reference(spark):
                 v, r = prev[-1]
                 expected[e] = (user, v, r[0])
     assert got == expected
+
+
+def test_line_dedup_matches_bruteforce_reference(spark, tmp_path):
+    """D66: on a crafted corpus (cross-doc duplicate segments, within-doc
+    repeats, exact whole-doc dup, short docs, ragged tail segments) the
+    keep-first line dedup must equal a brute-force first-seen reference."""
+    import os
+
+    import duckdb as _duck
+
+    from frolyk_spark.operators.pipeline import LINE_W, line_dedup
+
+    A = "a1 a2 a3 a4 a5 a6 a7 a8"
+    B = "b1 b2 b3 b4 b5 b6 b7 b8"
+    U = "u1 u2 u3 u4 u5 u6 u7 u8"
+    texts = {
+        0: f"{A} {B}",            # two full segments
+        1: f"{A} {U}",            # seg A is doc 0's: dropped here
+        2: f"{B} {B}",            # within-doc repeat: 2nd dropped (B is doc 0's too)
+        3: f"{A} {B}",            # exact dup of doc 0: empty survivor
+        4: "tiny doc",            # short: one ragged segment
+        5: "tiny doc",            # dup of 4: empty survivor
+        6: f"{U} tail1 tail2",    # U already doc 1's; ragged 2-word tail survives
+    }
+    pdf = _duck.sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, '{v}')" for k, v in texts.items())
+        + ") t(doc_id, text)"
+    ).df()
+    sf = str(tmp_path / "sfx")
+    os.makedirs(sf, exist_ok=True)
+    _duck.sql("SELECT doc_id, text FROM pdf").write_parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+
+    def segments(words):
+        return [
+            " ".join(words[i : i + LINE_W]) for i in range(0, len(words), LINE_W)
+        ]
+
+    seen: set = set()
+    expected = {}
+    for k in sorted(texts):  # global first-seen order = (doc_id, seg_idx)
+        segs = segments(texts[k].split(" "))
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expected[k] = (len(segs), len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.deduped_text)
+        for r in line_dedup(spark, sf).collect()
+    }
+    assert got == expected, (got, expected)
+    # the crafted corpus must actually exercise every path
+    assert got[3] == (2, 0, "")
+    assert got[2][1] == 0 and got[6][1] == 1

@@ -513,3 +513,26 @@ def test_stream_topk_rocksdb_matches_default(spark, sf_dir):
         for k, v in prev.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert got == base
+
+
+# --- B17: streaming incremental dedup == one-shot batch probe ----------------
+
+def test_stream_dedup_incremental_multibatch_equals_batch(spark, sf_dir):
+    """B17 must (a) actually ingest over MULTIPLE micro-batches (the
+    staged drop is 4 files at maxFilesPerTrigger=1 — a single-batch run
+    would not test the accumulate-and-probe path) and (b) produce exactly
+    the pair set of D28's one-shot batch-vs-corpus probe, independent of
+    batching."""
+    from frolyk_spark.operators.dedup import dedup_incremental
+    from frolyk_spark.streaming.jobs import stream_dedup_incremental
+
+    got_df = stream_dedup_incremental(spark, sf_dir)
+    got = {(r.doc_a, r.doc_b) for r in got_df.collect()}
+    want = {(r.doc_a, r.doc_b) for r in dedup_incremental(spark, sf_dir).collect()}
+    assert want, "test data should produce incremental candidates"
+    assert got == want
+    # the run really was multi-batch: the per-batch pair sinks remain
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    batches = [d for d in os.listdir(root) if d.startswith("b")]
+    assert len(batches) >= 2, f"expected multi-batch ingest, got {batches}"
