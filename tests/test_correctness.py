@@ -47,3 +47,14 @@ def test_rotation_order_is_sound():
     assert names == list(entry_mod.queries())
     # every oracle key resolves and no rotation name is stale
     assert set(ORACLES) <= set(names)
+
+
+def test_bench_headline_fully_registered():
+    """Every bench headline key must resolve to a registered query — a
+    rename that orphans a headline entry should fail here, not surface as
+    a silent 'skipped' in the round's bench artifact."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"headline keys without queries(): {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
