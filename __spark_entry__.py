@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_r8 = (
         "stream_dedup_incremental",  # B17: continuous-ingest minhash probe
         "line_dedup",                # D66: CCNet line-granularity dedup
+        "epoch_shuffle",             # D67: deterministic epoch shuffle/shards
+        "curriculum_mix",            # D68: quality-tier curriculum sampling
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,

@@ -117,6 +117,8 @@ HEADLINE = [
     # r8 additions
     "stream_dedup_incremental",
     "line_dedup",
+    "epoch_shuffle",
+    "curriculum_mix",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

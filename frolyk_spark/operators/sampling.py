@@ -135,14 +135,173 @@ WHERE rk <= {SAMPLE_K}
 """
 
 
+# --- D67: deterministic per-epoch shuffle + shard assignment ------------------
+
+#: training shards per epoch (on a cluster: O(corpus / target-shard-bytes))
+N_SHARDS = 8
+#: epochs materialized side by side (real runs produce one epoch at a time)
+N_EPOCHS = 2
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: every (epoch, doc)
+    gets a pseudo-random sort key from the portable hash of
+    ``epoch:doc_id``, the key's low bits pick the output shard, and the
+    within-shard position is the rank of the key inside that shard.
+    Different epochs therefore see genuinely different document orders,
+    yet the whole layout is a pure function of (epoch, doc_id) —
+    reproducible across reruns, engines, and data relayouts, with no RNG
+    and no driver state.
+
+    Scale shape: no global sort. The only shuffle is the hash partition
+    into (epoch, shard) groups, and the per-shard rank is the same sort a
+    training-shard writer (E8) performs while laying out the file anyway.
+    Shard count is the operator's parallelism knob: at 100 TB you set
+    N_SHARDS to corpus-bytes / target-shard-bytes and each window
+    partition stays at target-shard size by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(F.array(*[F.lit(e) for e in range(N_EPOCHS)]))
+    keyed = docs.select(F.col("doc_id"), epochs.alias("epoch"))
+    ord_ = portable_hash_expr(
+        F.concat(F.col("epoch").cast("string"), F.lit(":"),
+                 F.col("doc_id").cast("string"))
+    )
+    keyed = keyed.withColumn("ord", ord_)
+    shard = F.pmod(F.col("ord"), F.lit(N_SHARDS)).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("ord").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("epoch", "shard", "pos", "doc_id")
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    h = portable_hash_sql("concat(cast(epoch as varchar), ':', cast(doc_id as varchar))")
+    epochs = ", ".join(f"({e})" for e in range(N_EPOCHS))
+    return f"""
+WITH keyed AS (
+  SELECT d.doc_id, e.epoch, {h} AS ord
+  FROM documents d CROSS JOIN (VALUES {epochs}) AS e(epoch)
+)
+SELECT epoch, cast(ord % {N_SHARDS} as int) AS shard,
+       row_number() OVER (PARTITION BY epoch, ord % {N_SHARDS}
+                          ORDER BY ord ASC, doc_id ASC) AS pos,
+       doc_id
+FROM keyed
+"""
+
+
+# --- D68: curriculum mix by quality tier --------------------------------------
+
+#: keep-percentage per length-quality bin (bin 0 = shortest docs)
+CURRICULUM_PCT = (10, 30, 60, 90)
+
+
+def curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier curriculum sampling report: documents are binned by
+    word count RELATIVE TO THE CORPUS MEAN (edges at 0.5x / 1x / 2x mean
+    — scale-free by construction, the bins mean the same thing at sf0.01
+    and at 100 TB), then each bin keeps a deterministic hash-bucket
+    percentage that rises with the tier ({CURRICULUM_PCT}). Output is the
+    per-bin mix report (docs seen / kept, words kept) a mixing stage
+    feeds into its sampling weights.
+
+    Cross-engine discipline: the bin test is cleared of division —
+    ``wc < k * mean`` becomes the exact integer compare
+    ``wc * n < k * sum_wc`` (order-free BIGINT sums; products stay far
+    inside int64: wc <= 1e4 and n <= 1e11 at 100 TB gives ~1e15 < 2^63).
+    Membership is the same portable-hash bucket as D18, salted with
+    'cur:' so curriculum membership is independent of the stratified
+    sample's. One tiny 1-row aggregate broadcast back over the scan (the
+    lineage-cut scalar-crossJoin shape), one map-side-combinable final
+    aggregate — two scans, no quantile sort, no driver collect.
+    """
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pre = cut_lineage(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("wc"),
+        )
+    )
+    stats = pre.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("wc").alias("s")
+    )
+    wc, n, s = F.col("wc"), F.col("n"), F.col("s")
+    bin_ = (
+        F.when(F.lit(2) * wc * n < s, 0)
+        .when(wc * n < s, 1)
+        .when(wc * n < F.lit(2) * s, 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    pct = F.lit(None).cast("int")
+    for b in range(len(CURRICULUM_PCT) - 1, -1, -1):
+        pct = F.when(F.col("bin") == b, F.lit(CURRICULUM_PCT[b])).otherwise(pct)
+    kept = _bucket(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))) < pct
+    return (
+        pre.crossJoin(F.broadcast(stats))
+        .withColumn("bin", bin_)
+        .withColumn("kept", kept.cast("int").cast("bigint"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("wc")).alias("words_kept"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _curriculum_mix_sql() -> str:
+    b = _bucket_sql("concat('cur:', cast(doc_id as varchar))")
+    cases = " ".join(
+        f"WHEN bin = {i} THEN {p}" for i, p in enumerate(CURRICULUM_PCT)
+    )
+    return f"""
+WITH pre AS (
+  SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS wc
+  FROM documents
+), st AS (
+  SELECT cast(count(*) as bigint) AS n, cast(sum(wc) as bigint) AS s FROM pre
+), binned AS (
+  SELECT doc_id, wc,
+         CASE WHEN 2 * wc * n < s THEN 0
+              WHEN wc * n < s THEN 1
+              WHEN wc * n < 2 * s THEN 2
+              ELSE 3 END AS bin
+  FROM pre CROSS JOIN st
+), flagged AS (
+  SELECT bin, wc,
+         CASE WHEN {b} < (CASE {cases} END) THEN 1 ELSE 0 END AS kept
+  FROM binned
+)
+SELECT cast(bin as int) AS bin, count(*) AS n_docs,
+       cast(sum(kept) as bigint) AS n_kept,
+       cast(sum(kept * wc) as bigint) AS words_kept
+FROM flagged GROUP BY bin ORDER BY bin
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "train_test_split": train_test_split,
     "sample_per_source": sample_per_source,
+    "epoch_shuffle": epoch_shuffle,
+    "curriculum_mix": curriculum_mix,
 }
 
 ORACLES = {
     "sample_stratified": _sample_stratified_sql(),
     "train_test_split": _train_test_split_sql(),
     "sample_per_source": _sample_per_source_sql(),
+    "epoch_shuffle": _epoch_shuffle_sql(),
+    "curriculum_mix": _curriculum_mix_sql(),
 }

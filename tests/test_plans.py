@@ -733,3 +733,73 @@ def test_line_dedup_scale_shape(spark, sf_dir):
         line_dedup(spark, sf_dir), forbid_nested_loop=True, max_scans=1
     )
     assert "RunningWindowFunction" in rep["plan"] or "Window" in rep["plan"]
+
+
+def test_epoch_shuffle_scale_shape(spark, sf_dir):
+    """D67: the deterministic epoch shuffle must be ONE hash exchange into
+    (epoch, shard) window groups over ONE documents scan — no global sort
+    (SortExec outside the window partitioning would mean a single-range
+    ordering), no join, no cartesian."""
+    from frolyk_spark.operators.sampling import epoch_shuffle
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(
+        epoch_shuffle(spark, sf_dir), forbid_nested_loop=True, max_scans=1
+    )
+    assert not rep["joins"]
+    assert "Window" in rep["plan"]
+    assert "rangepartitioning" not in rep["plan"].lower(), (
+        "a range partitioning here means Spark planned a global sort — "
+        "the shard rank must sort only within (epoch, shard) hash groups"
+    )
+
+
+def test_curriculum_mix_scale_shape(spark, sf_dir):
+    """D68: the curriculum report is a 1-row stats broadcast back over the
+    lineage-cut scan plus one map-side-combinable aggregate — no cartesian
+    beyond the one-row scalar, no quantile/global sort, bounded scans."""
+    from frolyk_spark.operators.sampling import curriculum_mix
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(curriculum_mix(spark, sf_dir), max_scans=1)
+    assert "Window" not in rep["plan"], (
+        "bins must come from the mean-relative integer test, not ntile"
+    )
+
+
+def test_curriculum_mix_bins_are_scale_free(spark):
+    """The bin edges are multiples of the corpus mean: scaling every
+    document count uniformly must not move any document across bins, and
+    the keep decision must be independent of corpus size."""
+    import pandas as pd
+    from frolyk_spark.operators import sampling
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [" ".join(["w"] * (5 + 7 * (i % 8))) for i in range(40)],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "s"
+    docs["n_chars"] = docs.text.str.len()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.to_parquet(os.path.join(d, "documents.parquet"))
+        base = {
+            r["bin"]: (r["n_docs"], r["n_kept"])
+            for r in sampling.curriculum_mix(spark, d).collect()
+        }
+        # duplicate the corpus 3x with distinct ids: mean unchanged, so
+        # per-bin doc counts must scale exactly 3x and the per-doc keep
+        # decision for the original ids is unchanged (hash of doc_id)
+        tripled = pd.concat(
+            [docs.assign(doc_id=docs.doc_id + 1000 * k) for k in range(3)]
+        )
+        with tempfile.TemporaryDirectory() as d3:
+            tripled.to_parquet(os.path.join(d3, "documents.parquet"))
+            out3 = {
+                r["bin"]: r["n_docs"]
+                for r in sampling.curriculum_mix(spark, d3).collect()
+            }
+    assert {b: 3 * v[0] for b, v in base.items()} == out3
