@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup",                # D66: CCNet line-granularity dedup
         "epoch_shuffle",             # D67: deterministic epoch shuffle/shards
         "curriculum_mix",            # D68: quality-tier curriculum sampling
+        "mv_incremental_refresh",    # C64: incremental MV maintenance
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,

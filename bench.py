@@ -119,6 +119,7 @@ HEADLINE = [
     "line_dedup",
     "epoch_shuffle",
     "curriculum_mix",
+    "mv_incremental_refresh",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -803,3 +803,23 @@ def test_curriculum_mix_bins_are_scale_free(spark):
                 for r in sampling.curriculum_mix(spark, d3).collect()
             }
     assert {b: 3 * v[0] for b, v in base.items()} == out3
+
+
+def test_mv_incremental_refresh_scale_shape(spark, sf_dir):
+    """C64: the refresh plan (the returned frame) must read the COMPACT
+    persisted state plus ONE delta scan of lineitem with the cutoff
+    predicate pushed to parquet — no join, no cartesian; a second
+    lineitem scan here would mean the merge recomputes the base corpus."""
+    import re
+    from frolyk_spark.operators.relational import mv_incremental_refresh
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(
+        mv_incremental_refresh(spark, sf_dir),
+        max_scans=2,  # state parquet + delta lineitem
+        require_pushed=("l_shipdate",),
+    )
+    assert not rep["joins"]
+    assert len(re.findall(r"lineitem", rep["plan"])) <= 2, (
+        "refresh must not rescan the base corpus"
+    )
