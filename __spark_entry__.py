@@ -73,13 +73,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_mix",            # D68: quality-tier curriculum sampling
         "mv_incremental_refresh",    # C64: incremental MV maintenance
     )
+    # Rewritten in r7 AFTER their newest (r6) driver row — the age order
+    # alone would park them at the tail for another round, leaving the r7
+    # rewrite (OHLC full-width key, BFS closure, LSH cap) driver-unchecked:
+    rewritten_r7 = ("stream_ohlc", "containment_chains", "minhash_containment")
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
                 dedup, similarity, multimodal, sampling, learn,
                 streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*stale_r3, *stale_r4, *new_r8):
+    for k in (*stale_r3, *stale_r4, *new_r8, *rewritten_r7):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
     out.update(registry)  # green_r6/r7 remainder; first-insertion order wins
     return out
