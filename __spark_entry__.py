@@ -33,20 +33,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 142+
-    # registered entries). The r8 rotation is ordered strictly by driver-row
-    # AGE (CORRECTNESS_r01..r07 artifacts): the r7 driver consumed the
-    # first 49 r7-rotation entries (through sample_stratified), leaving
-    # exactly the 42 entries below whose newest green row is r3/r4 —
-    # VERDICT r7 item 1 says burn the whole rotation on them:
-    #   1. stale_r3 (16): newest green row is r3 — the streaming family,
+    # in dict order under a wall-clock budget (~50 per round of the 147
+    # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
+    # FIRST (CLAUDE.md): the r7 driver consumed exactly the first 50
+    # r7-rotation entries (through sample_stratified, CORRECTNESS_r07),
+    # leaving the 42 entries below whose newest green row is r3/r4:
+    #   1. new_r8 (5): operators added this round — need their FIRST row;
+    #   2. rewritten_r7 (3): code rewritten in r7 AFTER their newest (r6)
+    #      row — the rewrite itself is what needs a driver check;
+    #   3. stale_r3 (16): newest green row is r3 — the streaming family,
     #      the task bridge, flagship q1/q3, and the core dedup block;
-    #   2. stale_r4 (26): newest green row is r4 — the TPC-H q4..q21
+    #   4. stale_r4 (26): newest green row is r4 — the TPC-H q4..q21
     #      tail, tokenizer aggs, incremental dedup;
-    #   3. new_r8: operators added this round — need their FIRST row;
-    #   4. the r6/r7-green remainder via registry order (all ≤2 rounds
+    #   5. the r6/r7-green remainder via registry order (all ≤2 rounds
     #      old; whatever budget remains refreshes the head of it).
-    # After this round no entry's newest driver row should predate r6.
+    # Head = 5+3+16+26 = 50 — exactly the budget. After this round no
+    # entry's newest driver row should predate r6.
     stale_r3 = (
         "train_test_split", "stream_tumbling", "stream_hopping",
         "stream_dedup", "sessionize", "stream_stateful",
@@ -73,9 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_mix",            # D68: quality-tier curriculum sampling
         "mv_incremental_refresh",    # C64: incremental MV maintenance
     )
-    # Rewritten in r7 AFTER their newest (r6) driver row — the age order
-    # alone would park them at the tail for another round, leaving the r7
-    # rewrite (OHLC full-width key, BFS closure, LSH cap) driver-unchecked:
+    # The r7 rewrites needing a post-rewrite row: OHLC full-width key,
+    # BFS closure, LSH cap on containment pairs:
     rewritten_r7 = ("stream_ohlc", "containment_chains", "minhash_containment")
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
@@ -83,7 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*stale_r3, *stale_r4, *new_r8, *rewritten_r7):
+    for k in (*new_r8, *rewritten_r7, *stale_r3, *stale_r4):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
     out.update(registry)  # green_r6/r7 remainder; first-insertion order wins
     return out

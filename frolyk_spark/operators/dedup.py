@@ -421,6 +421,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sigs = persisted_minhash_signatures(spark, sf_dir).where(~is_new)
     new_bands = band_hashes(new_sigs)
     all_bands = band_hashes(old_sigs).unionByName(new_bands)
+    return probe_pairs(new_bands, all_bands)
+
+
+def probe_pairs(new_bands: DataFrame, all_bands: DataFrame) -> DataFrame:
+    """Band-bucket probe join — near-dup pairs involving at least one doc
+    on the ``new`` side. The ONE definition of the batch-probe pair
+    semantics: D28's one-shot ingest and B17's per-micro-batch probe
+    (streaming/jobs.py) both call this, so their documented equivalence
+    (and the oracle both share) can never drift between two hand-synced
+    copies. Deliberately NOT star-capped: per-bucket cost is bounded by
+    batch size, not corpus size (see _dedup_incremental_sql)."""
     n, m = new_bands.alias("n"), all_bands.alias("m")
     return (
         n.join(

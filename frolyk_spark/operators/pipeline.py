@@ -883,7 +883,11 @@ def line_dedup_frame(docs: DataFrame) -> DataFrame:
         )
         .withColumn("h", F.expr(portable_hash_spark_sql("seg")))
     )
-    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    # (h, seg) key, not h alone: two DIFFERENT segments colliding in the
+    # 60-bit hash must not dedupe each other (at ~10^12 segments the
+    # birthday count is ~10^5 wrongly-destroyed segments); same shuffle
+    # shape — seg only subdivides within a hash partition
+    w = Window.partitionBy("h", "seg").orderBy("doc_id", "seg_idx")
     marked = segs.withColumn("rn", F.row_number().over(w))
     kept = F.col("rn") == 1
     return (
@@ -930,7 +934,7 @@ segs AS (
 ),
 marked AS (
   SELECT doc_id, seg_idx, seg,
-         row_number() OVER (PARTITION BY {portable_hash_sql('seg')}
+         row_number() OVER (PARTITION BY {portable_hash_sql('seg')}, seg
                             ORDER BY doc_id, seg_idx) AS rn
   FROM segs
 )

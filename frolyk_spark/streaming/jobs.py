@@ -769,7 +769,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from frolyk_spark.operators.dedup import (
         NEW_DOC_MOD, band_hashes, minhash_signatures_frame,
-        persisted_minhash_signatures,
+        persisted_minhash_signatures, probe_pairs,
     )
 
     is_new = F.pmod("doc_id", F.lit(NEW_DOC_MOD)) == NEW_DOC_MOD - 1
@@ -805,20 +805,12 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if prior:
                 seen = seen.unionByName(spark.read.parquet(*prior))
-            n = band_hashes(batch_sigs).alias("n")
-            m = band_hashes(seen.unionByName(batch_sigs)).alias("m")
-            pairs = (
-                n.join(
-                    m,
-                    (F.col("n.band_id") == F.col("m.band_id"))
-                    & (F.col("n.band_hash") == F.col("m.band_hash"))
-                    & (F.col("n.doc_id") != F.col("m.doc_id")),
-                )
-                .select(
-                    F.least("n.doc_id", "m.doc_id").alias("doc_a"),
-                    F.greatest("n.doc_id", "m.doc_id").alias("doc_b"),
-                )
-                .distinct()
+            # the pair semantics live in dedup.probe_pairs — ONE definition
+            # shared with D28, which the B17≡D28 equivalence contract and
+            # the shared oracle depend on
+            pairs = probe_pairs(
+                band_hashes(batch_sigs),
+                band_hashes(seen.unionByName(batch_sigs)),
             )
             pairs.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
             batch_sigs.write.mode("overwrite").parquet(

@@ -642,3 +642,38 @@ def test_line_dedup_matches_bruteforce_reference(spark, tmp_path):
     # the crafted corpus must actually exercise every path
     assert got[3] == (2, 0, "")
     assert got[2][1] == 0 and got[6][1] == 1
+
+
+def test_mv_state_survives_streaming_reclaim_and_is_reused(spark, sf_dir):
+    """C64 regression (r8 review finding): the MV state must live outside
+    the streaming janitor's pid-scoped results root — a streaming op in
+    the same process must not reclaim it out from under the lazily-read
+    returned frame — and a second call must REUSE the persisted state
+    (the refresh path), not rebuild it."""
+    import os
+
+    from frolyk_spark.operators.relational import mv_incremental_refresh
+    from frolyk_spark.streaming.jobs import stream_tumbling
+
+    from frolyk_spark.sources.streams import SCRATCH
+
+    mv_root = os.path.join(SCRATCH, "mv_state")
+    first = mv_incremental_refresh(spark, sf_dir)
+    rows1 = first.collect()
+    state_dirs = lambda: set(os.listdir(mv_root))  # noqa: E731
+    built = state_dirs()
+    assert built, "first call must persist the MV state"
+    mtime = {
+        d: os.path.getmtime(os.path.join(mv_root, d)) for d in built
+    }
+    # a streaming op triggers the pid-root reclaim loop
+    stream_tumbling(spark, sf_dir).collect()
+    # the earlier frame still reads (state not reclaimed)
+    assert first.collect() == rows1
+    # second call reuses the state: same dirs, untouched mtimes
+    second = mv_incremental_refresh(spark, sf_dir).collect()
+    assert second == rows1
+    assert state_dirs() == built
+    assert all(
+        os.path.getmtime(os.path.join(mv_root, d)) == mtime[d] for d in built
+    )
