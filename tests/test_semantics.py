@@ -677,3 +677,33 @@ def test_mv_state_survives_streaming_reclaim_and_is_reused(spark, sf_dir):
     assert all(
         os.path.getmtime(os.path.join(mv_root, d)) == mtime[d] for d in built
     )
+
+
+def test_epoch_shuffle_epochs_genuinely_reorder(spark, sf_dir):
+    """D67: the point of the per-epoch key is that epoch 0 and epoch 1
+    see different document orders — if the epoch weren't folded into the
+    hash, every epoch would replay the same order (the classic
+    shuffle-once training bug). Also pins per-epoch completeness: every
+    doc appears exactly once per epoch, and positions are a dense 1..n
+    sequence within each shard."""
+    from collections import Counter
+
+    from frolyk_spark.operators.sampling import N_EPOCHS, epoch_shuffle
+
+    rows = epoch_shuffle(spark, sf_dir).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = (r.shard, r.pos)
+    assert set(by_epoch) == set(range(N_EPOCHS))
+    docs = set(by_epoch[0])
+    assert all(set(m) == docs for m in by_epoch.values())
+    # dense positions per (epoch, shard)
+    for ep, m in by_epoch.items():
+        per_shard = Counter(sh for sh, _ in m.values())
+        for sh, n in per_shard.items():
+            got = sorted(p for s, p in m.values() if s == sh)
+            assert got == list(range(1, n + 1))
+    # epochs must disagree for the vast majority of docs (hash-random
+    # placement: P[same (shard,pos)] is tiny; require <10% agreement)
+    same = sum(1 for d in docs if by_epoch[0][d] == by_epoch[1][d])
+    assert same < 0.1 * len(docs), f"{same}/{len(docs)} unchanged"
