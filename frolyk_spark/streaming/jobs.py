@@ -741,11 +741,26 @@ GROUP BY event_type
 
 # --- B17: streaming incremental near-dup detection ----------------------------
 
-def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    _name: str | None = None,
+    _fail_before_batch: int | None = None,
+) -> DataFrame:
     """Continuous-ingest near-dup detection (B17): D28's batch-vs-corpus
     minhash probe run INSIDE the stream — the production shape of dedup on
     a live feed, composing the streaming harness (B-block), the persisted
     signature table (E4), and the banded LSH candidate join (D6).
+
+    Recovery contract (pinned by the crash-resume test): the checkpoint +
+    per-batch idempotent sinks make a mid-ingest crash resumable — a rerun
+    under the same identity continues from the first uncommitted batch and
+    the final pair set is identical to an uninterrupted run. ``_name``
+    gives the run a resumable checkpoint identity (kept on failure,
+    removed on success); ``_fail_before_batch`` is the test-only crash
+    injection (raise before processing that batch id). Production callers
+    pass neither: each call is a fresh exactly-once ingest.
 
     The "new" split (doc_id % NEW_DOC_MOD == NEW_DOC_MOD-1, same as D28)
     is staged as a multi-file drop and consumed with maxFilesPerTrigger=1,
@@ -787,13 +802,15 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus_sigs = persisted_minhash_signatures(spark, sf_dir).where(~is_new)
 
-    name = f"sdi_{uuid.uuid4().hex[:8]}"
+    name = _name or f"sdi_{uuid.uuid4().hex[:8]}"
     root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
     _LIVE_RESULTS.add(root)
     out, accum = os.path.join(root, "pairs"), os.path.join(root, "sigs")
     ckpt = os.path.join(SCRATCH, "checkpoints", name)
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        if _fail_before_batch is not None and batch_id >= _fail_before_batch:
+            raise RuntimeError(f"injected crash before batch {batch_id}")
         batch_sigs = minhash_signatures_frame(batch_df)
         batch_sigs.persist()
         try:
@@ -826,6 +843,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    ok = False
     try:
         query = (
             stream.writeStream.foreachBatch(_probe)
@@ -835,9 +853,13 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
+        ok = True
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        # a NAMED run keeps its checkpoint on failure so a rerun resumes
+        # from the first uncommitted batch; anonymous runs always clean up
+        if ok or _name is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
     parts = sorted(
         os.path.join(out, d) for d in (os.listdir(out) if os.path.isdir(out) else [])

@@ -536,3 +536,31 @@ def test_stream_dedup_incremental_multibatch_equals_batch(spark, sf_dir):
     root = os.path.dirname(os.path.dirname(src))
     batches = [d for d in os.listdir(root) if d.startswith("b")]
     assert len(batches) >= 2, f"expected multi-batch ingest, got {batches}"
+
+
+def test_stream_dedup_incremental_crash_resume(spark, sf_dir):
+    """B17 recovery contract: crash mid-ingest (injected before batch 2 of
+    4), resume under the same checkpoint identity, and the final pair set
+    must equal the uninterrupted one-shot probe — the committed batches
+    are not reprocessed-with-duplication and the uncommitted tail is not
+    lost."""
+    import uuid as _uuid
+
+    from frolyk_spark.operators.dedup import dedup_incremental
+    from frolyk_spark.streaming.jobs import SCRATCH, stream_dedup_incremental
+
+    name = f"sdi_resume_{_uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(SCRATCH, "checkpoints", name)
+    with pytest.raises(Exception, match="injected crash"):
+        stream_dedup_incremental(spark, sf_dir, _name=name, _fail_before_batch=2)
+    # the named run must have kept its checkpoint (that's what resuming is)
+    assert os.path.isdir(ckpt), "checkpoint must survive the crash"
+    got_df = stream_dedup_incremental(spark, sf_dir, _name=name)
+    got = {(r.doc_a, r.doc_b) for r in got_df.collect()}
+    want = {(r.doc_a, r.doc_b) for r in dedup_incremental(spark, sf_dir).collect()}
+    assert want and got == want
+    # success cleans the checkpoint; the pair sinks show all 4 batches ran
+    assert not os.path.isdir(ckpt)
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    assert len([d for d in os.listdir(root) if d.startswith("b")]) == 4
