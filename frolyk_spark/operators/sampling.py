@@ -143,15 +143,16 @@ N_SHARDS = 8
 N_EPOCHS = 2
 
 
-def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global training-data shuffle: every (epoch, doc)
-    gets a pseudo-random sort key from the portable hash of
-    ``epoch:doc_id``, the key's low bits pick the output shard, and the
-    within-shard position is the rank of the key inside that shard.
-    Different epochs therefore see genuinely different document orders,
-    yet the whole layout is a pure function of (epoch, doc_id) —
-    reproducible across reruns, engines, and data relayouts, with no RNG
-    and no driver state.
+def epoch_shuffle_frame(docs: DataFrame) -> DataFrame:
+    """Deterministic global training-data shuffle of a (doc_id, ...)
+    frame (E5 frame form — composes with any source or a pipeline
+    stage's output): every (epoch, doc) gets a pseudo-random sort key
+    from the portable hash of ``epoch:doc_id``, the key's low bits pick
+    the output shard, and the within-shard position is the rank of the
+    key inside that shard. Different epochs therefore see genuinely
+    different document orders, yet the whole layout is a pure function
+    of (epoch, doc_id) — reproducible across reruns, engines, and data
+    relayouts, with no RNG and no driver state.
 
     Scale shape: no global sort. The only shuffle is the hash partition
     into (epoch, shard) groups, and the per-shard rank is the same sort a
@@ -160,7 +161,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_SHARDS to corpus-bytes / target-shard-bytes and each window
     partition stays at target-shard size by construction.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.select("doc_id")
     epochs = F.explode(F.array(*[F.lit(e) for e in range(N_EPOCHS)]))
     keyed = docs.select(F.col("doc_id"), epochs.alias("epoch"))
     ord_ = portable_hash_expr(
@@ -179,6 +180,10 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("epoch", "shard", "pos", "doc_id")
     )
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_shuffle_frame(load_table(spark, sf_dir, "documents"))
 
 
 def _epoch_shuffle_sql() -> str:
@@ -203,14 +208,15 @@ FROM keyed
 CURRICULUM_PCT = (10, 30, 60, 90)
 
 
-def curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-tier curriculum sampling report: documents are binned by
-    word count RELATIVE TO THE CORPUS MEAN (edges at 0.5x / 1x / 2x mean
-    — scale-free by construction, the bins mean the same thing at sf0.01
-    and at 100 TB), then each bin keeps a deterministic hash-bucket
-    percentage that rises with the tier ({CURRICULUM_PCT}). Output is the
-    per-bin mix report (docs seen / kept, words kept) a mixing stage
-    feeds into its sampling weights.
+def curriculum_mix_frame(docs: DataFrame) -> DataFrame:
+    """Quality-tier curriculum sampling report over a (doc_id, text)
+    frame (E5 frame form): documents are binned by word count RELATIVE
+    TO THE CORPUS MEAN (edges at 0.5x / 1x / 2x mean — scale-free by
+    construction, the bins mean the same thing at sf0.01 and at 100 TB),
+    then each bin keeps a deterministic hash-bucket percentage that
+    rises with the tier ({CURRICULUM_PCT}). Output is the per-bin mix
+    report (docs seen / kept, words kept) a mixing stage feeds into its
+    sampling weights.
 
     Cross-engine discipline: the bin test is cleared of division —
     ``wc < k * mean`` becomes the exact integer compare
@@ -224,7 +230,7 @@ def curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frolyk_spark.functions.lineage import cut_lineage
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.select("doc_id", "text")
     pre = cut_lineage(
         docs.select(
             "doc_id",
@@ -258,6 +264,10 @@ def curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curriculum_mix_frame(load_table(spark, sf_dir, "documents"))
 
 
 def _curriculum_mix_sql() -> str:
