@@ -33,12 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 147
+    # in dict order under a wall-clock budget (~50 per round of the 148
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
     # FIRST (CLAUDE.md): the r7 driver consumed exactly the first 50
     # r7-rotation entries (through sample_stratified, CORRECTNESS_r07),
     # leaving the 42 entries below whose newest green row is r3/r4:
-    #   1. new_r8 (5): operators added this round — need their FIRST row;
+    #   1. new_r8 (6): operators added this round — need their FIRST row;
     #   2. rewritten_r7 (3): code rewritten in r7 AFTER their newest (r6)
     #      row — the rewrite itself is what needs a driver check;
     #   3. stale_r3 (16): newest green row is r3 — the streaming family,
@@ -47,8 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      tail, tokenizer aggs, incremental dedup;
     #   5. the r6/r7-green remainder via registry order (all ≤2 rounds
     #      old; whatever budget remains refreshes the head of it).
-    # Head = 5+3+16+26 = 50 — exactly the budget. After this round no
-    # entry's newest driver row should predate r6.
+    # Head = 6+3+16+26 = 51 vs the ~50 budget: if one entry slips it is
+    # the tail of stale_r4 (r4-green, re-verified locally at three SFs
+    # this round), never a new/rewritten one. After this round no entry's
+    # newest driver row should predate r6.
     stale_r3 = (
         "train_test_split", "stream_tumbling", "stream_hopping",
         "stream_dedup", "sessionize", "stream_stateful",
@@ -74,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle",             # D67: deterministic epoch shuffle/shards
         "curriculum_mix",            # D68: quality-tier curriculum sampling
         "mv_incremental_refresh",    # C64: incremental MV maintenance
+        "table_diff",                # C65: snapshot reconciliation diff
     )
     # The r7 rewrites needing a post-rewrite row: OHLC full-width key,
     # BFS closure, LSH cap on containment pairs:

@@ -120,6 +120,7 @@ HEADLINE = [
     "epoch_shuffle",
     "curriculum_mix",
     "mv_incremental_refresh",
+    "table_diff",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -2567,6 +2567,100 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# --- C65: snapshot reconciliation (table diff) --------------------------------
+
+def _diff_versions(li: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic v1/v2 snapshot pair derived from orders: bucket
+    r = o_orderkey % 100 routes each row — r=0 exists only in v1
+    (removed), r=1 only in v2 (added), r in {2,3} in both with v2's
+    price bumped by 1.00 (changed), the rest identical. Disjoint,
+    scale-free rules: the diff's row mix is the same at any SF."""
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    r = F.pmod("o_orderkey", F.lit(100))
+    cents = F.expr("cast(floor(o_totalprice * 100.0d + 0.5d) as bigint)")
+    # base feeds BOTH sides of the full-outer self-join — cut the lineage
+    # (CLAUDE rule) so the diff reads one materialized snapshot twice
+    # instead of scanning orders twice
+    base = cut_lineage(
+        li.select("o_orderkey", r.alias("r"), cents.alias("price_c"))
+    )
+    v1 = base.where(F.col("r") != 1).select("o_orderkey", "price_c")
+    v2 = base.where(F.col("r") != 0).select(
+        "o_orderkey",
+        (F.col("price_c") + F.when(F.col("r").isin(2, 3), 100).otherwise(0))
+        .alias("price_c"),
+    )
+    return v1, v2
+
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation report — the data-ops diff between two
+    versions of a keyed table (the check a pipeline runs after a CDC
+    replay, a backfill, or an E14 snapshot restore): full-outer join the
+    two versions on the key, classify every key as added / removed /
+    changed by comparing exact integer row images (cents-scaled BIGINT —
+    no double equality), and report only the non-identical rows.
+
+    Scale shape: ONE sort-merge full-outer join on the table key — the
+    canonical reconciliation plan; at 100 TB both snapshots come from the
+    bucketed writer (E2) on the same key count, so the join is co-located
+    and shuffle-free. Output is bounded by the actual drift (~4% of keys
+    under the deterministic test mutation), never the table size. The v1
+    and v2 frames here are derived from one orders scan by disjoint
+    scale-free bucket rules (see _diff_versions), so the oracle rebuilds
+    both sides exactly and any misclassification diverges.
+    """
+    li = _t(spark, sf_dir, "orders")
+    v1, v2 = _diff_versions(li)
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.price_c") != F.col("b.price_c"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce("a.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+            status.alias("status"),
+            F.col("a.price_c").alias("v1_price_c"),
+            F.col("b.price_c").alias("v2_price_c"),
+        )
+        .where(F.col("status") != "unchanged")
+        .orderBy("o_orderkey")
+    )
+
+
+TABLE_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderkey % 100 AS r,
+         cast(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+), v1 AS (
+  SELECT o_orderkey, price_c FROM base WHERE r != 1
+), v2 AS (
+  SELECT o_orderkey,
+         price_c + CASE WHEN r IN (2, 3) THEN 100 ELSE 0 END AS price_c
+  FROM base WHERE r != 0
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.price_c != b.price_c THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       a.price_c AS v1_price_c,
+       b.price_c AS v2_price_c
+FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+WHERE (CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.price_c != b.price_c THEN 'changed'
+            ELSE 'unchanged' END) != 'unchanged'
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "data_quality_audit": data_quality_audit,
     "rfm_segments": rfm_segments,
@@ -2575,6 +2669,7 @@ QUERIES = {
     "top_paths": top_paths,
     "skyline_parts": skyline_parts,
     "mv_incremental_refresh": mv_incremental_refresh,
+    "table_diff": table_diff,
     "json_props_stats": json_props_stats,
     "spending_percentiles": spending_percentiles,
     "anomaly_zscore": anomaly_zscore,
@@ -2636,6 +2731,7 @@ ORACLES = {
     "top_paths": _top_paths_sql(),
     "skyline_parts": SKYLINE_SQL,
     "mv_incremental_refresh": MV_REFRESH_SQL,
+    "table_diff": TABLE_DIFF_SQL,
     "json_props_stats": JSON_PROPS_SQL,
     "spending_percentiles": SPENDING_PERCENTILES_SQL,
     "anomaly_zscore": ZSCORE_SQL,

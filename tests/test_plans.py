@@ -823,3 +823,20 @@ def test_mv_incremental_refresh_scale_shape(spark, sf_dir):
     assert len(re.findall(r"lineitem", rep["plan"])) <= 2, (
         "refresh must not rescan the base corpus"
     )
+
+
+def test_table_diff_scale_shape(spark, sf_dir):
+    """C65: the reconciliation must be ONE full-outer sort-merge join on
+    the key over ONE materialized snapshot (lineage-cut base read twice —
+    a second orders scan would mean the cut regressed), no cartesian."""
+    import re
+    from frolyk_spark.operators.relational import table_diff
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(
+        table_diff(spark, sf_dir), forbid_nested_loop=True, max_scans=1
+    )
+    assert rep["joins"].get("SortMergeJoin", 0) == 1, rep["joins"]
+    assert len(re.findall(r"orders", rep["plan"])) <= 1, (
+        "both diff sides must read the lineage-cut snapshot, not rescan"
+    )
