@@ -151,7 +151,13 @@ def write_compacted(
     same helper runs per-partition-directory as a maintenance job.
     """
     est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    n_files = max(1, -(-est // target_file_bytes))
+    # Size-only stats INFLATE across joins and fall back to
+    # defaultSizeInBytes (Long.MaxValue) for stat-less leaves — unclamped,
+    # a bad estimate becomes a ~1e10 repartition that kills the job. Cap
+    # at 2^20 files (a 128 TB table at the default target): past that the
+    # estimate is noise, and a real table that big is compacted
+    # per-partition-directory anyway.
+    n_files = max(1, min(-(-est // target_file_bytes), 1 << 20))
     df.repartition(n_files).write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
@@ -217,6 +223,13 @@ def write_zordered(
     n_min_a, n_max_a = f"__zmin_a_{sfx}", f"__zmax_a_{sfx}"
     n_min_b, n_max_b = f"__zmin_b_{sfx}", f"__zmax_b_{sfx}"
     n_ra, n_rb, n_z = f"__zra_{sfx}", f"__zrb_{sfx}", f"__z_{sfx}"
+    # df feeds BOTH the stats aggregate and the scalar crossJoin below.
+    # Deliberately NOT lineage-cut here: a maintenance writer's input is
+    # normally a bare table scan, and the stats pass is a 2-column pruned
+    # aggregate — localCheckpoint-ing the (possibly huge) table to save
+    # that pass is the wrong trade. A caller feeding an EXPENSIVE computed
+    # frame should cut_lineage it first (functions.lineage), same contract
+    # as tasks.bridge.run_task_batch.
     stats = df.agg(
         F.min(F.col(ca).cast("double")).alias(n_min_a),
         F.max(F.col(ca).cast("double")).alias(n_max_a),
@@ -380,8 +393,19 @@ def merge_upsert(
     """
     spark = updates.sparkSession
     r = updates.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(key)).alias("k")
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("k"),
+        F.count(F.when(F.col(key).isNull(), 1)).alias("nulls"),
     ).collect()[0]
+    if r.nulls:
+        # count_distinct ignores nulls, so without this check a null-key
+        # row surfaces as a MISLEADING duplicate-key error — and a null
+        # key can never be superseded anyway (the left_anti join below
+        # never matches NULL, so the stale row would survive every merge)
+        raise ValueError(
+            f"merge_upsert: updates batch has {r.nulls} row(s) with a null "
+            f"{key!r} — merge keys must be non-null"
+        )
     if r.n != r.k:
         raise ValueError(
             f"merge_upsert: updates batch has {r.n} rows but {r.k} distinct "

@@ -21,8 +21,16 @@ CORRUPT_COL = "_corrupt_record"
 
 
 def _with_corrupt_col(schema: str, mode: str, corrupt_col: str) -> str:
-    """PERMISSIVE capture requires the corrupt column IN the schema."""
-    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema:
+    """PERMISSIVE capture requires the corrupt column IN the schema.
+
+    The membership test parses the DDL's field NAMES — a substring test
+    would see '_corrupt_record' inside e.g. 'raw_corrupt_record' and skip
+    the append, silently disabling quarantine capture (Spark ignores
+    columnNameOfCorruptRecord when the column isn't in the schema)."""
+    names = {
+        f.strip().split()[0].strip("`") for f in schema.split(",") if f.strip()
+    }
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in names:
         return f"{schema}, {corrupt_col} string"
     return schema
 

@@ -50,6 +50,11 @@ class BatchAssignmentContext:
         self.group = group
         self._high_offset = high_offset
         self._committed = {"offset": -1, "metadata": None}
+        # bounded: only the latest commit (the committed watermark) is
+        # kept — a per-message commit pattern must not grow executor
+        # memory with rows-per-group (the local inject harness keeps the
+        # full history for tests; the distributed context is the 100 TB
+        # path and keeps O(1) state)
         self.committed_offsets: list[dict] = []
         self.produced: list[dict] = []
 
@@ -59,7 +64,7 @@ class BatchAssignmentContext:
     def commit_offset(self, new_offset: int, metadata: str | None = None) -> None:
         entry = {"offset": new_offset, "metadata": metadata}
         self._committed = entry
-        self.committed_offsets.append(entry)
+        self.committed_offsets[:] = [entry]
 
     def committed(self) -> dict:
         return dict(self._committed)
@@ -131,7 +136,10 @@ def run_task_batch(
     ``starting_offsets`` maps partition -> first offset to process — the
     batch-replay equivalent of the reference's seek (src/streams.ts:80-97;
     local harness seek in local.py): partitions not listed replay from the
-    beginning. The filter is a plain predicate, so it pushes into the scan.
+    beginning. The filter is built as a disjunction of per-partition
+    simple comparisons (NOT a map lookup, which parquet can't push), so a
+    replay-from-offset batch prunes at the scan instead of reading the
+    full table and filtering after.
     """
     if emit not in ("results", "produced"):
         raise ValueError(f"emit must be 'results' or 'produced', got {emit!r}")
@@ -147,18 +155,38 @@ def run_task_batch(
     out_cols = [f.name for f in schema.fields]
 
     if starting_offsets:
-        start_map = F.create_map(
-            *[F.lit(x) for kv in starting_offsets.items() for x in kv]
+        from functools import reduce
+        from operator import or_
+
+        seek = reduce(
+            or_,
+            (
+                (F.col(partition_col) == p) & (F.col(offset_col) >= o)
+                for p, o in starting_offsets.items()
+            ),
         )
+        # unlisted partitions replay from the beginning; null partitions
+        # pass through to run_partition's loud guard (isin/negation would
+        # silently drop them)
         df = df.where(
-            F.col(offset_col)
-            >= F.coalesce(start_map[F.col(partition_col)], F.lit(-(1 << 62)))
+            seek
+            | ~F.col(partition_col).isin(*starting_offsets)
+            | F.col(partition_col).isNull()
         )
 
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     highs = df.groupBy(partition_col).agg(F.max(F.col(offset_col)).alias("__high"))
+    # LEFT join, deliberately: an inner join would silently DROP rows whose
+    # partition key is null (null keys never match), making the loud
+    # null-partition guard in run_partition unreachable — with the left
+    # join such rows arrive with __high null and fail there as documented.
+    # The highs aggregate re-evaluates df's subtree (one extra pruned pass)
+    # rather than localCheckpoint-ing it: df may be a full-table batch, and
+    # materializing it to cut lineage is the wrong trade at 100 TB. Callers
+    # feeding an EXPENSIVE computed frame should cut_lineage it first
+    # (functions.lineage) — the helper can't know which kind it got.
     prepared = (
-        df.join(F.broadcast(highs), partition_col)
+        df.join(F.broadcast(highs), partition_col, "left")
         .repartition(n_parts, partition_col)
         .sortWithinPartitions(partition_col, offset_col)
     )
@@ -218,6 +246,12 @@ def run_task_batch(
                     ctx.produced.clear()
                 if rows:
                     yield pd.DataFrame(rows, columns=out_cols)
+            else:
+                # results mode discards sends — drain per batch anyway so a
+                # chain that both returns results and calls send() cannot
+                # grow ctx.produced with rows-per-group
+                for ctx, _ in ctxs.values():
+                    ctx.produced.clear()
 
     return prepared.mapInPandas(run_partition, schema)
 

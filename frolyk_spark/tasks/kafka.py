@@ -140,9 +140,11 @@ def start_kafka_task(task, spark: SparkSession, checkpoint_dir: str | None = Non
                 **build_sink_options(connection)
             ).save()
 
+        # the RAW stream goes to foreachBatch — process_kafka_batch owns
+        # the decode (decoding here too would project/cast every batch
+        # twice, working only because the decode happens to be idempotent)
         q = (
-            _decode_kafka_batch(raw)
-            .writeStream.foreachBatch(handle_batch)
+            raw.writeStream.foreachBatch(handle_batch)
             .option("checkpointLocation", os.path.join(checkpoint_root, source.topic_name))
             .start()
         )

@@ -194,3 +194,62 @@ def test_processor_error_propagates_distributed(spark, sf_dir):
     )
     with pytest.raises(Exception, match="poison message rejected"):
         out.collect()
+
+
+def test_null_partition_fails_loudly_not_silently_dropped(spark, sf_dir):
+    """r8 review regression: the highs join must be LEFT — an inner join
+    silently dropped null-partition rows before the documented ValueError
+    guard could ever fire."""
+    import pytest
+
+    task = Task(group="null-part")
+    src = task.source("events")
+    task.processor(src, lambda a: (
+        lambda message, context: {"event_id": message["value"]["event_id"]}
+    ))
+    df = _events_with_part(spark, sf_dir).withColumn(
+        "part",
+        F.when(F.col("event_id") == 7, F.lit(None).cast("int")).otherwise(
+            F.col("part")
+        ),
+    )
+    out = run_task_batch(
+        task, spark, df, topic="events", partition_col="part",
+        offset_col="event_id", output_schema="event_id bigint",
+    )
+    with pytest.raises(Exception, match="null value in partition column"):
+        out.collect()
+
+
+def test_starting_offsets_predicate_pushes_to_scan(spark, sf_dir):
+    """r8 review regression: the seek filter must be a disjunction of
+    simple comparisons that reaches the parquet scan's PushedFilters, not
+    a post-scan map lookup that parquet can never push. The partition
+    column must be PHYSICAL for any of it to push (a Kafka topic's
+    partition column is) — a computed pmod column blocks its own
+    conjuncts regardless of filter form."""
+    import os
+    import tempfile
+
+    from frolyk_spark.plans import plan_report
+
+    task = Task(group="seek-push")
+    src = task.source("events")
+    task.processor(src, lambda a: (
+        lambda message, context: {"event_id": message["value"]["event_id"]}
+    ))
+    tmp = tempfile.mkdtemp(prefix="bridge_seek_")
+    path = os.path.join(tmp, "events_part.parquet")
+    _events_with_part(spark, sf_dir).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    out = run_task_batch(
+        task, spark, df, topic="events", partition_col="part",
+        offset_col="event_id", output_schema="event_id bigint",
+        starting_offsets={0: 50_000, 1: 50_000, 2: 50_000, 3: 50_000,
+                          4: 50_000, 5: 50_000, 6: 50_000, 7: 50_000},
+    )
+    pushed = " ".join(plan_report(out)["pushed_filters"])
+    assert "event_id" in pushed, f"seek predicate not pushed: {pushed!r}"
+    # every partition is seeked to 50k, so the scan must not return the
+    # sub-50k half of the table
+    assert out.count() == df.where(F.col("event_id") >= 50_000).count()

@@ -621,3 +621,25 @@ def test_versioned_manifest_dir_tolerates_stray_files(spark, tmp_path):
     bare = str(tmp_path / "bare")
     os.makedirs(os.path.join(bare, "_manifests"))
     assert vacuum_versioned(bare, keep_last=1, grace_seconds=0) == []
+
+
+def test_merge_upsert_rejects_null_keys_with_clear_error(spark, tmp_path):
+    """r8 review regression: a null merge key used to surface as a
+    MISLEADING duplicate-key error (count_distinct ignores nulls); it is
+    its own failure — a null key can never be superseded by the anti-join."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.sources.catalog import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("a").alias("v"),
+        (F.col("id") % 2).alias("p"),
+    )
+    base.write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(0, "b", 0), (None, "c", 1), (3, "d", 1)], "k bigint, v string, p bigint"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        merge_upsert(updates, path, key="k", partition_col="p")

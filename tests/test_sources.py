@@ -139,3 +139,22 @@ def test_orc_interchange_keeps_pushdown_and_pruning(spark, sf_dir, tmp_path):
 
     assert _re.search(r"PartitionFilters: \[[^\]]*l_returnflag", plan), plan[:800]
     assert pruned.count() == li.where(F.col("l_returnflag") == "R").count()
+
+
+def test_corrupt_col_membership_is_by_field_name_not_substring():
+    """r8 review regression: a schema whose text merely CONTAINS the
+    corrupt column name (e.g. 'raw_corrupt_record') must still get the
+    real capture column appended — the old substring test silently
+    disabled quarantine for such schemas."""
+    from frolyk_spark.sources.formats import _with_corrupt_col
+
+    out = _with_corrupt_col(
+        "raw_corrupt_record string, x int", "PERMISSIVE", "_corrupt_record"
+    )
+    assert out.endswith(", _corrupt_record string"), out
+    # exact-name presence still suppresses the append
+    assert (
+        _with_corrupt_col("_corrupt_record string, x int", "PERMISSIVE",
+                          "_corrupt_record")
+        == "_corrupt_record string, x int"
+    )
