@@ -41,16 +41,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. new_r8 (6): operators added this round — need their FIRST row;
     #   2. rewritten_r7 (3): code rewritten in r7 AFTER their newest (r6)
     #      row — the rewrite itself is what needs a driver check;
-    #   3. stale_r3 (16): newest green row is r3 — the streaming family,
+    #   3. rewritten_r8 (4): ratio rounding moved to the portable floor
+    #      form this round (output changes at .5 boundaries);
+    #   4. stale_r3 (16): newest green row is r3 — the streaming family,
     #      the task bridge, flagship q1/q3, and the core dedup block;
-    #   4. stale_r4 (26): newest green row is r4 — the TPC-H q4..q21
+    #   5. stale_r4 (26): newest green row is r4 — the TPC-H q4..q21
     #      tail, tokenizer aggs, incremental dedup;
-    #   5. the r6/r7-green remainder via registry order (all ≤2 rounds
+    #   6. the r6/r7-green remainder via registry order (all ≤2 rounds
     #      old; whatever budget remains refreshes the head of it).
-    # Head = 6+3+16+26 = 51 vs the ~50 budget: if one entry slips it is
-    # the tail of stale_r4 (r4-green, re-verified locally at three SFs
-    # this round), never a new/rewritten one. After this round no entry's
-    # newest driver row should predate r6.
+    # Head = 6+3+4+16+26 = 55 vs the ~50 budget: entries that slip are
+    # the TAIL of stale_r4 (r4-green, re-verified locally at three SFs
+    # this round), never a new/rewritten one.
     stale_r3 = (
         "train_test_split", "stream_tumbling", "stream_hopping",
         "stream_dedup", "sessionize", "stream_stateful",
@@ -81,13 +82,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The r7 rewrites needing a post-rewrite row: OHLC full-width key,
     # BFS closure, LSH cap on containment pairs:
     rewritten_r7 = ("stream_ohlc", "containment_chains", "minhash_containment")
+    # Rewritten IN r8 after their newest row (portable floor rounding on
+    # derived ratios — the r5 .xxxx5 divergence class, caught by this
+    # round's review — plus tfidf's lineage cut):
+    rewritten_r8 = (
+        "q2_min_cost_supplier", "q11_important_parts",
+        "source_vocab_overlap", "tfidf_top_terms",
+    )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
                 dedup, similarity, multimodal, sampling, learn,
                 streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*new_r8, *rewritten_r7, *stale_r3, *stale_r4):
+    for k in (*new_r8, *rewritten_r7, *rewritten_r8, *stale_r3, *stale_r4):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
     out.update(registry)  # green_r6/r7 remainder; first-insertion order wins
     return out

@@ -24,3 +24,24 @@ def round4(col: Column) -> Column:
 def round4_sql(expr: str) -> str:
     """The DuckDB-side twin of round4 — identical operation order."""
     return f"floor(({expr}) * 10000.0 + 0.5) / 10000.0"
+
+
+def round2(col: Column) -> Column:
+    """Portable 2-dp round-half-up (ratio outputs quoted in money-like
+    units, e.g. a scaled sum divided back down — NOT needed for plain
+    cents-exact money sums, which have no hidden digits)."""
+    return F.floor(col * 100.0 + F.lit(0.5)) / 100.0
+
+
+def round2_sql(expr: str) -> str:
+    return f"floor(({expr}) * 100.0 + 0.5) / 100.0"
+
+
+def round6(col: Column) -> Column:
+    """Portable 6-dp round-half-up (fine-grained ratios like vocabulary
+    Jaccard overlaps)."""
+    return F.floor(col * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+
+def round6_sql(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frolyk_spark.functions.lineage import cut_lineage
-from frolyk_spark.operators.text import STOPWORDS
+from frolyk_spark.operators.text import split_words, stopword_hits
 from frolyk_spark.sources.catalog import load_table
 
 #: gradient-descent geometry: full-batch steps and a fixed step size —
@@ -38,9 +38,13 @@ def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     every training step aggregates this frame — without the cut each of
     the {LOGREG_ITERS} steps would re-parse the text."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    words = F.split("text", " ")
+    # shared word/stopword definitions (operators.text) so the classifier
+    # features can never drift from the corpus-wide tokenization; x2 is
+    # DELIBERATELY the raw chars/word (÷10 for GD conditioning), not
+    # text_stats' separator-corrected avg_word_len
+    words = split_words()
     n_words = F.size(words).cast("double")
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
+    stop_hits = stopword_hits(words).cast("double")
     # features pre-scaled to O(1) ranges so full-batch GD at LOGREG_LR
     # descends monotonically (unscaled avg-word-length ~5 made lr=1
     # overshoot — measured divergent; /10 keeps the step well-conditioned)
@@ -52,6 +56,21 @@ def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text").cast("double") / n_words / F.lit(10.0)).alias("x2"),
             (n_words / F.lit(100.0)).alias("x3"),
         )
+    )
+
+
+def _model_z(w: list[float]) -> F.Column:
+    """w·x over (x1, x2, x3) with the weights as plan literals — THE
+    model form. Training and scoring must share this one definition, or
+    a model change (new feature, rescale) made in one place would
+    silently score with a different model than was trained; the
+    tolerance test checks the weights, not the scoring expression, so
+    that drift would ship."""
+    return (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
     )
 
 
@@ -72,12 +91,7 @@ def _train_logreg(feats: DataFrame) -> tuple[list[float], list[float]]:
     w = [0.0, 0.0, 0.0, 0.0]
     losses: list[float] = []
     for _ in range(LOGREG_ITERS):
-        z = (
-            F.lit(w[0])
-            + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2")
-            + F.lit(w[3]) * F.col("x3")
-        )
+        z = _model_z(w)
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         r = feats.select(
             (p - F.col("y")).alias("d"), "x1", "x2", "x3", "y", z.alias("z")
@@ -115,12 +129,7 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     feats = _quality_features(spark, sf_dir)
     w, _losses = _train_logreg(feats)
-    z = (
-        F.lit(w[0])
-        + F.lit(w[1]) * F.col("x1")
-        + F.lit(w[2]) * F.col("x2")
-        + F.lit(w[3]) * F.col("x3")
-    )
+    z = _model_z(w)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return feats.select(
         "doc_id",

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from frolyk_spark.functions.portable import round2, round2_sql, round4, round4_sql
 from frolyk_spark.sources.catalog import load_table
 
 #: cents-scaled extended price (exact BIGINT; prices are exact cents in the
@@ -127,7 +128,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("cost_per_unit", 4).alias("cost_per_unit"),
+            # derived RATIO: portable floor round, not engine round
+            # (Spark/DuckDB disagree on .xxxx5 — confirmed 4441/800)
+            round4(F.col("cost_per_unit")).alias("cost_per_unit"),
         )
         .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
         .limit(100)
@@ -153,7 +156,7 @@ ranked AS (
     AND p.p_type = '{Q2_TYPE}' AND r.r_name = '{Q2_REGION}'
 )
 SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
-       round(cost_per_unit, 4) AS cost_per_unit
+       {round4_sql("cost_per_unit")} AS cost_per_unit
 FROM ranked WHERE rk = 1
 ORDER BY s_acctbal DESC, s_name, p_partkey
 LIMIT 100
@@ -213,7 +216,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round(F.col("value_scaled").cast("double") / 10000.0, 2).alias(
+            # scaled-sum ratio: portable floor round (1450/10000 → .145
+            # rounds differently per engine with round(…,2))
+            round2(F.col("value_scaled").cast("double") / 10000.0).alias(
                 "value"
             ),
         )
@@ -238,7 +243,7 @@ t AS (SELECT CAST(sum(value_scaled) AS BIGINT) AS total_scaled,
              count(*) AS n_parts
       FROM per_part)
 SELECT l_partkey AS p_partkey,
-       round(CAST(value_scaled AS DOUBLE) / 10000.0, 2) AS value
+       {round2_sql("CAST(value_scaled AS DOUBLE) / 10000.0")} AS value
 FROM per_part, t
 WHERE CAST(value_scaled AS DOUBLE) * CAST(n_parts AS DOUBLE)
       > {float(Q11_MEAN_MULT)} * CAST(total_scaled AS DOUBLE)

@@ -39,14 +39,28 @@ from frolyk_spark.functions.portable import round4 as _round4
 from frolyk_spark.functions.portable import round4_sql as _round4_sql
 
 
+def split_words() -> F.Column:
+    """THE corpus word split (single-space convention) — every consumer
+    of per-text word features (text_stats, quality score, learn.py's
+    classifier features) must build on this one definition so a change
+    to the tokenization can never leave a consumer on a stale formula."""
+    return F.split(F.col("text"), " ")
+
+
+def stopword_hits(words: F.Column) -> F.Column:
+    """English-stopword hit count over a split-words array — shared by
+    the quality score, text_stats, and the D53 classifier features."""
+    return F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+
+
 def _quality_score_col() -> F.Column:
     """The corpus_filter quality score as a bare per-row Column over
     `text` — shared by text_stats_frame and the fused single-scan
     consumers (source_yield)."""
-    words = F.split(F.col("text"), " ")
+    words = split_words()
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    stop_hits = stopword_hits(words)
     quality = (
         0.4 * F.least(n_words / F.lit(100.0), F.lit(1.0))
         + 0.3 * (n_distinct / n_words)
@@ -58,10 +72,10 @@ def _quality_score_col() -> F.Column:
 def text_stats_frame(docs: DataFrame) -> DataFrame:
     """Frame-level form: works on any (doc_id, text) frame — catalog
     tables, arbitrary sources, or streaming micro-batches."""
-    words = F.split(F.col("text"), " ")
+    words = split_words()
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    stop_hits = stopword_hits(words)
     n_chars = F.length("text")
     # single-space separated text: total word chars = n_chars - (n_words - 1)
     avg_word_len = (n_chars - (n_words - 1)) / n_words

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frolyk_spark.functions.hashing import portable_hash_spark_sql
+from frolyk_spark.functions.portable import round4, round4_sql, round6, round6_sql
 from frolyk_spark.sources.catalog import load_table
 
 #: vocabulary entries kept (top-K by term frequency, word tie-break)
@@ -143,9 +144,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select("source", F.explode(F.split("text", " ")).alias("word"))
     )
-    tf = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    # tf feeds BOTH sides of the tf⋈df_s self-join AND the source count —
+    # cut the lineage (CLAUDE rule) or the explode+aggregate runs three
+    # times (3 documents scans observed before the cut)
+    tf = cut_lineage(
+        words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_s = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_sources"))
-    n_sources = docs.agg(F.count_distinct("source").alias("n_sources"))
+    n_sources = tf.agg(F.count_distinct("source").alias("n_sources"))
     score = (F.col("tf") * (F.col("n_sources") + 1)) / (F.col("df_sources") + 1)
     w = Window.partitionBy("source").orderBy(
         F.desc("score_raw"), F.asc("word")
@@ -162,7 +170,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "tf",
             "df_sources",
-            F.round("score_raw", 4).alias("score"),
+            # derived RATIO: portable floor round, not engine round
+            round4(F.col("score_raw")).alias("score"),
         )
     )
 
@@ -188,7 +197,8 @@ ranked AS (
                                ORDER BY score_raw DESC, word ASC) AS rank
   FROM scored
 )
-SELECT source, rank, word, tf, df_sources, round(score_raw, 4) AS score
+SELECT source, rank, word, tf, df_sources,
+       {round4_sql("score_raw")} AS score
 FROM ranked WHERE rank <= {TFIDF_K}
 """
 
@@ -251,8 +261,10 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_b",
             "n_common",
             union.alias("n_union"),
-            F.round(
-                F.col("n_common").cast("double") / union.cast("double"), 6
+            # exact-BIGINT ratio: portable floor round (41/640 = .0640625
+            # rounds differently per engine with round(…,6))
+            round6(
+                F.col("n_common").cast("double") / union.cast("double")
             ).alias("jaccard"),
         )
         .orderBy("src_a", "src_b")
@@ -273,8 +285,9 @@ inter AS (
 )
 SELECT src_a, src_b, n_common,
        sa.n_vocab + sb.n_vocab - n_common AS n_union,
-       round(CAST(n_common AS DOUBLE)
-             / CAST(sa.n_vocab + sb.n_vocab - n_common AS DOUBLE), 6)
+       floor((CAST(n_common AS DOUBLE)
+              / CAST(sa.n_vocab + sb.n_vocab - n_common AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0
          AS jaccard
 FROM inter
 JOIN sz sa ON inter.src_a = sa.source

@@ -840,3 +840,13 @@ def test_table_diff_scale_shape(spark, sf_dir):
     assert len(re.findall(r"orders", rep["plan"])) <= 1, (
         "both diff sides must read the lineage-cut snapshot, not rescan"
     )
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    """r8 review regression: tf feeds both self-join sides and the source
+    count — without the lineage cut the explode+aggregate ran three times
+    (3 documents scans). Must be ONE scan feeding the materialized tf."""
+    from frolyk_spark.operators.vocab import tfidf_top_terms
+    from frolyk_spark.plans import assert_scale_shape
+
+    assert_scale_shape(tfidf_top_terms(spark, sf_dir), max_scans=1)
