@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. new_r8 (6): operators added this round — need their FIRST row;
     #   2. rewritten_r7 (3): code rewritten in r7 AFTER their newest (r6)
     #      row — the rewrite itself is what needs a driver check;
-    #   3. rewritten_r8 (4): ratio rounding moved to the portable floor
+    #   3. rewritten_r8 (10): ratio rounding moved to the portable floor
     #      form this round (output changes at .5 boundaries);
     #   4. stale_r3 (16): newest green row is r3 — the streaming family,
     #      the task bridge, flagship q1/q3, and the core dedup block;
@@ -49,9 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      tail, tokenizer aggs, incremental dedup;
     #   6. the r6/r7-green remainder via registry order (all ≤2 rounds
     #      old; whatever budget remains refreshes the head of it).
-    # Head = 6+3+4+16+26 = 55 vs the ~50 budget: entries that slip are
-    # the TAIL of stale_r4 (r4-green, re-verified locally at three SFs
-    # this round), never a new/rewritten one.
+    # Head = 6+3+10+16+26 = 61 vs the ~50 budget: entries that slip are
+    # the TAIL of stale_r4 (r4-green, unchanged, re-verified locally at
+    # three SFs this round), never a new/rewritten one.
     stale_r3 = (
         "train_test_split", "stream_tumbling", "stream_hopping",
         "stream_dedup", "sessionize", "stream_stateful",
@@ -84,10 +84,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rewritten_r7 = ("stream_ohlc", "containment_chains", "minhash_containment")
     # Rewritten IN r8 after their newest row (portable floor rounding on
     # derived ratios — the r5 .xxxx5 divergence class, caught by this
-    # round's review — plus tfidf's lineage cut):
+    # round's review and then swept across every remaining
+    # engine-round-of-ratio site — plus tfidf's lineage cut). Entries
+    # already in stale_r3/r4 (q1, q14, q8, q17, repetition_stats,
+    # dedup_ngram_jaccard, dedup_embedding) are not repeated here:
     rewritten_r8 = (
         "q2_min_cost_supplier", "q11_important_parts",
         "source_vocab_overlap", "tfidf_top_terms",
+        "source_mix", "sample_temperature", "ngram_novelty",
+        "json_props_stats", "anomaly_zscore", "key_skew_profile",
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,

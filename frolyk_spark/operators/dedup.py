@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frolyk_spark.functions.hashing import portable_hash_expr, portable_hash_spark_sql, portable_hash_sql
+from frolyk_spark.functions.portable import round4 as _round4
 from frolyk_spark.sources.catalog import load_table
 
 #: words per shingle for minhash / jaccard
@@ -365,6 +366,9 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
+            # engine round() is SAFE here (unlike derived ratios):
+            # matches/128 is exactly representable (2^7 denominator), so
+            # both engines round the same exact value
             F.round(matches / F.lit(MINHASH_K), 4).alias("est_jaccard"),
         )
     )
@@ -736,7 +740,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(ga, "doc_a")
         .join(gb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        # derived RATIO: portable floor round (r5 .xxxx5 class); the
+        # >= threshold then filters on the identically-rounded value in
+        # both engines, so boundary membership matches
+        .select("doc_a", "doc_b", _round4(jac).alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_T)
     )
 
@@ -753,14 +760,16 @@ blocked AS (
   FROM g
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.grams, b.grams)) * 1.0
-             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+       floor((len(list_intersect(a.grams, b.grams)) * 1.0
+              / len(list_distinct(list_concat(a.grams, b.grams))))
+             * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM blocked a
 JOIN blocked b
   ON a.block = b.block AND a.doc_id < b.doc_id
  AND abs(a.n_words - b.n_words) < {LEN_BLOCK_W}
-WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0
-            / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= {JACCARD_T}
+WHERE floor((len(list_intersect(a.grams, b.grams)) * 1.0
+             / len(list_distinct(list_concat(a.grams, b.grams))))
+            * 10000.0 + 0.5) / 10000.0 >= {JACCARD_T}
 """
 
 
@@ -786,7 +795,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("label"),
-            F.round(cos, 4).alias("cos_sim"),
+            _round4(cos).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= EMB_COS_T)
     )
@@ -798,10 +807,10 @@ def _dedup_embedding_sql() -> str:
     cos = cosine_sql("a.embedding", "b.embedding")
     return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       round({cos}, 4) AS cos_sim
+       floor(({cos}) * 10000.0 + 0.5) / 10000.0 AS cos_sim
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({cos}, 4) >= {EMB_COS_T}
+WHERE floor(({cos}) * 10000.0 + 0.5) / 10000.0 >= {EMB_COS_T}
 """
 
 

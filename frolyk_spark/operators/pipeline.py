@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frolyk_spark.functions.hashing import portable_hash_spark_sql, portable_hash_sql
+from frolyk_spark.functions.portable import (
+    round4, round4_sql, round6, round6_sql,
+)
 from frolyk_spark.sources.catalog import load_table
 
 #: decontamination: word-gram width and the deterministic "benchmark" split
@@ -185,9 +188,11 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(top, "doc_id")
         .select(
             "doc_id",
-            F.round(F.col("top_word_count") / F.col("n_words"), 4).alias("top_word_frac"),
-            F.round(1 - F.col("n_distinct") / F.col("n_words"), 4).alias("dup_word_frac"),
-            F.round(1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4).alias(
+            # derived RATIOS: portable floor round (engine round() is the
+            # r5 .xxxx5 divergence class on integer ratios)
+            round4(F.col("top_word_count") / F.col("n_words")).alias("top_word_frac"),
+            round4(1 - F.col("n_distinct") / F.col("n_words")).alias("dup_word_frac"),
+            round4(1 - F.col("n_distinct_bigrams") / F.col("n_bigrams")).alias(
                 "dup_bigram_frac"
             ),
         )
@@ -211,9 +216,9 @@ top AS (
   GROUP BY doc_id
 )
 SELECT base.doc_id,
-       round(top_word_count * 1.0 / n_words, 4) AS top_word_frac,
-       round(1 - n_distinct * 1.0 / n_words, 4) AS dup_word_frac,
-       round(1 - n_distinct_bigrams * 1.0 / n_bigrams, 4) AS dup_bigram_frac
+       floor((top_word_count * 1.0 / n_words) * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+       floor((1 - n_distinct * 1.0 / n_words) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+       floor((1 - n_distinct_bigrams * 1.0 / n_bigrams) * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac
 FROM base JOIN top ON base.doc_id = top.doc_id
 """
 
@@ -242,15 +247,15 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_chars",
-        F.round(share, 6).alias("share"),
-        F.round(target / share, 6).alias("sample_weight"),
+        round6(share).alias("share"),
+        round6(target / share).alias("sample_weight"),
     ).orderBy("source")
 
 
 SOURCE_MIX_SQL = """
 SELECT source, n_docs, n_chars,
-       round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS share,
-       round((1.0 / count(*) OVER ()) / (n_docs * 1.0 / sum(n_docs) OVER ()), 6)
+       floor((n_docs * 1.0 / sum(n_docs) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS share,
+       floor(((1.0 / count(*) OVER ()) / (n_docs * 1.0 / sum(n_docs) OVER ())) * 1000000.0 + 0.5) / 1000000.0
          AS sample_weight
 FROM (SELECT source, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS n_chars
@@ -552,9 +557,8 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "n_novel",
-            F.round(
-                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
-                6,
+            round6(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
             ).alias("novelty"),
         )
         .orderBy("doc_id")
@@ -572,8 +576,8 @@ d AS (
 SELECT doc_id,
        cast(count(*) AS BIGINT) AS n_grams,
        cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS novelty
+       floor((CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS novelty
 FROM d
 GROUP BY doc_id
 ORDER BY doc_id
@@ -980,23 +984,25 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source",
         "n_docs",
-        F.round(share, 6).alias("share"),
-        F.round(root, 6).alias("root_share"),
-        F.round(root / share, 6).alias("boost"),
+        round6(share).alias("share"),
+        round6(root).alias("root_share"),
+        round6(root / share).alias("boost"),
     ).orderBy("source")
 
 
 SAMPLE_TEMPERATURE_SQL = """
 WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
 SELECT source, n_docs,
-       round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
-         AS share,
-       round(sqrt(CAST(n_docs AS DOUBLE)
-                  / CAST(sum(n_docs) OVER () AS DOUBLE)), 6) AS root_share,
-       round(sqrt(CAST(n_docs AS DOUBLE)
+       floor((CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS share,
+       floor(sqrt(CAST(n_docs AS DOUBLE)
                   / CAST(sum(n_docs) OVER () AS DOUBLE))
-             / (CAST(n_docs AS DOUBLE)
-                / CAST(sum(n_docs) OVER () AS DOUBLE)), 6) AS boost
+             * 1000000.0 + 0.5) / 1000000.0 AS root_share,
+       floor((sqrt(CAST(n_docs AS DOUBLE)
+                   / CAST(sum(n_docs) OVER () AS DOUBLE))
+              / (CAST(n_docs AS DOUBLE)
+                 / CAST(sum(n_docs) OVER () AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS boost
 FROM s
 ORDER BY source
 """

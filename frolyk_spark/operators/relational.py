@@ -21,6 +21,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from frolyk_spark.functions.portable import (
+    round2, round2_sql, round4, round4_sql, round6, round6_sql,
+)
 from frolyk_spark.sources.catalog import load_table
 
 
@@ -44,9 +47,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # derived RATIOS (sum/count): portable floor round — engine
+            # round() is the r5 .xxxx5 shortest-repr divergence class
+            round4(F.avg("l_quantity")).alias("avg_qty"),
+            round4(F.avg("l_extendedprice")).alias("avg_price"),
+            round6(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -59,9 +64,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0                AS avg_qty,
+       floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0            AS avg_price,
+       floor(avg(l_discount) * 1000000.0 + 0.5) / 1000000.0             AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
@@ -714,18 +719,18 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
-                4,
+            round4(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev)
             ).alias("promo_revenue_pct")
         )
     )
 
 
 Q14_SQL = """
-SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
-                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT floor((100 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+              / sum(l_extendedprice * (1 - l_discount)))
+             * 10000.0 + 0.5) / 10000.0 AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= '1997-06-01' AND l_shipdate < '1997-07-01'
 """
@@ -897,8 +902,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("n_name") == target, rev).otherwise(0.0)) / F.sum(rev), 6
+            round6(
+                F.sum(F.when(F.col("n_name") == target, rev).otherwise(0.0)) / F.sum(rev)
             ).alias("mkt_share")
         )
     )
@@ -906,9 +911,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT cast(year(o_orderdate) as int) AS o_year,
-       round(sum(CASE WHEN n_name = 'NATION_19'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       floor((sum(CASE WHEN n_name = 'NATION_19'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+              / sum(l_extendedprice * (1 - l_discount)))
+             * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1089,12 +1095,12 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fli.join(thresholds, "l_partkey")
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(round2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
 
 
 Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
@@ -1421,7 +1427,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n_with_k"),
             F.sum("k").cast("bigint").alias("sum_k"),
             F.count_distinct("k").alias("n_distinct_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            round4(F.avg("k")).alias("avg_k"),
         )
     )
 
@@ -1448,7 +1454,7 @@ SELECT event_type,
        count(k) AS n_with_k,
        CAST(sum(k) AS BIGINT) AS sum_k,
        count(DISTINCT k) AS n_distinct_k,
-       round(avg(k), 4) AS avg_k
+       floor(avg(k) * 10000.0 + 0.5) / 10000.0 AS avg_k
 FROM k
 GROUP BY event_type
 """
@@ -1635,8 +1641,8 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").alias("n_events"),
         F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
-        F.round(dsx / dn / 100.0, 4).alias("mean_value"),
-        F.round(F.sqrt(dn * dsxx - dsx * dsx) / dn / 100.0, 4).alias("std_value"),
+        round4(dsx / dn / 100.0).alias("mean_value"),
+        round4(F.sqrt(dn * dsxx - dsx * dsx) / dn / 100.0).alias("std_value"),
     )
 
 
@@ -1660,8 +1666,8 @@ o AS (
 SELECT s.event_type,
        CAST(s.n AS BIGINT) AS n_events,
        CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers,
-       round(sx / n / 100.0, 4) AS mean_value,
-       round(sqrt(n * sxx - sx * sx) / n / 100.0, 4) AS std_value
+       floor((sx / n / 100.0) * 10000.0 + 0.5) / 10000.0 AS mean_value,
+       floor((sqrt(n * sxx - sx * sx) / n / 100.0) * 10000.0 + 0.5) / 10000.0 AS std_value
 FROM s LEFT JOIN o ON s.event_type = o.event_type
 """
 
@@ -1860,8 +1866,8 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_key_rows",
         "p75_key_rows",
         "top_key",
-        F.round(
-            F.col("top_key_rows").cast("double") / F.col("n_rows").cast("double"), 6
+        round6(
+            F.col("top_key_rows").cast("double") / F.col("n_rows").cast("double")
         ).alias("top_key_share"),
     )
 
@@ -1882,7 +1888,8 @@ t AS (
 )
 SELECT s.n_keys, s.n_rows, s.max_key_rows, s.p50_key_rows, s.p75_key_rows,
        t.top_key,
-       round(CAST(t.top_key_rows AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6)
+       floor((CAST(t.top_key_rows AS DOUBLE) / CAST(s.n_rows AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0
          AS top_key_share
 FROM s, t
 """
