@@ -32,3 +32,12 @@ def portable_hash_sql(expr: str) -> str:
 def portable_hash_spark_sql(expr: str) -> str:
     """Same hash as Spark SQL text (for use inside F.expr strings)."""
     return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def portable_hash_py(s: str) -> int:
+    """Python-side twin for Arrow kernels (mapInPandas/pandas_udf) that
+    must agree with the Spark/DuckDB forms — one definition of the
+    60-bit width so a kernel can never drift to e.g. [:16]."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)

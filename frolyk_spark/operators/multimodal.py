@@ -15,11 +15,14 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frolyk_spark.functions.hashing import portable_hash_expr, portable_hash_sql
+from frolyk_spark.functions.hashing import (
+    portable_hash_expr, portable_hash_py, portable_hash_sql,
+)
 from frolyk_spark.sources.catalog import load_table
 
 MODALITIES = ("image", "audio", "video")
@@ -110,17 +113,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            byte_len = payloads.map(len).astype("int64")
+            # portable floor round, NOT pandas .round(8): numpy rounds
+            # half-EVEN while the DuckDB oracle rounds half-away — an
+            # exactly-dyadic ratio like 16/8192 diverges between them
+            bpp = (byte_len / (pdf["width"] * pdf["height"])).astype("float64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
-                    "byte_len": payloads.map(len).astype("int64"),
+                    "byte_len": byte_len,
                     "prefix_u32": payloads.map(
                         lambda b: int.from_bytes(b[:4], "big")
                     ).astype("int64"),
-                    "bytes_per_pixel": (
-                        payloads.map(len) / (pdf["width"] * pdf["height"])
-                    ).astype("float64").round(8),
+                    "bytes_per_pixel": np.floor(bpp * 1e8 + 0.5) / 1e8,
                 }
             )
 
@@ -141,8 +147,9 @@ SELECT doc_id,
        ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
        octet_length({blob}) AS byte_len,
        cast(concat('0x', substr(md5(text), 1, 8)) as bigint) AS prefix_u32,
-       round(octet_length({blob}) * 1.0 /
-             ((64 + ({h}) % 960) * (64 + (({h}) >> 10) % 960)), 8) AS bytes_per_pixel
+       floor((octet_length({blob}) * 1.0 /
+              ((64 + ({h}) % 960) * (64 + (({h}) >> 10) % 960)))
+             * 100000000.0 + 0.5) / 100000000.0 AS bytes_per_pixel
 FROM documents
 """
 
@@ -187,9 +194,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "out_bytes": out_len.astype("int64"),
                     # fingerprint over the lowercase-hex encoding (DuckDB
                     # can't md5 raw blobs, bytes.hex() is the portable form)
-                    "out_hash": [
-                        int(hashlib.md5(p.hex().encode()).hexdigest()[:15], 16) for p in out
-                    ],
+                    "out_hash": [portable_hash_py(p.hex()) for p in out],
                 }
             )
 
@@ -272,9 +277,7 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["frame_idx"].append(j)
                     rows["frame_offset"].append(off)
                     # fingerprint over the lowercase-hex window (portable)
-                    rows["frame_hash"].append(
-                        int(hashlib.md5(window.hex().encode()).hexdigest()[:15], 16)
-                    )
+                    rows["frame_hash"].append(portable_hash_py(window.hex()))
             yield pd.DataFrame(rows)
 
     t = multimodal_table(spark, sf_dir).where(F.col("modality") == "video").select(

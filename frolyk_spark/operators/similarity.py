@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frolyk_spark.functions.portable import round4, round6
 from frolyk_spark.functions.vectors import cosine, cosine_sql, norm, norm_sql
 from frolyk_spark.sources.catalog import load_table
 
@@ -74,7 +75,9 @@ def _rerank(joined: DataFrame) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("probe_id", "rank", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"))
+        # displayed ratio: portable floor round (r5 .xxxx5 class); the
+        # floor form is engine-identical for negative cosines too
+        .select("probe_id", "rank", "neighbor_id", round4(F.col("cos_raw")).alias("cos_sim"))
     )
 
 
@@ -108,7 +111,8 @@ scored AS (
                             ORDER BY {cos} DESC, c.neighbor_id ASC) AS rank
   FROM p CROSS JOIN c
 )
-SELECT probe_id, rank, neighbor_id, round(cos_raw, 4) AS cos_sim
+SELECT probe_id, rank, neighbor_id,
+       floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
 FROM scored WHERE rank <= {TOP_K}
 """
 
@@ -142,18 +146,28 @@ def _bucketize(df: DataFrame, emb_col: str) -> DataFrame:
     def buckets(emb: pd.Series) -> pd.Series:
         import numpy as np
 
-        mat = np.asarray(planes, dtype=np.float64).T  # (DIM, L*NBITS)
         x = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, DIM)
-        bits = (x @ mat > 0).astype(np.int64)  # (batch, L*NBITS)
-        weights = 1 << np.arange(LSH_BITS, dtype=np.int64)
-        codes = bits.reshape(len(emb), LSH_TABLES, LSH_BITS) @ weights  # (batch, L)
-        return pd.Series(list(codes))
+        return pd.Series(list(_lsh_codes(x, planes)))
 
     return (
         df.withColumn("codes", buckets(F.col(emb_col)))
         .select("*", F.posexplode("codes").alias("table_id", "bucket"))
         .drop("codes")
     )
+
+
+def _lsh_codes(x, planes) -> "np.ndarray":
+    """(rows, LSH_TABLES) bucket codes for a (rows, DIM) matrix — THE
+    bucketing math. The corpus UDF and the driver-side probe path both
+    call this; two hand-synced copies would let a bit-order or weight
+    change silently desynchronize probe and corpus buckets (recall decays
+    to the pytest floor instead of failing loudly)."""
+    import numpy as np
+
+    mat = np.asarray(planes, dtype=np.float64).T  # (DIM, L*NBITS)
+    bits = (x @ mat > 0).astype(np.int64)  # (rows, L*NBITS)
+    weights = 1 << np.arange(LSH_BITS, dtype=np.int64)
+    return bits.reshape(len(x), LSH_TABLES, LSH_BITS) @ weights
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,11 +184,8 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probes, corpus = _split(spark, sf_dir)
     probe_rows = probes.collect()  # O(N_PROBES) — the broadcast probe set
-    mat = np.asarray(_hyperplanes(), dtype=np.float64).T
     x = np.stack([np.asarray(r.probe_emb, dtype=np.float64) for r in probe_rows])
-    bits = (x @ mat > 0).astype(np.int64)
-    weights = 1 << np.arange(LSH_BITS, dtype=np.int64)
-    codes = bits.reshape(len(probe_rows), LSH_TABLES, LSH_BITS) @ weights
+    codes = _lsh_codes(x, _hyperplanes())
     pb = spark.createDataFrame(
         [
             (int(r.probe_id), t, int(codes[i, t]))
@@ -397,7 +408,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     qnorm = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
-    cn2 = [np.asarray((b**2).sum(-1)) for b in books_arr]
+    cn2 = enc_cn2  # the same per-codebook squared-norm table ADC needs
 
     @pandas_udf("array<double>")
     def adc_scores(codes: pd.Series) -> pd.Series:
@@ -444,14 +455,17 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     norms = emb.select("label", norm("embedding").alias("nrm")).groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        # portable floor round; the avg itself is an order-sensitive
+        # double sum (sqrt values have no integer sufficient statistics) —
+        # residual ULP risk is inherent and has held across 3-scale sweeps
+        round4(F.avg("nrm")).alias("avg_norm"),
     )
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(F.avg(F.col("val").cast("double")).alias("m"))
         .groupBy("label")
-        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"))
+        .agg(round4(F.sqrt(F.sum(F.col("m") * F.col("m")))).alias("centroid_norm"))
     )
     return norms.join(cent, "label").select("label", "n_vecs", "avg_norm", "centroid_norm")
 
@@ -463,12 +477,13 @@ WITH e AS (
   FROM embeddings
 ),
 cent AS (
-  SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm
+  SELECT label, floor(sqrt(sum(m * m)) * 10000.0 + 0.5) / 10000.0 AS centroid_norm
   FROM (SELECT label, pos, avg(cast(val as double)) AS m FROM e GROUP BY label, pos)
   GROUP BY label
 ),
 norms AS (
-  SELECT label, count(*) AS n_vecs, round(avg({norm_sql('embedding')}), 4) AS avg_norm
+  SELECT label, count(*) AS n_vecs,
+         floor(avg({norm_sql('embedding')}) * 10000.0 + 0.5) / 10000.0 AS avg_norm
   FROM embeddings GROUP BY label
 )
 SELECT n.label, n.n_vecs, n.avg_norm, c.centroid_norm
@@ -510,7 +525,7 @@ def embedding_quantize_frame(emb: DataFrame) -> DataFrame:
         .withColumn("_scale", F.expr("if(_max_abs = 0.0d, 1.0d, _max_abs / 127.0d)"))
         .select(
             "vec_id",
-            F.round(F.col("_scale"), 6).alias("scale"),
+            round6(F.col("_scale")).alias("scale"),
             F.expr(
                 "transform(embedding,"
                 " x -> cast(floor(cast(x as double) / _scale + 0.5d) as bigint))"
@@ -550,7 +565,7 @@ WITH s AS (
   )
 )
 SELECT vec_id,
-       round(scale, 6) AS scale,
+       floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
        array_to_string(
          list_transform(embedding,
                         x -> cast(cast(floor(cast(x as double) / scale + 0.5)

@@ -44,3 +44,24 @@ def test_hash_parity_documents_table(spark, duck, sf_dir):
         r[0] for r in duck.sql(f"SELECT {portable_hash_sql('text')} FROM documents").fetchall()
     )
     assert s == d
+
+
+def test_portable_hash_py_matches_engines(spark):
+    """The Python kernel twin must produce the same 60-bit value as the
+    Spark and DuckDB forms for the same input string."""
+    import duckdb
+
+    from frolyk_spark.functions.hashing import (
+        portable_hash_py, portable_hash_spark_sql, portable_hash_sql,
+    )
+
+    samples = ["", "a", "deadbeef", "Hello, wörld", "0" * 64]
+    for x in samples:
+        got_py = portable_hash_py(x)
+        got_spark = spark.sql(
+            f"SELECT {portable_hash_spark_sql('x')} AS h FROM (SELECT '{x}' AS x)"
+        ).collect()[0].h
+        got_duck = duckdb.sql(
+            f"SELECT {portable_hash_sql('x')} AS h FROM (SELECT '{x}' AS x)"
+        ).fetchone()[0]
+        assert got_py == got_spark == got_duck, (x, got_py, got_spark, got_duck)
