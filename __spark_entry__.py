@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. new_r8 (6): operators added this round — need their FIRST row;
     #   2. rewritten_r7 (3): code rewritten in r7 AFTER their newest (r6)
     #      row — the rewrite itself is what needs a driver check;
-    #   3. rewritten_r8 (14): ratio rounding moved to the portable floor
+    #   3. rewritten_r8 (16): ratio rounding moved to the portable floor
     #      form this round (output changes at .5 boundaries);
     #   4. stale_r3 (16): newest green row is r3 — the streaming family,
     #      the task bridge, flagship q1/q3, and the core dedup block;
@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      tail, tokenizer aggs, incremental dedup;
     #   6. the r6/r7-green remainder via registry order (all ≤2 rounds
     #      old; whatever budget remains refreshes the head of it).
-    # Head = 6+3+14+16+26 = 65 vs the ~50 budget: entries that slip are
+    # Head = 6+3+16+16+26 = 67 vs the ~50 budget: entries that slip are
     # the TAIL of stale_r4 (r4-green, unchanged, re-verified locally at
     # three SFs this round), never a new/rewritten one.
     stale_r3 = (
@@ -94,7 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix", "sample_temperature", "ngram_novelty",
         "json_props_stats", "anomaly_zscore", "key_skew_profile",
         "ann_bruteforce", "embedding_stats", "embedding_quantize",
-        "multimodal_features",
+        "multimodal_features", "token_count", "price_discount_corr",
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,

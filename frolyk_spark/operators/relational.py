@@ -1575,7 +1575,7 @@ def price_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
     )
     return agg.select(
-        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_discount")
+        "l_returnflag", "n", round6(corr).alias("corr_qty_discount")
     )
 
 
@@ -1594,9 +1594,9 @@ WITH s AS (
   GROUP BY l_returnflag
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-       round((n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
-             6) AS corr_qty_discount
+       floor(((n * sxy - sx * sy)
+              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+             * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_discount
 FROM s
 """
 

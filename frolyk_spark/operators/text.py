@@ -188,7 +188,8 @@ def token_count_frame(docs: DataFrame) -> DataFrame:
         "doc_id",
         ws_tokens.cast("bigint").alias("ws_tokens"),
         bpe_tokens.cast("bigint").alias("bpe_tokens"),
-        F.round(F.length("text") / bpe_tokens, 4).alias("chars_per_token"),
+        # derived RATIO: portable floor round (r5 .xxxx5 class)
+        _round4(F.length("text") / bpe_tokens).alias("chars_per_token"),
     )
 
 
@@ -200,7 +201,8 @@ TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
        cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) AS ws_tokens,
        cast(len(regexp_extract_all(text, '{BPE_ISH}')) as bigint) AS bpe_tokens,
-       round(length(text) * 1.0 / len(regexp_extract_all(text, '{BPE_ISH}')), 4) AS chars_per_token
+       floor((length(text) * 1.0 / len(regexp_extract_all(text, '{BPE_ISH}')))
+             * 10000.0 + 0.5) / 10000.0 AS chars_per_token
 FROM documents
 """
 
@@ -361,7 +363,10 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_words",
-            F.round(F.log2("n_words") - F.col("clogc") / F.col("n_words"), 4).alias(
+            # portable floor round; log2 is libm on both engines — the
+            # residual last-ULP risk is absorbed at 4dp (green r4-r8 at
+            # three scales), the floor form removes the repr-divergence
+            _round4(F.log2("n_words") - F.col("clogc") / F.col("n_words")).alias(
                 "entropy_bits"
             ),
         )
@@ -371,7 +376,8 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_ENTROPY_SQL = """
 SELECT doc_id,
        cast(sum(c) AS bigint) AS n_words,
-       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+       floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 10000.0 + 0.5)
+         / 10000.0 AS entropy_bits
 FROM (SELECT doc_id, w, count(*) AS c
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       GROUP BY doc_id, w)
@@ -436,8 +442,8 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_words",
-        F.round(
-            F.log2("n_total") - F.col("slc") / F.col("n_words"), 4
+        _round4(
+            F.log2("n_total") - F.col("slc") / F.col("n_words")
         ).alias("avg_neg_logprob"),
     )
 
@@ -449,7 +455,8 @@ t AS (SELECT sum(c) AS n_total FROM v),
 d AS (SELECT doc_id, count(*) AS n_words, sum(log2(v.c)) AS slc
       FROM w JOIN v USING (w) GROUP BY doc_id)
 SELECT doc_id, cast(n_words AS bigint) AS n_words,
-       round(log2(t.n_total) - slc / n_words, 4) AS avg_neg_logprob
+       floor((log2(t.n_total) - slc / n_words) * 10000.0 + 0.5) / 10000.0
+         AS avg_neg_logprob
 FROM d, t
 """
 
