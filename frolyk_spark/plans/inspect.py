@@ -36,12 +36,14 @@ def _formatted(df: DataFrame) -> str:
 
 def _top_level_columns(schema_body: str) -> set:
     """Column names from a struct<...> body, splitting only on commas at
-    nesting depth 0 so array<…>/struct<…> column types stay intact."""
+    nesting depth 0 so array<…>/struct<…> column types stay intact —
+    parentheses count as nesting too, or decimal(10,2)/char(n) types
+    would split at their internal comma into phantom columns."""
     cols, depth, cur = [], 0, []
     for ch in schema_body:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             cols.append("".join(cur))

@@ -37,7 +37,14 @@ def stage_stream_dir(sf_dir: str, table: str) -> str:
     if os.path.lexists(link) and os.path.realpath(link) != target:
         os.unlink(link)
     if not os.path.lexists(link):
-        os.symlink(target, link)
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            # TOCTOU with a concurrent process staging the same table:
+            # both passed the lexists check, the other won the race. The
+            # key embeds the resolved target, so the existing link is
+            # necessarily correct — losing the race is success.
+            pass
     return d
 
 
@@ -51,7 +58,9 @@ def file_stream(
 ) -> DataFrame:
     """Schema-pinned file stream (streaming sources can't infer schemas)."""
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
+    # `is not None`, not truthiness: an explicit 0 must reach Spark (which
+    # rejects it loudly) instead of silently becoming "unthrottled"
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.format(fmt).load(path)
 

@@ -138,6 +138,19 @@ def run_available_now(
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass
+    # Checkpoints have no lazy readers (the finally deletes them on every
+    # normal exit), so a SIGKILLed run's uuid-named checkpoint would
+    # otherwise leak forever — sweep stale ones by the same mtime cutoff.
+    ckpt_parent = os.path.join(SCRATCH, "checkpoints")
+    if os.path.isdir(ckpt_parent):
+        cutoff = _time.time() - 3600
+        for d in os.listdir(ckpt_parent):
+            p = os.path.join(ckpt_parent, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     out = os.path.join(results_root, name)
     _LIVE_RESULTS.add(out)
 
@@ -647,9 +660,16 @@ def _quarantine_k():
     way JSON_PROPS_SQL guards (integer-literal regex before the cast):
     a bare cast would be an ANSI runtime error in Spark 4 on '1.5'/'abc'
     and would silently ROUND in DuckDB's strict cast ('1.5' -> 2), a
-    crash-or-diverge on exactly the dirty data this gate exists for."""
+    crash-or-diverge on exactly the dirty data this gate exists for.
+    The digit cap matters as much as the form: an 11-digit integer
+    passes the bare regex but overflows the int32 cast — a crash on
+    dirty data in BOTH engines (verified) — so anything wider than 10
+    digits is non-conforming by definition and quarantines."""
     raw = F.get_json_object("props", "$.k")
-    return F.when(raw.rlike(r"^-?[0-9]+$"), raw.cast("int"))
+    # nested whens, not AND: vectorized evaluation does not short-circuit
+    # a conjunction, so the cast must be unreachable for non-matching rows
+    big = F.when(raw.rlike(r"^-?[0-9]{1,10}$"), raw.cast("bigint"))
+    return F.when(big.between(-(1 << 31), (1 << 31) - 1), big.cast("int"))
 
 
 def _quarantine_flag():
@@ -718,7 +738,8 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_QUARANTINE_SQL = f"""
 WITH g AS (
   SELECT event_type, value,
-         CASE WHEN raw IS NOT NULL AND regexp_matches(raw, '^-?[0-9]+$')
+         CASE WHEN raw IS NOT NULL AND regexp_matches(raw, '^-?[0-9]{{1,10}}$')
+                   AND CAST(raw AS BIGINT) BETWEEN -2147483648 AND 2147483647
               THEN CAST(raw AS INT) END AS k_val
   FROM (
     SELECT event_type, value,
@@ -801,10 +822,28 @@ def stream_dedup_incremental(
         docs.where(is_new).repartition(4).write.mode("overwrite").parquet(stage)
 
     corpus_sigs = persisted_minhash_signatures(spark, sf_dir).where(~is_new)
+    # Corpus band hashes are computed ONCE per run and cached: without
+    # this, every micro-batch re-expands the 5-band md5 over the whole
+    # corpus signature table (O(corpus x batches) per ingest — the
+    # review-caught contradiction of the O(batch) cost claim). A real
+    # pipeline persists the band table next to the E4 signature table;
+    # the in-memory cache is the single-run equivalent.
+    corpus_bands = band_hashes(corpus_sigs).persist()
 
     name = _name or f"sdi_{uuid.uuid4().hex[:8]}"
-    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
-    _LIVE_RESULTS.add(root)
+    if _name is None:
+        root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+        _LIVE_RESULTS.add(root)
+    else:
+        # NAMED (resumable) runs key their outputs by run identity, NOT
+        # pid: the checkpoint skips committed batches on resume, so the
+        # committed batches' pairs/sigs must be where a DIFFERENT process
+        # can find them — a pid-scoped root would silently drop every
+        # pre-crash batch from the resumed result (and the janitor would
+        # reclaim it as a dead pid's leftovers). Named roots live outside
+        # the pid sweep and are reclaimed by the 1-hour mtime fallback,
+        # which bounds them to the recovery window.
+        root = os.path.join(SCRATCH, "results", "named", name)
     out, accum = os.path.join(root, "pairs"), os.path.join(root, "sigs")
     ckpt = os.path.join(SCRATCH, "checkpoints", name)
 
@@ -814,20 +853,23 @@ def stream_dedup_incremental(
         batch_sigs = minhash_signatures_frame(batch_df)
         batch_sigs.persist()
         try:
-            seen = corpus_sigs
             prior = sorted(
                 os.path.join(accum, d)
                 for d in (os.listdir(accum) if os.path.isdir(accum) else [])
                 if d != f"b{batch_id}"  # a redelivered batch never self-probes
             )
+            # band_hashes is row-wise, so banding commutes with union:
+            # bands(corpus ∪ prior ∪ batch) == cached corpus bands ∪
+            # fresh bands of the (batch-sized) prior and current sigs
+            fresh = batch_sigs
             if prior:
-                seen = seen.unionByName(spark.read.parquet(*prior))
+                fresh = fresh.unionByName(spark.read.parquet(*prior))
             # the pair semantics live in dedup.probe_pairs — ONE definition
             # shared with D28, which the B17≡D28 equivalence contract and
             # the shared oracle depend on
             pairs = probe_pairs(
                 band_hashes(batch_sigs),
-                band_hashes(seen.unionByName(batch_sigs)),
+                corpus_bands.unionByName(band_hashes(fresh)),
             )
             pairs.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
             batch_sigs.write.mode("overwrite").parquet(
@@ -856,6 +898,7 @@ def stream_dedup_incremental(
         ok = True
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        corpus_bands.unpersist()
         # a NAMED run keeps its checkpoint on failure so a rerun resumes
         # from the first uncommitted batch; anonymous runs always clean up
         if ok or _name is None:

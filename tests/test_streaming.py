@@ -410,13 +410,15 @@ def test_quarantine_flag_rejects_malformed_props_both_engines(spark):
         (6, 10.0, "not json"),      # malformed props
         (7, 10.0, None),            # missing props
         (8, 10.0, "{}"),            # no k key
+        (9, 10.0, '{"k": 99999999999}'),  # 11-digit int: would crash int32 cast
+        (10, 10.0, '{"k": 9999999999}'),  # 10 digits, > 2^31-1: range guard
     ]
     df = spark.createDataFrame(rows, "event_id bigint, value double, props string")
     got = {
         r.event_id: r.q
         for r in df.select("event_id", _quarantine_flag().alias("q")).collect()
     }
-    expected = {1: 0, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1}
+    expected = {1: 0, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1, 9: 1, 10: 1}
     assert got == expected
 
     con = duckdb.connect()
@@ -430,8 +432,12 @@ def test_quarantine_flag_rejects_malformed_props_both_engines(spark):
             WITH events(event_id, value, props) AS (VALUES {vals}),
             g AS (
               SELECT event_id, value,
+                     -- keep in sync with STREAM_QUARANTINE_SQL's guard:
+                     -- digit cap + BIGINT range before the int32 cast
                      CASE WHEN raw IS NOT NULL
-                            AND regexp_matches(raw, '^-?[0-9]+$')
+                            AND regexp_matches(raw, '^-?[0-9]{{1,10}}$')
+                            AND CAST(raw AS BIGINT)
+                                BETWEEN -2147483648 AND 2147483647
                           THEN CAST(raw AS INT) END AS k_val
               FROM (
                 SELECT event_id, value,
