@@ -216,27 +216,34 @@ def main() -> None:
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order matters: the driver captures only the stdout TAIL, and with
+    # ~95 headline keys the one-line record front-truncates (BENCH_r06-r08
+    # all lost their head). Emit the big per-query dict FIRST and the scalar
+    # summary (metric/value/sf) LAST so the surviving tail is always
+    # self-sufficient, then persist the full record to a file as well.
     record = json.dumps(
         {
-            "metric": "headline_query_wall_time",
-            "value": round(total, 3),
-            "unit": "sec",
             "queries": per_query,
             "skipped": skipped,
             "count_forced": count_forced,
+            "metric": "headline_query_wall_time",
+            "unit": "sec",
+            "n_queries": len(per_query),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "value": round(total, 3),
         }
     )
     print(record)
-    # The driver captures only the stdout TAIL; with ~90 headline keys the
-    # one-line record front-truncates (BENCH_r06/r07 both lost their first
-    # ~14 per-query timings). Persist the full record to a file so the
-    # complete per-query map survives regardless of capture limits.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_out.json"),
-    )
+    # Default out path is UNTRACKED scratch (a local bench run must not
+    # dirty the working tree — r8 advice); round artifacts are committed
+    # explicitly via SPARK_GRAFT_BENCH_OUT.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None:
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        out_path = os.path.join(scratch, "bench_out.json")
     try:
         with open(out_path, "w") as fh:
             fh.write(record + "\n")

@@ -26,10 +26,25 @@ def _with_corrupt_col(schema: str, mode: str, corrupt_col: str) -> str:
     The membership test parses the DDL's field NAMES — a substring test
     would see '_corrupt_record' inside e.g. 'raw_corrupt_record' and skip
     the append, silently disabling quarantine capture (Spark ignores
-    columnNameOfCorruptRecord when the column isn't in the schema)."""
-    names = {
-        f.strip().split()[0].strip("`") for f in schema.split(",") if f.strip()
-    }
+    columnNameOfCorruptRecord when the column isn't in the schema). Fields
+    are split only at nesting depth 0: a comma inside struct<a int, b
+    string> or decimal(10,2) belongs to the TYPE, and splitting there would
+    surface a nested field name as a phantom top-level one (e.g. a nested
+    `_corrupt_record` suppressing the top-level append)."""
+    names = set()
+    depth, cur = 0, []
+    for ch in schema + ",":
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            field = "".join(cur).strip()
+            if field:
+                names.add(field.split()[0].strip("`"))
+            cur = []
+        else:
+            cur.append(ch)
     if mode.upper() == "PERMISSIVE" and corrupt_col not in names:
         return f"{schema}, {corrupt_col} string"
     return schema

@@ -69,6 +69,73 @@ def _pid_alive(pid: int) -> bool:
 _LIVE_RESULTS: set[str] = set()
 
 
+def _checkpoint_dir(name: str, *, named: bool = False) -> str:
+    """Checkpoint location under SCRATCH/checkpoints, laid out so the
+    janitor can sweep without racing a live query (r8 advice: a pure mtime
+    cutoff could rmtree a concurrent process's still-running checkpoint).
+
+    Anonymous (uuid-named, one-shot) runs live under pid<pid>/ — swept only
+    once the owner process is dead. NAMED resumable runs (B17 crash-resume)
+    must be findable by a DIFFERENT process after a crash, so they live
+    under named/ with a sibling <name>.owner_pid liveness file; the sweep
+    reclaims them only when the recorded owner is dead AND the 1-hour
+    recovery window has passed."""
+    parent = os.path.join(SCRATCH, "checkpoints")
+    if not named:
+        return os.path.join(parent, f"pid{os.getpid()}", name)
+    d = os.path.join(parent, "named")
+    os.makedirs(d, exist_ok=True)
+    try:
+        with open(os.path.join(d, f"{name}.owner_pid"), "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass  # liveness file is advisory; mtime cutoff still bounds the dir
+    return os.path.join(d, name)
+
+
+def _sweep_checkpoints() -> None:
+    """Reclaim dead checkpoint dirs (SIGKILLed runs leak them — the finally
+    blocks delete on every normal exit). pid roots go when their owner
+    dies; named resumable dirs go when their recorded owner is dead and
+    the 1-hour recovery window passed; legacy flat names (pre-pid layout)
+    keep the mtime-only fallback."""
+    import shutil
+    import time as _time
+
+    parent = os.path.join(SCRATCH, "checkpoints")
+    if not os.path.isdir(parent):
+        return
+    cutoff = _time.time() - 3600
+    for d in os.listdir(parent):
+        p = os.path.join(parent, d)
+        try:
+            if d.startswith("pid") and d[3:].isdigit():
+                if not _pid_alive(int(d[3:])):
+                    shutil.rmtree(p, ignore_errors=True)
+            elif d == "named":
+                for sub in os.listdir(p):
+                    if sub.endswith(".owner_pid"):
+                        continue
+                    sp = os.path.join(p, sub)
+                    owner = os.path.join(p, f"{sub}.owner_pid")
+                    alive = False
+                    try:
+                        with open(owner) as fh:
+                            alive = _pid_alive(int(fh.read().strip()))
+                    except (OSError, ValueError):
+                        pass
+                    if not alive and os.path.getmtime(sp) < cutoff:
+                        shutil.rmtree(sp, ignore_errors=True)
+                        try:
+                            os.unlink(owner)
+                        except OSError:
+                            pass
+            elif os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def run_available_now(
     df: DataFrame, *, mode: str, prefix: str, batch_hook=None
 ) -> DataFrame:
@@ -106,7 +173,7 @@ def run_available_now(
     # to this value.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    ckpt = os.path.join(SCRATCH, "checkpoints", name)
+    ckpt = _checkpoint_dir(name)
     # Results can't be deleted eagerly (the returned DataFrame reads them
     # lazily), and an mtime cutoff can delete under a live reader in a
     # session spanning the cutoff. Scope results per PROCESS instead:
@@ -139,18 +206,10 @@ def run_available_now(
             except OSError:
                 pass
     # Checkpoints have no lazy readers (the finally deletes them on every
-    # normal exit), so a SIGKILLed run's uuid-named checkpoint would
-    # otherwise leak forever — sweep stale ones by the same mtime cutoff.
-    ckpt_parent = os.path.join(SCRATCH, "checkpoints")
-    if os.path.isdir(ckpt_parent):
-        cutoff = _time.time() - 3600
-        for d in os.listdir(ckpt_parent):
-            p = os.path.join(ckpt_parent, d)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+    # normal exit), so a SIGKILLed run's checkpoint would otherwise leak
+    # forever — sweep dead owners' dirs (liveness-guarded; see
+    # _sweep_checkpoints for the layout contract).
+    _sweep_checkpoints()
     out = os.path.join(results_root, name)
     _LIVE_RESULTS.add(out)
 
@@ -845,7 +904,7 @@ def stream_dedup_incremental(
         # which bounds them to the recovery window.
         root = os.path.join(SCRATCH, "results", "named", name)
     out, accum = os.path.join(root, "pairs"), os.path.join(root, "sigs")
-    ckpt = os.path.join(SCRATCH, "checkpoints", name)
+    ckpt = _checkpoint_dir(name, named=_name is not None)
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         if _fail_before_batch is not None and batch_id >= _fail_before_batch:

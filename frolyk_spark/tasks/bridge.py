@@ -34,7 +34,13 @@ from pyspark.sql.types import _parse_datatype_string
 
 from frolyk_spark.tasks.pipeline import build_processors, is_abandoned, process_message
 
-PRODUCED_SCHEMA = "topic string, partition int, key binary, value binary"
+# Spark's native Kafka header shape (source since 3.0 with
+# includeHeaders, sink accepts the same column) — so produced rows are
+# directly Kafka-sink-writable, headers included
+PRODUCED_SCHEMA = (
+    "topic string, partition int, key binary, value binary, "
+    "headers array<struct<key:string,value:binary>>"
+)
 
 
 class BatchAssignmentContext:
@@ -52,10 +58,12 @@ class BatchAssignmentContext:
         self._committed = {"offset": -1, "metadata": None}
         # bounded: only the latest commit (the committed watermark) is
         # kept — a per-message commit pattern must not grow executor
-        # memory with rows-per-group (the local inject harness keeps the
-        # full history for tests; the distributed context is the 100 TB
-        # path and keeps O(1) state)
-        self.committed_offsets: list[dict] = []
+        # memory with rows-per-group. The attribute is deliberately NAMED
+        # differently from the local harness's committed_offsets history
+        # list: code written against the local context that reads the full
+        # history gets a loud AttributeError here instead of silently
+        # seeing a truncated one (r8 advice).
+        self.last_commit: dict | None = None
         self.produced: list[dict] = []
 
     def caught_up(self, offset: int) -> bool:
@@ -64,7 +72,7 @@ class BatchAssignmentContext:
     def commit_offset(self, new_offset: int, metadata: str | None = None) -> None:
         entry = {"offset": new_offset, "metadata": metadata}
         self._committed = entry
-        self.committed_offsets[:] = [entry]
+        self.last_commit = entry
 
     def committed(self) -> dict:
         return dict(self._committed)
@@ -109,6 +117,32 @@ def _to_bytes(value) -> bytes | None:
     return json.dumps(value).encode()
 
 
+def _headers_in(raw) -> dict | None:
+    """Kafka-shaped headers cell (array<struct<key,value>> as Arrow hands it
+    to pandas: a sequence of {key, value} mappings, or None) -> the
+    reference's IHeaders dict ({name: bytes}), which is what processors see
+    on ``message['headers']`` (reference src/streams.ts:15,
+    src/assignment-contexts/index.ts:37-40)."""
+    if raw is None:
+        return None
+    try:
+        items = list(raw)
+    except TypeError:  # scalar NaN from a null cell in a non-object column
+        return None
+    return {h["key"]: h["value"] for h in items}
+
+
+def _headers_out(headers) -> list[dict] | None:
+    """Producer headers ({name: bytes|str} per NewMessage.headers, or an
+    already Kafka-shaped sequence) -> Spark's sink column shape
+    (array<struct<key string, value binary>>)."""
+    if headers is None:
+        return None
+    if isinstance(headers, dict):
+        return [{"key": str(k), "value": _to_bytes(v)} for k, v in headers.items()]
+    return [{"key": str(h["key"]), "value": _to_bytes(h["value"])} for h in headers]
+
+
 def run_task_batch(
     task,
     spark: SparkSession,
@@ -122,6 +156,7 @@ def run_task_batch(
     value_col: str | None = None,
     key_col: str | None = None,
     timestamp_col: str | None = None,
+    headers_col: str | None = None,
     emit: str = "results",
     starting_offsets: dict[int, int] | None = None,
 ) -> DataFrame:
@@ -132,6 +167,12 @@ def run_task_batch(
     context's message shape (local.py _create_message: value/key bytes,
     real timestamp). Without them, ``value`` is the whole row as a dict —
     the convenience shape for DataFrame-native pipelines.
+
+    ``headers_col`` names a Kafka-shaped headers column
+    (array<struct<key,value>>, what the Kafka source emits with
+    includeHeaders); processors receive it as the reference's
+    ``message['headers']`` dict, and headers attached to ``context.send``
+    messages flow out on the produced rows' ``headers`` column.
 
     ``starting_offsets`` maps partition -> first offset to process — the
     batch-replay equivalent of the reference's seek (src/streams.ts:80-97;
@@ -220,6 +261,9 @@ def run_task_batch(
                         "partition": ctx.partition,
                         "key": rec.get(key_col) if key_col else None,
                         "value": rec.get(value_col) if value_col else rec,
+                        "headers": (
+                            _headers_in(rec.get(headers_col)) if headers_col else None
+                        ),
                         "offset": off,
                         "timestamp": str(ts if ts is not None else ""),
                         "high_water_offset": ctx._high_offset,
@@ -240,6 +284,7 @@ def run_task_batch(
                             "partition": m.get("partition"),
                             "key": _to_bytes(m.get("key")),
                             "value": _to_bytes(m.get("value")),
+                            "headers": _headers_out(m.get("headers")),
                         }
                         for m in ctx.produced
                     )

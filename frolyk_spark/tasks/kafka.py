@@ -41,6 +41,10 @@ def build_source_options(connection: dict, topic: str, offset_reset,
         "subscribe": topic,
         "startingOffsets": to_starting_offsets(offset_reset),
         "failOnDataLoss": "false",
+        # headers are part of the reference's message contract
+        # (NewMessage.headers, index.ts:37-40); Spark's source omits the
+        # column unless asked
+        "includeHeaders": "true",
     }
     max_per_trigger = (consumer or {}).get("max_offsets_per_trigger")
     if max_per_trigger:
@@ -87,12 +91,22 @@ def validate_sink_frame(df: DataFrame, *, topic_given: bool) -> None:
 
 
 def _decode_kafka_batch(df: DataFrame) -> DataFrame:
-    """Kafka rows -> frolyk message columns (value JSON-decoded downstream)."""
+    """Kafka rows -> frolyk message columns (value JSON-decoded downstream).
+    ``headers`` (present when the source ran with includeHeaders, or a null
+    column otherwise) rides through in Spark's native
+    array<struct<key,value>> shape — the bridge turns it into the
+    reference's per-message headers dict."""
+    headers = (
+        F.col("headers")
+        if "headers" in df.columns
+        else F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers")
+    )
     return df.select(
         F.col("topic"),
         F.col("partition").cast("int").alias("partition"),
         F.col("key"),
         F.col("value"),
+        headers,
         F.col("offset").cast("bigint").alias("offset"),
         F.col("timestamp").cast("string").alias("timestamp"),
     )
@@ -117,6 +131,7 @@ def process_kafka_batch(task, spark: SparkSession, topic: str, batch_df: DataFra
         task, spark, decoded, topic=topic,
         partition_col="part", offset_col="offset",
         value_col="value", key_col="key", timestamp_col="timestamp",
+        headers_col="headers",
         emit="produced",
     )
 

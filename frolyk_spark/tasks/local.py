@@ -65,6 +65,12 @@ class LocalAssignmentContext:
         self._seek_to_offset = -1
         self._committed: dict = {"offset": -1, "metadata": None}
 
+        # FULL commit history — a test-harness affordance (the reference
+        # local context keeps it too, local.ts:65). The distributed
+        # BatchAssignmentContext deliberately does NOT expose this name:
+        # it keeps O(1) commit state as `last_commit` so per-message
+        # commits can't grow executor memory; history-reading code fails
+        # loudly there rather than seeing a truncated list.
         self.committed_offsets: list[dict] = []
         self.injected_messages: list[dict] = []
         self.produced_messages: list[dict] = []
@@ -159,11 +165,16 @@ class LocalAssignmentContext:
                 "Offset of injected message must be at or higher than the current highwatermark"
             )
         self._produced_offset = offset
+        # headers ride through VERBATIM ({name: bytes|str}), mirroring the
+        # reference's `...payload` spread (local.ts:88-96) and the
+        # NewMessage.headers contract (index.ts:37-40) — a processor that
+        # routes on headers sees exactly what the producer attached
         return {
             "topic": payload.get("topic", self.topic),
             "partition": payload.get("partition", self.partition),
             "key": _to_bytes(payload.get("key")),
             "value": _to_bytes(payload.get("value")),
+            "headers": payload.get("headers"),
             "offset": offset,
             "timestamp": payload.get("timestamp", str(int(time.time() * 1000))),
         }

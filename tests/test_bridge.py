@@ -253,3 +253,65 @@ def test_starting_offsets_predicate_pushes_to_scan(spark, sf_dir):
     # every partition is seeked to 50k, so the scan must not return the
     # sub-50k half of the table
     assert out.count() == df.where(F.col("event_id") >= 50_000).count()
+
+
+def test_headers_roundtrip_distributed(spark, sf_dir):
+    """Message headers parity (r8 verdict Missing #2): a Kafka-shaped
+    headers column (array<struct<key,value>>) reaches processors as the
+    reference's headers dict (NewMessage.headers, index.ts:37-40), and
+    headers attached to context.send ride out on the produced rows'
+    headers column in Spark's native sink shape."""
+    task = Task(group="headers-check")
+    src = task.source("raw")
+
+    def setup(assignment):
+        def route(message, context):
+            hdrs = message["headers"]
+            assert isinstance(hdrs, dict), f"expected dict, got {type(hdrs)}"
+            # route on a header, the reference pattern this parity exists for
+            if hdrs.get("kind") == b"keep":
+                assignment.send(
+                    {
+                        "topic": "kept",
+                        "key": message["key"],
+                        "value": message["value"],
+                        "headers": {"origin": hdrs["origin"], "hop": "bridge"},
+                    }
+                )
+            return context.abandon
+
+        return route
+
+    task.processor(src, setup)
+    rows = [
+        (0, i, f"k{i}".encode(), f"v{i}".encode(),
+         [("kind", b"keep" if i % 2 == 0 else b"drop"), ("origin", f"p{i}".encode())],
+         "2024-01-01 00:00:00")
+        for i in range(6)
+    ]
+    data = spark.createDataFrame(
+        rows,
+        "part int, offset bigint, key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>, timestamp string",
+    )
+    produced = run_task_batch(
+        task, spark, data, topic="raw", partition_col="part", offset_col="offset",
+        value_col="value", key_col="key", timestamp_col="timestamp",
+        headers_col="headers", emit="produced",
+    ).collect()
+    assert len(produced) == 3  # even offsets only
+    for r in produced:
+        got = {h.key: bytes(h.value) for h in r.headers}
+        assert got["hop"] == b"bridge"
+        assert got["origin"].startswith(b"p")
+    # rows without a headers_col still work: headers is None on the message
+    task2 = Task(group="headers-none")
+    src2 = task2.source("raw")
+    task2.processor(src2, lambda a: (
+        lambda message, context: {"has_headers": message["headers"] is not None}
+    ))
+    out = run_task_batch(
+        task2, spark, data.drop("headers"), topic="raw", partition_col="part",
+        offset_col="offset", output_schema="has_headers boolean",
+    ).collect()
+    assert all(not r.has_headers for r in out)

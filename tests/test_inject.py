@@ -241,3 +241,34 @@ def test_seek_earliest_replays_all():
         ti.inject({"value": n})
     ti.context.seek("earliest")
     assert ti.processing_results == [0, 1, 2, 0, 1, 2]
+
+
+def test_headers_ride_through_inject_and_send_loopback():
+    """NewMessage.headers parity (reference index.ts:37-40; the `...payload`
+    spread in local.ts createMessage carries them verbatim): processors see
+    injected headers on the message, send() keeps them on the produced
+    message, and a loopback send re-delivers them intact."""
+    seen = []
+
+    def setup(assignment):
+        def fn(message, context):
+            seen.append(message["headers"])
+            if message["headers"] and message["headers"].get("route") == "loop":
+                assignment.send(
+                    {
+                        "value": "relooped",
+                        "headers": {"route": "done", "trace": b"\x01\x02"},
+                    }
+                )
+            return message["value"]
+
+        return fn
+
+    ti = make_interface([setup])
+    ti.inject({"value": "plain"})  # no headers -> None, like the reference
+    ti.inject({"value": "tagged", "headers": {"route": "loop"}})
+    assert seen[0] is None
+    assert seen[1] == {"route": "loop"}
+    # the loopback message was processed with its own headers
+    assert seen[2] == {"route": "done", "trace": b"\x01\x02"}
+    assert ti.produced_messages[0]["headers"] == {"route": "done", "trace": b"\x01\x02"}

@@ -158,3 +158,29 @@ def test_corrupt_col_membership_is_by_field_name_not_substring():
                           "_corrupt_record")
         == "_corrupt_record string, x int"
     )
+
+
+def test_corrupt_col_membership_splits_at_depth_zero_only():
+    """r9 (r8 advice): a NESTED field named like the corrupt column
+    (struct<a int, _corrupt_record string>) must not suppress the
+    top-level append, and a decimal(10,2)'s internal comma must not
+    produce phantom field names."""
+    from frolyk_spark.sources.formats import _with_corrupt_col
+
+    out = _with_corrupt_col(
+        "s struct<a int, _corrupt_record string>, x decimal(10,2)",
+        "PERMISSIVE", "_corrupt_record",
+    )
+    assert out.endswith(", _corrupt_record string"), out
+    # a real top-level corrupt column still suppresses, even listed last
+    kept = "s struct<a int, b string>, _corrupt_record string"
+    assert _with_corrupt_col(kept, "PERMISSIVE", "_corrupt_record") == kept
+
+
+def test_kafka_source_includes_headers():
+    """Headers are part of the reference message contract
+    (NewMessage.headers); the source must ask Spark for the column."""
+    from frolyk_spark.tasks.kafka import build_source_options
+
+    opts = build_source_options({"brokers": "b:9092"}, "t", "latest")
+    assert opts["includeHeaders"] == "true"

@@ -556,7 +556,10 @@ def test_stream_dedup_incremental_crash_resume(spark, sf_dir):
     from frolyk_spark.streaming.jobs import SCRATCH, stream_dedup_incremental
 
     name = f"sdi_resume_{_uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(SCRATCH, "checkpoints", name)
+    # named resumable checkpoints live under named/ with an owner-pid
+    # liveness file (see jobs._checkpoint_dir) so the janitor never
+    # reclaims a live run and a post-crash rerun can find it cross-process
+    ckpt = os.path.join(SCRATCH, "checkpoints", "named", name)
     with pytest.raises(Exception, match="injected crash"):
         stream_dedup_incremental(spark, sf_dir, _name=name, _fail_before_batch=2)
     # the named run must have kept its checkpoint (that's what resuming is)
