@@ -53,11 +53,13 @@ class LocalAssignmentContext:
     over an in-memory partition log."""
 
     def __init__(self, topic: str, partition: int, group: str,
-                 offset_reset=LogicalOffset.LATEST, low_offset: int = 0):
+                 offset_reset=LogicalOffset.LATEST, low_offset: int = 0,
+                 on_log=None):
         self.topic = topic
         self.partition = partition
         self.group = group
         self.offset_reset = offset_reset
+        self._on_log = on_log
 
         self._initial_low_offset = low_offset
         self._produced_offset = low_offset - 1
@@ -109,7 +111,12 @@ class LocalAssignmentContext:
         return self.high_offset() - self.low_offset() <= 0
 
     def log(self, tags, payload) -> None:
-        pass
+        """Forward to the task's observability surface when task-created
+        (Task.inject wires on_log to task.events 'log'); standalone
+        contexts stay silent — the reference forwards to the task logger
+        the same way (context.log -> task logging)."""
+        if self._on_log is not None:
+            self._on_log(tags, payload)
 
     def seek(self, sought) -> None:
         """Resolve to an injected message and replay from it (local.ts:156-181)."""
@@ -267,7 +274,7 @@ class AssignmentTestInterface:
 
 def create_local_assignment_context(
     *, assignment: dict, processors, offset_reset=LogicalOffset.LATEST,
-    initial_state: dict | None = None
+    initial_state: dict | None = None, on_log=None
 ) -> AssignmentTestInterface:
     """Factory mirroring reference createLocalAssignmentContext (local.ts:40)."""
     initial_state = {"low_offset": 0, "messages": [], **(initial_state or {})}
@@ -277,5 +284,6 @@ def create_local_assignment_context(
         group=assignment["group"],
         offset_reset=offset_reset,
         low_offset=initial_state["low_offset"],
+        on_log=on_log,
     )
     return AssignmentTestInterface(context, processors, initial_state["messages"])

@@ -18,6 +18,7 @@ from __future__ import annotations
 import itertools
 from dataclasses import dataclass, field
 
+from frolyk_spark.tasks.events import EventEmitter
 from frolyk_spark.tasks.local import AssignmentTestInterface, create_local_assignment_context
 from frolyk_spark.tasks.offsets import LogicalOffset
 from frolyk_spark.tasks.pipeline import ABANDON  # re-export for users
@@ -42,6 +43,12 @@ class Task:
         self.sources: list[Source] = []
         self.options = {"connection": connection, "consumer": consumer, "admin": admin}
         self._streaming_queries = []
+        # lifecycle observability (reference task.ts:18,38 EventEmitter):
+        # 'assignment-receive' (sources list), 'session-start' (seq),
+        # 'session-stop', 'error' (exception), 'stop', plus 'log'
+        # (tags, payload) forwarded from inject contexts' context.log
+        self.events = EventEmitter()
+        self._session_seq = 0
 
     # --- topology (task.ts:52-84) ---
     def source(self, topic_name: str, offset_reset=LogicalOffset.LATEST) -> Source:
@@ -81,6 +88,12 @@ class Task:
                     },
                     processors=processors,
                     offset_reset=offset_reset,
+                    # context.log forwards to the task's event surface
+                    # (reference forwards to the task logger; the port's
+                    # logger IS the events registry)
+                    on_log=lambda tags, payload: self.events.emit(
+                        "log", tags, payload
+                    ),
                 )
             )
         return contexts if multiple else contexts[0]
@@ -106,8 +119,7 @@ class Task:
         (see frolyk_spark.tasks.files.start_file_task)."""
         from frolyk_spark.tasks.files import start_file_task
 
-        self._streaming_queries = start_file_task(self, spark, **kwargs)
-        return self._streaming_queries
+        return self._start_session(lambda: start_file_task(self, spark, **kwargs))
 
     # --- streaming execution (Kafka-gated) ---
     def start(self, spark, checkpoint_dir: str | None = None):
@@ -115,13 +127,80 @@ class Task:
             raise ValueError("Task must be configured with kafka connection options to start")
         from frolyk_spark.tasks.kafka import start_kafka_task
 
-        self._streaming_queries = start_kafka_task(self, spark, checkpoint_dir)
+        return self._start_session(
+            lambda: start_kafka_task(self, spark, checkpoint_dir)
+        )
+
+    def _start_session(self, launch):
+        """Shared lifecycle around query launch (reference task.ts:169-241):
+        'assignment-receive' on new assignments, 'session-stop' when a
+        previous session is replaced, 'session-start' with the session
+        sequence once the new queries run, 'error' if launch fails."""
+        self.events.emit(
+            "assignment-receive", [s.topic_name for s in self.sources]
+        )
+        if self._streaming_queries:
+            for q in self._streaming_queries:
+                q.stop()
+            self._streaming_queries = []
+            self.events.emit("session-stop")
+        self._session_seq += 1
+        try:
+            self._streaming_queries = launch()
+        except Exception as err:  # noqa: BLE001 — error surface is the contract
+            self.events.emit("error", err)
+            raise
+        self.events.emit("session-start", self._session_seq)
         return self._streaming_queries
+
+    def attach_listener(self, spark):
+        """Wire Spark's StreamingQueryListener to this task's event surface:
+        a termination WITH an exception for one of this task's queries emits
+        'error' (the async production analog of await_queries' inline
+        surfacing — listener callbacks arrive on Spark's listener thread).
+        Returns the listener; detach with spark.streams.removeListener."""
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        task = self
+
+        class _TaskListener(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                pass
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                ids = {str(q.id) for q in task._streaming_queries}
+                if str(event.id) in ids and event.exception is not None:
+                    task.events.emit("error", RuntimeError(event.exception))
+
+        listener = _TaskListener()
+        spark.streams.addListener(listener)
+        return listener
+
+    def await_queries(self) -> None:
+        """Await every running query; a failed query emits 'error' with the
+        underlying exception (reference processingSession.catch ->
+        events.emit('error'), task.ts:241) and re-raises."""
+        for q in self._streaming_queries:
+            try:
+                q.awaitTermination()
+            except Exception as err:  # noqa: BLE001
+                self.events.emit("error", err)
+                raise
 
     def stop(self) -> None:
         for q in self._streaming_queries:
             q.stop()
         self._streaming_queries = []
+        # only 'stop' here: the reference reserves 'session-stop' for a
+        # session replaced by a reassignment (task.ts:194); a full stop
+        # emits 'stop' unconditionally (task.ts:165)
+        self.events.emit("stop")
 
 
 def create_task(config: dict) -> Task:

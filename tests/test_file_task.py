@@ -130,3 +130,115 @@ def test_epoch_overwrite_makes_retry_idempotent(spark, workdir):
     run()  # restart: epoch is retried because it never committed
     keys = sorted(int(r.key.decode()) for r in spark.read.parquet(sink).collect())
     assert keys == list(range(10)), "retried epoch must overwrite, not duplicate"
+
+
+def test_lifecycle_events_order_across_start_stop_restart(spark, workdir):
+    """Task lifecycle events (r8 verdict Missing #3), mirroring reference
+    task.ts:158-241: 'assignment-receive' then 'session-start' on start;
+    a restart while a session is active inserts 'session-stop' between
+    them; stop() emits 'stop'; a failing query surfaces 'error'."""
+    from frolyk_spark.tasks.task import Task
+
+    in_dir = os.path.join(workdir, "t")
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+
+    task = Task(group="events-task")
+    src = task.source("t")
+    task.processor(src, lambda a: (lambda message, context: context.abandon))
+
+    events = []
+    for name in ("assignment-receive", "session-start", "session-stop", "stop", "error"):
+        task.events.on(name, lambda *args, _n=name: events.append(_n))
+    seqs = []
+    task.events.on("session-start", lambda seq: seqs.append(seq))
+
+    _write(spark, in_dir, [(0, i, "small", float(i)) for i in range(5)])
+    schema = spark.read.parquet(in_dir).schema
+    kwargs = dict(
+        topic_dirs={"t": in_dir}, schemas={"t": schema},
+        partition_col="part", offset_col="offset",
+        checkpoint_root=ckpt, sink_dir=sink,
+    )
+
+    task.start_files(spark, **kwargs)
+    assert events == ["assignment-receive", "session-start"]
+    # restart while the first session is still registered -> session-stop
+    # between the new assignment-receive and session-start (task.ts:194)
+    task.start_files(spark, **kwargs)
+    task.await_queries()
+    task.stop()
+    assert events == [
+        "assignment-receive", "session-start",
+        "assignment-receive", "session-stop", "session-start",
+        "stop",
+    ]
+    assert seqs == [1, 2]
+
+
+def test_failing_query_emits_error(spark, workdir):
+    """await_queries surfaces a processor failure as an 'error' event AND
+    re-raises (reference processingSession.catch -> events 'error')."""
+    from frolyk_spark.tasks.task import Task
+
+    in_dir = os.path.join(workdir, "t")
+    task = Task(group="err-events")
+    src = task.source("t")
+
+    def setup(assignment):
+        def boom(message, context):
+            raise RuntimeError("lifecycle poison")
+
+        return boom
+
+    task.processor(src, setup)
+    errs = []
+    task.events.on("error", lambda e: errs.append(e))
+
+    _write(spark, in_dir, [(0, 0, "x", 1.0)])
+    schema = spark.read.parquet(in_dir).schema
+    task.start_files(
+        spark, topic_dirs={"t": in_dir}, schemas={"t": schema},
+        partition_col="part", offset_col="offset",
+        checkpoint_root=os.path.join(workdir, "ckpt"),
+        sink_dir=os.path.join(workdir, "sink"),
+    )
+    with pytest.raises(Exception, match="lifecycle poison"):
+        task.await_queries()
+    assert len(errs) == 1 and "lifecycle poison" in str(errs[0])
+
+
+def test_streaming_listener_forwards_error(spark, workdir):
+    """The StreamingQueryListener hook: a query that dies with an exception
+    emits 'error' asynchronously via Spark's listener bus."""
+    import time
+
+    from frolyk_spark.tasks.task import Task
+
+    in_dir = os.path.join(workdir, "t")
+    task = Task(group="listener-events")
+    src = task.source("t")
+    task.processor(src, lambda a: (
+        lambda message, context: (_ for _ in ()).throw(RuntimeError("listener poison"))
+    ))
+
+    errs = []
+    task.events.on("error", lambda e: errs.append(e))
+    listener = task.attach_listener(spark)
+    try:
+        _write(spark, in_dir, [(0, 0, "x", 1.0)])
+        schema = spark.read.parquet(in_dir).schema
+        qs = task.start_files(
+            spark, topic_dirs={"t": in_dir}, schemas={"t": schema},
+            partition_col="part", offset_col="offset",
+            checkpoint_root=os.path.join(workdir, "ckpt"),
+            sink_dir=os.path.join(workdir, "sink"),
+        )
+        with pytest.raises(Exception):
+            qs[0].awaitTermination()
+        deadline = time.time() + 30
+        while not errs and time.time() < deadline:
+            time.sleep(0.2)  # listener bus delivers on its own thread
+        assert errs and "listener poison" in str(errs[0])
+    finally:
+        spark.streams.removeListener(listener)
