@@ -33,68 +33,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 148
+    # in dict order under a wall-clock budget (~50 per round of the 153
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
-    # FIRST (CLAUDE.md): the r7 driver consumed exactly the first 50
-    # r7-rotation entries (through sample_stratified, CORRECTNESS_r07),
-    # leaving the 42 entries below whose newest green row is r3/r4:
-    #   1. new_r8 (6): operators added this round — need their FIRST row;
-    #   2. rewritten_r7 (3): code rewritten in r7 AFTER their newest (r6)
-    #      row — the rewrite itself is what needs a driver check;
-    #   3. rewritten_r8 (16): ratio rounding moved to the portable floor
-    #      form this round (output changes at .5 boundaries);
-    #   4. stale_r3 (16): newest green row is r3 — the streaming family,
-    #      the task bridge, flagship q1/q3, and the core dedup block;
-    #   5. stale_r4 (26): newest green row is r4 — the TPC-H q4..q21
-    #      tail, tokenizer aggs, incremental dedup;
-    #   6. the r6/r7-green remainder via registry order (all ≤2 rounds
-    #      old; whatever budget remains refreshes the head of it).
-    # Head = 6+3+16+16+26 = 67 vs the ~50 budget: entries that slip are
-    # the TAIL of stale_r4 (r4-green, unchanged, re-verified locally at
-    # three SFs this round), never a new/rewritten one.
-    stale_r3 = (
-        "train_test_split", "stream_tumbling", "stream_hopping",
-        "stream_dedup", "sessionize", "stream_stateful",
-        "stream_stream_join", "stream_static_join", "task_pipeline",
-        "q1_pricing_summary", "q3_unshipped_revenue", "dedup_exact",
-        "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding",
+    # FIRST (CLAUDE.md). The r8 driver consumed the first 50 r8-rotation
+    # entries (CORRECTNESS_r08: through the first 9 of stale_r4), so:
+    #   1. new_r9 (4): operators/companion views added this round — need
+    #      their FIRST row;
+    #   2. stale_r4 (17): newest green row is r4, four rounds old — the
+    #      TPC-H q13..q21 tail, tokenizer aggs, incremental dedup, plus
+    #      approx_stats (no-oracle rows-only, same age). Several carry r8
+    #      rounding rewrites (q17, repetition_stats) that still lack
+    #      driver evidence;
+    #   3. green_r6 (36): two rounds old, oldest-first freshness ledger;
+    #   4. green_r7 then the r8-green remainder via registry order.
+    # Head = 4+17+36 = 57 vs the ~50 budget: entries that slip are the
+    # TAIL of green_r6 (unchanged since their r6 row, locally 3-SF green
+    # this round), never a new or r4-stale one.
+    new_r9 = (
+        "stream_outer_join",   # B18: left-outer stream-stream join
+        "curriculum_quota",    # D69: exact (tier x source) quota
+        "ann_lsh_buckets",     # D11 companion: deterministic bucket geometry
+        "sketch_kmv",          # D45 companion: KMV registers
     )
     stale_r4 = (
-        "q4_order_priority", "q7_volume_shipping", "q14_promo_revenue",
-        "q9_product_profit", "salted_skew_agg", "asof_cogroup",
-        "retention_cohorts", "grouping_sets_revenue", "q8_market_share",
         "q13_order_distribution", "q15_top_supplier", "q18_large_orders",
-        "approx_stats", "sequence_pack", "decontaminate", "doc_chunks",
-        "repetition_stats", "q21_waiting_suppliers", "q17_small_qty_revenue",
-        "q19_discount_revenue", "vocab_topk", "bigram_counts",
-        "unigram_logprob", "token_entropy", "dedup_incremental",
-        "dedup_simhash_pairs",
+        "q17_small_qty_revenue", "q19_discount_revenue",
+        "q21_waiting_suppliers", "decontaminate", "doc_chunks",
+        "repetition_stats", "sequence_pack", "token_entropy",
+        "unigram_logprob", "vocab_topk", "bigram_counts",
+        "dedup_incremental", "dedup_simhash_pairs", "approx_stats",
     )
-    new_r8 = (
-        "stream_dedup_incremental",  # B17: continuous-ingest minhash probe
-        "line_dedup",                # D66: CCNet line-granularity dedup
-        "epoch_shuffle",             # D67: deterministic epoch shuffle/shards
-        "curriculum_mix",            # D68: quality-tier curriculum sampling
-        "mv_incremental_refresh",    # C64: incremental MV maintenance
-        "table_diff",                # C65: snapshot reconciliation diff
-    )
-    # The r7 rewrites needing a post-rewrite row: OHLC full-width key,
-    # BFS closure, LSH cap on containment pairs:
-    rewritten_r7 = ("stream_ohlc", "containment_chains", "minhash_containment")
-    # Rewritten IN r8 after their newest row (portable floor rounding on
-    # derived ratios — the r5 .xxxx5 divergence class, caught by this
-    # round's review and then swept across every remaining
-    # engine-round-of-ratio site — plus tfidf's lineage cut). Entries
-    # already in stale_r3/r4 (q1, q14, q8, q17, repetition_stats,
-    # dedup_ngram_jaccard, dedup_embedding) are not repeated here:
-    rewritten_r8 = (
-        "q2_min_cost_supplier", "q11_important_parts",
-        "source_vocab_overlap", "tfidf_top_terms",
-        "source_mix", "sample_temperature", "ngram_novelty",
-        "json_props_stats", "anomaly_zscore", "key_skew_profile",
-        "ann_bruteforce", "embedding_stats", "embedding_quantize",
-        "multimodal_features", "token_count", "price_discount_corr",
+    green_r6 = (
+        "q5_local_supplier", "q6_forecast", "q10_returned",
+        "topk_orders_per_customer", "running_revenue", "event_deltas",
+        "rollup_revenue", "cube_lineitem", "customers_with_orders",
+        "customers_without_orders", "distinct_parts_per_supplier",
+        "event_type_pivot", "asof_purchase_click", "clicks_before_purchase",
+        "set_ops_customers", "explode_words", "daily_revenue",
+        "q12_delay_priority", "scd2_history", "supplier_peak_load",
+        "spending_percentiles", "time_weighted_avg", "ohlc_bars",
+        "text_stats", "lang_id", "doc_fingerprint", "dedup_clusters",
+        "text_redact", "corpus_filter", "minhash_jaccard_estimate",
+        "cross_source_duplication", "length_histogram",
+        "multimodal_manifest", "feature_hash_embedding",
+        "dup_span_coverage", "stream_topk",
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
@@ -102,9 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*new_r8, *rewritten_r7, *rewritten_r8, *stale_r3, *stale_r4):
+    for k in (*new_r9, *stale_r4, *green_r6):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
-    out.update(registry)  # green_r6/r7 remainder; first-insertion order wins
+    out.update(registry)  # green_r7/r8 remainder; first-insertion order wins
     return out
 
 

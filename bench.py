@@ -121,6 +121,11 @@ HEADLINE = [
     "curriculum_mix",
     "mv_incremental_refresh",
     "table_diff",
+    # r9 additions
+    "stream_outer_join",
+    "curriculum_quota",
+    "ann_lsh_buckets",
+    "sketch_kmv",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

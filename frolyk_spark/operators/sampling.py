@@ -208,6 +208,56 @@ FROM keyed
 CURRICULUM_PCT = (10, 30, 60, 90)
 
 
+def _curriculum_binned(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *extra, wc, bin) — the shared tier-binning stage of D68/D69:
+    word counts compared against scale-free multiples of the corpus mean
+    via exact integer cross-multiplication (see curriculum_mix_frame for
+    the full cross-engine rationale). The word-count frame is lineage-cut
+    so the stats aggregate and the main pass share ONE scan."""
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    pre = cut_lineage(
+        docs.select(
+            "doc_id",
+            *extra,
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("wc"),
+        )
+    )
+    stats = pre.agg(F.count(F.lit(1)).alias("n"), F.sum("wc").alias("s"))
+    wc, n, s = F.col("wc"), F.col("n"), F.col("s")
+    bin_ = (
+        F.when(F.lit(2) * wc * n < s, 0)
+        .when(wc * n < s, 1)
+        .when(wc * n < F.lit(2) * s, 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    return (
+        pre.crossJoin(F.broadcast(stats))
+        .withColumn("bin", bin_)
+        .drop("n", "s")
+    )
+
+
+#: the shared tier-binning CTEs of the D68/D69 oracles (mirrors
+#: _curriculum_binned; {cols} = extra passthrough columns, with trailing comma)
+_CURRICULUM_BINNED_SQL = """
+WITH pre AS (
+  SELECT doc_id, {cols} cast(len(string_split(text, ' ')) as bigint) AS wc
+  FROM documents
+), st AS (
+  SELECT cast(count(*) as bigint) AS n, cast(sum(wc) as bigint) AS s FROM pre
+), binned AS (
+  SELECT doc_id, {cols} wc,
+         CASE WHEN 2 * wc * n < s THEN 0
+              WHEN wc * n < s THEN 1
+              WHEN wc * n < 2 * s THEN 2
+              ELSE 3 END AS bin
+  FROM pre CROSS JOIN st
+)
+"""
+
+
 def curriculum_mix_frame(docs: DataFrame) -> DataFrame:
     """Quality-tier curriculum sampling report over a (doc_id, text)
     frame (E5 frame form): documents are binned by word count RELATIVE
@@ -228,33 +278,13 @@ def curriculum_mix_frame(docs: DataFrame) -> DataFrame:
     lineage-cut scalar-crossJoin shape), one map-side-combinable final
     aggregate — two scans, no quantile sort, no driver collect.
     """
-    from frolyk_spark.functions.lineage import cut_lineage
-
-    docs = docs.select("doc_id", "text")
-    pre = cut_lineage(
-        docs.select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("wc"),
-        )
-    )
-    stats = pre.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("wc").alias("s")
-    )
-    wc, n, s = F.col("wc"), F.col("n"), F.col("s")
-    bin_ = (
-        F.when(F.lit(2) * wc * n < s, 0)
-        .when(wc * n < s, 1)
-        .when(wc * n < F.lit(2) * s, 2)
-        .otherwise(3)
-        .cast("int")
-    )
+    binned = _curriculum_binned(docs)
     pct = F.lit(None).cast("int")
     for b in range(len(CURRICULUM_PCT) - 1, -1, -1):
         pct = F.when(F.col("bin") == b, F.lit(CURRICULUM_PCT[b])).otherwise(pct)
     kept = _bucket(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))) < pct
     return (
-        pre.crossJoin(F.broadcast(stats))
-        .withColumn("bin", bin_)
+        binned
         .withColumn("kept", kept.cast("int").cast("bigint"))
         .groupBy("bin")
         .agg(
@@ -275,20 +305,8 @@ def _curriculum_mix_sql() -> str:
     cases = " ".join(
         f"WHEN bin = {i} THEN {p}" for i, p in enumerate(CURRICULUM_PCT)
     )
-    return f"""
-WITH pre AS (
-  SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS wc
-  FROM documents
-), st AS (
-  SELECT cast(count(*) as bigint) AS n, cast(sum(wc) as bigint) AS s FROM pre
-), binned AS (
-  SELECT doc_id, wc,
-         CASE WHEN 2 * wc * n < s THEN 0
-              WHEN wc * n < s THEN 1
-              WHEN wc * n < 2 * s THEN 2
-              ELSE 3 END AS bin
-  FROM pre CROSS JOIN st
-), flagged AS (
+    return _CURRICULUM_BINNED_SQL.format(cols="") + f"""
+, flagged AS (
   SELECT bin, wc,
          CASE WHEN {b} < (CASE {cases} END) THEN 1 ELSE 0 END AS kept
   FROM binned
@@ -300,15 +318,69 @@ FROM flagged GROUP BY bin ORDER BY bin
 """
 
 
+# --- D69: exact per-(tier x source) quota --------------------------------------
+
+#: documents kept per (curriculum tier, source) cell
+QUOTA_K = 3
+
+
+def curriculum_quota_frame(docs: DataFrame) -> DataFrame:
+    """Exactly {QUOTA_K} documents per (curriculum tier × source) cell —
+    D68's scale-free tier bins composed with D44's deterministic windowed
+    exact-k, the joint quota a real mixing stage draws when it balances
+    difficulty AND provenance at once (fraction-based sampling can promise
+    neither exact cell counts nor rerun stability; this promises both).
+
+    Shares D68's single-scan binning stage (_curriculum_binned — the
+    stats broadcast and the main pass read the corpus once), then one
+    window rank per (bin, source) cell. Cell count is bounded (4 tiers ×
+    |sources|), rows-per-cell is per-group top-K which Spark executes as a
+    partial top-K before the exchange (WindowGroupLimit) — the same 100 TB
+    shape as sample_per_source. The hash is salted 'quota:' so membership
+    is independent of D18/D68 draws."""
+    from pyspark.sql import Window
+
+    binned = _curriculum_binned(docs, extra=("source",))
+    h = portable_hash_expr(
+        F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("bin", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        binned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= QUOTA_K)
+        .select("bin", "source", "rk", "doc_id", "wc")
+    )
+
+
+def curriculum_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curriculum_quota_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _curriculum_quota_sql() -> str:
+    h = portable_hash_sql("concat('quota:', cast(doc_id as varchar))")
+    return _CURRICULUM_BINNED_SQL.format(cols="source,") + f"""
+SELECT cast(bin as int) AS bin, source, rk, doc_id, wc
+FROM (
+  SELECT bin, source, doc_id, wc,
+         row_number() OVER (PARTITION BY bin, source
+                            ORDER BY {h} ASC, doc_id ASC) AS rk
+  FROM binned
+)
+WHERE rk <= {QUOTA_K}
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "train_test_split": train_test_split,
     "sample_per_source": sample_per_source,
     "epoch_shuffle": epoch_shuffle,
     "curriculum_mix": curriculum_mix,
+    "curriculum_quota": curriculum_quota,
 }
 
 ORACLES = {
+    "curriculum_quota": _curriculum_quota_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "train_test_split": _train_test_split_sql(),
     "sample_per_source": _sample_per_source_sql(),

@@ -206,6 +206,68 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank(cands)
 
 
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11's driver-checkable companion: per-(table, bucket) corpus
+    occupancy — count and id-sum — computed by the REAL _bucketize UDF.
+    ann_lsh itself is recall-gated (no oracle: its output depends on
+    rerank-over-candidates), but the bucket ASSIGNMENT underneath it is
+    fully deterministic: md5-seeded hyperplanes, sign of a dot product.
+    The DuckDB oracle recomputes every sign bit from the same plane
+    constants with the engine-parity sequential fold (functions.vectors),
+    and tests/test_similarity.py pins the UDF's numpy-matmul codes equal
+    to the same fold evaluated JVM-side — so a green row here certifies
+    the exact bucket geometry ann_lsh prunes with. id_sum pins MEMBERSHIP,
+    not just occupancy (two swapped vectors would keep counts intact)."""
+    _, corpus = _split(spark, sf_dir)
+    return (
+        _bucketize(corpus, "cand_emb")
+        .groupBy("table_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("neighbor_id").alias("id_sum"),
+        )
+        .orderBy("table_id", "bucket")
+    )
+
+
+def _ann_lsh_buckets_sql() -> str:
+    from frolyk_spark.functions.vectors import dot_sql
+
+    planes = _hyperplanes()
+    rows = []
+    for t in range(LSH_TABLES):
+        for i in range(LSH_BITS):
+            w = planes[t * LSH_BITS + i]
+            # repr() round-trips doubles exactly; both parsers read the
+            # same IEEE value, and the fold then multiplies it against
+            # STORED embedding components (no literal-only arithmetic for
+            # the constant folder to take through a non-IEEE path)
+            lst = "[" + ", ".join(repr(v) for v in w) + "]::DOUBLE[]"
+            rows.append(f"({t}, {i}, {lst})")
+    values = ",\n".join(rows)
+    d = dot_sql("e.embedding", "p.w")
+    return f"""
+WITH planes(table_id, bit, w) AS (VALUES
+{values}
+),
+bits AS (
+  SELECT e.vec_id AS neighbor_id, p.table_id, p.bit,
+         CASE WHEN {d} > 0 THEN 1 ELSE 0 END AS b
+  FROM embeddings e CROSS JOIN planes p
+  WHERE e.vec_id >= {N_PROBES}
+),
+codes AS (
+  SELECT neighbor_id, cast(table_id as int) AS table_id,
+         cast(sum(b * (1 << bit)) as bigint) AS bucket
+  FROM bits GROUP BY neighbor_id, table_id
+)
+SELECT table_id, bucket, count(*) AS n_vectors,
+       cast(sum(neighbor_id) as bigint) AS id_sum
+FROM codes GROUP BY table_id, bucket
+ORDER BY table_id, bucket
+"""
+
+
 # --- D11b: IVF (inverted-file) ANN ------------------------------------------
 
 #: coarse-quantizer geometry. nprobe is high relative to nlist because the
@@ -906,6 +968,8 @@ QUERIES = {
     # no-oracle: eigendecomposition; numpy model check in test_similarity
     "embedding_pca": embedding_pca,
     "ann_lsh": ann_lsh,
+    # D11's deterministic companion row (bucket geometry, oracle-checked)
+    "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf": ann_ivf,
     "ann_pq": ann_pq,
     "embedding_stats": embedding_stats,
@@ -922,6 +986,7 @@ QUERIES = {
 # checked by the recall pytest against ann_bruteforce (SURVEY §2 D11).
 ORACLES = {
     "ann_bruteforce": _ann_bruteforce_sql(),
+    "ann_lsh_buckets": _ann_lsh_buckets_sql(),
     "embedding_stats": _embedding_stats_sql(),
     "embedding_quantize": _embedding_quantize_sql(),
 }

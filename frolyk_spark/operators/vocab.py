@@ -343,6 +343,66 @@ def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D45 companion: KMV distinct sketch (deterministic registers) ------------
+
+#: registers kept by the KMV sketch — deliberately BELOW the synthetic
+#: corpus's 31-word vocabulary so the sketch genuinely sketches (k >=
+#: distinct degenerates to the exact set and the estimator short-circuits
+#: to a count); production sizes k to the target error 1/sqrt(k)
+KMV_K = 16
+
+
+def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D45's driver-checkable companion: a K-minimum-values distinct-words
+    sketch whose STATE is deterministic. sketch_profile's HLL/approx_top_k
+    internals are engine-specific (no oracle by design); KMV with the
+    portable 60-bit md5 is the same sublinear-memory idea — the {KMV_K}
+    smallest hash values of the distinct words ARE the sketch, estimate
+    (k-1)·2^60/h_k derivable from the last register — and every register
+    is exactly reproducible in any engine with the same hash, so the
+    driver hash-checks real sketch state. Mergeability (per-source
+    registers union + re-limit == corpus registers) is asserted in
+    tests/test_approx.py, mirroring the HLL mergeability gate.
+
+    Scale shape: explode -> ONE hash aggregation keyed by word (two-phase,
+    shuffles distinct words, not corpus tokens) -> orderBy+limit, planned
+    as TakeOrderedAndProject (per-partition K-row heap, K rows per
+    partition to the driver merge, no global sort)."""
+    from frolyk_spark.functions.hashing import portable_hash_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    h = portable_hash_expr(F.col("word"))
+    regs = words.select("word", h.alias("h")).orderBy("h", "word").limit(KMV_K)
+    w = Window.orderBy("h", "word")
+    return regs.select(
+        F.row_number().over(w).alias("rank"), F.col("h").alias("register"), "word"
+    )
+
+
+def _sketch_kmv_sql() -> str:
+    from frolyk_spark.functions.hashing import portable_hash_sql
+
+    h = portable_hash_sql("word")
+    return f"""
+WITH words AS (
+  SELECT DISTINCT w AS word
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT cast(row_number() OVER (ORDER BY {h}, word) as int) AS rank,
+       {h} AS register, word
+FROM words
+ORDER BY register, word
+LIMIT {KMV_K}
+"""
+
+
 # --- D47: iterative BPE trainer ----------------------------------------------
 
 #: merge rounds learned by bpe_train
@@ -547,6 +607,8 @@ QUERIES = {
     # no-oracle: sketch internals are engine-specific; bounded by
     # tests/test_approx.py against the exact aggregates
     "sketch_profile": sketch_profile,
+    # D45's deterministic companion row (KMV registers, oracle-checked)
+    "sketch_kmv": sketch_kmv,
     # no-oracle: iterative (driver-held merge state per round); model-
     # checked against a pure-Python reference in tests/test_semantics.py
     "bpe_train": bpe_train,
@@ -555,6 +617,7 @@ QUERIES = {
 
 ORACLES = {
     "vocab_topk": VOCAB_TOPK_SQL,
+    "sketch_kmv": _sketch_kmv_sql(),
     "bigram_counts": BIGRAM_COUNTS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "source_vocab_overlap": VOCAB_OVERLAP_SQL,

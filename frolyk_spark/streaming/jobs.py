@@ -456,6 +456,90 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+# --- B18: stream-stream LEFT OUTER join (watermark-expiry null emission) -----
+
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click pairs with
+    purchases by the same user within the following 30 minutes; clicks
+    with NO such purchase emit (click, NULL) — but only once the watermark
+    has passed their join window, when the engine can PROVE no future match
+    can arrive. This is the CDC-enrichment shape where "nothing matched in
+    time" is itself the signal (abandoned-cart detection here).
+
+    State stays bounded on an unbounded stream exactly as in B10: both
+    sides carry 2-hour watermarks and the time-range condition lets Spark
+    evict join state; the outer side additionally emits the null row at
+    eviction. At 100 TB/day the state footprint is (events within the
+    watermark horizon), independent of stream length.
+
+    Cross-engine contract (empirically pinned on this Spark build, three
+    boundary probes at s/ms/µs granularity — see tests): a left row is
+    evicted-and-emitted iff
+        click_us <= (ceil_sec(wm_us - window_us) - 1 s)
+    where wm_ms = min over sides of (floor(max_event_us/1000) - delay_ms)
+    — Spark tracks per-operator max event time in ms and the join helper
+    rounds the state watermark up to whole seconds minus a 1 s safety
+    margin (StreamingJoinHelper.getStateValueWatermark). The DuckDB oracle
+    reproduces that arithmetic in exact integer µs on the stored data.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("user_id", "click_id", "purchase_id")
+    return run_available_now(joined, mode="append", prefix="sojoin")
+
+
+# Watermark arithmetic in integer µs (no doubles): wm per side is
+# floor(max_us/1000) ms minus the 2 h delay; the global watermark is the
+# min; the eviction threshold rounds (wm - 30 min) UP to a whole second
+# (+999999 // 1000000 on a positive value) and subtracts the 1 s margin.
+STREAM_OUTER_JOIN_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+thr AS (
+  SELECT (((least((SELECT epoch_us(max(ts)) // 1000 FROM c),
+                  (SELECT epoch_us(max(pts)) // 1000 FROM p))
+            - 7200000) * 1000
+           - 1800000000 + 999999) // 1000000 - 1) * 1000000 AS thr_us
+)
+SELECT c.user_id, c.click_id, p.purchase_id
+FROM c LEFT JOIN p
+  ON c.user_id = p.p_user_id
+ AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 30 MINUTE
+WHERE p.purchase_id IS NOT NULL
+   OR epoch_us(c.ts) <= (SELECT thr_us FROM thr)
+"""
+
+
 # --- B11: stream-static join -------------------------------------------------
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,6 +1068,7 @@ QUERIES = {
     "sessionize": sessionize,
     "stream_stateful": stream_stateful,
     "stream_stream_join": stream_stream_join,
+    "stream_outer_join": stream_outer_join,
     "stream_static_join": stream_static_join,
     "stream_anomaly": stream_anomaly,
 }
@@ -1002,5 +1087,6 @@ ORACLES = {
     "sessionize": SESSIONIZE_SQL,
     "stream_stateful": STREAM_STATEFUL_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    "stream_outer_join": STREAM_OUTER_JOIN_SQL,
     "stream_static_join": STREAM_STATIC_JOIN_SQL,
 }

@@ -64,3 +64,38 @@ def test_sketch_profile_bounds_and_mergeability(spark, sf_dir):
         F.expr("hll_sketch_estimate(hll_sketch_agg(word))").alias("est")
     ).collect()[0].est
     assert abs(merged - corpus) <= max(2, 0.02 * corpus), (merged, corpus)
+
+
+def test_sketch_kmv_registers_merge_and_estimate(spark, sf_dir):
+    """KMV companion (D45): per-source register sets union+re-limit to
+    exactly the corpus registers (mergeability is set-exact for KMV, not
+    approximate like HLL), and the classic (k-1)*R/h_k estimator lands
+    within the ~1/sqrt(k) relative-error band of the true distinct count."""
+    from frolyk_spark.functions.hashing import portable_hash_expr
+    from frolyk_spark.operators.sampling import load_table
+    from frolyk_spark.operators.vocab import KMV_K, sketch_kmv
+
+    regs = sketch_kmv(spark, sf_dir).collect()
+    assert [r.rank for r in regs] == list(range(1, KMV_K + 1))
+    assert all(a.register <= b.register for a, b in zip(regs, regs[1:]))
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    h = portable_hash_expr(F.col("word"))
+
+    # mergeability: distinct (word, h) per source, union, global re-limit
+    per_source = (
+        words.select("source", "word", h.alias("h")).distinct()
+        .select("word", "h").distinct()  # union of the per-source registers
+        .orderBy("h", "word").limit(KMV_K).collect()
+    )
+    assert [(r.h, r.word) for r in per_source] == [
+        (r.register, r.word) for r in regs
+    ]
+
+    # estimator: (k-1) * 2^60 / h_k within 3/sqrt(k) of the truth
+    n_exact = words.select("word").distinct().count()
+    est = (KMV_K - 1) * float(1 << 60) / float(regs[-1].register)
+    assert abs(est - n_exact) <= 3.0 / (KMV_K ** 0.5) * n_exact, (est, n_exact)

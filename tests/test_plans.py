@@ -850,3 +850,16 @@ def test_tfidf_single_corpus_scan(spark, sf_dir):
     from frolyk_spark.plans import assert_scale_shape
 
     assert_scale_shape(tfidf_top_terms(spark, sf_dir), max_scans=1)
+
+
+def test_curriculum_quota_scale_shape(spark, sf_dir):
+    """D69: the joint (tier x source) quota shares D68's single lineage-cut
+    scan (stats broadcast is the only join) and executes the exact-k as a
+    partial top-K per window group (WindowGroupLimit) before one hash
+    exchange — the same shapes its two parents are pinned to."""
+    from frolyk_spark.operators.sampling import curriculum_quota
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(curriculum_quota(spark, sf_dir), max_scans=1)
+    assert "WindowGroupLimit" in rep["plan"], "rank<=k must push a group limit"
+    assert "rangepartitioning" not in rep["plan"].lower()

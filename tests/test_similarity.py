@@ -239,3 +239,39 @@ def test_cluster_profile_matches_numpy_model(spark, sf_dir):
     }
     assert got == expected
     assert sum(v[0] for v in got.values()) == n
+
+
+def test_lsh_udf_codes_equal_jvm_fold(spark, sf_dir):
+    """The numpy-matmul bucket codes (_bucketize, the production path) must
+    equal the sign bits of the engine-parity sequential fold
+    (functions.vectors.dot) over the same hyperplanes — this is the link
+    that lets the ann_lsh_buckets oracle (DuckDB fold) certify the UDF's
+    geometry. A BLAS accumulation-order drift that flipped any sign would
+    surface here as a loud set difference, not as silent recall decay."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.functions.vectors import dot
+    from frolyk_spark.operators.similarity import (
+        LSH_BITS, LSH_TABLES, _bucketize, _hyperplanes, _split,
+    )
+
+    _, corpus = _split(spark, sf_dir)
+    udf_codes = _bucketize(corpus, "cand_emb").select(
+        "neighbor_id", "table_id", "bucket"
+    )
+    planes = _hyperplanes()
+    cols = []
+    for t in range(LSH_TABLES):
+        code = F.lit(0).cast("bigint")
+        for i in range(LSH_BITS):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t * LSH_BITS + i]])
+            code = code + (dot(F.col("cand_emb"), plane) > 0).cast("bigint") * (1 << i)
+        cols.append(code.alias(f"t{t}"))
+    jvm_codes = corpus.select("neighbor_id", *cols).select(
+        "neighbor_id",
+        F.posexplode(
+            F.array(*[F.col(f"t{t}") for t in range(LSH_TABLES)])
+        ).alias("table_id", "bucket"),
+    )
+    assert udf_codes.exceptAll(jvm_codes).count() == 0
+    assert jvm_codes.exceptAll(udf_codes).count() == 0

@@ -573,3 +573,72 @@ def test_stream_dedup_incremental_crash_resume(spark, sf_dir):
     src = got_df.inputFiles()[0].removeprefix("file://")
     root = os.path.dirname(os.path.dirname(src))
     assert len([d for d in os.listdir(root) if d.startswith("b")]) == 4
+
+
+# --- B18: outer join null emission + late-row drop ---------------------------
+
+def test_stream_outer_join_watermark_and_late_rows(spark, tmp_path):
+    """B18's watermark contract on a controlled two-batch ingest. Pins the
+    three behaviors the oracle arithmetic depends on:
+
+    - an unmatched row whose join window is safely below the final
+      watermark emits exactly one null row;
+    - an unmatched row whose window end is NOT below the watermark is held
+      in state and never emitted (no false nulls at the stream tail);
+    - a LATE left row (behind the watermark on arrival) is best-effort in
+      stream-stream joins (Spark's documented caveat): on this build it
+      joins against remaining state and — matching right state being
+      already evicted — emits its null immediately in its arrival batch.
+      The driver-gate run stages events as ONE file = ONE batch, so no row
+      is ever late there and the batch oracle is exact by construction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.streaming.jobs import run_available_now
+
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    # batch file order is by modification time per file; write left as two
+    # files consumed with maxFilesPerTrigger=1
+    l1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"),     # unmatched, far below final wm -> null row
+         (99, "2024-01-01 06:00:00")],   # clock: advances left wm to 05:50
+        "k int, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("lts"))
+    l2 = spark.createDataFrame(
+        [(2, "2024-01-01 01:00:00")],    # LATE: behind the 05:50 watermark
+        "k int, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("lts"))
+    l1.coalesce(1).write.mode("append").parquet(ld)
+    import time as _t
+    _t.sleep(1.1)  # file-source ordering is mtime-based
+    l2.coalesce(1).write.mode("append").parquet(ld)
+    spark.createDataFrame(
+        [(9999, "2024-01-01 06:00:00")], "k int, ts_s string"
+    ).select(F.col("k").alias("rk"), F.col("ts_s").cast("timestamp").alias("rts")) \
+     .write.parquet(rd)
+
+    schema_l = spark.read.parquet(ld).schema
+    schema_r = spark.read.parquet(rd).schema
+    ls = (
+        spark.readStream.schema(schema_l).option("maxFilesPerTrigger", "1")
+        .parquet(ld).withWatermark("lts", "10 minutes")
+    )
+    rs = spark.readStream.schema(schema_r).parquet(rd).withWatermark("rts", "10 minutes")
+    j = ls.join(
+        rs,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    )
+    got = run_available_now(j, mode="append", prefix="sojlate")
+    rows = sorted((r.k, r.rk) for r in got.collect())
+    assert (1, None) in rows, "old unmatched row must emit its null"
+    # late row: processed best-effort, resolves to an immediate null
+    # (its matching right-state horizon is already evicted) — exactly once
+    assert rows.count((2, None)) == 1
+    # k=99 unmatched but its window end (06:05) is above the final
+    # watermark (05:50) -> held in state, never emitted
+    assert all(k != 99 for k, _ in rows)
+    assert rows == [(1, None), (2, None)]
