@@ -123,6 +123,7 @@ HEADLINE = [
     "table_diff",
     # r9 additions
     "stream_outer_join",
+    "stream_cdc_apply",
     "curriculum_quota",
     "ann_lsh_buckets",
     "sketch_kmv",

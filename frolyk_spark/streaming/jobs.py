@@ -903,6 +903,143 @@ GROUP BY event_type
 """
 
 
+# --- B19: streaming CDC changelog apply (versioned upsert state) --------------
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (B19): the events stream treated as an upsert
+    changelog keyed by user_id, materialized into a persisted state table
+    per micro-batch — the streaming MERGE shape (Delta/Hudi streaming
+    upsert) a warehouse applies to keep a serving table current. Composes
+    the B-harness (multi-file drop, maxFilesPerTrigger=1 — REAL multi-
+    batch ingest), E11's last-writer-wins merge semantics, and B15's
+    portable ordered key (zero-padded (ts_us, event_id) string) so "last"
+    is a total order both engines agree on.
+
+    Per batch, inside foreachBatch: reduce the batch to one row per key
+    (count + max_by over the ordered key), read the LATEST state version
+    below this batch id, full-outer merge (counts add; the later ordered
+    key wins the payload), and overwrite state version s{batch_id}.
+    Versioned states make at-least-once redelivery idempotent — a
+    replayed batch rebuilds its own version from the same predecessor,
+    never double-counts (B7's contract, same pattern as B17's sinks).
+    The final state equals the batch aggregate REGARDLESS of how ingest
+    was batched, so D28-style batching-invariance holds and the op
+    shares a plain GROUP BY oracle.
+
+    Scale: per-batch cost is O(batch) + a keyed merge against state —
+    at 100 TB the state table is bucketed by key (E2) so the merge is
+    co-located; nothing driver-side; state versions are pruned by the
+    same janitor as every other result root."""
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    target = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(f"{target}:cdclog".encode()).hexdigest()[:12]
+    stage = os.path.join(SCRATCH, "streams", f"cdclog_{key}.parquet")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        ev.repartition(4).write.mode("overwrite").parquet(stage)
+
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    ordered_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max(ordered_key).alias("k"),
+            F.max_by(F.unix_micros("ts"), ordered_key).alias("last_ts_us"),
+            F.max_by("event_type", ordered_key).alias("last_type"),
+            F.max_by("value", ordered_key).alias("last_value"),
+        )
+        # latest committed version BELOW this batch id: a redelivered
+        # batch must rebuild from its own predecessor, not from itself
+        versions = sorted(
+            int(d[1:])
+            for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if d.startswith("s") and d[1:].isdigit() and int(d[1:]) < batch_id
+        )
+        if versions:
+            prior = spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
+            p, b = prior.alias("p"), batch.alias("b")
+            newer = F.col("b.k") > F.col("p.k")
+            merged = p.join(b, F.col("p.user_id") == F.col("b.user_id"), "full_outer").select(
+                F.coalesce("p.user_id", "b.user_id").alias("user_id"),
+                (
+                    F.coalesce("p.n_events", F.lit(0)) + F.coalesce("b.n_events", F.lit(0))
+                ).alias("n_events"),
+                F.when(F.col("p.k").isNull() | newer, F.col("b.k"))
+                .otherwise(F.col("p.k")).alias("k"),
+                F.when(F.col("p.k").isNull() | newer, F.col("b.last_ts_us"))
+                .otherwise(F.col("p.last_ts_us")).alias("last_ts_us"),
+                F.when(F.col("p.k").isNull() | newer, F.col("b.last_type"))
+                .otherwise(F.col("p.last_type")).alias("last_type"),
+                F.when(F.col("p.k").isNull() | newer, F.col("b.last_value"))
+                .otherwise(F.col("p.last_value")).alias("last_value"),
+            )
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(os.path.join(root, f"s{batch_id}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [], "user_id bigint, n_events bigint, last_ts_us bigint, "
+                "last_type string, last_value double",
+        )
+    return spark.read.parquet(os.path.join(root, f"s{versions[-1]}")).select(
+        "user_id", "n_events", "last_ts_us", "last_type", "last_value"
+    )
+
+
+STREAM_CDC_APPLY_SQL = """
+WITH keyed AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+         lpad(cast(epoch_us(ts) AS VARCHAR), 20, '0')
+         || lpad(cast(event_id AS VARCHAR), 20, '0') AS k
+  FROM events
+)
+SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
+       arg_max(ts_us, k) AS last_ts_us,
+       arg_max(event_type, k) AS last_type,
+       arg_max(value, k) AS last_value
+FROM keyed GROUP BY user_id
+"""
+
+
 # --- B17: streaming incremental near-dup detection ----------------------------
 
 def stream_dedup_incremental(
@@ -1059,6 +1196,7 @@ def stream_dedup_incremental(
 
 QUERIES = {
     "stream_quarantine": stream_quarantine,
+    "stream_cdc_apply": stream_cdc_apply,
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_tumbling": stream_tumbling,
     "stream_topk": stream_topk,
@@ -1075,6 +1213,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_quarantine": STREAM_QUARANTINE_SQL,
+    "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     # B17 shares D28's exact pair semantics (union over batches ==
     # the one-shot batch-vs-corpus probe), so it shares D28's oracle
     "stream_dedup_incremental": _dedup_incremental_sql(),

@@ -642,3 +642,44 @@ def test_stream_outer_join_watermark_and_late_rows(spark, tmp_path):
     # watermark (05:50) -> held in state, never emitted
     assert all(k != 99 for k, _ in rows)
     assert rows == [(1, None), (2, None)]
+
+
+# --- B19: CDC changelog apply = batch aggregate, multi-batch, idempotent -----
+
+def test_stream_cdc_apply_multibatch_equals_batch(spark, sf_dir):
+    """B19 must (a) really ingest over multiple micro-batches (4-file drop
+    at maxFilesPerTrigger=1 -> >= 2 state versions) and (b) land on exactly
+    the batch aggregate's final state regardless of batching; (c) a
+    re-applied batch (redelivery simulation: recompute version b from its
+    predecessor) reproduces the identical state version."""
+    from frolyk_spark.sources.catalog import load_table
+    from frolyk_spark.streaming.jobs import stream_cdc_apply
+
+    got_df = stream_cdc_apply(spark, sf_dir)
+    got = {
+        (r.user_id, r.n_events, r.last_ts_us, r.last_type, r.last_value)
+        for r in got_df.collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    want = {
+        (r.user_id, r.n_events, r.last_ts_us, r.last_type, r.last_value)
+        for r in ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max_by(F.unix_micros("ts"), k).alias("last_ts_us"),
+            F.max_by("event_type", k).alias("last_type"),
+            F.max_by("value", k).alias("last_value"),
+        ).collect()
+    }
+    assert want and got == want
+    # multi-batch: the versioned state sinks remain
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(root)
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    assert len(versions) >= 2, f"expected multi-batch ingest, got {versions}"
