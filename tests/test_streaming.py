@@ -683,3 +683,59 @@ def test_stream_cdc_apply_multibatch_equals_batch(spark, sf_dir):
         if d.startswith("s") and d[1:].isdigit()
     )
     assert len(versions) >= 2, f"expected multi-batch ingest, got {versions}"
+
+
+def test_stream_outer_join_state_is_watermark_bounded(spark, tmp_path):
+    """The 100 TB claim behind B10/B18 — the time-range condition lets the
+    engine EVICT join state — asserted on the engine's own state-store
+    metrics: after the watermark-advancing batch, the symmetricHashJoin
+    state row count must DROP to the within-horizon residue, not retain
+    the full stream (state bounded by the watermark window, independent
+    of stream length)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    # 150 left rows over ~5h; clock row far ahead so the final watermark
+    # leaves only a small residue inside the horizon
+    spark.createDataFrame(
+        [(i, f"2024-01-01 {i//60:02d}:{i%60:02d}:00") for i in range(0, 300, 2)],
+        "k int, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("lts")).write.parquet(ld)
+    spark.createDataFrame(
+        [(9999, "2024-01-01 23:00:00")], "k int, ts_s string"
+    ).select(F.col("k").alias("rk"), F.col("ts_s").cast("timestamp").alias("rts")) \
+     .write.parquet(rd)
+    ls = (
+        spark.readStream.schema("k int, lts timestamp").parquet(ld)
+        .withWatermark("lts", "10 minutes")
+    )
+    rs = (
+        spark.readStream.schema("rk int, rts timestamp").parquet(rd)
+        .withWatermark("rts", "10 minutes")
+    )
+    j = ls.join(
+        rs,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    )
+    ckpt = str(tmp_path / "ck")
+    q = (
+        j.writeStream.foreachBatch(lambda bdf, bid: bdf.count())
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", ckpt).start()
+    )
+    q.awaitTermination()
+    totals = {
+        p["batchId"]: so["numRowsTotal"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+        if so["operatorName"] == "symmetricHashJoin"
+    }
+    assert totals[0] > 100, f"data batch should load state, got {totals}"
+    # the eviction batch leaves only the rows the watermark cannot yet
+    # prove unmatched — a small residue, NOT the whole stream
+    assert totals[max(totals)] < totals[0] / 5, totals
