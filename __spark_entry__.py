@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_r9 = (
         "stream_outer_join",   # B18: left-outer stream-stream join
         "stream_cdc_apply",    # B19: CDC changelog apply (versioned upsert)
+        "stream_session_ttl",  # B20: EventTimeTimeout state close-out
         "curriculum_quota",    # D69: exact (tier x source) quota
         "ann_lsh_buckets",     # D11 companion: deterministic bucket geometry
         "sketch_kmv",          # D45 companion: KMV registers

@@ -124,6 +124,7 @@ HEADLINE = [
     # r9 additions
     "stream_outer_join",
     "stream_cdc_apply",
+    "stream_session_ttl",
     "curriculum_quota",
     "ann_lsh_buckets",
     "sketch_kmv",

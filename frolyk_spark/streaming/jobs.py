@@ -903,6 +903,102 @@ GROUP BY event_type
 """
 
 
+# --- B20: TTL-closed per-user state (EventTimeTimeout) ------------------------
+
+#: inactivity gap closing a user's accumulated state
+TTL_GAP_MS = 30 * 60 * 1000
+#: watermark delay for the TTL operator
+TTL_DELAY_MS = 2 * 3600 * 1000
+
+
+def stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-driven state close-out (B20): per-user running totals that EMIT
+    ON TIMEOUT — the applyInPandasWithState + EventTimeTimeout pattern B5
+    deliberately does not exercise (it emits per batch with NoTimeout).
+    This is the inactivity-close shape (abandoned-session flush, idle-key
+    eviction): a user's state accumulates silently and surfaces exactly
+    once, when the watermark proves the user has been inactive for
+    {TTL_GAP_MS} ms — at which point the state is REMOVED, so state size
+    tracks the active-user set, not the stream.
+
+    Cross-engine contract (empirically pinned, same harness as B18): a
+    state with timeout T_ms fires iff T_ms < wm_ms STRICTLY, where
+    wm_ms = floor(max_event_us/1000) − delay_ms; the operator sets
+    T_ms = floor(last_event_us/1000) + gap. The DuckDB oracle reproduces
+    exactly that integer arithmetic, so which users close is
+    bit-deterministic. Values are cents-scaled to BIGINT before the UDF
+    (JVM-side) and emitted as integer cents — no float crosses the
+    compare path."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.expr("cast(floor(value * 100.0d + 0.5d) as bigint)").alias("cents"),
+    )
+
+    def fold(key, pdfs, state):
+        if state.hasTimedOut:
+            n, s, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_cents": [s],
+                    "first_ts_us": [first_us],
+                    "last_ts_us": [last_us],
+                }
+            )
+        else:
+            n, s, first_us, last_us = (
+                state.get if state.exists else (0, 0, None, None)
+            )
+            for pdf in pdfs:
+                n += len(pdf)
+                s += int(pdf["cents"].sum())
+                us = pdf["ts"].astype("int64") // 1000  # ns -> µs
+                lo, hi = int(us.min()), int(us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            state.update((n, s, first_us, last_us))
+            state.setTimeoutTimestamp(last_us // 1000 + TTL_GAP_MS)
+
+    out = (
+        ev.withWatermark("ts", f"{TTL_DELAY_MS // 60000} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            "user_id bigint, n_events bigint, sum_cents bigint, "
+            "first_ts_us bigint, last_ts_us bigint",
+            "n bigint, s bigint, first_us bigint, last_us bigint",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return run_available_now(out, mode="append", prefix="ttl")
+
+
+STREAM_SESSION_TTL_SQL = f"""
+WITH pre AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
+         cast(sum(cents) AS BIGINT) AS sum_cents,
+         min(us) AS first_ts_us, max(us) AS last_ts_us
+  FROM pre GROUP BY user_id
+)
+SELECT user_id, n_events, sum_cents, first_ts_us, last_ts_us
+FROM agg
+WHERE (last_ts_us // 1000) + {TTL_GAP_MS}
+      < (SELECT (max(us) // 1000) - {TTL_DELAY_MS} FROM pre)
+"""
+
+
 # --- B19: streaming CDC changelog apply (versioned upsert state) --------------
 
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1293,7 @@ def stream_dedup_incremental(
 QUERIES = {
     "stream_quarantine": stream_quarantine,
     "stream_cdc_apply": stream_cdc_apply,
+    "stream_session_ttl": stream_session_ttl,
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_tumbling": stream_tumbling,
     "stream_topk": stream_topk,
@@ -1214,6 +1311,7 @@ QUERIES = {
 ORACLES = {
     "stream_quarantine": STREAM_QUARANTINE_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
+    "stream_session_ttl": STREAM_SESSION_TTL_SQL,
     # B17 shares D28's exact pair semantics (union over batches ==
     # the one-shot batch-vs-corpus probe), so it shares D28's oracle
     "stream_dedup_incremental": _dedup_incremental_sql(),

@@ -739,3 +739,72 @@ def test_stream_outer_join_state_is_watermark_bounded(spark, tmp_path):
     # the eviction batch leaves only the rows the watermark cannot yet
     # prove unmatched — a small residue, NOT the whole stream
     assert totals[max(totals)] < totals[0] / 5, totals
+
+
+# --- B20: EventTimeTimeout boundary + state removal ---------------------------
+
+def test_event_time_timeout_fires_strictly_below_watermark(spark, tmp_path):
+    """The TTL contract B20's oracle arithmetic depends on, pinned on a
+    controlled stream: a state with timeout T fires iff T < watermark
+    STRICTLY (T == wm held), wm_ms = floor(max_event_us/1000) - delay;
+    fired state is REMOVED (the emitting user is gone from the store)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ind = str(tmp_path / "in")
+    # delay 10m, gap 5m; clock u=99 at 06:00 -> wm 05:50:00.000
+    # u1 last 05:44:59 -> T 05:49:59 < wm -> fires
+    # u2 last 05:45:00 -> T 05:50:00 == wm -> held
+    # u3 last 05:45:01 -> T 05:50:01 > wm -> held
+    rows = [(1, "2024-01-01 05:44:59"), (2, "2024-01-01 05:45:00"),
+            (3, "2024-01-01 05:45:01"), (99, "2024-01-01 06:00:00")]
+    spark.createDataFrame(rows, "u int, ts_s string").select(
+        "u", F.col("ts_s").cast("timestamp").alias("ts")
+    ).write.parquet(ind)
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"u": [key[0]], "n": [n]})
+        else:
+            n = state.get[0] if state.exists else 0
+            last_ms = 0
+            for pdf in pdfs:
+                n += len(pdf)
+                last_ms = max(last_ms, int(pdf["ts"].astype("int64").max() // 1_000_000))
+            state.update((n,))
+            state.setTimeoutTimestamp(last_ms + 5 * 60 * 1000)
+
+    out = (
+        spark.readStream.schema("u int, ts timestamp").parquet(ind)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("u")
+        .applyInPandasWithState(
+            fn, "u int, n bigint", "n bigint",
+            "append", GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda bdf, bid: got.extend(
+            (r.u, r.n) for r in bdf.collect()
+        ))
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.awaitTermination()
+    assert got == [(1, 1)], got
+    # fired state removed, held states remain: the store's final row count
+    # is exactly the two held users + the clock user
+    totals = [
+        so["numRowsTotal"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+        if "applyInPandasWithState" in so["operatorName"]
+        and p["batchId"] == max(pp["batchId"] for pp in q.recentProgress)
+    ]
+    assert totals and totals[-1] == 3, totals
