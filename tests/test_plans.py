@@ -863,3 +863,28 @@ def test_curriculum_quota_scale_shape(spark, sf_dir):
     rep = assert_scale_shape(curriculum_quota(spark, sf_dir), max_scans=1)
     assert "WindowGroupLimit" in rep["plan"], "rank<=k must push a group limit"
     assert "rangepartitioning" not in rep["plan"].lower()
+
+
+def test_ann_lsh_buckets_scale_shape(spark, sf_dir):
+    """D11 companion: the bucket-occupancy view is one embeddings scan
+    through the Arrow-batched bucketize UDF into one hash aggregation —
+    no join, no cartesian, no global-sort surprises."""
+    from frolyk_spark.operators.similarity import ann_lsh_buckets
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(
+        ann_lsh_buckets(spark, sf_dir), forbid_nested_loop=True, max_scans=1
+    )
+    assert not rep["joins"]
+
+
+def test_sketch_kmv_scale_shape(spark, sf_dir):
+    """D45 companion: distinct words (two-phase hash agg) then the k-min
+    registers via TakeOrderedAndProject — per-partition K-row heaps, no
+    global sort, no single-partition window over the corpus."""
+    from frolyk_spark.operators.vocab import sketch_kmv
+    from frolyk_spark.plans import plan_report
+
+    rep = plan_report(sketch_kmv(spark, sf_dir))
+    assert rep["has_take_ordered"], "k-min registers must plan as TakeOrdered"
+    assert rep["scans"] == 1 and not rep["joins"]
