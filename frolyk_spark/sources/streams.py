@@ -48,6 +48,25 @@ def stage_stream_dir(sf_dir: str, table: str) -> str:
     return d
 
 
+def stage_multi_file_drop(df: DataFrame, sf_dir: str, table: str,
+                          salt: str, parts: int = 4) -> str:
+    """Stage ``df`` as a ``parts``-file parquet drop a file stream can
+    consume one file per trigger — REAL multi-batch ingest for the
+    streaming operators (B17/B19). Keyed on the resolved source path +
+    ``salt`` (two datasets sharing a basename never collide; two operators
+    staging different splits of the same table don't either) with a
+    _SUCCESS reuse check, so the write happens once per dataset — the
+    operator-persisted-state rule from CLAUDE.md."""
+    import hashlib
+
+    target = os.path.realpath(os.path.join(sf_dir, f"{table}.parquet"))
+    key = hashlib.md5(f"{target}:{salt}".encode()).hexdigest()[:12]
+    stage = os.path.join(SCRATCH, "streams", f"{salt}_{key}.parquet")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        df.repartition(parts).write.mode("overwrite").parquet(stage)
+    return stage
+
+
 def file_stream(
     spark: SparkSession,
     path: str,

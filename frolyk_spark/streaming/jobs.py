@@ -46,6 +46,26 @@ from frolyk_spark.sources.streams import SCRATCH, events_stream, stage_stream_di
 #: session gap for session windows
 SESSION_GAP = "30 minutes"
 
+
+def ordered_event_key() -> F.Column:
+    """THE portable total order over events: zero-padded (ts_us, event_id)
+    as one string. Both pads are full-bigint width — lpad TRUNCATES past
+    its length in both engines, so a short pad would collapse 11+-digit
+    event_ids into tied keys and make min_by/max_by nondeterministic (r6
+    ADVICE). One definition (plus the _sql twin) so B15/B19 and any future
+    ordered aggregate cannot drift pad widths independently (r9 review)."""
+    return F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+
+
+#: DuckDB twin of ordered_event_key()
+ORDERED_EVENT_KEY_SQL = (
+    "lpad(cast(epoch_us(ts) AS VARCHAR), 20, '0')"
+    " || lpad(cast(event_id AS VARCHAR), 20, '0')"
+)
+
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 TS_US_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -69,36 +89,68 @@ def _pid_alive(pid: int) -> bool:
 _LIVE_RESULTS: set[str] = set()
 
 
+def _named_dir(kind: str, name: str) -> str:
+    """SCRATCH/<kind>/named/<name> for a NAMED resumable run, with a
+    sibling <name>.owner_pid liveness file so the janitor never reclaims a
+    live run (r8 advice). Named dirs must be findable by a DIFFERENT
+    process after a crash (B17's resume contract), so they cannot be
+    pid-scoped like anonymous runs; the owner file + 1-hour window bound
+    them instead. The owner write is NOT advisory — if it fails, the run
+    would be sweepable while live, so the error propagates (the run could
+    not have written its checkpoint/results into this dir either)."""
+    d = os.path.join(SCRATCH, kind, "named")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{name}.owner_pid"), "w") as fh:
+        fh.write(str(os.getpid()))
+    return os.path.join(d, name)
+
+
 def _checkpoint_dir(name: str, *, named: bool = False) -> str:
     """Checkpoint location under SCRATCH/checkpoints, laid out so the
-    janitor can sweep without racing a live query (r8 advice: a pure mtime
-    cutoff could rmtree a concurrent process's still-running checkpoint).
-
-    Anonymous (uuid-named, one-shot) runs live under pid<pid>/ — swept only
-    once the owner process is dead. NAMED resumable runs (B17 crash-resume)
-    must be findable by a DIFFERENT process after a crash, so they live
-    under named/ with a sibling <name>.owner_pid liveness file; the sweep
-    reclaims them only when the recorded owner is dead AND the 1-hour
-    recovery window has passed."""
-    parent = os.path.join(SCRATCH, "checkpoints")
+    janitor can sweep without racing a live query: anonymous (uuid-named,
+    one-shot) runs live under pid<pid>/ — swept only once the owner
+    process is dead; named resumable runs go through _named_dir."""
     if not named:
-        return os.path.join(parent, f"pid{os.getpid()}", name)
-    d = os.path.join(parent, "named")
-    os.makedirs(d, exist_ok=True)
-    try:
-        with open(os.path.join(d, f"{name}.owner_pid"), "w") as fh:
-            fh.write(str(os.getpid()))
-    except OSError:
-        pass  # liveness file is advisory; mtime cutoff still bounds the dir
-    return os.path.join(d, name)
+        return os.path.join(SCRATCH, "checkpoints", f"pid{os.getpid()}", name)
+    return _named_dir("checkpoints", name)
+
+
+def _sweep_named(parent: str, cutoff: float) -> None:
+    """Reclaim dead entries of a named/ dir: a run dir goes when its
+    recorded owner is dead (or its owner file is gone — the run could not
+    have started without one) AND the recovery window passed; orphan
+    .owner_pid files whose dir is already gone are reclaimed by their own
+    mtime."""
+    import shutil
+
+    for sub in os.listdir(parent):
+        sp = os.path.join(parent, sub)
+        if sub.endswith(".owner_pid"):
+            base = os.path.join(parent, sub[: -len(".owner_pid")])
+            if not os.path.isdir(base) and os.path.getmtime(sp) < cutoff:
+                os.unlink(sp)
+            continue
+        owner = os.path.join(parent, f"{sub}.owner_pid")
+        alive = False
+        try:
+            with open(owner) as fh:
+                alive = _pid_alive(int(fh.read().strip()))
+        except (OSError, ValueError):
+            pass
+        if not alive and os.path.getmtime(sp) < cutoff:
+            shutil.rmtree(sp, ignore_errors=True)
+            try:
+                os.unlink(owner)
+            except OSError:
+                pass
 
 
 def _sweep_checkpoints() -> None:
     """Reclaim dead checkpoint dirs (SIGKILLed runs leak them — the finally
     blocks delete on every normal exit). pid roots go when their owner
-    dies; named resumable dirs go when their recorded owner is dead and
-    the 1-hour recovery window passed; legacy flat names (pre-pid layout)
-    keep the mtime-only fallback."""
+    dies; named resumable dirs go through the owner-pid-guarded
+    _sweep_named; legacy flat names (pre-pid layout) keep the mtime-only
+    fallback."""
     import shutil
     import time as _time
 
@@ -113,23 +165,7 @@ def _sweep_checkpoints() -> None:
                 if not _pid_alive(int(d[3:])):
                     shutil.rmtree(p, ignore_errors=True)
             elif d == "named":
-                for sub in os.listdir(p):
-                    if sub.endswith(".owner_pid"):
-                        continue
-                    sp = os.path.join(p, sub)
-                    owner = os.path.join(p, f"{sub}.owner_pid")
-                    alive = False
-                    try:
-                        with open(owner) as fh:
-                            alive = _pid_alive(int(fh.read().strip()))
-                    except (OSError, ValueError):
-                        pass
-                    if not alive and os.path.getmtime(sp) < cutoff:
-                        shutil.rmtree(sp, ignore_errors=True)
-                        try:
-                            os.unlink(owner)
-                        except OSError:
-                            pass
+                _sweep_named(p, cutoff)
             elif os.path.getmtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
@@ -201,6 +237,13 @@ def run_available_now(
                 elif d.startswith("pid") and d[3:].isdigit():
                     if not _pid_alive(int(d[3:])):
                         shutil.rmtree(p, ignore_errors=True)
+                elif d == "named":
+                    # named B17 results: same owner-pid guard as named
+                    # checkpoints — a bare mtime rmtree here could delete
+                    # a LIVE cross-process run's committed batches (r9
+                    # review catch, the same class as the mv_incremental
+                    # state-root bug r8 fixed)
+                    _sweep_named(p, cutoff)
                 elif os.path.getmtime(p) < cutoff:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
@@ -746,13 +789,7 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     string key (not a struct) keeps the ordering engine-portable.
     """
     ev = events_stream(spark, sf_dir)
-    k = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        # full bigint width: lpad TRUNCATES past its length in both
-        # engines, so a 10-char pad would collapse 11+-digit event_ids
-        # into tied keys and make open/close nondeterministic (r6 ADVICE)
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
+    k = ordered_event_key()
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -779,12 +816,10 @@ STREAM_OHLC_SQL = f"""
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS bar_start,
        event_type,
        cast(count(*) AS BIGINT) AS n,
-       arg_min(value, lpad(cast(epoch_us(ts) AS VARCHAR), 20, '0')
-                      || lpad(cast(event_id AS VARCHAR), 20, '0')) AS open,
+       arg_min(value, {ORDERED_EVENT_KEY_SQL}) AS open,
        max(value) AS high,
        min(value) AS low,
-       arg_max(value, lpad(cast(epoch_us(ts) AS VARCHAR), 20, '0')
-                      || lpad(cast(event_id AS VARCHAR), 20, '0')) AS close
+       arg_max(value, {ORDERED_EVENT_KEY_SQL}) AS close
 FROM events
 GROUP BY 1, 2
 """
@@ -1001,6 +1036,56 @@ WHERE (last_ts_us // 1000) + {TTL_GAP_MS}
 
 # --- B19: streaming CDC changelog apply (versioned upsert state) --------------
 
+def _cdc_reduce(batch_df: DataFrame) -> DataFrame:
+    """One row per key from a changelog batch: count + the batch's latest
+    payload under the portable ordered key (kept as column ``k`` so merges
+    can compare recency across batches)."""
+    k = ordered_event_key()
+    return batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(k).alias("k"),
+        F.max_by(F.unix_micros("ts"), k).alias("last_ts_us"),
+        F.max_by("event_type", k).alias("last_type"),
+        F.max_by("value", k).alias("last_value"),
+    )
+
+
+def _cdc_merge(prior: DataFrame, batch: DataFrame) -> DataFrame:
+    """Last-writer-wins merge of a reduced batch into the prior state:
+    counts add; the side with the LATER ordered key keeps the payload.
+    Pure function of its two inputs — re-running the same (prior, batch)
+    pair reproduces the identical state, which is what makes the
+    versioned-sink redelivery idempotent (pinned in test_streaming)."""
+    p, b = prior.alias("p"), batch.alias("b")
+    newer = F.col("b.k") > F.col("p.k")
+    take_b = F.col("p.k").isNull() | newer
+    return p.join(b, F.col("p.user_id") == F.col("b.user_id"), "full_outer").select(
+        F.coalesce("p.user_id", "b.user_id").alias("user_id"),
+        (
+            F.coalesce("p.n_events", F.lit(0)) + F.coalesce("b.n_events", F.lit(0))
+        ).alias("n_events"),
+        F.when(take_b, F.col("b.k")).otherwise(F.col("p.k")).alias("k"),
+        F.when(take_b, F.col("b.last_ts_us"))
+        .otherwise(F.col("p.last_ts_us")).alias("last_ts_us"),
+        F.when(take_b, F.col("b.last_type"))
+        .otherwise(F.col("p.last_type")).alias("last_type"),
+        F.when(take_b, F.col("b.last_value"))
+        .otherwise(F.col("p.last_value")).alias("last_value"),
+    )
+
+
+def _latest_version_below(root: str, batch_id: int) -> int | None:
+    """Latest committed state version STRICTLY below ``batch_id`` — a
+    redelivered batch must rebuild from its own predecessor, never merge
+    against its own (or a successor's) output, or retries double-count."""
+    versions = [
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit() and int(d[1:]) < batch_id
+    ]
+    return max(versions) if versions else None
+
+
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog apply (B19): the events stream treated as an upsert
     changelog keyed by user_id, materialized into a persisted state table
@@ -1011,10 +1096,11 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable ordered key (zero-padded (ts_us, event_id) string) so "last"
     is a total order both engines agree on.
 
-    Per batch, inside foreachBatch: reduce the batch to one row per key
-    (count + max_by over the ordered key), read the LATEST state version
-    below this batch id, full-outer merge (counts add; the later ordered
-    key wins the payload), and overwrite state version s{batch_id}.
+    Per batch, inside foreachBatch: _cdc_reduce the batch to one row per
+    key (count + max_by over the ordered key), read the LATEST state
+    version below this batch id (_latest_version_below), _cdc_merge
+    (counts add; the later ordered key wins the payload), and overwrite
+    state version s{batch_id}.
     Versioned states make at-least-once redelivery idempotent — a
     replayed batch rebuilds its own version from the same predecessor,
     never double-counts (B7's contract, same pattern as B17's sinks).
@@ -1026,60 +1112,24 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the state table is bucketed by key (E2) so the merge is
     co-located; nothing driver-side; state versions are pruned by the
     same janitor as every other result root."""
-    import hashlib
+    from frolyk_spark.sources.streams import stage_multi_file_drop
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    target = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
-    key = hashlib.md5(f"{target}:cdclog".encode()).hexdigest()[:12]
-    stage = os.path.join(SCRATCH, "streams", f"cdclog_{key}.parquet")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        ev.repartition(4).write.mode("overwrite").parquet(stage)
+    stage = stage_multi_file_drop(ev, sf_dir, "events", "cdclog")
 
     name = f"cdc_{uuid.uuid4().hex[:8]}"
     root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
     _LIVE_RESULTS.add(root)
     ckpt = _checkpoint_dir(name)
 
-    ordered_key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.max(ordered_key).alias("k"),
-            F.max_by(F.unix_micros("ts"), ordered_key).alias("last_ts_us"),
-            F.max_by("event_type", ordered_key).alias("last_type"),
-            F.max_by("value", ordered_key).alias("last_value"),
-        )
-        # latest committed version BELOW this batch id: a redelivered
-        # batch must rebuild from its own predecessor, not from itself
-        versions = sorted(
-            int(d[1:])
-            for d in (os.listdir(root) if os.path.isdir(root) else [])
-            if d.startswith("s") and d[1:].isdigit() and int(d[1:]) < batch_id
-        )
-        if versions:
-            prior = spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
-            p, b = prior.alias("p"), batch.alias("b")
-            newer = F.col("b.k") > F.col("p.k")
-            merged = p.join(b, F.col("p.user_id") == F.col("b.user_id"), "full_outer").select(
-                F.coalesce("p.user_id", "b.user_id").alias("user_id"),
-                (
-                    F.coalesce("p.n_events", F.lit(0)) + F.coalesce("b.n_events", F.lit(0))
-                ).alias("n_events"),
-                F.when(F.col("p.k").isNull() | newer, F.col("b.k"))
-                .otherwise(F.col("p.k")).alias("k"),
-                F.when(F.col("p.k").isNull() | newer, F.col("b.last_ts_us"))
-                .otherwise(F.col("p.last_ts_us")).alias("last_ts_us"),
-                F.when(F.col("p.k").isNull() | newer, F.col("b.last_type"))
-                .otherwise(F.col("p.last_type")).alias("last_type"),
-                F.when(F.col("p.k").isNull() | newer, F.col("b.last_value"))
-                .otherwise(F.col("p.last_value")).alias("last_value"),
-            )
+        batch = _cdc_reduce(batch_df)
+        prior_v = _latest_version_below(root, batch_id)
+        if prior_v is not None:
+            prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
+            merged = _cdc_merge(prior, batch)
         else:
             merged = batch
         merged.write.mode("overwrite").parquet(os.path.join(root, f"s{batch_id}"))
@@ -1184,18 +1234,14 @@ def stream_dedup_incremental(
         persisted_minhash_signatures, probe_pairs,
     )
 
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
     is_new = F.pmod("doc_id", F.lit(NEW_DOC_MOD)) == NEW_DOC_MOD - 1
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    # stage the "new" docs as a 4-file drop (keyed on the resolved source,
-    # like stage_stream_dir; written once per dataset)
-    import hashlib
-
-    target = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(f"{target}:{NEW_DOC_MOD}".encode()).hexdigest()[:12]
-    stage = os.path.join(SCRATCH, "streams", f"newdocs_{key}.parquet")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        docs.where(is_new).repartition(4).write.mode("overwrite").parquet(stage)
+    # stage the "new" docs as a 4-file drop (written once per dataset)
+    stage = stage_multi_file_drop(
+        docs.where(is_new), sf_dir, "documents", f"newdocs{NEW_DOC_MOD}"
+    )
 
     corpus_sigs = persisted_minhash_signatures(spark, sf_dir).where(~is_new)
     # Corpus band hashes are computed ONCE per run and cached: without
@@ -1216,10 +1262,10 @@ def stream_dedup_incremental(
         # committed batches' pairs/sigs must be where a DIFFERENT process
         # can find them — a pid-scoped root would silently drop every
         # pre-crash batch from the resumed result (and the janitor would
-        # reclaim it as a dead pid's leftovers). Named roots live outside
-        # the pid sweep and are reclaimed by the 1-hour mtime fallback,
-        # which bounds them to the recovery window.
-        root = os.path.join(SCRATCH, "results", "named", name)
+        # reclaim it as a dead pid's leftovers). _named_dir records this
+        # process as the owner so the sweep never reclaims a live run;
+        # once the owner dies the 1-hour window bounds the leftovers.
+        root = _named_dir("results", name)
     out, accum = os.path.join(root, "pairs"), os.path.join(root, "sigs")
     ckpt = _checkpoint_dir(name, named=_name is not None)
 
@@ -1279,6 +1325,13 @@ def stream_dedup_incremental(
         # from the first uncommitted batch; anonymous runs always clean up
         if ok or _name is None:
             shutil.rmtree(ckpt, ignore_errors=True)
+            if _name is not None:
+                # the checkpoint's owner file goes with it, or one orphan
+                # would accumulate per successful named run (r9 review)
+                try:
+                    os.unlink(f"{ckpt}.owner_pid")
+                except OSError:
+                    pass
 
     parts = sorted(
         os.path.join(out, d) for d in (os.listdir(out) if os.path.isdir(out) else [])

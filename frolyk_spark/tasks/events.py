@@ -39,10 +39,16 @@ class EventEmitter:
         return self.on(event, wrapper)
 
     def off(self, event: str, fn: Callable[..., Any]) -> None:
+        """Remove AT MOST ONE registration of ``fn`` (or of a once-wrapper
+        around it), scanning from the end — Node's removeListener contract
+        ("will remove, at most, one instance"); code registered twice and
+        removed once must keep its remaining listener."""
         fns = self._handlers.get(event, [])
-        self._handlers[event] = [
-            f for f in fns if f is not fn and getattr(f, "_once_inner", None) is not fn
-        ]
+        for i in range(len(fns) - 1, -1, -1):
+            f = fns[i]
+            if f is fn or getattr(f, "_once_inner", None) is fn:
+                del fns[i]
+                return
 
     def emit(self, event: str, *args: Any) -> bool:
         fns = list(self._handlers.get(event, ()))

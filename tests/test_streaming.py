@@ -684,6 +684,51 @@ def test_stream_cdc_apply_multibatch_equals_batch(spark, sf_dir):
     )
     assert len(versions) >= 2, f"expected multi-batch ingest, got {versions}"
 
+    # (c) the version filter picks each batch's true predecessor on the
+    # run's own persisted versions — never itself, never a successor
+    from frolyk_spark.streaming.jobs import _latest_version_below
+
+    assert _latest_version_below(root, versions[0]) is None
+    for prev, cur in zip(versions, versions[1:]):
+        assert _latest_version_below(root, cur) == prev, (prev, cur)
+
+
+def test_cdc_merge_redelivery_idempotent(spark):
+    """B19's redelivery safety, isolated on a synthetic changelog: a
+    redelivered batch rebuilt from its PREDECESSOR reproduces the
+    identical state version, while (the bug the `< batch_id` filter
+    exists to prevent) merging a batch into its OWN output double-counts."""
+    from frolyk_spark.streaming.jobs import _cdc_merge, _cdc_reduce
+
+    import datetime
+
+    def ev(event_id, ts, user, typ, val):
+        return (event_id, datetime.datetime.fromisoformat(ts), user, typ, val)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    b0 = spark.createDataFrame(
+        [ev(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+         ev(2, "2024-01-01 10:05:00", 7, "view", 2.0),
+         ev(3, "2024-01-01 10:01:00", 8, "click", 3.0)], schema)
+    b1 = spark.createDataFrame(
+        [ev(4, "2024-01-01 11:00:00", 7, "purchase", 9.0),
+         ev(5, "2024-01-01 09:00:00", 9, "view", 4.0)], schema)
+
+    s0 = _cdc_reduce(b0)
+    s1 = {tuple(r) for r in _cdc_merge(s0, _cdc_reduce(b1)).collect()}
+    # redelivery: same predecessor + same batch -> identical version
+    s1_redo = {tuple(r) for r in _cdc_merge(s0, _cdc_reduce(b1)).collect()}
+    assert s1 == s1_redo
+    # merged columns: (user_id, n_events, k, last_ts_us, last_type, last_value)
+    by_user = {r[0]: r for r in s1}
+    assert by_user[7][1] == 3 and by_user[7][4] == "purchase"
+    assert by_user[8][1] == 1 and by_user[9][4] == "view"
+    # the guarded-against bug: merging the batch into its own output
+    # double-counts — proving the predecessor filter is load-bearing
+    s1_df = spark.createDataFrame(list(s1), _cdc_merge(s0, _cdc_reduce(b1)).schema)
+    double = {r[0]: r for r in _cdc_merge(s1_df, _cdc_reduce(b1)).collect()}
+    assert double[7][1] == 4, "self-merge must double-count (hence the filter)"
+
 
 def test_stream_outer_join_state_is_watermark_bounded(spark, tmp_path):
     """The 100 TB claim behind B10/B18 — the time-range condition lets the

@@ -87,6 +87,14 @@ def test_event_emitter_on_once_off():
     em.once("b", inner)
     em.off("b", inner)
     assert not em.emit("b")
+    # Node contract: off removes AT MOST ONE instance — a handler
+    # registered twice keeps one listener after a single off()
+    twice = lambda: got.append("twice")  # noqa: E731
+    em.on("c", twice)
+    em.on("c", twice)
+    em.off("c", twice)
+    em.emit("c")
+    assert got[-1] == "twice" and em.listener_count("c") == 1
 
 
 def test_context_log_forwards_to_task_events():
