@@ -853,3 +853,44 @@ def test_event_time_timeout_fires_strictly_below_watermark(spark, tmp_path):
         and p["batchId"] == max(pp["batchId"] for pp in q.recentProgress)
     ]
     assert totals and totals[-1] == 3, totals
+
+
+def test_cdc_merge_batching_invariant(spark):
+    """B19's core algebraic property: the final state is invariant to HOW
+    the changelog was batched — including a late batch carrying an EARLIER
+    event for a key (the ordered-key compare, not arrival order, decides
+    the payload). This is what lets the oracle be a plain batch GROUP BY."""
+    import datetime
+
+    from frolyk_spark.streaming.jobs import _cdc_merge, _cdc_reduce
+
+    def ev(eid, ts, user, typ, val):
+        return (eid, datetime.datetime.fromisoformat(ts), user, typ, val)
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    rows = [
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 12:00:00", 1, "purchase", 2.0),
+        ev(3, "2024-01-01 11:00:00", 1, "view", 3.0),   # mid ts, late batch
+        ev(4, "2024-01-01 09:00:00", 2, "click", 4.0),
+        ev(5, "2024-01-01 09:30:00", 2, "view", 5.0),
+        ev(6, "2024-01-01 08:00:00", 3, "click", 6.0),
+        ev(7, "2024-01-01 08:00:00", 4, "view", 7.0),   # ts tie w/ 8 ...
+        ev(8, "2024-01-01 08:00:00", 4, "click", 8.0),  # ... event_id breaks it
+    ]
+
+    def final_state(splits):
+        state = None
+        for lo, hi in splits:
+            batch = _cdc_reduce(spark.createDataFrame(rows[lo:hi], schema))
+            state = batch if state is None else _cdc_merge(state, batch)
+        return {tuple(r) for r in state.collect()}
+
+    one = final_state([(0, 8)])
+    assert final_state([(0, 4), (4, 8)]) == one
+    assert final_state([(0, 2), (2, 3), (3, 6), (6, 8)]) == one
+    assert final_state([(0, 1), (1, 8)]) == one
+    by_user = {r[0]: r for r in one}
+    assert by_user[1][4] == "purchase" and by_user[1][1] == 3
+    assert by_user[4][4] == "click"  # event_id 8 > 7 on tied ts
