@@ -527,6 +527,49 @@ def read_versioned(
     return spark.read.parquet(*[os.path.join(path, p) for p in manifest["files"]])
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change feed between two snapshots of a versioned table (E16 —
+    Delta's ``table_changes`` shape, composed from E14 time travel and
+    C65's keyed reconciliation): full-outer join snapshot ``v_from``
+    against ``v_to`` on ``key``, classify every key added / removed /
+    changed by null-safe comparison of ``compare_cols``, and return only
+    the non-identical keys with both row images (``<col>_before`` /
+    ``<col>_after`` plus ``_change``).
+
+    Callers own the exactness of ``compare_cols`` — pass integer images
+    (cents-scaled) for money columns, per the repo's no-double-equality
+    rule. Scale shape: one sort-merge full-outer join on the key, output
+    bounded by the drift between the snapshots, never table size; with
+    both snapshots from the bucketed writer the join is co-located."""
+    from functools import reduce
+    from operator import and_
+
+    a = read_versioned(spark, path, v_from).alias("a")
+    b = read_versioned(spark, path, v_to).alias("b")
+    joined = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+    same = reduce(
+        and_, (F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in compare_cols)
+    )
+    status = (
+        F.when(F.col(f"a.{key}").isNull(), "added")
+        .when(F.col(f"b.{key}").isNull(), "removed")
+        .when(~same, "changed")
+        .otherwise("unchanged")
+    )
+    cols = [F.coalesce(f"a.{key}", f"b.{key}").alias(key), status.alias("_change")]
+    for c in compare_cols:
+        cols.append(F.col(f"a.{c}").alias(f"{c}_before"))
+        cols.append(F.col(f"b.{c}").alias(f"{c}_after"))
+    return joined.select(*cols).where(F.col("_change") != "unchanged")
+
+
 def rollback_versioned(path: str, version: int) -> int:
     """Restore snapshot ``version`` as a NEW version (roll-forward
     rollback, Delta's RESTORE semantics): history is preserved, the bad

@@ -687,3 +687,46 @@ def test_dynamic_partition_pruning_fires_on_dim_filter(spark, sf_dir, tmp_path):
         .groupBy("n_name").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want and got
+
+
+def test_read_changes_between_snapshots(spark, sf_dir, tmp_path):
+    """E16: the change feed between two E14 snapshots classifies exactly
+    the drifted keys (added / removed / changed on exact integer images)
+    and nothing else — time travel + C65's reconciliation as one API."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.sources.catalog import (
+        load_table, read_changes, write_versioned,
+    )
+
+    out = str(tmp_path / "orders_versioned")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100.0d + 0.5d) as bigint)").alias(
+            "price_c"
+        ),
+        F.col("o_orderkey").cast("bigint").alias("k"),
+    ).drop("k")
+    r = F.pmod("o_orderkey", F.lit(100))
+    v1 = write_versioned(base.where(r != 1), out)                  # key%100==1 "added" later
+    v2 = write_versioned(
+        base.where(r != 0).withColumn(                             # key%100==0 removed
+            "price_c",
+            F.col("price_c") + F.when(r.isin(2, 3), F.lit(100)).otherwise(F.lit(0)),
+        ),
+        out,
+    )
+    changes = read_changes(spark, out, v1, v2, "o_orderkey", ["price_c"])
+    got = {r_.o_orderkey: r_._change for r_ in changes.collect()}
+    n = base.count()
+    assert got, "test data must produce drift"
+    for k, status in got.items():
+        m = k % 100
+        want = {0: "removed", 1: "added", 2: "changed", 3: "changed"}[m]
+        assert status == want, (k, status, want)
+    # completeness: every drifted key is reported, no unchanged key is
+    want_n = base.where(r.isin(0, 1, 2, 3)).count()
+    assert len(got) == want_n
+    # row images carry through: a changed key shows the +100 delta
+    ch = changes.where(F.col("_change") == "changed").limit(1).collect()[0]
+    assert ch.price_c_after - ch.price_c_before == 100
