@@ -551,15 +551,26 @@ def read_changes(
     from functools import reduce
     from operator import and_
 
-    a = read_versioned(spark, path, v_from).alias("a")
-    b = read_versioned(spark, path, v_to).alias("b")
+    # presence is tested via side MARKERS, not the key value's null-ness:
+    # write_versioned does not enforce non-null keys, and a null-keyed row
+    # never matches in the join — keying the classification on the key
+    # column would report a REMOVED null-keyed row as 'added' (r9 review)
+    a = read_versioned(spark, path, v_from).withColumn(
+        "_in_from", F.lit(True)
+    ).alias("a")
+    b = read_versioned(spark, path, v_to).withColumn(
+        "_in_to", F.lit(True)
+    ).alias("b")
     joined = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+    # empty compare_cols = membership-only feed: matched keys compare equal
     same = reduce(
-        and_, (F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in compare_cols)
+        and_,
+        (F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in compare_cols),
+        F.lit(True),
     )
     status = (
-        F.when(F.col(f"a.{key}").isNull(), "added")
-        .when(F.col(f"b.{key}").isNull(), "removed")
+        F.when(F.col("a._in_from").isNull(), "added")
+        .when(F.col("b._in_to").isNull(), "removed")
         .when(~same, "changed")
         .otherwise("unchanged")
     )

@@ -60,7 +60,10 @@ def stage_multi_file_drop(df: DataFrame, sf_dir: str, table: str,
     import hashlib
 
     target = os.path.realpath(os.path.join(sf_dir, f"{table}.parquet"))
-    key = hashlib.md5(f"{target}:{salt}".encode()).hexdigest()[:12]
+    # parts is part of the cache key: a caller changing the file count
+    # must re-stage, not silently reuse the old batch geometry (CLAUDE.md:
+    # persisted state keyed by resolved-source-path PLUS params)
+    key = hashlib.md5(f"{target}:{salt}:{parts}".encode()).hexdigest()[:12]
     stage = os.path.join(SCRATCH, "streams", f"{salt}_{key}.parquet")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         df.repartition(parts).write.mode("overwrite").parquet(stage)

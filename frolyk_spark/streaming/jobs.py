@@ -126,8 +126,19 @@ def _sweep_named(parent: str, cutoff: float) -> None:
     for sub in os.listdir(parent):
         sp = os.path.join(parent, sub)
         if sub.endswith(".owner_pid"):
+            # orphan reclaim must ALSO check the recorded owner is dead: a
+            # live run writes its owner file at start but creates the data
+            # dir only at first commit — unlinking by mtime alone would
+            # strip a slow live run's liveness guard (r9 review)
             base = os.path.join(parent, sub[: -len(".owner_pid")])
-            if not os.path.isdir(base) and os.path.getmtime(sp) < cutoff:
+            owner_alive = False
+            try:
+                with open(sp) as fh:
+                    owner_alive = _pid_alive(int(fh.read().strip()))
+            except (OSError, ValueError):
+                pass
+            if (not owner_alive and not os.path.isdir(base)
+                    and os.path.getmtime(sp) < cutoff):
                 os.unlink(sp)
             continue
         owner = os.path.join(parent, f"{sub}.owner_pid")
@@ -1171,11 +1182,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STREAM_CDC_APPLY_SQL = """
+STREAM_CDC_APPLY_SQL = f"""
 WITH keyed AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
-         lpad(cast(epoch_us(ts) AS VARCHAR), 20, '0')
-         || lpad(cast(event_id AS VARCHAR), 20, '0') AS k
+         {ORDERED_EVENT_KEY_SQL} AS k
   FROM events
 )
 SELECT user_id, cast(count(*) AS BIGINT) AS n_events,

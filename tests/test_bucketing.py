@@ -705,8 +705,7 @@ def test_read_changes_between_snapshots(spark, sf_dir, tmp_path):
         F.expr("cast(floor(o_totalprice * 100.0d + 0.5d) as bigint)").alias(
             "price_c"
         ),
-        F.col("o_orderkey").cast("bigint").alias("k"),
-    ).drop("k")
+    )
     r = F.pmod("o_orderkey", F.lit(100))
     v1 = write_versioned(base.where(r != 1), out)                  # key%100==1 "added" later
     v2 = write_versioned(
@@ -730,3 +729,32 @@ def test_read_changes_between_snapshots(spark, sf_dir, tmp_path):
     # row images carry through: a changed key shows the +100 delta
     ch = changes.where(F.col("_change") == "changed").limit(1).collect()[0]
     assert ch.price_c_after - ch.price_c_before == 100
+
+
+def test_read_changes_null_keys_and_membership_only(spark, tmp_path):
+    """r9 review regressions on the change feed: (a) a null-keyed row
+    present only in v_from must classify as REMOVED (presence markers, not
+    key-value null tests — the full-outer join never matches null keys);
+    (b) empty compare_cols = membership-only feed, matched keys unchanged."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.sources.catalog import read_changes, write_versioned
+
+    out = str(tmp_path / "t")
+    v1 = write_versioned(
+        spark.createDataFrame([(1, 10), (None, 99), (2, 20)], "k int, v int"), out
+    )
+    v2 = write_versioned(
+        spark.createDataFrame([(1, 11), (3, 30)], "k int, v int"), out
+    )
+    got = {
+        (r.k, r._change)
+        for r in read_changes(spark, out, v1, v2, "k", ["v"]).collect()
+    }
+    assert got == {(None, "removed"), (2, "removed"), (3, "added"), (1, "changed")}
+    # membership-only: value drift on matched keys is ignored
+    got2 = {
+        (r.k, r._change)
+        for r in read_changes(spark, out, v1, v2, "k", []).collect()
+    }
+    assert got2 == {(None, "removed"), (2, "removed"), (3, "added")}

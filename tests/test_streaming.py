@@ -661,6 +661,9 @@ def test_stream_cdc_apply_multibatch_equals_batch(spark, sf_dir):
         for r in got_df.collect()
     }
     ev = load_table(spark, sf_dir, "events")
+    # deliberately an INDEPENDENT spelling of the ordered key (not the
+    # shared ordered_event_key helper): if the helper's shape ever drifts,
+    # this expected-value computation diverges and fails loudly
     k = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 20, "0"),
