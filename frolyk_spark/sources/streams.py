@@ -58,6 +58,7 @@ def stage_multi_file_drop(df: DataFrame, sf_dir: str, table: str,
     _SUCCESS reuse check, so the write happens once per dataset — the
     operator-persisted-state rule from CLAUDE.md."""
     import hashlib
+    import uuid as _uuid
 
     target = os.path.realpath(os.path.join(sf_dir, f"{table}.parquet"))
     # parts is part of the cache key: a caller changing the file count
@@ -65,8 +66,23 @@ def stage_multi_file_drop(df: DataFrame, sf_dir: str, table: str,
     # persisted state keyed by resolved-source-path PLUS params)
     key = hashlib.md5(f"{target}:{salt}:{parts}".encode()).hexdigest()[:12]
     stage = os.path.join(SCRATCH, "streams", f"{salt}_{key}.parquet")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        df.repartition(parts).write.mode("overwrite").parquet(stage)
+    if os.path.exists(os.path.join(stage, "_SUCCESS")):
+        return stage
+    # First-ever staging can RACE across processes (the _SUCCESS check is
+    # not a lock). Each racer builds its own private dir and publishes it
+    # with an atomic symlink swap — never two writers in one dir, and a
+    # reader that already resolved the old link keeps its intact build
+    # dir. Losers' builds leak only under concurrency, bounded by it.
+    build = f"{stage}.build-{_uuid.uuid4().hex[:8]}"
+    df.repartition(parts).write.mode("overwrite").parquet(build)
+    tmp_link = f"{stage}.lnk-{_uuid.uuid4().hex[:8]}"
+    os.symlink(build, tmp_link)
+    try:
+        os.replace(tmp_link, stage)
+    except OSError:
+        # `stage` exists as a REAL directory (pre-symlink layout, already
+        # complete): the build is redundant — reuse the existing dir
+        os.unlink(tmp_link)
     return stage
 
 
