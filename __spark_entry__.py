@@ -33,11 +33,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 154
+    # in dict order under a wall-clock budget (~50 per round of the 155
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
     # FIRST (CLAUDE.md). The r8 driver consumed the first 50 r8-rotation
     # entries (CORRECTNESS_r08: through the first 9 of stale_r4), so:
-    #   1. new_r9 (6): operators/companion views added this round — need
+    #   1. new_r9 (7): operators/companion views added this round — need
     #      their FIRST row;
     #   2. stale_r4 (17): newest green row is r4, four rounds old — the
     #      TPC-H q13..q21 tail, tokenizer aggs, incremental dedup, plus
@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      driver evidence;
     #   3. green_r6 (36): two rounds old, oldest-first freshness ledger;
     #   4. green_r7 then the r8-green remainder via registry order.
-    # Head = 6+17+36 = 59 vs the ~50 budget: entries that slip are the
+    # Head = 7+17+36 = 60 vs the ~50 budget: entries that slip are the
     # TAIL of green_r6 (unchanged since their r6 row, locally 3-SF green
     # this round), never a new or r4-stale one.
     new_r9 = (
@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_quota",    # D69: exact (tier x source) quota
         "ann_lsh_buckets",     # D11 companion: deterministic bucket geometry
         "sketch_kmv",          # D45 companion: KMV registers
+        "session_overlaps",    # C66: keyed interval-overlap join
     )
     stale_r4 = (
         "q13_order_distribution", "q15_top_supplier", "q18_large_orders",

@@ -128,6 +128,7 @@ HEADLINE = [
     "curriculum_quota",
     "ann_lsh_buckets",
     "sketch_kmv",
+    "session_overlaps",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

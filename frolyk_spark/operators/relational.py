@@ -2601,6 +2601,114 @@ def _diff_versions(li: DataFrame) -> tuple[DataFrame, DataFrame]:
     return v1, v2
 
 
+#: inactivity gap bounding an activity burst (µs)
+OVERLAP_GAP_US = 30 * 60 * 1_000_000
+
+
+def _bursts(ev: DataFrame, typ: str) -> DataFrame:
+    """Per-user activity bursts of one event type via gaps-and-islands:
+    a burst breaks where the gap to the previous event exceeds
+    {OVERLAP_GAP_US} µs; the burst INTERVAL extends the gap past its last
+    event (sessionize's session-window convention — a singleton burst is
+    a 30-minute interval, not a zero-length point, which would make
+    overlaps vacuously rare). All integer µs — lag ordering is total
+    ((ts, event_id)), so burst ids and bounds are engine-deterministic."""
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > OVERLAP_GAP_US), 1
+    ).otherwise(0)
+    return (
+        ev.where(F.col("event_type") == typ)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .withColumn("burst", F.sum(is_new).over(w))
+        .groupBy("user_id", "burst")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            (F.max("ts_us") + F.lit(OVERLAP_GAP_US)).alias("end_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (C66) — the Flink-interval-join / range-join
+    operator class none of the other C entries exercise: per-user CLICK
+    bursts × PURCHASE bursts (both gaps-and-islands intervals with a
+    30-minute gap), keeping pairs whose time intervals overlap, with the
+    exact overlap duration. The behavioral question it answers: which
+    browsing bursts co-occurred with buying activity.
+
+    Scale shape: the join is an EQUI-join on user_id with the range
+    predicate as a post-join filter within each key group — the standard
+    interval-join plan when intervals are keyed (the key prunes; ranges
+    filter within the key's bursts, bounded per user). No cartesian, no
+    cross-key range search. Everything is integer µs: burst bounds,
+    overlap arithmetic (least/greatest of exact integers), so the oracle
+    matches bit-for-bit with zero float traffic."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = _bursts(ev, "click").alias("c")
+    buys = _bursts(ev, "purchase").alias("p")
+    overlap = F.least(F.col("c.end_us"), F.col("p.end_us")) - F.greatest(
+        F.col("c.start_us"), F.col("p.start_us")
+    )
+    return (
+        clicks.join(buys, F.col("c.user_id") == F.col("p.user_id"))
+        .where(
+            (F.col("c.start_us") <= F.col("p.end_us"))
+            & (F.col("p.start_us") <= F.col("c.end_us"))
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.burst").alias("click_burst"),
+            F.col("p.burst").alias("purchase_burst"),
+            overlap.alias("overlap_us"),
+            F.col("c.n").alias("n_clicks"),
+            F.col("p.n").alias("n_purchases"),
+        )
+        .orderBy("user_id", "click_burst", "purchase_burst")
+    )
+
+
+SESSION_OVERLAPS_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+marked AS (
+  SELECT user_id, event_type, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {OVERLAP_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM base WHERE event_type IN ('click', 'purchase')
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+),
+bursts AS (
+  -- the running sum orders by the SAME total order as the lag (ties on
+  -- ts_us broken by event_id), so per-row burst ids match Spark's
+  SELECT user_id, event_type, ts_us,
+         sum(is_new) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS burst
+  FROM marked
+),
+agg AS (
+  SELECT user_id, event_type, cast(burst AS BIGINT) AS burst,
+         min(ts_us) AS start_us, max(ts_us) + {OVERLAP_GAP_US} AS end_us,
+         cast(count(*) AS BIGINT) AS n
+  FROM bursts GROUP BY user_id, event_type, burst
+)
+SELECT c.user_id, c.burst AS click_burst, p.burst AS purchase_burst,
+       least(c.end_us, p.end_us) - greatest(c.start_us, p.start_us)
+         AS overlap_us,
+       c.n AS n_clicks, p.n AS n_purchases
+FROM (SELECT * FROM agg WHERE event_type = 'click') c
+JOIN (SELECT * FROM agg WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+WHERE c.start_us <= p.end_us AND p.start_us <= c.end_us
+ORDER BY c.user_id, click_burst, purchase_burst
+"""
+
+
 def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation report — the data-ops diff between two
     versions of a keyed table (the check a pipeline runs after a CDC
@@ -2677,6 +2785,7 @@ QUERIES = {
     "skyline_parts": skyline_parts,
     "mv_incremental_refresh": mv_incremental_refresh,
     "table_diff": table_diff,
+    "session_overlaps": session_overlaps,
     "json_props_stats": json_props_stats,
     "spending_percentiles": spending_percentiles,
     "anomaly_zscore": anomaly_zscore,
@@ -2739,6 +2848,7 @@ ORACLES = {
     "skyline_parts": SKYLINE_SQL,
     "mv_incremental_refresh": MV_REFRESH_SQL,
     "table_diff": TABLE_DIFF_SQL,
+    "session_overlaps": SESSION_OVERLAPS_SQL,
     "json_props_stats": JSON_PROPS_SQL,
     "spending_percentiles": SPENDING_PERCENTILES_SQL,
     "anomaly_zscore": ZSCORE_SQL,

@@ -888,3 +888,19 @@ def test_sketch_kmv_scale_shape(spark, sf_dir):
     rep = plan_report(sketch_kmv(spark, sf_dir))
     assert rep["has_take_ordered"], "k-min registers must plan as TakeOrdered"
     assert rep["scans"] == 1 and not rep["joins"]
+
+
+def test_session_overlaps_is_keyed_interval_join(spark, sf_dir):
+    """C66: the interval-overlap join must plan as an EQUI-join on user_id
+    (the key prunes; range predicates filter within the key's bursts) —
+    never a cartesian or a broadcast nested loop over all interval pairs."""
+    from frolyk_spark.operators.relational import session_overlaps
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(
+        session_overlaps(spark, sf_dir), forbid_nested_loop=True
+    )
+    assert any(
+        op in rep["joins"] for op in ("SortMergeJoin", "ShuffledHashJoin",
+                                      "BroadcastHashJoin")
+    ), rep["joins"]
