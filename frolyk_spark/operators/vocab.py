@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frolyk_spark.functions.hashing import portable_hash_spark_sql
+from frolyk_spark.functions.hashing import portable_hash_spark_sql, portable_hash_sql
 from frolyk_spark.functions.portable import round4, round4_sql, round6, round6_sql
 from frolyk_spark.sources.catalog import load_table
 
@@ -495,10 +495,10 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair is TakeOrdered(1) — ONE row of model state to the driver
     (bounded, like IVF centroids); re-segmentation is a map-only JVM
     array fold with a lineage cut so round N+1 doesn't replay rounds
-    1..N. Output is the learned merge table ({BPE_MERGES} rows). No SQL
-    oracle — iterative, like dedup_clusters — but the whole loop is
-    model-checked token-for-token against a pure-Python reference in
-    tests/test_semantics.py.
+    1..N. Output is the learned merge table ({BPE_MERGES} rows).
+    Oracle-checked: the fixed-round all-integer/string loop unrolls into
+    DuckDB SQL (`_bpe_iter_ctes`); the pure-Python token-for-token model
+    check in tests/test_semantics.py remains.
     """
     from frolyk_spark.functions.lineage import cut_lineage
 
@@ -544,9 +544,10 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     head/tail join is the upgrade if the Zipf-shaped tail ever
     dominates, cf. unigram_logprob). The
     final per-doc reduce collects each document's pieces once — bounded
-    by document length, the same bound doc_chunks carries. No SQL oracle
-    (iterative, like bpe_train); model-checked per document against the
-    pure-Python reference encoder in tests/test_semantics.py.
+    by document length, the same bound doc_chunks carries. Oracle-checked
+    as of r10 (the unrolled-loop SQL, `_bpe_iter_ctes`, plus the encode
+    join and doc-order piece hash); the per-document pure-Python model
+    check in tests/test_semantics.py remains.
     """
     from frolyk_spark.functions.lineage import cut_lineage
 
@@ -599,6 +600,112 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_iter_ctes(n: int) -> str:
+    """n chained BPE training iterations as DuckDB CTE blocks, s0 -> s{n}.
+
+    The loop at `_bpe_loop` is driver-iterative on the Spark side, but its
+    round count is the fixed constant {BPE_MERGES} and every quantity is an
+    integer or a string — so the whole training is SQL-expressible by
+    UNROLLING the rounds (not WITH RECURSIVE: the per-round global argmax
+    is an aggregate over the recursive reference, which SQL forbids).
+    Per round k: adjacent pairs via lead() (the zip_with-of-slices twin),
+    weighted counts, the (cnt DESC, a, b) top-1 merge decision, and the
+    greedy left-to-right re-segmentation. Greedy non-overlapping matching
+    is the gaps-and-islands parity trick: consecutive matched start
+    positions (only possible when a = b) form islands, and greedy takes
+    exactly the even offsets within each island — equivalent to
+    `_merge_fold`'s left fold, verified token-for-token against the
+    pure-Python reference in tests/test_semantics.py. AS MATERIALIZED on
+    every state CTE: p{{k}} is referenced three times and inlining would
+    re-evaluate the whole chain per reference (exponential)."""
+    parts = []
+    for k in range(1, n + 1):
+        parts.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT w, weight, pos, tok AS a,
+         lead(tok) OVER (PARTITION BY w ORDER BY pos) AS b
+  FROM s{k - 1}
+),
+b{k} AS MATERIALIZED (
+  SELECT a, b, cast(sum(weight) AS bigint) AS cnt
+  FROM p{k} WHERE b IS NOT NULL GROUP BY a, b
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+m{k} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT t.w, t.pos,
+           t.pos - row_number() OVER (PARTITION BY t.w ORDER BY t.pos) AS grp
+    FROM p{k} t, b{k} bb WHERE t.a = bb.a AND t.b = bb.b
+  )
+  QUALIFY (pos - min(pos) OVER (PARTITION BY w, grp)) % 2 = 0
+),
+s{k} AS MATERIALIZED (
+  SELECT w, weight,
+         cast(row_number() OVER (PARTITION BY w ORDER BY opos) AS bigint) AS pos,
+         tok
+  FROM (
+    SELECT p.w, p.weight, p.pos AS opos,
+           CASE WHEN mm.pos IS NOT NULL THEN p.a || p.b ELSE p.a END AS tok,
+           m2.pos AS consumed
+    FROM p{k} p
+    LEFT JOIN m{k} mm ON p.w = mm.w AND p.pos = mm.pos
+    LEFT JOIN m{k} m2 ON p.w = m2.w AND p.pos = m2.pos + 1
+  ) WHERE consumed IS NULL
+)""")
+    return ",".join(parts)
+
+
+#: word-frequency table + per-char initial segmentation, shared by both
+#: BPE oracles (the `wf`/`toks` build in bpe_train/bpe_encode)
+_BPE_WF_S0 = """
+wf AS MATERIALIZED (
+  SELECT w, cast(count(*) AS bigint) AS weight FROM {word_src} GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT w, weight, cast(pos AS bigint) AS pos,
+         substr(w, cast(pos AS int), 1) AS tok
+  FROM (SELECT w, weight, unnest(range(1, length(w) + 1)) AS pos FROM wf)
+)"""
+
+
+def _bpe_train_sql() -> str:
+    word_src = ("(SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+                " WHERE length(w) > 0")
+    union = "\nUNION ALL\n".join(
+        f'SELECT cast({k} AS int) AS step, a AS "left", b AS "right",'
+        f" a || b AS merged, cnt FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return (f"WITH {_BPE_WF_S0.format(word_src=word_src)},"
+            f"{_bpe_iter_ctes(BPE_MERGES)}\n{union}")
+
+
+def _bpe_encode_sql() -> str:
+    h = portable_hash_sql("string_agg(pw, ' ' ORDER BY wpos)")
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(arr, 1) - 1 AS wpos, unnest(arr) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+),
+wnz AS MATERIALIZED (SELECT * FROM words WHERE length(w) > 0),
+{_BPE_WF_S0.format(word_src='wnz')},{_bpe_iter_ctes(BPE_MERGES)},
+seg AS MATERIALIZED (
+  SELECT w, string_agg(tok, '|' ORDER BY pos) AS pw,
+         cast(count(*) AS bigint) AS np
+  FROM s{BPE_MERGES} GROUP BY w
+),
+enc AS (
+  SELECT wnz.doc_id, wnz.wpos, seg.pw, seg.np
+  FROM wnz JOIN seg ON wnz.w = seg.w
+)
+SELECT doc_id,
+       cast(count(*) AS bigint) AS n_words,
+       cast(sum(np) AS bigint) AS n_pieces,
+       {h} AS enc_hash
+FROM enc GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "vocab_topk": vocab_topk,
     "bigram_counts": bigram_counts,
@@ -609,8 +716,9 @@ QUERIES = {
     "sketch_profile": sketch_profile,
     # D45's deterministic companion row (KMV registers, oracle-checked)
     "sketch_kmv": sketch_kmv,
-    # no-oracle: iterative (driver-held merge state per round); model-
-    # checked against a pure-Python reference in tests/test_semantics.py
+    # oracle-checked as of r10: the fixed-round loop unrolls into SQL
+    # (_bpe_iter_ctes) — all-integer/string state, so the match is exact;
+    # the pure-Python model check in tests/test_semantics.py remains
     "bpe_train": bpe_train,
     "bpe_encode": bpe_encode,
 }
@@ -621,4 +729,6 @@ ORACLES = {
     "bigram_counts": BIGRAM_COUNTS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "source_vocab_overlap": VOCAB_OVERLAP_SQL,
+    "bpe_train": _bpe_train_sql(),
+    "bpe_encode": _bpe_encode_sql(),
 }

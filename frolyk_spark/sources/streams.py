@@ -80,9 +80,15 @@ def stage_multi_file_drop(df: DataFrame, sf_dir: str, table: str,
     try:
         os.replace(tmp_link, stage)
     except OSError:
-        # `stage` exists as a REAL directory (pre-symlink layout, already
-        # complete): the build is redundant — reuse the existing dir
         os.unlink(tmp_link)
+        # Only ENOTEMPTY-style "stage exists as a real, COMPLETE dir" makes
+        # the build redundant; anything else (EACCES, a half-built pre-
+        # symlink layout without _SUCCESS) must not be handed to callers as
+        # a finished drop (r9 advice). The private build dir is known
+        # complete, so fall back to it rather than re-raising — the reuse
+        # cache is lost for that path but the returned data is whole.
+        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            return build
     return stage
 
 

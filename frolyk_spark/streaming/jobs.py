@@ -100,8 +100,27 @@ def _named_dir(kind: str, name: str) -> str:
     not have written its checkpoint/results into this dir either)."""
     d = os.path.join(SCRATCH, kind, "named")
     os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, f"{name}.owner_pid"), "w") as fh:
+    # Atomic publish (temp + os.replace), never truncate-in-place: a
+    # sweeper reading during a truncate window would see an empty file and
+    # treat a live owner as dead (r9 advice). Last-writer-wins is the
+    # intended takeover semantic for resumable runs, but a DIFFERENT still-
+    # live owner is surfaced loudly instead of silently overwritten.
+    owner = os.path.join(d, f"{name}.owner_pid")
+    try:
+        with open(owner) as fh:
+            prev = int(fh.read().strip())
+        if prev != os.getpid() and _pid_alive(prev):
+            import warnings
+
+            warnings.warn(
+                f"named run '{name}' owner file records live pid {prev}; "
+                f"pid {os.getpid()} is taking over", stacklevel=2)
+    except (OSError, ValueError):
+        pass
+    tmp = f"{owner}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
         fh.write(str(os.getpid()))
+    os.replace(tmp, owner)
     return os.path.join(d, name)
 
 
