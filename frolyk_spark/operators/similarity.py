@@ -339,8 +339,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the corpus would be *stored* partitioned by cell and a probe
     touches nprobe/nlist of the data. Deterministic (hash-seeded init), so
     recall is stable; checked in tests/test_similarity.py vs bruteforce.
-    No SQL oracle: k-means is iterative, not SQL-expressible (rows-only
-    driver check)."""
+    Oracle-checked as of r10: the fixed-round Lloyd fit unrolls into SQL
+    (`_lloyd_ctes`), so the DuckDB oracle re-derives fit + cell pruning +
+    exact rerank end-to-end."""
     import numpy as np
 
     probes, corpus = _split(spark, sf_dir)
@@ -929,10 +930,10 @@ def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample (`_train_centroids_sampled`, production-quantizer form — ONE
     bounded collect, model state O(k·dim)); full-corpus assignment is a
     distributed Arrow-batch matmul; the profile is one two-level
-    map-side-combinable aggregation. No oracle (iterative fit) — the numpy
-    model check in tests/test_similarity.py re-derives the fit +
-    assignment independently and matches the profile exactly; the driver
-    records the weaker rows-only check.
+    map-side-combinable aggregation. Oracle-checked as of r10 (the
+    unrolled-Lloyd SQL, `_lloyd_ctes`, with k derived from corpus size
+    in-query); the independent numpy model check in
+    tests/test_similarity.py remains.
 
     Dominant-label ties are impossible by construction: max_by orders on
     (count, label), distinct per row within a cluster."""
@@ -963,6 +964,158 @@ def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unrolled-Lloyd SQL oracles for the k-means family ------------------------
+
+def _lloyd_ctes(src: str, iters: int, k_expr) -> str:
+    """k-means fit over `src`(nid, e) as chained DuckDB CTEs -> ct{iters}.
+
+    The Spark fits (`_train_centroids`, `_train_centroids_sampled`) are
+    driver-iterative, but the round count is a fixed constant — so, like
+    the BPE trainer (vocab._bpe_iter_ctes), the loop UNROLLS into SQL:
+    seeds = first k rows of src in md5(nid) order (the hash-seeded init
+    rule), then per round a cosine-argmax assignment (row_number with the
+    numpy lowest-index tie-break) and a per-cluster component mean, with
+    empty clusters keeping their prior centroid (the coalesce LEFT JOIN).
+    Centroid VALUES are order-sensitive double means and differ across
+    engines in the last ULPs — but every emitted quantity downstream is an
+    integer, a label, or a rerank over an integer-keyed candidate set, so
+    only the argmax DECISIONS must agree, and an argmax flip needs two
+    cosines within ~1e-14 of each other (the accepted-risk class already
+    carried by ann_lsh_buckets' sign bits, green since r9). `k_expr` may
+    be a literal or a scalar subquery, so k can derive from corpus size
+    in-query (cluster_profile's scale-free k)."""
+    out = [f"""
+seeds AS MATERIALIZED (
+  SELECT nid, e, row_number() OVER (ORDER BY md5(cast(nid AS varchar))) - 1 AS c
+  FROM {src} QUALIFY c < {k_expr}
+),
+xe AS MATERIALIZED (
+  SELECT nid, generate_subscripts(e, 1) - 1 AS pos, cast(unnest(e) AS double) AS v
+  FROM {src}
+),
+ct0 AS MATERIALIZED (
+  SELECT c, list(cast(v AS double) ORDER BY pos) AS cl
+  FROM (SELECT c, generate_subscripts(e, 1) - 1 AS pos, unnest(e) AS v FROM seeds)
+  GROUP BY c
+)"""]
+    for k in range(1, iters + 1):
+        out.append(f"""
+a{k} AS MATERIALIZED (
+  SELECT nid, c FROM (
+    SELECT x.nid, ct.c,
+           row_number() OVER (PARTITION BY x.nid
+                              ORDER BY {cosine_sql('x.e', 'ct.cl')} DESC, ct.c) AS rk
+    FROM {src} x CROSS JOIN ct{k - 1} ct
+  ) WHERE rk = 1
+),
+mn{k} AS MATERIALIZED (
+  SELECT a.c, xe.pos, avg(xe.v) AS m
+  FROM a{k} a JOIN xe ON a.nid = xe.nid
+  GROUP BY a.c, xe.pos
+),
+ct{k} AS MATERIALIZED (
+  SELECT prev.c, coalesce(nw.cl, prev.cl) AS cl
+  FROM ct{k - 1} prev
+  LEFT JOIN (SELECT c, list(m ORDER BY pos) AS cl FROM mn{k} GROUP BY c) nw
+    ON prev.c = nw.c
+)""")
+    return ",".join(out)
+
+
+def _assign_sql(src: str, ct: str) -> str:
+    """Nearest-centroid assignment of `src`(nid, e) against `ct`(c, cl) —
+    the SQL twin of `_assign_cluster` (cosine argmax, lowest-c tie)."""
+    return f"""(
+  SELECT nid, c FROM (
+    SELECT x.nid, ct.c,
+           row_number() OVER (PARTITION BY x.nid
+                              ORDER BY {cosine_sql('x.e', 'ct.cl')} DESC, ct.c) AS rk
+    FROM {src} x CROSS JOIN {ct} ct
+  ) WHERE rk = 1
+)"""
+
+
+def _ann_ivf_sql() -> str:
+    cos = cosine_sql("p.pe", "x.e")
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id AS nid, embedding AS e FROM embeddings WHERE vec_id >= {N_PROBES}
+),{_lloyd_ctes('corpus', IVF_ITERS, IVF_CLUSTERS)},
+final_assign AS MATERIALIZED (
+  SELECT * FROM {_assign_sql('corpus', f'ct{IVF_ITERS}')}
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {N_PROBES}
+),
+probe_cells AS (
+  SELECT probe_id, c FROM (
+    SELECT p.probe_id, ct.c,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {cosine_sql('p.pe', 'ct.cl')} DESC, ct.c) AS rk
+    FROM probes p CROSS JOIN ct{IVF_ITERS} ct
+  ) WHERE rk <= {IVF_NPROBE}
+),
+cands AS (
+  SELECT pc.probe_id, fa.nid FROM probe_cells pc JOIN final_assign fa ON pc.c = fa.c
+),
+scored AS (
+  SELECT cd.probe_id, cd.nid AS neighbor_id, {cos} AS cos_raw
+  FROM cands cd
+  JOIN probes p ON cd.probe_id = p.probe_id
+  JOIN corpus x ON cd.nid = x.nid
+)
+SELECT probe_id, rank, neighbor_id,
+       floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM (
+  SELECT probe_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _cluster_profile_sql() -> str:
+    return f"""
+WITH allv AS MATERIALIZED (
+  SELECT vec_id AS nid, embedding AS e, label FROM embeddings
+),
+kk AS (SELECT greatest({CLUSTER_K_MIN},
+                       cast(ceil(count(*) / {SEM_TARGET_CLUSTER_ROWS}.0) AS bigint)) AS k
+       FROM allv),
+samp AS MATERIALIZED (
+  SELECT nid, e FROM (
+    SELECT nid, e, row_number() OVER (ORDER BY md5(cast(nid AS varchar))) AS rn
+    FROM allv
+  ) WHERE rn <= (SELECT greatest({SEM_TRAIN_SAMPLE}, 4 * k) FROM kk)
+),{_lloyd_ctes('samp', SEM_ITERS, '(SELECT k FROM kk)')},
+fa AS MATERIALIZED (
+  SELECT * FROM {_assign_sql('allv', f'ct{SEM_ITERS}')}
+),
+pl AS MATERIALIZED (
+  SELECT fa.c, allv.label, cast(count(*) AS bigint) AS cnt
+  FROM fa JOIN allv ON fa.nid = allv.nid
+  GROUP BY fa.c, allv.label
+),
+agg AS (
+  SELECT c, cast(sum(cnt) AS bigint) AS n_members,
+         cast(count(*) AS bigint) AS n_labels,
+         cast(max(cnt) AS bigint) AS dominant_count
+  FROM pl GROUP BY c
+),
+dom AS (
+  SELECT c, label AS dominant_label FROM (
+    SELECT c, label,
+           row_number() OVER (PARTITION BY c ORDER BY cnt DESC, label DESC) AS rn
+    FROM pl
+  ) WHERE rn = 1
+)
+SELECT cast(agg.c AS bigint) AS cluster, agg.n_members, agg.n_labels,
+       dom.dominant_label, agg.dominant_count
+FROM agg JOIN dom ON agg.c = dom.c
+"""
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     # no-oracle: eigendecomposition; numpy model check in test_similarity
@@ -977,16 +1130,19 @@ QUERIES = {
     # no-oracle: k-means blocking is iterative; precision/recall-gated in
     # tests/test_similarity.py against the exact numpy pair set
     "semantic_dedup": semantic_dedup,
-    # no-oracle: iterative k-means fit; exact numpy model check in
-    # tests/test_similarity.py re-derives fit + assignment + profile
+    # oracle-checked as of r10 via the unrolled-Lloyd SQL (_lloyd_ctes);
+    # the exact numpy model check in tests/test_similarity.py remains
     "cluster_profile": cluster_profile,
 }
 
-# ann_lsh / ann_ivf are deliberately oracle-free: approximate results are
-# checked by the recall pytest against ann_bruteforce (SURVEY §2 D11).
+# ann_lsh stays deliberately oracle-free (recall pytest vs ann_bruteforce,
+# SURVEY §2 D11); ann_ivf and cluster_profile gained full oracles in r10
+# via the unrolled-Lloyd SQL (_lloyd_ctes).
 ORACLES = {
     "ann_bruteforce": _ann_bruteforce_sql(),
     "ann_lsh_buckets": _ann_lsh_buckets_sql(),
+    "ann_ivf": _ann_ivf_sql(),
+    "cluster_profile": _cluster_profile_sql(),
     "embedding_stats": _embedding_stats_sql(),
     "embedding_quantize": _embedding_quantize_sql(),
 }
