@@ -129,11 +129,24 @@ HEADLINE = [
     "ann_lsh_buckets",
     "sketch_kmv",
     "session_overlaps",
+    # r10 additions
+    "stream_full_outer_join",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",
     "task_pipeline",
 ]
+
+#: interleaved-control protocol (r9 verdict item 5): a q1 control runs
+#: before the first key, after every CONTROL_EVERY keys, and after the
+#: last. A segment whose bounding controls exceed 1.3x the run-minimum
+#: control is flagged "contended" in the artifact itself, so a hot draw
+#: self-certifies which keys need isolated re-measurement instead of
+#: burning a round re-litigating them (MEMORY: trust the interleaved q1
+#: control, not load average).
+CONTROL_KEY = "q1_pricing_summary"
+CONTROL_EVERY = 15
+CONTROL_CONTENTION_RATIO = 1.3
 
 
 def _force(df) -> tuple[int, str]:
@@ -203,11 +216,20 @@ def main() -> None:
     spark = get_spark("frolyk_spark_bench")
     _warm_up(spark, queries)
 
+    def run_control() -> float:
+        t0 = time.monotonic()
+        _force(queries[CONTROL_KEY](spark, sf_dir))
+        dt = round(time.monotonic() - t0, 3)
+        print(f"# [control] {CONTROL_KEY}: {dt}s", file=sys.stderr)
+        return dt
+
     per_query: dict[str, float] = {}
     skipped: list[str] = []
     count_forced: list[str] = []
     total = 0.0
-    for name in HEADLINE:
+    controls: list[float] = [run_control()]
+    seg_keys: list[list[str]] = [[]]
+    for i, name in enumerate(HEADLINE):
         fn = queries.get(name)
         if fn is None:
             skipped.append(name)
@@ -217,11 +239,25 @@ def main() -> None:
         n, method = _force(fn(spark, sf_dir))
         dt = round(time.monotonic() - t0, 3)
         per_query[name] = dt
+        seg_keys[-1].append(name)
         total += dt
         if method != "checksum":
             count_forced.append(name)
             print(f"# DEGRADED to count(): {name}", file=sys.stderr)
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+        if (i + 1) % CONTROL_EVERY == 0 and i + 1 < len(HEADLINE):
+            controls.append(run_control())
+            seg_keys.append([])
+    controls.append(run_control())
+
+    # a segment is certified by BOTH its bounding controls: contention
+    # starting mid-segment surfaces in the closing control, so the flag
+    # uses the worse of the two
+    cmin = min(controls)
+    contended_keys: list[str] = []
+    for si, keys in enumerate(seg_keys):
+        if max(controls[si], controls[si + 1]) > CONTROL_CONTENTION_RATIO * cmin:
+            contended_keys.extend(keys)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Key order matters: the driver captures only the stdout TAIL, and with
@@ -232,11 +268,14 @@ def main() -> None:
     record = json.dumps(
         {
             "queries": per_query,
+            "controls": controls,
+            "contended_keys": contended_keys,
             "skipped": skipped,
             "count_forced": count_forced,
             "metric": "headline_query_wall_time",
             "unit": "sec",
             "n_queries": len(per_query),
+            "q1_control_min": cmin,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "value": round(total, 3),
         }

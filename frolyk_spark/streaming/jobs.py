@@ -202,8 +202,34 @@ def _sweep_checkpoints() -> None:
             pass
 
 
+def _stop_when_idle(
+    query, *, idle_batches: int, timeout_s: float = 600.0
+) -> None:
+    """Stop ``query`` once ``idle_batches`` consecutive completed batches
+    had zero input rows (see run_available_now's stop_on_idle). The stop
+    is the CONTRACTED end of a bounded drain run, not an abort — data
+    batches and at least one drain batch have all committed by then."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    while query.isActive:
+        if _time.time() > deadline:
+            query.stop()
+            raise TimeoutError(
+                f"stream did not go idle within {timeout_s}s")
+        prog = query.recentProgress
+        if len(prog) >= idle_batches and all(
+            p["numInputRows"] == 0 for p in prog[-idle_batches:]
+        ):
+            query.stop()
+            break
+        _time.sleep(0.25)
+    query.awaitTermination()
+
+
 def run_available_now(
-    df: DataFrame, *, mode: str, prefix: str, batch_hook=None
+    df: DataFrame, *, mode: str, prefix: str, batch_hook=None,
+    stop_on_idle: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
     foreachBatch parquet sink and return the result read back as a regular
@@ -222,6 +248,15 @@ def run_available_now(
     rows (with availableNow over a bounded file source, update emissions
     land in one batch, so no key appears twice — same property the memory
     sink relied on).
+
+    ``stop_on_idle``: availableNow normally terminates by itself once the
+    bounded source drains — but a ProcessingTimeTimeout operator holds the
+    trigger open FOREVER (the engine keeps scheduling empty batches to
+    service future wall-clock timeouts; measured on this build, batch ids
+    into the hundreds). For those plans, pass the number of consecutive
+    ZERO-INPUT batches after which the query is explicitly stopped: the
+    first empty batch is the drain that fires already-expired timeouts,
+    the Nth-in-a-row proves nothing more is coming.
     """
     import shutil
     import time as _time
@@ -315,7 +350,10 @@ def run_available_now(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        query.awaitTermination()
+        if stop_on_idle is None:
+            query.awaitTermination()
+        else:
+            _stop_when_idle(query, idle_batches=stop_on_idle)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # gate runs are one-shot: the checkpoint is dead weight once the
@@ -610,6 +648,98 @@ FROM c LEFT JOIN p
  AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 30 MINUTE
 WHERE p.purchase_id IS NOT NULL
    OR epoch_us(c.ts) <= (SELECT thr_us FROM thr)
+"""
+
+
+# --- B21: stream-stream FULL OUTER join (both-side null emission) ------------
+
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — the streaming analog of
+    the batch diff/reconciliation shapes (C65 table_diff, E16 change
+    feed): clicks pair with purchases by the same user within the
+    following 30 minutes; clicks with no purchase in time emit
+    (click, NULL) and purchases with no preceding click emit (NULL,
+    purchase), each once the watermark proves no future match can arrive.
+    Orphaned purchases are the right-side signal a left-outer join can't
+    see (payment events with no attributable session).
+
+    State is bounded exactly as in B10/B18: 2-hour watermarks both sides
+    plus the time-range condition let Spark evict both state stores; at
+    100 TB/day the footprint is (events within the watermark horizon),
+    independent of stream length.
+
+    Cross-engine contract (empirically pinned on this Spark build with
+    ±1 µs boundary probes — tests/test_streaming.py): full-outer eviction
+    uses a 1 ms margin on BOTH sides, NOT left-outer's
+    ceil-to-second-minus-1 s rule (B18):
+        left  null emitted iff lts_us <= wm_us - window_us - 1000
+        right null emitted iff rts_us <= wm_us - 1000
+    with wm_ms = min over sides of (floor(max_event_us/1000) - delay_ms).
+    The DuckDB oracle reproduces this in exact integer µs on stored data.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select(
+        # right-only rows carry a NULL left key: surface ONE user_id
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+    )
+    return run_available_now(joined, mode="append", prefix="fojoin")
+
+
+# Same integer-µs watermark arithmetic as B18's oracle, but with the
+# full-outer 1 ms eviction margin on both sides (empirically pinned —
+# see stream_full_outer_join docstring). Presence is classified via the
+# side marker columns click_id/purchase_id (event ids, never NULL on
+# their own side), not the join key (CLAUDE.md full-outer rule).
+STREAM_FULL_OUTER_JOIN_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT (least((SELECT epoch_us(max(ts)) // 1000 FROM c),
+                (SELECT epoch_us(max(pts)) // 1000 FROM p))
+          - 7200000) * 1000 AS wm_us
+)
+SELECT coalesce(c.user_id, p.p_user_id) AS user_id, c.click_id, p.purchase_id
+FROM c FULL JOIN p
+  ON c.user_id = p.p_user_id
+ AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 30 MINUTE
+WHERE (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+   OR (p.purchase_id IS NULL
+       AND epoch_us(c.ts) <= (SELECT wm_us - 1800000000 - 1000 FROM wm))
+   OR (c.click_id IS NULL
+       AND epoch_us(p.pts) <= (SELECT wm_us - 1000 FROM wm))
 """
 
 
@@ -1064,6 +1194,91 @@ WHERE (last_ts_us // 1000) + {TTL_GAP_MS}
 """
 
 
+# --- B22: TTL-closed per-user state (ProcessingTimeTimeout) -------------------
+
+def stream_session_ttl_proc(
+    spark: SparkSession, sf_dir: str, *, idle_ms: int = 1
+) -> DataFrame:
+    """Wall-clock idle close-out (B22): the ProcessingTimeTimeout twin of
+    B20 — the other half of the state-TTL matrix, used when event time is
+    unreliable (clock-skewed devices, replayed logs with bogus
+    timestamps): a key's state closes after ``idle_ms`` of PROCESSING-time
+    inactivity, independent of any watermark. Same accumulate-silently /
+    emit-once-on-timeout / state-removed contract as B20, so state size
+    tracks the active-key set.
+
+    Semantics are inherently wall-clock (no SQL oracle — SURVEY §5 T):
+    the pytest harness pins fires-on-idle, data-arrival superseding a
+    pending timeout, exactly-once emission + state removal, and state
+    (with its pending timeout) surviving a checkpoint restart
+    (tests/test_streaming.py). Ingest is a REAL 3-file drop at
+    maxFilesPerTrigger=1, so timeouts registered in batch k genuinely
+    fire at the start of batch k+1. A BOUNDED run of this operator is a
+    drain: availableNow + ProcessingTimeTimeout holds the trigger open
+    forever (measured on this build), so the runner stops after two
+    consecutive zero-input batches (run_available_now stop_on_idle) —
+    by which point every remaining state's ``idle_ms`` has elapsed and
+    closed, i.e. end-of-input flushes all open sessions. Per-key segment
+    totals therefore PARTITION the batch aggregate (the pytest
+    invariant). Integer cents cross the Python boundary, like B20."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.expr("cast(floor(value * 100.0d + 0.5d) as bigint)").alias("cents"),
+    )
+    stage = stage_multi_file_drop(ev, sf_dir, "events", "procttl", parts=3)
+
+    def fold(key, pdfs, state):
+        if state.hasTimedOut:
+            n, s, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_cents": [s],
+                    "first_ts_us": [first_us],
+                    "last_ts_us": [last_us],
+                }
+            )
+        else:
+            n, s, first_us, last_us = (
+                state.get if state.exists else (0, 0, None, None)
+            )
+            for pdf in pdfs:
+                n += len(pdf)
+                s += int(pdf["cents"].sum())
+                us = pdf["ts"].astype("int64") // 1000  # ns -> µs
+                lo, hi = int(us.min()), int(us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            state.update((n, s, first_us, last_us))
+            state.setTimeoutDuration(idle_ms)
+
+    out = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            "user_id bigint, n_events bigint, sum_cents bigint, "
+            "first_ts_us bigint, last_ts_us bigint",
+            "n bigint, s bigint, first_us bigint, last_us bigint",
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    return run_available_now(
+        out, mode="append", prefix="ttlproc", stop_on_idle=2
+    )
+
+
 # --- B19: streaming CDC changelog apply (versioned upsert state) --------------
 
 def _cdc_reduce(batch_df: DataFrame) -> DataFrame:
@@ -1116,7 +1331,27 @@ def _latest_version_below(root: str, batch_id: int) -> int | None:
     return max(versions) if versions else None
 
 
-def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _vacuum_cdc_versions(root: str, keep: int) -> None:
+    """Drop all but the newest ``keep`` committed state versions under
+    ``root`` — the E14 retention treatment for the B19 state lineage
+    (unbounded s{batch_id} history is a disk leak on a long-lived CDC
+    stream). ``keep >= 2`` preserves redelivery safety: Spark replays at
+    most the last uncommitted batch, whose predecessor is among the
+    newest two versions by construction."""
+    import shutil
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    for v in versions[:-keep] if keep > 0 else []:
+        shutil.rmtree(os.path.join(root, f"s{v}"), ignore_errors=True)
+
+
+def stream_cdc_apply(
+    spark: SparkSession, sf_dir: str, *, keep_versions: int | None = None
+) -> DataFrame:
     """CDC changelog apply (B19): the events stream treated as an upsert
     changelog keyed by user_id, materialized into a persisted state table
     per micro-batch — the streaming MERGE shape (Delta/Hudi streaming
@@ -1163,6 +1398,13 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             merged = batch
         merged.write.mode("overwrite").parquet(os.path.join(root, f"s{batch_id}"))
+        if keep_versions is not None:
+            # retention AFTER the commit: the just-written version is the
+            # newest, so its predecessor (redelivery anchor) survives any
+            # keep >= 2 (production CDC state needs bounded lineage —
+            # default None keeps the full history for the gate run's
+            # multi-version assertions)
+            _vacuum_cdc_versions(root, keep_versions)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -1386,6 +1628,7 @@ QUERIES = {
     "stream_stateful": stream_stateful,
     "stream_stream_join": stream_stream_join,
     "stream_outer_join": stream_outer_join,
+    "stream_full_outer_join": stream_full_outer_join,
     "stream_static_join": stream_static_join,
     "stream_anomaly": stream_anomaly,
 }
@@ -1407,5 +1650,6 @@ ORACLES = {
     "stream_stateful": STREAM_STATEFUL_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_outer_join": STREAM_OUTER_JOIN_SQL,
+    "stream_full_outer_join": STREAM_FULL_OUTER_JOIN_SQL,
     "stream_static_join": STREAM_STATIC_JOIN_SQL,
 }

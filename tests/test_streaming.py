@@ -789,6 +789,250 @@ def test_stream_outer_join_state_is_watermark_bounded(spark, tmp_path):
     assert totals[max(totals)] < totals[0] / 5, totals
 
 
+# --- B21: full-outer join 1 ms eviction margin, both sides -------------------
+
+def test_stream_full_outer_join_boundaries_both_sides(spark, tmp_path):
+    """B21's oracle arithmetic, pinned at ±1 µs on a controlled stream:
+    full-outer eviction uses a 1 ms margin on BOTH sides — NOT left-outer's
+    ceil-to-second-minus-1 s rule (B18) —
+        left  null emitted iff lts_us <= wm_us - window_us - 1000
+        right null emitted iff rts_us <= wm_us - 1000
+    with wm = 05:50:00.000 (clock 06:00, 10-min delay) and a 5-min window:
+    left threshold 05:44:59.999000, right threshold 05:49:59.999000."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.streaming.jobs import run_available_now
+
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(1, "2024-01-01 05:44:59.999000"),  # == thr_l -> emit
+         (2, "2024-01-01 05:44:59.999001"),  # 1 us above -> hold
+         (3, "2024-01-01 05:44:59.998999"),  # below -> emit
+         (999, "2024-01-01 06:00:00.000000")],  # clock (also held: window open)
+        "k int, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("lts")).write.parquet(ld)
+    spark.createDataFrame(
+        [(11, "2024-01-01 05:49:59.999000"),  # == thr_r -> emit
+         (12, "2024-01-01 05:49:59.999001"),  # 1 us above -> hold
+         (13, "2024-01-01 05:49:59.998999"),  # below -> emit
+         (998, "2024-01-01 06:00:00.000000")],  # clock
+        "rk int, ts_s string",
+    ).select("rk", F.col("ts_s").cast("timestamp").alias("rts")).write.parquet(rd)
+    ls = (
+        spark.readStream.schema("k int, lts timestamp").parquet(ld)
+        .withWatermark("lts", "10 minutes")
+    )
+    rs = (
+        spark.readStream.schema("rk int, rts timestamp").parquet(rd)
+        .withWatermark("rts", "10 minutes")
+    )
+    j = ls.join(
+        rs,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+        "fullOuter",
+    )
+    got = run_available_now(j, mode="append", prefix="fojb")
+    left_nulls = sorted(r.k for r in got.collect() if r.rk is None)
+    right_nulls = sorted(r.rk for r in got.collect() if r.k is None)
+    assert left_nulls == [1, 3], left_nulls
+    assert right_nulls == [11, 13], right_nulls
+
+
+# --- B22: ProcessingTimeTimeout — idle fires, active held, restart-safe ------
+
+def _ttl_proc_fold(idle_ms):
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"u": [key[0]], "n": [n]})
+        else:
+            n = state.get[0] if state.exists else 0
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            state.setTimeoutDuration(idle_ms)
+
+    return fn
+
+
+def _run_ttl_proc(spark, ind, ck, idle_ms):
+    """availableNow drain run of the B22 fold shape with the idle-stop
+    rule (ProcessingTimeTimeout holds the trigger open forever)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from frolyk_spark.streaming.jobs import _stop_when_idle
+
+    out = (
+        spark.readStream.schema("u int, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(ind)
+        .groupBy("u")
+        .applyInPandasWithState(
+            _ttl_proc_fold(idle_ms), "u int, n bigint", "n bigint",
+            "append", GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda bdf, bid: got.extend(
+            (r.u, r.n) for r in bdf.collect()
+        ))
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    _stop_when_idle(q, idle_batches=2)
+    return got, q
+
+
+def test_processing_time_timeout_fires_idle_drains_rest(spark, tmp_path):
+    """B22's wall-clock contract on a controlled 2-batch ingest + drain:
+    a key idle across a batch boundary fires ON the next DATA batch with
+    its full accumulated count; a key with fresh data in that batch has
+    its pending timeout SUPERSEDED (state keeps accumulating, no spurious
+    mid-stream close); end-of-input drain closes every remaining state
+    exactly once, leaving the store empty."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    ind = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:01:00"),
+         (2, "2024-01-01 10:02:00")],
+        "u int, ts_s string",
+    ).select("u", F.col("ts_s").cast("timestamp").alias("ts")) \
+     .coalesce(1).write.mode("append").parquet(ind)
+    _t.sleep(1.1)  # file-source ordering is mtime-based
+    spark.createDataFrame(
+        [(2, "2024-01-01 11:00:00"), (3, "2024-01-01 11:01:00")],
+        "u int, ts_s string",
+    ).select("u", F.col("ts_s").cast("timestamp").alias("ts")) \
+     .coalesce(1).write.mode("append").parquet(ind)
+
+    got, q = _run_ttl_proc(spark, ind, str(tmp_path / "ck"), idle_ms=1)
+    # u1 fires at batch 1 (idle, 1 ms long elapsed) with its FULL count —
+    # before any drain emission
+    assert got[0] == (1, 2), got
+    # u2's batch-1 data superseded its pending timeout: ONE close with the
+    # accumulated n=2, never a premature (2, 1); u3 closes in the drain
+    assert sorted(got) == [(1, 2), (2, 2), (3, 1)], got
+    # drained store is EMPTY at the final batch
+    totals = [
+        so["numRowsTotal"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+        if "applyInPandasWithState" in so["operatorName"]
+        and p["batchId"] == max(pp["batchId"] for pp in q.recentProgress)
+    ]
+    assert totals and totals[-1] == 0, totals
+
+
+def test_processing_time_timeout_state_survives_restart(spark, tmp_path):
+    """B22 recovery: state (and its pending wall-clock timeout) persists
+    across a full stop/restart on the same checkpoint — run 1 ends with
+    the key HELD (idle_ms not yet elapsed when the idle-stop fires), and
+    the restarted run closes it with the pre-restart accumulated count."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    ind, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:01:00")],
+        "u int, ts_s string",
+    ).select("u", F.col("ts_s").cast("timestamp").alias("ts")) \
+     .coalesce(1).write.mode("append").parquet(ind)
+    # idle_ms far above run-1's drain horizon: the idle-stop fires first,
+    # so u1 is still open (with its pending timeout) at shutdown
+    first, _ = _run_ttl_proc(spark, ind, ck, idle_ms=20_000)
+    assert first == [], first
+
+    _t.sleep(21)  # let u1's recovered wall-clock timeout expire
+    spark.createDataFrame(
+        [(2, "2024-01-01 11:00:00")], "u int, ts_s string",
+    ).select("u", F.col("ts_s").cast("timestamp").alias("ts")) \
+     .coalesce(1).write.mode("append").parquet(ind)
+    second, _ = _run_ttl_proc(spark, ind, ck, idle_ms=20_000)
+    # u1's recovered state fires in the restarted run with BOTH events
+    assert (1, 2) in second, second
+    assert (2, 1) not in second, "u2 is fresh (20s not elapsed) — held"
+
+
+def test_stream_session_ttl_proc_operator(spark, sf_dir):
+    """The sf-level B22 operator under the drain contract: every user
+    closes at least once, per-user emitted segments PARTITION the batch
+    aggregate exactly (counts and cents sums add up, timestamps bracket),
+    so no event is lost or double-counted across idle closes + drain."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.sources.catalog import load_table
+    from frolyk_spark.streaming.jobs import stream_session_ttl_proc
+
+    got = stream_session_ttl_proc(spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in got:
+        per_user.setdefault(r.user_id, []).append(r)
+    totals = {
+        r.user_id: (r.n_events, r.sum_cents, r.first_ts_us, r.last_ts_us)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.expr("cast(sum(cast(floor(value * 100.0d + 0.5d) as bigint))"
+                   " as bigint)").alias("sum_cents"),
+            F.min(F.unix_micros("ts")).alias("first_ts_us"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert set(per_user) == set(totals), "drain must close every user"
+    for u, segs in per_user.items():
+        n_total, cents_total, lo, hi = totals[u]
+        assert sum(s.n_events for s in segs) == n_total
+        assert sum(s.sum_cents for s in segs) == cents_total
+        assert min(s.first_ts_us for s in segs) == lo
+        assert max(s.last_ts_us for s in segs) == hi
+
+
+def test_cdc_retention_bounds_versions_keeps_final_state(spark, sf_dir):
+    """B19 retention: with keep_versions=2 the state lineage on disk stays
+    at exactly 2 versions while the FINAL state is untouched — it still
+    equals the batch aggregate (the existing multi-batch invariant)."""
+    from frolyk_spark.sources.catalog import load_table
+    from frolyk_spark.streaming.jobs import stream_cdc_apply
+
+    got_df = stream_cdc_apply(spark, sf_dir, keep_versions=2)
+    got = {
+        (r.user_id, r.n_events, r.last_ts_us, r.last_type, r.last_value)
+        for r in got_df.collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    want = {
+        (r.user_id, r.n_events, r.last_ts_us, r.last_type, r.last_value)
+        for r in ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max_by(F.unix_micros("ts"), k).alias("last_ts_us"),
+            F.max_by("event_type", k).alias("last_type"),
+            F.max_by("value", k).alias("last_value"),
+        ).collect()
+    }
+    assert want and got == want
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = [
+        d for d in os.listdir(root) if d.startswith("s") and d[1:].isdigit()
+    ]
+    assert len(versions) == 2, f"retention must keep exactly 2, got {versions}"
+
+
 # --- B20: EventTimeTimeout boundary + state removal ---------------------------
 
 def test_event_time_timeout_fires_strictly_below_watermark(spark, tmp_path):
