@@ -40,6 +40,39 @@ def test_per_partition_order_preserved(spark, sf_dir):
     assert len(rows) == df.count()
 
 
+def test_plan_one_exchange_on_partition_col(spark, sf_dir):
+    """The plan shape behind the BASELINE r10 scaling curve: the bridge
+    adds exactly ONE hash exchange, keyed on the caller's partition
+    column (per-partition order then costs only a within-partition sort),
+    and the highs side reaches it as a BroadcastExchange — any second
+    shuffle or a shuffled highs join would break the 'chain cost scales
+    with partitions' claim at 100 TB."""
+    task = Task(group="plan-check")
+    src = task.source("events")
+
+    def setup(assignment):
+        return lambda message, context: {"event_id": message["value"]["event_id"]}
+
+    task.processor(src, setup)
+    df = _events_with_part(spark, sf_dir)
+    out = run_task_batch(
+        task, spark, df, topic="events", partition_col="part",
+        offset_col="event_id", output_schema="event_id bigint",
+        num_partitions=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the ONE data-path shuffle: the explicit repartition on the caller's
+    # partition column (REPARTITION_BY_NUM); the only other exchange
+    # allowed is the metadata-tiny two-phase max inside the broadcast
+    # highs side (ENSURE_REQUIREMENTS on n_parts rows, pre-broadcast)
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan
+    assert "Exchange hashpartitioning(part" in plan, plan
+    # the highs join must be broadcast, never a shuffled SortMergeJoin of
+    # the full batch against an n_parts-row aggregate
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_num_partitions_honored(spark, sf_dir):
     task = Task(group="np-check")
     src = task.source("events")
