@@ -33,53 +33,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 155
+    # in dict order under a wall-clock budget (~50 per round of the 156
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
-    # FIRST (CLAUDE.md). The r8 driver consumed the first 50 r8-rotation
-    # entries (CORRECTNESS_r08: through the first 9 of stale_r4), so:
-    #   1. new_r9 (7): operators/companion views added this round — need
-    #      their FIRST row;
-    #   2. stale_r4 (17): newest green row is r4, four rounds old — the
-    #      TPC-H q13..q21 tail, tokenizer aggs, incremental dedup, plus
-    #      approx_stats (no-oracle rows-only, same age). Several carry r8
-    #      rounding rewrites (q17, repetition_stats) that still lack
-    #      driver evidence;
-    #   3. green_r6 (36): two rounds old, oldest-first freshness ledger;
-    #   4. green_r7 then the r8-green remainder via registry order.
-    # Head = 7+17+36 = 60 vs the ~50 budget: entries that slip are the
-    # TAIL of green_r6 (unchanged since their r6 row, locally 3-SF green
-    # this round), never a new or r4-stale one.
-    new_r9 = (
-        "stream_outer_join",   # B18: left-outer stream-stream join
-        "stream_cdc_apply",    # B19: CDC changelog apply (versioned upsert)
-        "stream_session_ttl",  # B20: EventTimeTimeout state close-out
-        "curriculum_quota",    # D69: exact (tier x source) quota
-        "ann_lsh_buckets",     # D11 companion: deterministic bucket geometry
-        "sketch_kmv",          # D45 companion: KMV registers
-        "session_overlaps",    # C66: keyed interval-overlap join
+    # FIRST (CLAUDE.md). The r9 driver burned the r9 head (new_r9 +
+    # stale_r4 + the first 26 of green_r6), leaving ten r6 rows stale, so:
+    #   1. new_r10 (5): stream_full_outer_join is brand new; the other
+    #      four just GAINED full SQL oracles (unrolled BPE/Lloyd CTEs) and
+    #      need their first hash-checked row (their old rows were
+    #      rows-only/no_oracle);
+    #   2. stale_r6 (10): the r9 budget slippage — newest green row is r6,
+    #      the designated r10 head per the r9 verdict;
+    #   3. green_r7 (35): completing the freshness ledger — after this
+    #      head no entry's newest row predates r8.
+    # Head = 5+10+35 = 50, exactly the budget; slippage (if any) falls on
+    # the green_r7 tail, never a new or r6-stale entry.
+    new_r10 = (
+        "stream_full_outer_join",  # B21: both-side null emission
+        "bpe_train",               # D47: unrolled-loop SQL oracle (was no-oracle)
+        "bpe_encode",              # D52: same
+        "ann_ivf",                 # D11b: unrolled-Lloyd SQL oracle (was rows-only)
+        "cluster_profile",         # D63: same
     )
-    stale_r4 = (
-        "q13_order_distribution", "q15_top_supplier", "q18_large_orders",
-        "q17_small_qty_revenue", "q19_discount_revenue",
-        "q21_waiting_suppliers", "decontaminate", "doc_chunks",
-        "repetition_stats", "sequence_pack", "token_entropy",
-        "unigram_logprob", "vocab_topk", "bigram_counts",
-        "dedup_incremental", "dedup_simhash_pairs", "approx_stats",
+    stale_r6 = (
+        "dedup_clusters", "text_redact", "corpus_filter",
+        "minhash_jaccard_estimate", "cross_source_duplication",
+        "length_histogram", "multimodal_manifest",
+        "feature_hash_embedding", "dup_span_coverage", "stream_topk",
     )
-    green_r6 = (
-        "q5_local_supplier", "q6_forecast", "q10_returned",
-        "topk_orders_per_customer", "running_revenue", "event_deltas",
-        "rollup_revenue", "cube_lineitem", "customers_with_orders",
-        "customers_without_orders", "distinct_parts_per_supplier",
-        "event_type_pivot", "asof_purchase_click", "clicks_before_purchase",
-        "set_ops_customers", "explode_words", "daily_revenue",
-        "q12_delay_priority", "scd2_history", "supplier_peak_load",
-        "spending_percentiles", "time_weighted_avg", "ohlc_bars",
-        "text_stats", "lang_id", "doc_fingerprint", "dedup_clusters",
-        "text_redact", "corpus_filter", "minhash_jaccard_estimate",
-        "cross_source_duplication", "length_histogram",
-        "multimodal_manifest", "feature_hash_embedding",
-        "dup_span_coverage", "stream_topk",
+    green_r7 = (
+        "stream_anomaly", "stream_quarantine", "q22_idle_balance",
+        "value_deciles", "resample_gapfill", "salted_join_segments",
+        "markov_transitions", "order_value_quartiles", "conversion_funnel",
+        "funnel_fold", "q16_parts_supplier_counts",
+        "q20_concentrated_suppliers", "data_quality_audit", "rfm_segments",
+        "market_basket", "ewma_value", "top_paths", "skyline_parts",
+        "scd2_lookup", "sample_stratified", "media_resize", "frame_sample",
+        "boilerplate_ngrams", "dedup_canonical", "sample_per_source",
+        "lsh_band_sweep", "lang_confusion", "source_yield", "media_decode",
+        "video_decode", "span_trim", "dsir_select", "decontaminate_bloom",
+        "benchmark_leakage", "training_pipeline",
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
@@ -87,9 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*new_r9, *stale_r4, *green_r6):
+    for k in (*new_r10, *stale_r6, *green_r7):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
-    out.update(registry)  # green_r7/r8 remainder; first-insertion order wins
+    out.update(registry)  # r8/r9-green remainder; first-insertion order wins
     return out
 
 
