@@ -52,7 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train",               # D47: unrolled-loop SQL oracle (was no-oracle)
         "bpe_encode",              # D52: same
         "ann_ivf",                 # D11b: unrolled-Lloyd SQL oracle (was rows-only)
-        "cluster_profile",         # D63: same
+        "ann_pq",                  # D40: unrolled per-subspace fit + ADC oracle
+        "semantic_dedup",          # D51: same + cos_sim moved to portable round4
+        "cluster_profile",         # D63: unrolled-Lloyd SQL oracle (was rows-only)
     )
     stale_r6 = (
         "dedup_clusters", "text_redact", "corpus_filter",

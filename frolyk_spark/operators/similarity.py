@@ -430,8 +430,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-probe top-C selection is a rank window partitioned by probe.
     Deterministic end-to-end (md5-ordered sample, argmin tie -> lowest
     index), so recall is stable: tests/test_similarity.py gates
-    recall@{TOP_K} >= 0.7 vs ann_bruteforce. No SQL oracle: k-means is
-    iterative (rows-only driver check), like ann_ivf.
+    recall@{TOP_K} >= 0.7 vs ann_bruteforce. Oracle-checked as of r10:
+    the fixed-round per-subspace fit, encode, ADC scoring, and rerank all
+    unroll into SQL (`_ann_pq_sql`), like ann_ivf's Lloyd fit.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -799,10 +800,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`_train_centroids_sampled` — the ann_pq pattern; bounded centroid model
     state); assignment is one numpy matmul per Arrow batch; candidate
     generation is an id-only equi-join on cluster; verification joins the
-    vectors back by id. No all-pairs stage anywhere. No SQL oracle —
-    k-means is iterative, like ann_ivf — so the gates are pytest: every
-    emitted pair re-checked exact in numpy (precision 1.0) and recall
-    >= 0.6 of the true unblocked cos >= {SEM_TAU} pair set.
+    vectors back by id. No all-pairs stage anywhere. Oracle-checked as of
+    r10 (`_semantic_dedup_sql` — the unrolled-Lloyd fit + blocking +
+    verify, like ann_ivf); the pytest gates remain: every emitted pair
+    re-checked exact in numpy (precision 1.0) and recall >= 0.6 of the
+    true unblocked cos >= {SEM_TAU} pair set.
     """
     verified = _semantic_candidate_pairs(spark, sf_dir)
     w = Window.partitionBy("vec_b").orderBy(F.desc("cos_raw"), F.asc("vec_a"))
@@ -812,7 +814,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_b").alias("vec_id"),
             F.col("vec_a").alias("kept_by"),
-            F.round("cos_raw", 4).alias("cos_sim"),
+            # portable floor round (r5 .xxxx5 class), NOT F.round — the
+            # displayed ratio is now in the driver compare path (r10)
+            round4(F.col("cos_raw")).alias("cos_sim"),
         )
         .orderBy("vec_id")
     )
@@ -1075,6 +1079,201 @@ FROM (
 """
 
 
+def _ann_pq_sql() -> str:
+    """ann_pq end-to-end as SQL: the per-subspace k-means codebooks unroll
+    exactly like `_lloyd_ctes` (fixed {PQ_ITERS} rounds, L2 argmin via the
+    cn2 - 2·dot matmul form the Spark fit uses, empty cells keep their
+    codeword), with the subspace index as a RELATIONAL dimension so all
+    {PQ_M} books train in one CTE chain; then encode (same argmin against
+    the final books), the ADC score re-assembled from the (probe, m, k)
+    LUT join, top-{PQ_CAND} per probe, and the exact fold-cosine rerank.
+    Every output value is an integer id or the round4 rerank cosine, so
+    cross-engine ULP noise only matters through argmin/rank near-ties
+    (the accepted class — see _lloyd_ctes)."""
+    from frolyk_spark.functions.vectors import dot_sql, norm_sql
+
+    sub = DIM // PQ_M
+    dot_sv_cl = dot_sql("sx.sv", "cb.cl")
+    iters = []
+    for i in range(1, PQ_ITERS + 1):
+        p = i - 1
+        iters.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT nid, m, k FROM (
+    SELECT sx.nid, sx.m, cb.k,
+           row_number() OVER (PARTITION BY sx.nid, sx.m
+                              ORDER BY cb.n2 - 2.0 * {dot_sv_cl} ASC, cb.k) AS rk
+    FROM sx CROSS JOIN cb{p} cb
+    WHERE sx.m = cb.m
+  ) WHERE rk = 1
+),
+mn{i} AS MATERIALIZED (
+  SELECT a.m, a.k, sxe.pos, avg(sxe.v) AS c
+  FROM a{i} a JOIN sxe ON a.nid = sxe.nid AND a.m = sxe.m
+  GROUP BY a.m, a.k, sxe.pos
+),
+cb{i} AS MATERIALIZED (
+  SELECT prev.m, prev.k, coalesce(nw.cl, prev.cl) AS cl,
+         coalesce(nw.n2, prev.n2) AS n2
+  FROM cb{p} prev
+  LEFT JOIN (
+    SELECT m, k, cl, {norm_sql('cl')} * {norm_sql('cl')} AS n2
+    FROM (SELECT m, k, list(c ORDER BY pos) AS cl FROM mn{i} GROUP BY m, k)
+  ) nw ON prev.m = nw.m AND prev.k = nw.k
+)""")
+    iter_sql = ",".join(iters)
+    cb_final = f"cb{PQ_ITERS}"
+    dot_cx_cl = dot_sql("cx.sv", "cb.cl")
+    dot_pv_cl = dot_sql("px.pv", "cb.cl")
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id AS nid, embedding AS e FROM embeddings WHERE vec_id >= {N_PROBES}
+),
+samp AS MATERIALIZED (
+  SELECT nid, e FROM (
+    SELECT nid, e, row_number() OVER (ORDER BY md5(cast(nid AS varchar))) AS rn
+    FROM corpus
+  ) WHERE rn <= {PQ_SAMPLE}
+),
+ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+sx AS MATERIALIZED (
+  SELECT samp.nid, ms.m,
+         list_transform(e[ms.m * {sub} + 1 : ms.m * {sub} + {sub}],
+                        x -> cast(x AS double)) AS sv
+  FROM samp CROSS JOIN ms
+),
+sxe AS MATERIALIZED (
+  SELECT nid, m, generate_subscripts(sv, 1) AS pos, unnest(sv) AS v FROM sx
+),
+cb0 AS MATERIALIZED (
+  SELECT m, k, sv AS cl, {norm_sql('sv')} * {norm_sql('sv')} AS n2
+  FROM (
+    SELECT sx.m, sx.sv,
+           row_number() OVER (PARTITION BY sx.m ORDER BY srn.rn) - 1 AS k
+    FROM sx JOIN (
+      SELECT nid, row_number() OVER (ORDER BY md5(cast(nid AS varchar))) AS rn
+      FROM samp
+    ) srn ON sx.nid = srn.nid
+  ) WHERE k < {PQ_K}
+),{iter_sql},
+cx AS MATERIALIZED (
+  SELECT corpus.nid, ms.m,
+         list_transform(e[ms.m * {sub} + 1 : ms.m * {sub} + {sub}],
+                        x -> cast(x AS double)) AS sv
+  FROM corpus CROSS JOIN ms
+),
+codes AS MATERIALIZED (
+  SELECT nid, m, k FROM (
+    SELECT cx.nid, cx.m, cb.k,
+           row_number() OVER (PARTITION BY cx.nid, cx.m
+                              ORDER BY cb.n2 - 2.0 * {dot_cx_cl} ASC, cb.k) AS rk
+    FROM cx CROSS JOIN {cb_final} cb
+    WHERE cx.m = cb.m
+  ) WHERE rk = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {N_PROBES}
+),
+px AS MATERIALIZED (
+  SELECT probe_id, ms.m,
+         list_transform(pe[ms.m * {sub} + 1 : ms.m * {sub} + {sub}],
+                        x -> cast(x AS double)) AS pv
+  FROM probes CROSS JOIN ms
+),
+lut AS MATERIALIZED (
+  SELECT px.probe_id, cb.m, cb.k, {dot_pv_cl} AS d, cb.n2
+  FROM px JOIN {cb_final} cb ON px.m = cb.m
+),
+qn AS (SELECT probe_id, greatest({norm_sql('pe')}, 1e-12) AS qnorm FROM probes),
+adc AS MATERIALIZED (
+  SELECT l.probe_id, c.nid, sum(l.d) AS adot, sum(l.n2) AS norm2
+  FROM codes c JOIN lut l ON c.m = l.m AND c.k = l.k
+  GROUP BY l.probe_id, c.nid
+),
+cand AS (
+  SELECT probe_id, nid FROM (
+    SELECT adc.probe_id, adc.nid,
+           row_number() OVER (
+             PARTITION BY adc.probe_id
+             ORDER BY adc.adot / (qn.qnorm * sqrt(greatest(adc.norm2, 1e-12))) DESC,
+                      adc.nid ASC) AS rk
+    FROM adc JOIN qn ON adc.probe_id = qn.probe_id
+  ) WHERE rk <= {PQ_CAND}
+),
+scored AS (
+  SELECT cd.probe_id, cd.nid AS neighbor_id,
+         {cosine_sql('p.pe', 'x.e')} AS cos_raw
+  FROM cand cd
+  JOIN probes p ON cd.probe_id = p.probe_id
+  JOIN corpus x ON cd.nid = x.nid
+)
+SELECT probe_id, rank, neighbor_id,
+       floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM (
+  SELECT probe_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _semantic_dedup_sql() -> str:
+    """semantic_dedup end-to-end as SQL: the sampled Lloyd fit is
+    `_lloyd_ctes` with the scale-free nlist derived in-query
+    (_semantic_nlist's formula), blocking is the top-{SEM_PROBE} cluster
+    rank per vector, candidates are the within-cluster id pairs (DISTINCT
+    across shared clusters), and verification is the exact fold cosine
+    with the {SEM_TAU} threshold + per-vec_b keeper pick. The Spark path
+    verifies via per-cluster numpy matmuls on normalized vectors and
+    max()es ULP-variant duplicates; the fold-on-raw-vectors value here
+    differs only in last ULPs, which reaches the output solely through
+    the round4 display value and near-tie keeper ranks (the accepted
+    class — see _lloyd_ctes)."""
+    cos_ab = cosine_sql("xa.e", "xb.e")
+    return f"""
+WITH allv AS MATERIALIZED (
+  SELECT vec_id AS nid, embedding AS e FROM embeddings
+),
+kk AS (SELECT greatest({IVF_CLUSTERS},
+                       cast(ceil({SEM_PROBE} * count(*) / {SEM_TARGET_CLUSTER_ROWS}.0)
+                            AS bigint)) AS k
+       FROM allv),
+samp AS MATERIALIZED (
+  SELECT nid, e FROM (
+    SELECT nid, e, row_number() OVER (ORDER BY md5(cast(nid AS varchar))) AS rn
+    FROM allv
+  ) WHERE rn <= (SELECT greatest({SEM_TRAIN_SAMPLE}, 4 * k) FROM kk)
+),{_lloyd_ctes('samp', SEM_ITERS, '(SELECT k FROM kk)')},
+mem AS MATERIALIZED (
+  SELECT nid, c FROM (
+    SELECT x.nid, ct.c,
+           row_number() OVER (PARTITION BY x.nid
+                              ORDER BY {cosine_sql('x.e', 'ct.cl')} DESC, ct.c) AS rk
+    FROM allv x CROSS JOIN ct{SEM_ITERS} ct
+  ) WHERE rk <= {SEM_PROBE}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT m1.nid AS a, m2.nid AS b
+  FROM mem m1 JOIN mem m2 ON m1.c = m2.c AND m1.nid < m2.nid
+),
+verified AS MATERIALIZED (
+  SELECT cd.a, cd.b, {cos_ab} AS cos_raw
+  FROM cand cd
+  JOIN allv xa ON cd.a = xa.nid
+  JOIN allv xb ON cd.b = xb.nid
+  WHERE {cos_ab} >= {SEM_TAU}
+)
+SELECT b AS vec_id, a AS kept_by,
+       floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM (
+  SELECT a, b, cos_raw,
+         row_number() OVER (PARTITION BY b ORDER BY cos_raw DESC, a ASC) AS rk
+  FROM verified
+) WHERE rk = 1
+"""
+
+
 def _cluster_profile_sql() -> str:
     return f"""
 WITH allv AS MATERIALIZED (
@@ -1127,8 +1326,8 @@ QUERIES = {
     "ann_pq": ann_pq,
     "embedding_stats": embedding_stats,
     "embedding_quantize": embedding_quantize,
-    # no-oracle: k-means blocking is iterative; precision/recall-gated in
-    # tests/test_similarity.py against the exact numpy pair set
+    # oracle-checked as of r10 (unrolled-Lloyd SQL); also precision/
+    # recall-gated in tests/test_similarity.py vs the exact numpy pair set
     "semantic_dedup": semantic_dedup,
     # oracle-checked as of r10 via the unrolled-Lloyd SQL (_lloyd_ctes);
     # the exact numpy model check in tests/test_similarity.py remains
@@ -1142,6 +1341,8 @@ ORACLES = {
     "ann_bruteforce": _ann_bruteforce_sql(),
     "ann_lsh_buckets": _ann_lsh_buckets_sql(),
     "ann_ivf": _ann_ivf_sql(),
+    "ann_pq": _ann_pq_sql(),
+    "semantic_dedup": _semantic_dedup_sql(),
     "cluster_profile": _cluster_profile_sql(),
     "embedding_stats": _embedding_stats_sql(),
     "embedding_quantize": _embedding_quantize_sql(),
