@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq",                  # D40: unrolled per-subspace fit + ADC oracle
         "semantic_dedup",          # D51: same + cos_sim moved to portable round4
         "cluster_profile",         # D63: unrolled-Lloyd SQL oracle (was rows-only)
+        "logreg_features",         # D53 companion: feature pipeline, first row
+        "pca_moments",             # D56 companion: covariance moments, first row
     )
     stale_r6 = (
         "dedup_clusters", "text_redact", "corpus_filter",
@@ -89,13 +91,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from frolyk_spark.operators import (
-        dedup, multimodal, partsupp, pipeline, relational, sampling,
+        dedup, learn, multimodal, partsupp, pipeline, relational, sampling,
         similarity, temporal, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     out: dict[str, str] = {}
+    out.update(learn.ORACLES)
     out.update(temporal.ORACLES)
     out.update(partsupp.ORACLES)
     out.update(vocab.ORACLES)

@@ -139,10 +139,39 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D53's driver-checkable companion: the exact per-doc training rows
+    (label + the three features) `quality_logreg` descends on. The GD
+    loop itself stays tolerance-checked (sigmoid/exp are transcendental
+    and its gradient sums are order-sensitive — the no-oracle-by-design
+    class), but the FEATURE pipeline feeding it is a handful of IEEE
+    divisions on small integers (stopword hits / word count, chars /
+    words / 10, words / 100) — bit-deterministic on both engines with no
+    rounding needed — so a green row here certifies the entire data side
+    of the model: tokenization, stopword set, label rule, scaling."""
+    return _quality_features(spark, sf_dir).orderBy("doc_id")
+
+
+def _logreg_features_sql() -> str:
+    from frolyk_spark.operators.text import STOPWORDS
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       (len(list_filter(string_split(text, ' '), w -> w IN {STOPWORDS!r})) * 1.0)
+         / len(string_split(text, ' ')) AS x1,
+       (length(text) * 1.0 / len(string_split(text, ' '))) / 10.0 AS x2,
+       len(string_split(text, ' ')) / 100.0 AS x3
+FROM documents
+"""
+
+
 QUERIES = {
     # no-oracle: iterative driver-held model state per step; tolerance
     # model check vs a numpy reference in tests/test_learn.py
     "quality_logreg": quality_logreg,
+    # D53's deterministic companion row (feature pipeline, oracle-checked)
+    "logreg_features": logreg_features,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {"logreg_features": _logreg_features_sql()}

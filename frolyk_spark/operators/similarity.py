@@ -915,6 +915,71 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D56's driver-checkable companion: the upper-triangle covariance
+    entries `_fit_pca` eigendecomposes, as a frame. The eigh itself is
+    not SQL-expressible (embedding_pca stays model-checked), but the
+    moment PASSES — the d-group mean and the d²/2-group second-moment
+    aggregations, the part that actually touches 100 TB — are plain
+    distributed sums, so a green row here certifies the whole data side
+    of the fit. cov = sxy/n − (sx_i/n)(sx_j/n), the identical expression
+    both engines, round6'd: the sums are order-sensitive doubles whose
+    cross-engine drift (~1e-16 relative) sits ~10 orders below the 1e-6
+    step (the embedding_stats avg_norm precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    mu = (
+        corpus.select(F.posexplode("embedding").alias("i", "xi"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("xi").cast("double")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    mom = (
+        corpus.select(F.posexplode("embedding").alias("i", "xi"), F.col("embedding"))
+        .select("i", "xi", F.posexplode("embedding").alias("j", "xj"))
+        .where(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi").cast("double") * F.col("xj").cast("double")).alias("sxy"))
+    )
+    mi = mu.select(F.col("i").alias("_i"), F.col("sx").alias("sxi"), "n")
+    mj = mu.select(F.col("i").alias("_j"), F.col("sx").alias("sxj"))
+    return (
+        mom.join(mi, mom["i"] == mi["_i"])
+        .join(mj, mom["j"] == mj["_j"])
+        .select(
+            "i",
+            "j",
+            round6(
+                F.col("sxy") / F.col("n")
+                - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n"))
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def _pca_moments_sql() -> str:
+    cov = "m.sxy / mi.n - (mi.sx / mi.n) * (mj.sx / mj.n)"
+    return f"""
+WITH xe AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         cast(unnest(embedding) AS double) AS v
+  FROM embeddings
+),
+mu AS (SELECT i, sum(v) AS sx, count(*) AS n FROM xe GROUP BY i),
+mom AS (
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+  FROM xe a JOIN xe b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+)
+SELECT m.i, m.j, floor(({cov}) * 1000000.0 + 0.5) / 1000000.0 AS cov
+FROM mom m JOIN mu mi ON m.i = mi.i JOIN mu mj ON m.j = mj.i
+ORDER BY m.i, m.j
+"""
+
+
 # --- D63: corpus topic profile via k-means clustering -------------------------
 
 #: minimum cluster count for tiny corpora
@@ -1319,6 +1384,8 @@ QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     # no-oracle: eigendecomposition; numpy model check in test_similarity
     "embedding_pca": embedding_pca,
+    # D56's deterministic companion row (covariance moments, oracle-checked)
+    "pca_moments": pca_moments,
     "ann_lsh": ann_lsh,
     # D11's deterministic companion row (bucket geometry, oracle-checked)
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -1340,6 +1407,7 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce": _ann_bruteforce_sql(),
     "ann_lsh_buckets": _ann_lsh_buckets_sql(),
+    "pca_moments": _pca_moments_sql(),
     "ann_ivf": _ann_ivf_sql(),
     "ann_pq": _ann_pq_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
