@@ -131,6 +131,8 @@ HEADLINE = [
     "session_overlaps",
     # r10 additions
     "stream_full_outer_join",
+    "logreg_features",
+    "pca_moments",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -904,3 +904,34 @@ def test_session_overlaps_is_keyed_interval_join(spark, sf_dir):
         op in rep["joins"] for op in ("SortMergeJoin", "ShuffledHashJoin",
                                       "BroadcastHashJoin")
     ), rep["joins"]
+
+
+def test_logreg_features_map_only_single_scan(spark, sf_dir):
+    """D53 companion: the feature frame is one pruned scan and NO shuffle
+    — lineage-cut map-only JVM expressions. (A shuffle or second scan
+    here would multiply into every one of the GD steps that re-aggregate
+    this frame.)"""
+    from frolyk_spark.operators.learn import logreg_features
+    from frolyk_spark.plans import assert_scale_shape, plan_report
+
+    df = logreg_features(spark, sf_dir)
+    rep = assert_scale_shape(df, max_scans=1, max_scan_columns=3)
+    # the only exchanges allowed are the explicit spread repartition and
+    # the output orderBy's range partitioning — never a hash aggregate
+    assert "Exchange hashpartitioning" not in rep["plan"], rep["plan"][:1500]
+
+
+def test_pca_moments_partial_aggregates_before_shuffle(spark, sf_dir):
+    """D56 companion: the d²/2 pair fan-out must combine map-side — the
+    shuffle carries only (i, j) partial sums (2080 groups x partitions),
+    never the exploded pair rows. A missing partial agg here is the
+    difference between shuffling ~2k rows and shuffling n·d²/2 rows at
+    100 TB."""
+    from frolyk_spark.operators.similarity import pca_moments
+    from frolyk_spark.plans import plan_report
+
+    rep = plan_report(pca_moments(spark, sf_dir))
+    plan = rep["plan"]
+    # both aggregations (mean pass + moment pass) are two-phase
+    assert plan.count("partial_sum") >= 2, plan[:2000]
+    assert not rep["has_cartesian"]
