@@ -155,9 +155,12 @@ def logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _logreg_features_sql() -> str:
     from frolyk_spark.operators.text import STOPWORDS
 
+    # cast(bool) not CASE: (lang = 'en') propagates a NULL lang as NULL,
+    # matching Spark's (col == lit).cast(double) — a CASE ELSE 0.0 would
+    # silently classify NULL-lang rows differently per engine (r10 review)
     return f"""
 SELECT doc_id,
-       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       cast(lang = 'en' AS double) AS y,
        (len(list_filter(string_split(text, ' '), w -> w IN {STOPWORDS!r})) * 1.0)
          / len(string_split(text, ' ')) AS x1,
        (length(text) * 1.0 / len(string_split(text, ' '))) / 10.0 AS x2,

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frolyk_spark.functions.portable import round4, round6
+from frolyk_spark.functions.portable import round4, round4_sql, round6, round6_sql
 from frolyk_spark.functions.vectors import cosine, cosine_sql, norm, norm_sql
 from frolyk_spark.sources.catalog import load_table
 
@@ -112,7 +112,7 @@ scored AS (
   FROM p CROSS JOIN c
 )
 SELECT probe_id, rank, neighbor_id,
-       floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+       {round4_sql('cos_raw')} AS cos_sim
 FROM scored WHERE rank <= {TOP_K}
 """
 
@@ -974,7 +974,7 @@ mom AS (
   FROM xe a JOIN xe b ON a.vec_id = b.vec_id AND b.i >= a.i
   GROUP BY a.i, b.i
 )
-SELECT m.i, m.j, floor(({cov}) * 1000000.0 + 0.5) / 1000000.0 AS cov
+SELECT m.i, m.j, {round6_sql(cov)} AS cov
 FROM mom m JOIN mu mi ON m.i = mi.i JOIN mu mj ON m.j = mj.i
 ORDER BY m.i, m.j
 """
@@ -1035,6 +1035,23 @@ def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- unrolled-Lloyd SQL oracles for the k-means family ------------------------
 
+def _assign_sql(src: str, ct: str, *, top: int = 1) -> str:
+    """Top-``top`` nearest-centroid assignment of `src`(nid, e) against
+    `ct`(c, cl) — THE cosine-argmax rank block (SQL twin of
+    `_assign_cluster`, lowest-c tie). One definition for the Lloyd
+    iterations, final assignments, probe-cell selection, and multi-probe
+    blocking, so a tie-break or guard change can never drift per-site
+    (r10 review)."""
+    return f"""(
+  SELECT nid, c FROM (
+    SELECT x.nid, ct.c,
+           row_number() OVER (PARTITION BY x.nid
+                              ORDER BY {cosine_sql('x.e', 'ct.cl')} DESC, ct.c) AS rk
+    FROM {src} x CROSS JOIN {ct} ct
+  ) WHERE rk <= {top}
+)"""
+
+
 def _lloyd_ctes(src: str, iters: int, k_expr) -> str:
     """k-means fit over `src`(nid, e) as chained DuckDB CTEs -> ct{iters}.
 
@@ -1070,12 +1087,7 @@ ct0 AS MATERIALIZED (
     for k in range(1, iters + 1):
         out.append(f"""
 a{k} AS MATERIALIZED (
-  SELECT nid, c FROM (
-    SELECT x.nid, ct.c,
-           row_number() OVER (PARTITION BY x.nid
-                              ORDER BY {cosine_sql('x.e', 'ct.cl')} DESC, ct.c) AS rk
-    FROM {src} x CROSS JOIN ct{k - 1} ct
-  ) WHERE rk = 1
+  SELECT * FROM {_assign_sql(src, f'ct{k - 1}')}
 ),
 mn{k} AS MATERIALIZED (
   SELECT a.c, xe.pos, avg(xe.v) AS m
@@ -1091,19 +1103,6 @@ ct{k} AS MATERIALIZED (
     return ",".join(out)
 
 
-def _assign_sql(src: str, ct: str) -> str:
-    """Nearest-centroid assignment of `src`(nid, e) against `ct`(c, cl) —
-    the SQL twin of `_assign_cluster` (cosine argmax, lowest-c tie)."""
-    return f"""(
-  SELECT nid, c FROM (
-    SELECT x.nid, ct.c,
-           row_number() OVER (PARTITION BY x.nid
-                              ORDER BY {cosine_sql('x.e', 'ct.cl')} DESC, ct.c) AS rk
-    FROM {src} x CROSS JOIN {ct} ct
-  ) WHERE rk = 1
-)"""
-
-
 def _ann_ivf_sql() -> str:
     cos = cosine_sql("p.pe", "x.e")
     return f"""
@@ -1116,13 +1115,10 @@ final_assign AS MATERIALIZED (
 probes AS MATERIALIZED (
   SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {N_PROBES}
 ),
+pv AS (SELECT probe_id AS nid, pe AS e FROM probes),
 probe_cells AS (
-  SELECT probe_id, c FROM (
-    SELECT p.probe_id, ct.c,
-           row_number() OVER (PARTITION BY p.probe_id
-                              ORDER BY {cosine_sql('p.pe', 'ct.cl')} DESC, ct.c) AS rk
-    FROM probes p CROSS JOIN ct{IVF_ITERS} ct
-  ) WHERE rk <= {IVF_NPROBE}
+  SELECT nid AS probe_id, c
+  FROM {_assign_sql('pv', f'ct{IVF_ITERS}', top=IVF_NPROBE)}
 ),
 cands AS (
   SELECT pc.probe_id, fa.nid FROM probe_cells pc JOIN final_assign fa ON pc.c = fa.c
@@ -1134,7 +1130,7 @@ scored AS (
   JOIN corpus x ON cd.nid = x.nid
 )
 SELECT probe_id, rank, neighbor_id,
-       floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+       {round4_sql('cos_raw')} AS cos_sim
 FROM (
   SELECT probe_id, neighbor_id, cos_raw,
          row_number() OVER (PARTITION BY probe_id
@@ -1142,6 +1138,14 @@ FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+def _sumsq_sql(expr: str) -> str:
+    """Sum of squares of a list — the PQ n2 key. Deliberately NOT
+    norm_sql(x)**2: sqrt-then-square costs two folds and drifts up to a
+    ULP from the Spark fit's direct (cb**2).sum(-1) (r10 review)."""
+    return ("list_aggregate(list_transform(" + expr +
+            ", x -> cast(x as double) * cast(x as double)), 'sum')")
 
 
 def _ann_pq_sql() -> str:
@@ -1182,7 +1186,7 @@ cb{i} AS MATERIALIZED (
          coalesce(nw.n2, prev.n2) AS n2
   FROM cb{p} prev
   LEFT JOIN (
-    SELECT m, k, cl, {norm_sql('cl')} * {norm_sql('cl')} AS n2
+    SELECT m, k, cl, {_sumsq_sql('cl')} AS n2
     FROM (SELECT m, k, list(c ORDER BY pos) AS cl FROM mn{i} GROUP BY m, k)
   ) nw ON prev.m = nw.m AND prev.k = nw.k
 )""")
@@ -1211,7 +1215,7 @@ sxe AS MATERIALIZED (
   SELECT nid, m, generate_subscripts(sv, 1) AS pos, unnest(sv) AS v FROM sx
 ),
 cb0 AS MATERIALIZED (
-  SELECT m, k, sv AS cl, {norm_sql('sv')} * {norm_sql('sv')} AS n2
+  SELECT m, k, sv AS cl, {_sumsq_sql('sv')} AS n2
   FROM (
     SELECT sx.m, sx.sv,
            row_number() OVER (PARTITION BY sx.m ORDER BY srn.rn) - 1 AS k
@@ -1273,7 +1277,7 @@ scored AS (
   JOIN corpus x ON cd.nid = x.nid
 )
 SELECT probe_id, rank, neighbor_id,
-       floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+       {round4_sql('cos_raw')} AS cos_sim
 FROM (
   SELECT probe_id, neighbor_id, cos_raw,
          row_number() OVER (PARTITION BY probe_id
@@ -1311,12 +1315,7 @@ samp AS MATERIALIZED (
   ) WHERE rn <= (SELECT greatest({SEM_TRAIN_SAMPLE}, 4 * k) FROM kk)
 ),{_lloyd_ctes('samp', SEM_ITERS, '(SELECT k FROM kk)')},
 mem AS MATERIALIZED (
-  SELECT nid, c FROM (
-    SELECT x.nid, ct.c,
-           row_number() OVER (PARTITION BY x.nid
-                              ORDER BY {cosine_sql('x.e', 'ct.cl')} DESC, ct.c) AS rk
-    FROM allv x CROSS JOIN ct{SEM_ITERS} ct
-  ) WHERE rk <= {SEM_PROBE}
+  SELECT * FROM {_assign_sql('allv', f'ct{SEM_ITERS}', top=SEM_PROBE)}
 ),
 cand AS MATERIALIZED (
   SELECT DISTINCT m1.nid AS a, m2.nid AS b
@@ -1330,7 +1329,7 @@ verified AS MATERIALIZED (
   WHERE {cos_ab} >= {SEM_TAU}
 )
 SELECT b AS vec_id, a AS kept_by,
-       floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+       {round4_sql('cos_raw')} AS cos_sim
 FROM (
   SELECT a, b, cos_raw,
          row_number() OVER (PARTITION BY b ORDER BY cos_raw DESC, a ASC) AS rk

@@ -73,23 +73,30 @@ def stage_multi_file_drop(df: DataFrame, sf_dir: str, table: str,
     # with an atomic symlink swap — never two writers in one dir, and a
     # reader that already resolved the old link keeps its intact build
     # dir. Losers' builds leak only under concurrency, bounded by it.
+    import shutil
+
     build = f"{stage}.build-{_uuid.uuid4().hex[:8]}"
     df.repartition(parts).write.mode("overwrite").parquet(build)
-    tmp_link = f"{stage}.lnk-{_uuid.uuid4().hex[:8]}"
-    os.symlink(build, tmp_link)
-    try:
-        os.replace(tmp_link, stage)
-    except OSError:
-        os.unlink(tmp_link)
-        # Only ENOTEMPTY-style "stage exists as a real, COMPLETE dir" makes
-        # the build redundant; anything else (EACCES, a half-built pre-
-        # symlink layout without _SUCCESS) must not be handed to callers as
-        # a finished drop (r9 advice). The private build dir is known
-        # complete, so fall back to it rather than re-raising — the reuse
-        # cache is lost for that path but the returned data is whole.
-        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-            return build
-    return stage
+    for _attempt in range(2):
+        tmp_link = f"{stage}.lnk-{_uuid.uuid4().hex[:8]}"
+        os.symlink(build, tmp_link)
+        try:
+            os.replace(tmp_link, stage)
+            return stage
+        except OSError:
+            os.unlink(tmp_link)
+            # Only "stage exists as a real, COMPLETE dir" makes the build
+            # redundant (r9 advice). An INCOMPLETE real dir (a crashed
+            # pre-symlink run) is REPAIRED — removed so the complete
+            # build publishes in its place on the retry — rather than
+            # left to force a fresh leaked build copy on every future
+            # call (r10 review). If the retry still fails (concurrent
+            # repairer won, EACCES), the known-complete build dir is the
+            # safe fallback.
+            if os.path.exists(os.path.join(stage, "_SUCCESS")):
+                return stage
+            shutil.rmtree(stage, ignore_errors=True)
+    return build
 
 
 def file_stream(

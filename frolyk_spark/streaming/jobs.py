@@ -144,6 +144,18 @@ def _sweep_named(parent: str, cutoff: float) -> None:
 
     for sub in os.listdir(parent):
         sp = os.path.join(parent, sub)
+        if ".owner_pid.tmp-" in sub:
+            # atomic-publish temp stranded by a crash between write and
+            # os.replace (r10 review): reclaim once its writer is dead
+            # and the window passed — without this branch the generic
+            # run-dir logic rmtree's a FILE (silent no-op) and it leaks
+            try:
+                writer = int(sub.rsplit("-", 1)[1])
+                if not _pid_alive(writer) and os.path.getmtime(sp) < cutoff:
+                    os.unlink(sp)
+            except (OSError, ValueError):
+                pass
+            continue
         if sub.endswith(".owner_pid"):
             # orphan reclaim must ALSO check the recorded owner is dead: a
             # live run writes its owner file at start but creates the data
@@ -203,12 +215,21 @@ def _sweep_checkpoints() -> None:
 
 
 def _stop_when_idle(
-    query, *, idle_batches: int, timeout_s: float = 600.0
+    query, *, idle_batches: int, require_empty_state: bool = False,
+    timeout_s: float = 600.0,
 ) -> None:
     """Stop ``query`` once ``idle_batches`` consecutive completed batches
     had zero input rows (see run_available_now's stop_on_idle). The stop
     is the CONTRACTED end of a bounded drain run, not an abort — data
-    batches and at least one drain batch have all committed by then."""
+    batches and at least one drain batch have all committed by then.
+
+    ``require_empty_state`` additionally waits until every state operator
+    reports zero rows — the full-drain form: without it, a pending
+    ProcessingTimeTimeout larger than ~two empty-batch durations would be
+    stopped over silently (open sessions dropped without emission — the
+    r10 review catch). Operators whose contract is "end-of-input flushes
+    all open sessions" must pass it; harnesses that deliberately stop
+    with live state (restart tests) must not."""
     import time as _time
 
     deadline = _time.time() + timeout_s
@@ -218,9 +239,15 @@ def _stop_when_idle(
             raise TimeoutError(
                 f"stream did not go idle within {timeout_s}s")
         prog = query.recentProgress
-        if len(prog) >= idle_batches and all(
+        idle = len(prog) >= idle_batches and all(
             p["numInputRows"] == 0 for p in prog[-idle_batches:]
-        ):
+        )
+        drained = (not require_empty_state) or (
+            bool(prog) and all(
+                so["numRowsTotal"] == 0 for so in prog[-1]["stateOperators"]
+            )
+        )
+        if idle and drained:
             query.stop()
             break
         _time.sleep(0.25)
@@ -353,7 +380,12 @@ def run_available_now(
         if stop_on_idle is None:
             query.awaitTermination()
         else:
-            _stop_when_idle(query, idle_batches=stop_on_idle)
+            # require_empty_state: a bounded run's contract is FULL drain
+            # (every open session closes once its idle_ms elapses); idle
+            # batches alone would stop over pending unexpired timeouts
+            _stop_when_idle(
+                query, idle_batches=stop_on_idle, require_empty_state=True
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # gate runs are one-shot: the checkpoint is dead weight once the
@@ -1345,7 +1377,7 @@ def _vacuum_cdc_versions(root: str, keep: int) -> None:
         for d in (os.listdir(root) if os.path.isdir(root) else [])
         if d.startswith("s") and d[1:].isdigit()
     )
-    for v in versions[:-keep] if keep > 0 else []:
+    for v in versions[:-keep]:
         shutil.rmtree(os.path.join(root, f"s{v}"), ignore_errors=True)
 
 
@@ -1377,6 +1409,13 @@ def stream_cdc_apply(
     at 100 TB the state table is bucketed by key (E2) so the merge is
     co-located; nothing driver-side; state versions are pruned by the
     same janitor as every other result root."""
+    if keep_versions is not None and keep_versions < 2:
+        # keep=1 would vacuum the redelivery anchor: a replayed batch's
+        # predecessor must survive, or the rebuild resets all state to
+        # that batch alone (r10 review); keep=0 is a silent no-op
+        raise ValueError(
+            f"keep_versions must be >= 2 (redelivery anchor), got {keep_versions}"
+        )
     from frolyk_spark.sources.streams import stage_multi_file_drop
 
     ev = load_table(spark, sf_dir, "events").select(

@@ -998,6 +998,34 @@ def test_stream_session_ttl_proc_operator(spark, sf_dir):
         assert max(s.last_ts_us for s in segs) == hi
 
 
+def test_stream_session_ttl_proc_drains_large_idle(spark, sf_dir):
+    """The r10 review catch: an idle_ms longer than the empty-batch
+    cadence must not be stopped over — the runner waits for the timeout
+    horizon (require_empty_state) and still closes EVERY session."""
+    from frolyk_spark.sources.catalog import load_table
+    from frolyk_spark.streaming.jobs import stream_session_ttl_proc
+
+    got = stream_session_ttl_proc(spark, sf_dir, idle_ms=3000).collect()
+    want_users = {
+        r.user_id for r in load_table(spark, sf_dir, "events")
+        .select("user_id").distinct().collect()
+    }
+    assert {r.user_id for r in got} == want_users
+
+
+def test_cdc_keep_versions_guard(spark, sf_dir):
+    """keep_versions < 2 would vacuum the redelivery anchor — rejected
+    loudly, never a silent unsafe retention."""
+    import pytest
+
+    from frolyk_spark.streaming.jobs import stream_cdc_apply
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        stream_cdc_apply(spark, sf_dir, keep_versions=1)
+    with pytest.raises(ValueError, match="keep_versions"):
+        stream_cdc_apply(spark, sf_dir, keep_versions=0)
+
+
 def test_cdc_retention_bounds_versions_keeps_final_state(spark, sf_dir):
     """B19 retention: with keep_versions=2 the state lineage on disk stays
     at exactly 2 versions while the FINAL state is untouched — it still
