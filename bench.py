@@ -229,6 +229,10 @@ def main() -> None:
     skipped: list[str] = []
     count_forced: list[str] = []
     total = 0.0
+    # untimed control warm-up AT sf_dir: _warm_up primes codegen at
+    # sf0.001, so the first timed control would otherwise pay the sf_dir
+    # parquet first-touch and false-flag segment 0 as contended
+    run_control()
     controls: list[float] = [run_control()]
     seg_keys: list[list[str]] = [[]]
     for i, name in enumerate(HEADLINE):
