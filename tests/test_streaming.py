@@ -840,6 +840,58 @@ def test_stream_full_outer_join_boundaries_both_sides(spark, tmp_path):
     assert right_nulls == [11, 13], right_nulls
 
 
+# --- B21: full-outer join state is watermark-bounded -------------------------
+
+def test_stream_full_outer_join_state_is_watermark_bounded(spark, tmp_path):
+    """B21's 100 TB claim, like B18's: the time-range condition lets the
+    engine evict BOTH sides' join state — after the watermark-advancing
+    batch the symmetricHashJoin row count drops to the within-horizon
+    residue, not the full stream."""
+    from pyspark.sql import functions as F
+
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(i, f"2024-01-01 {i//60:02d}:{i%60:02d}:00") for i in range(0, 300, 2)],
+        "k int, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("lts")).write.parquet(ld)
+    spark.createDataFrame(
+        [(i, f"2024-01-01 {i//60:02d}:{i%60:02d}:30") for i in range(1, 299, 2)]
+        + [(9999, "2024-01-01 23:00:00")],
+        "k int, ts_s string",
+    ).select(F.col("k").alias("rk"), F.col("ts_s").cast("timestamp").alias("rts")) \
+     .write.parquet(rd)
+    ls = (
+        spark.readStream.schema("k int, lts timestamp").parquet(ld)
+        .withWatermark("lts", "10 minutes")
+    )
+    rs = (
+        spark.readStream.schema("rk int, rts timestamp").parquet(rd)
+        .withWatermark("rts", "10 minutes")
+    )
+    j = ls.join(
+        rs,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+        "fullOuter",
+    )
+    ckpt = str(tmp_path / "ck")
+    q = (
+        j.writeStream.foreachBatch(lambda bdf, bid: bdf.count())
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", ckpt).start()
+    )
+    q.awaitTermination()
+    totals = {
+        p["batchId"]: so["numRowsTotal"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+        if so["operatorName"] == "symmetricHashJoin"
+    }
+    assert totals[0] > 200, f"data batch should load both sides, got {totals}"
+    assert totals[max(totals)] < totals[0] / 5, totals
+
+
 # --- B22: ProcessingTimeTimeout — idle fires, active held, restart-safe ------
 
 def _ttl_proc_fold(idle_ms):
