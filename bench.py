@@ -231,8 +231,11 @@ def main() -> None:
     total = 0.0
     # untimed control warm-up AT sf_dir: _warm_up primes codegen at
     # sf0.001, so the first timed control would otherwise pay the sf_dir
-    # parquet first-touch and false-flag segment 0 as contended
-    run_control()
+    # parquet first-touch and false-flag segment 0 as contended. Gated on
+    # the same flag as _warm_up — cold-start mode must stay cold (r10
+    # review wave 2).
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") == "1":
+        run_control()
     controls: list[float] = [run_control()]
     seg_keys: list[list[str]] = [[]]
     for i, name in enumerate(HEADLINE):

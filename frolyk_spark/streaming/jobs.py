@@ -256,7 +256,7 @@ def _stop_when_idle(
 
 def run_available_now(
     df: DataFrame, *, mode: str, prefix: str, batch_hook=None,
-    stop_on_idle: int | None = None,
+    stop_on_idle: int | None = None, drain_state: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
     foreachBatch parquet sink and return the result read back as a regular
@@ -283,7 +283,12 @@ def run_available_now(
     into the hundreds). For those plans, pass the number of consecutive
     ZERO-INPUT batches after which the query is explicitly stopped: the
     first empty batch is the drain that fires already-expired timeouts,
-    the Nth-in-a-row proves nothing more is coming.
+    the Nth-in-a-row proves nothing more is coming. ``drain_state``
+    (meaningful only with stop_on_idle) additionally waits for the state
+    store to empty — the default, because a bounded TTL run's contract is
+    full drain; a plan that legitimately retains end-of-input state (a
+    watermark-bounded join residue) must pass drain_state=False or the
+    idle-stop would spin to its timeout (r10 review wave 2).
     """
     import shutil
     import time as _time
@@ -380,11 +385,12 @@ def run_available_now(
         if stop_on_idle is None:
             query.awaitTermination()
         else:
-            # require_empty_state: a bounded run's contract is FULL drain
-            # (every open session closes once its idle_ms elapses); idle
-            # batches alone would stop over pending unexpired timeouts
+            # drain_state default: a bounded TTL run's contract is FULL
+            # drain (every open session closes once its idle_ms elapses);
+            # idle batches alone would stop over pending unexpired timeouts
             _stop_when_idle(
-                query, idle_batches=stop_on_idle, require_empty_state=True
+                query, idle_batches=stop_on_idle,
+                require_empty_state=drain_state,
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
