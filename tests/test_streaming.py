@@ -1050,6 +1050,41 @@ def test_stream_session_ttl_proc_operator(spark, sf_dir):
         assert max(s.last_ts_us for s in segs) == hi
 
 
+def test_run_available_now_drain_optout_stops_idle(spark, tmp_path):
+    """drain_state=False (r10 review wave 2): a stop_on_idle run whose
+    state is NOT expected to empty stops on idle batches alone instead of
+    spinning to the drain timeout — here a ProcessingTimeTimeout fold
+    with a horizon far beyond the run, which must return promptly with
+    no emissions and leave the state held."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from frolyk_spark.streaming.jobs import run_available_now
+
+    ind = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "u int, ts_s string",
+    ).select("u", F.col("ts_s").cast("timestamp").alias("ts")) \
+     .coalesce(1).write.parquet(ind)
+    out = (
+        spark.readStream.schema("u int, ts timestamp").parquet(ind)
+        .groupBy("u")
+        .applyInPandasWithState(
+            _ttl_proc_fold(600_000), "u int, n bigint", "n bigint",
+            "append", GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    t0 = _t.monotonic()
+    got = run_available_now(
+        out, mode="append", prefix="optout", stop_on_idle=2,
+        drain_state=False,
+    )
+    assert _t.monotonic() - t0 < 120, "idle stop must not wait for drain"
+    assert got.count() == 0  # the 10-minute timeout never fired
+
+
 def test_stream_session_ttl_proc_drains_large_idle(spark, sf_dir):
     """The r10 review catch: an idle_ms longer than the empty-batch
     cadence must not be stopped over — the runner waits for the timeout
