@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
     # FIRST (CLAUDE.md). The r9 driver burned the r9 head (new_r9 +
     # stale_r4 + the first 26 of green_r6), leaving ten r6 rows stale, so:
-    #   1. new_r10 (9): stream_full_outer_join and the two companion
+    #   1. new_r10 (10): stream_full_outer_join and the two companion
     #      views are brand new; the other six just GAINED full SQL
     #      oracles (unrolled BPE/Lloyd/PQ CTEs) and need their first
     #      hash-checked row (their old rows were rows-only/no_oracle);
@@ -45,12 +45,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      the designated r10 head per the r9 verdict;
     #   3. green_r7 (35): completing the freshness ledger — after this
     #      head no entry's newest row predates r8.
-    # Head = 9+10+35 = 54 vs the ~50 budget; slippage (if any) falls on
+    # Head = 10+10+35 = 55 vs the ~50 budget; slippage (if any) falls on
     # the green_r7 tail, never a new or r6-stale entry.
     new_r10 = (
         "stream_full_outer_join",  # B21: both-side null emission
         "bpe_train",               # D47: unrolled-loop SQL oracle (was no-oracle)
         "bpe_encode",              # D52: same
+        "ann_lsh",                 # D11: bucket-geometry + rerank oracle (was recall-only)
         "ann_ivf",                 # D11b: unrolled-Lloyd SQL oracle (was rows-only)
         "ann_pq",                  # D40: unrolled per-subspace fit + ADC oracle
         "semantic_dedup",          # D51: same + cos_sim moved to portable round4

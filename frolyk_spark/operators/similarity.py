@@ -178,7 +178,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 rows); the corpus is bucketized distributed. Candidates = corpus
     rows sharing any table bucket with a probe (equi-join on
     (table_id, bucket)), deduped, then exact-cosine reranked. Checked by
-    tests/test_similarity.py: recall >= 0.6 vs ann_bruteforce.
+    tests/test_similarity.py: recall >= 0.6 vs ann_bruteforce; ALSO
+    oracle-checked as of r10 (`_ann_lsh_sql` — the shared bucket-geometry
+    block ann_lsh_buckets certified green since r9, plus the exact fold
+    rerank).
     """
     import numpy as np
 
@@ -230,7 +233,16 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_buckets_sql() -> str:
+def _lsh_codes_ctes(pred: str, id_alias: str, codes_name: str,
+                    *, include_planes: bool = True) -> str:
+    """Shared CTE block recomputing the LSH bucket codes for the
+    embeddings rows matching ``pred``: plane constants as VALUES
+    (repr() round-trips doubles exactly; both parsers read the same IEEE
+    value, and the fold multiplies them against STORED embedding
+    components — no literal-only arithmetic for DuckDB's non-IEEE
+    constant folder), sign bits via the fold dot, codes via the bit sum.
+    One definition for the bucket-occupancy companion AND the full
+    ann_lsh oracle, so the geometry can never drift per-site."""
     from frolyk_spark.functions.vectors import dot_sql
 
     planes = _hyperplanes()
@@ -238,33 +250,82 @@ def _ann_lsh_buckets_sql() -> str:
     for t in range(LSH_TABLES):
         for i in range(LSH_BITS):
             w = planes[t * LSH_BITS + i]
-            # repr() round-trips doubles exactly; both parsers read the
-            # same IEEE value, and the fold then multiplies it against
-            # STORED embedding components (no literal-only arithmetic for
-            # the constant folder to take through a non-IEEE path)
             lst = "[" + ", ".join(repr(v) for v in w) + "]::DOUBLE[]"
             rows.append(f"({t}, {i}, {lst})")
     values = ",\n".join(rows)
     d = dot_sql("e.embedding", "p.w")
-    return f"""
-WITH planes(table_id, bit, w) AS (VALUES
+    planes_cte = f"""planes(table_id, bit, w) AS (VALUES
 {values}
 ),
-bits AS (
-  SELECT e.vec_id AS neighbor_id, p.table_id, p.bit,
+"""
+    return (planes_cte if include_planes else "") + f"""{codes_name}_bits AS (
+  SELECT e.vec_id AS {id_alias}, p.table_id, p.bit,
          CASE WHEN {d} > 0 THEN 1 ELSE 0 END AS b
   FROM embeddings e CROSS JOIN planes p
-  WHERE e.vec_id >= {N_PROBES}
+  WHERE {pred}
 ),
-codes AS (
-  SELECT neighbor_id, cast(table_id as int) AS table_id,
+{codes_name} AS (
+  SELECT {id_alias}, cast(table_id as int) AS table_id,
          cast(sum(b * (1 << bit)) as bigint) AS bucket
-  FROM bits GROUP BY neighbor_id, table_id
-)
+  FROM {codes_name}_bits GROUP BY {id_alias}, table_id
+)"""
+
+
+def _ann_lsh_buckets_sql() -> str:
+    ctes = _lsh_codes_ctes(f"e.vec_id >= {N_PROBES}", "neighbor_id", "codes")
+    return f"""
+WITH {ctes}
 SELECT table_id, bucket, count(*) AS n_vectors,
        cast(sum(neighbor_id) as bigint) AS id_sum
 FROM codes GROUP BY table_id, bucket
 ORDER BY table_id, bucket
+"""
+
+
+def _ann_lsh_sql() -> str:
+    """ann_lsh end-to-end: corpus codes via the shared geometry block,
+    probe codes via a SECOND block over the same plane constants (the
+    oracle twin of the driver-side numpy probe bucketing), candidates by
+    (table, bucket) equality, exact fold-cosine rerank. The only
+    numerical risk is the sign-bit ULP class ann_lsh_buckets has carried
+    green since r9 — an identical candidate set makes the rerank exact."""
+    corpus_ctes = _lsh_codes_ctes(
+        f"e.vec_id >= {N_PROBES}", "neighbor_id", "ccodes"
+    )
+    # second block reuses the first's planes CTE — emit only its tail
+    probe_tail = _lsh_codes_ctes(
+        f"e.vec_id < {N_PROBES}", "probe_id", "pcodes", include_planes=False
+    )
+    return f"""
+WITH {corpus_ctes},
+{probe_tail},
+cand AS (
+  SELECT DISTINCT p.probe_id, c.neighbor_id
+  FROM pcodes p JOIN ccodes c
+    ON p.table_id = c.table_id AND p.bucket = c.bucket
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+  WHERE vec_id < {N_PROBES}
+),
+corpus AS (
+  SELECT vec_id AS nid, embedding AS e FROM embeddings
+  WHERE vec_id >= {N_PROBES}
+),
+scored AS (
+  SELECT cd.probe_id, cd.neighbor_id, {cosine_sql('p.pe', 'x.e')} AS cos_raw
+  FROM cand cd
+  JOIN probes p ON cd.probe_id = p.probe_id
+  JOIN corpus x ON cd.neighbor_id = x.nid
+)
+SELECT probe_id, rank, neighbor_id,
+       {round4_sql('cos_raw')} AS cos_sim
+FROM (
+  SELECT probe_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
 """
 
 
@@ -1385,8 +1446,9 @@ QUERIES = {
     "embedding_pca": embedding_pca,
     # D56's deterministic companion row (covariance moments, oracle-checked)
     "pca_moments": pca_moments,
+    # oracle-checked as of r10 (shared bucket-geometry block + rerank)
     "ann_lsh": ann_lsh,
-    # D11's deterministic companion row (bucket geometry, oracle-checked)
+    # D11's bucket-occupancy companion row (oracle-checked since r9)
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf": ann_ivf,
     "ann_pq": ann_pq,
@@ -1400,11 +1462,12 @@ QUERIES = {
     "cluster_profile": cluster_profile,
 }
 
-# ann_lsh stays deliberately oracle-free (recall pytest vs ann_bruteforce,
-# SURVEY §2 D11); ann_ivf and cluster_profile gained full oracles in r10
-# via the unrolled-Lloyd SQL (_lloyd_ctes).
+# the whole ANN family is oracle-checked as of r10: ann_lsh via the shared
+# bucket-geometry block + fold rerank, ann_ivf/ann_pq/cluster_profile/
+# semantic_dedup via the unrolled fixed-round fits.
 ORACLES = {
     "ann_bruteforce": _ann_bruteforce_sql(),
+    "ann_lsh": _ann_lsh_sql(),
     "ann_lsh_buckets": _ann_lsh_buckets_sql(),
     "pca_moments": _pca_moments_sql(),
     "ann_ivf": _ann_ivf_sql(),
