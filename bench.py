@@ -254,7 +254,10 @@ def main() -> None:
             count_forced.append(name)
             print(f"# DEGRADED to count(): {name}", file=sys.stderr)
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
-        if (i + 1) % CONTROL_EVERY == 0 and i + 1 < len(HEADLINE):
+        # count only EXECUTED keys toward the boundary: a skipped key that
+        # lands exactly on the boundary would otherwise bypass the control
+        # and silently merge two segments (r10 advice)
+        if len(seg_keys[-1]) == CONTROL_EVERY and i + 1 < len(HEADLINE):
             controls.append(run_control())
             seg_keys.append([])
     controls.append(run_control())

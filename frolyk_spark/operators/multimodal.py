@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from frolyk_spark.functions.hashing import (
     portable_hash_expr, portable_hash_py, portable_hash_sql,
 )
+from frolyk_spark.functions.lineage import cut_lineage
 from frolyk_spark.sources.catalog import load_table
 
 MODALITIES = ("image", "audio", "video")
@@ -547,6 +548,201 @@ FROM sampled
 """
 
 
+# --- D70: perceptual image near-dup (dHash over the REAL decode path) --------
+
+#: synthesized thumbnail geometry: 12x8 BGR — small enough that the whole
+#: dHash is oracle-checkable pixel-by-pixel, wide enough that the 9-column
+#: grid sampling is non-trivial (x = gx*12//9 skips pixels 3, 7, 11)
+IMG_W, IMG_H = 12, 8
+#: dHash grid: 9 sample columns x 7 sample rows -> 8x7 = 56 comparison
+#: bits, deliberately < 63 so the code stays a positive BIGINT in both
+#: engines (bit 63 would wrap DuckDB's shift; same reasoning as the
+#: portable 60-bit md5 hash)
+DHASH_GRID_X, DHASH_GRID_Y = 9, 7
+DHASH_BITS = (DHASH_GRID_X - 1) * DHASH_GRID_Y
+#: pigeonhole blocking (Manku WWW'07, same scheme as dedup_simhash_pairs):
+#: 4 blocks of 14 bits -> exact recall for Hamming distance <= 3
+DHASH_BLOCKS = 4
+DHASH_HAMMING_T = DHASH_BLOCKS - 1
+#: near-dup planting: documents in groups of 5 share a base image
+#: (md5 of the group key) and variant v perturbs v bytes at positions
+#: (37*i + 11*v) % 288 by +64+v mod 256 — some perturbations land on
+#: sampled pixels (distance grows past the threshold), many don't
+#: (distance stays 0-3), so both sides of the verify filter are exercised
+IMG_GROUP = 5
+IMG_SRC_REPEATS = (3 * IMG_W * IMG_H) // 16  # md5 = 16 bytes
+_PERT_STRIDE, _PERT_OFF, _PERT_DELTA = 37, 11, 64
+
+
+def _dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash): synthesize each document's thumbnail, round-trip it
+    through the REAL BMP encoder/decoder (frolyk_spark.functions.codecs),
+    and compute the 56-bit difference hash from the DECODED pixels —
+    grayscale = B+G+R (integer-exact, no /3), grid cell = pixel at
+    (gx*w//9, gy), bit = strict left<right comparison. One Arrow-batched
+    mapInPandas pass over the documents scan; payloads never leave the
+    executors."""
+    import hashlib
+
+    from frolyk_spark.functions.codecs import decode_bmp, encode_bmp
+
+    n_bytes = 3 * IMG_W * IMG_H
+    xs = [(gx * IMG_W) // DHASH_GRID_X for gx in range(DHASH_GRID_X)]
+    weights = (
+        np.int64(1) << np.arange(DHASH_GRID_Y * 8, dtype=np.int64).reshape(
+            DHASH_GRID_Y, 8
+        )
+    )[:, : DHASH_GRID_X - 1]
+
+    def codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "dhash": []}
+            for doc_id in pdf["doc_id"]:
+                g, v = int(doc_id) // IMG_GROUP, int(doc_id) % IMG_GROUP
+                content = bytearray.fromhex(
+                    hashlib.md5(f"img{g}".encode()).hexdigest() * IMG_SRC_REPEATS
+                )
+                for i in range(v):
+                    pos = (_PERT_STRIDE * i + _PERT_OFF * v) % n_bytes
+                    content[pos] = (content[pos] + _PERT_DELTA + v) % 256
+                _, _, decoded = decode_bmp(
+                    bytes(encode_bmp(bytes(content), IMG_W, IMG_H))
+                )
+                gray = (
+                    np.frombuffer(bytes(decoded), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(IMG_H, IMG_W, 3)
+                    .sum(axis=2)
+                )
+                grid = gray[:DHASH_GRID_Y, xs]
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["dhash"].append(int((bits * weights).sum()))
+            yield pd.DataFrame(out)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(codes, "doc_id bigint, dhash bigint")
+
+
+def image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs — the decoded-media modality the
+    text/embedding dedup family (D5-D9) doesn't cover: documents whose
+    DECODED thumbnails are within Hamming distance {DHASH_HAMMING_T} of
+    the {DHASH_BITS}-bit dHash, found WITHOUT an all-pairs comparison.
+
+    Composition of two proven blocks: D58's dependency-free BMP round
+    trip computes the codes from real decoded pixels (executor-side,
+    Arrow-batched), and D31's pigeonhole blocking pairs them — each code
+    emits {DHASH_BLOCKS} (block_id, 14-bit block_val) keys, a pair within
+    the threshold MUST collide on at least one (exact recall), candidates
+    come from one equi-join and verify with a single JVM bit_count(xor).
+
+    At 100 TB: the decode+hash pass is map-only and linear; the join
+    shuffles docs x {DHASH_BLOCKS} fixed-width keys; hot block values
+    (near-constant corpora, e.g. letterboxed frames) share minhash LSH's
+    hot-bucket caveat — cap or salt pathological keys, and persist codes
+    beside the asset table like persisted_minhash_signatures. Everything
+    downstream of the codes (connected components, canonical pick) reuses
+    dedup_clusters / dedup_canonical unchanged.
+    """
+    bits_per = DHASH_BITS // DHASH_BLOCKS
+    mask = (1 << bits_per) - 1
+    # codes feed both sides of the self-join: cut lineage or the whole
+    # decode pass runs twice (CLAUDE.md rule; same shape as D31)
+    codes = cut_lineage(_dhash_codes(spark, sf_dir))
+    blocks = codes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright("dhash", i * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(DHASH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "dhash", "bk.block_id", "bk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.expr("bit_count(a.dhash ^ b.dhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= DHASH_HAMMING_T)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _image_dedup_sql() -> str:
+    """Oracle: recompute the dHash codes straight from the content rule
+    (bypassing the codec, exactly like media_decode's oracle — the BMP
+    round trip is content-identity, so a codec stride/origin bug shows up
+    as a Spark-side divergence) and go all-pairs, which is fine at oracle
+    scale; the Spark side must never (plan-asserted)."""
+    n_bytes = 3 * IMG_W * IMG_H
+
+    def byte_at(j: str) -> str:
+        raw = f"cast(concat('0x', substr(hexsrc, 2 * ({j}) + 1, 2)) as bigint)"
+        perturbed = (
+            f"list_contains(list_transform(range(0, cast(v as int)),"
+            f" i -> ({_PERT_STRIDE} * i + {_PERT_OFF} * v) % {n_bytes}), ({j}))"
+        )
+        return (
+            f"(CASE WHEN {perturbed} THEN ({raw} + {_PERT_DELTA} + v) % 256"
+            f" ELSE {raw} END)"
+        )
+
+    j0 = f"3 * (gy * {IMG_W} + (gx * {IMG_W}) // {DHASH_GRID_X})"
+    gray = f"({byte_at(j0)} + {byte_at(f'{j0} + 1')} + {byte_at(f'{j0} + 2')})"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % {IMG_GROUP} AS v,
+         repeat(md5(concat('img', cast(doc_id // {IMG_GROUP} as varchar))),
+                {IMG_SRC_REPEATS}) AS hexsrc
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, gy, gx, {gray} AS gray
+  FROM d, range(0, {DHASH_GRID_Y}) ty(gy), range(0, {DHASH_GRID_X}) tx(gx)
+),
+bits AS (
+  SELECT l.doc_id, l.gy, l.gx,
+         CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+  FROM cells l JOIN cells r
+    ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
+  WHERE l.gx < {DHASH_GRID_X - 1}
+),
+codes AS (
+  SELECT doc_id,
+         cast(sum(cast(bit as bigint) * (cast(1 as bigint) << cast(8 * gy + gx as int)))
+              as bigint) AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.dhash, b.dhash)) as bigint) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
+"""
+
+
 QUERIES = {
     "multimodal_manifest": multimodal_manifest,
     "multimodal_features": multimodal_features,
@@ -554,6 +750,8 @@ QUERIES = {
     "media_decode": media_decode,
     "video_decode": video_decode,
     "frame_sample": frame_sample,
+    # D70: perceptual near-dup over the decoded-media modality (r10 verdict #3)
+    "image_dedup": image_dedup,
 }
 
 ORACLES = {
@@ -565,4 +763,5 @@ ORACLES = {
     "media_decode": _media_decode_sql(),
     "video_decode": _video_decode_sql(),
     "frame_sample": _frame_sample_sql(),
+    "image_dedup": _image_dedup_sql(),
 }

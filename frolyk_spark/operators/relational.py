@@ -1075,6 +1075,99 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C14 companion: bounds-verdict row for the engine-native sketches -------
+
+#: documented accuracy knobs for approx_stats and the (generous) gates the
+#: bounds verdict enforces: HLL++ rsd 0.02 -> |err| <= 10% of exact (5x
+#: the standard error); percentile_approx accuracy 10000 -> rank error
+#: 1e-4 -> gate at rank eps 0.005 (50x), expressed per-mille so the
+#: verdict is exact integer arithmetic (no transcendentals, CLAUDE.md)
+APPROX_DISTINCT_RSD = 0.02
+APPROX_PCT_ACCURACY = 10000
+_PCT_EPS_PERMILLE = 5
+
+
+def approx_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14's driver-checkable companion (pattern: sketch_kmv for D45).
+
+    approx_stats's outputs are engine-native sketch estimates (HLL++,
+    GK percentiles) — no SQL oracle can reproduce the VALUES. But the
+    VERDICT is oracle-expressible: one row per metric carrying the exact
+    answer where it is cross-engine exact (row / distinct counts, BIGINT)
+    and an integer within_tolerance flag that Spark computes by checking
+    its own sketch output against exact rank/count statistics. The DuckDB
+    oracle emits the same exact values with within_tolerance=1, so a red
+    driver row means precisely "a sketch violated its documented bound".
+
+    Scale shape: two aggregation passes over orders — the sketch+exact
+    pass, then a rank-count pass against the 1-row result via a broadcast
+    crossJoin (bounded scalar state, CLAUDE.md-sanctioned). Both passes
+    are two-phase hash aggregates: no sort, no collect, no window. The
+    exact count(DISTINCT) shuffles distinct keys once — the documented
+    audit cost; the production profile keeps only approx_stats and runs
+    this verdict on sampled shards.
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    sk = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("exact_d"),
+        F.approx_count_distinct("o_custkey", APPROX_DISTINCT_RSD).alias("apx_d"),
+        F.percentile_approx("o_totalprice", 0.5, APPROX_PCT_ACCURACY).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95, APPROX_PCT_ACCURACY).alias("p95"),
+    )
+    ranks = orders.crossJoin(F.broadcast(sk)).agg(
+        F.first("n").alias("n"),
+        F.first("exact_d").alias("exact_d"),
+        F.first("apx_d").alias("apx_d"),
+        F.sum(F.when(F.col("o_totalprice") <= F.col("p50"), 1).otherwise(0)).alias("le50"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("p50"), 1).otherwise(0)).alias("lt50"),
+        F.sum(F.when(F.col("o_totalprice") <= F.col("p95"), 1).otherwise(0)).alias("le95"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("p95"), 1).otherwise(0)).alias("lt95"),
+    )
+    # a GK-sketch percentile is a real element whose rank r satisfies
+    # |r - p*n| <= eps*n; with c_lt < r <= c_le that is equivalent to
+    # c_le >= (p-eps)*n AND c_lt <= (p+eps)*n — all-integer per-mille form
+    def _pct_ok(le: str, lt: str, permille: int):
+        lo, hi = permille - _PCT_EPS_PERMILLE, permille + _PCT_EPS_PERMILLE
+        return (
+            (F.col(le) * 1000 >= lo * F.col("n"))
+            & (F.col(lt) * 1000 <= hi * F.col("n"))
+        ).cast("int")
+
+    flags = ranks.select(
+        "n",
+        "exact_d",
+        (F.abs(F.col("apx_d") - F.col("exact_d")) * 10 <= F.col("exact_d"))
+        .cast("int")
+        .alias("d_ok"),
+        _pct_ok("le50", "lt50", 500).alias("p50_ok"),
+        _pct_ok("le95", "lt95", 950).alias("p95_ok"),
+    )
+    return flags.selectExpr(
+        "stack(4, "
+        "'n_orders', n, 1, "
+        "'approx_custkeys', exact_d, d_ok, "
+        "'p50_totalprice', cast(null as bigint), p50_ok, "
+        "'p95_totalprice', cast(null as bigint), p95_ok"
+        ") as (metric, exact_value, within_tolerance)"
+    )
+
+
+APPROX_STATS_BOUNDS_SQL = """
+SELECT * FROM (
+  SELECT 'n_orders' AS metric, CAST(count(*) AS BIGINT) AS exact_value,
+         CAST(1 AS INTEGER) AS within_tolerance FROM orders
+  UNION ALL
+  SELECT 'approx_custkeys', CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST(1 AS INTEGER) FROM orders
+  UNION ALL
+  SELECT 'p50_totalprice', CAST(NULL AS BIGINT), CAST(1 AS INTEGER)
+  UNION ALL
+  SELECT 'p95_totalprice', CAST(NULL AS BIGINT), CAST(1 AS INTEGER)
+)
+"""
+
+
 # --- C33: TPC-H Q17 small-quantity-order revenue (adapted) ------------------
 
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2837,9 +2930,12 @@ QUERIES = {
     # no-oracle: approximate results are engine-specific; bounded by
     # tests/test_approx.py against exact answers
     "approx_stats": approx_stats,
+    # C14's oracle-checkable bounds verdict (r10 verdict #2)
+    "approx_stats_bounds": approx_stats_bounds,
 }
 
 ORACLES = {
+    "approx_stats_bounds": APPROX_STATS_BOUNDS_SQL,
     "data_quality_audit": DATA_QUALITY_SQL,
     "rfm_segments": RFM_SQL,
     "market_basket": _market_basket_sql(),

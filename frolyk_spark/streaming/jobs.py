@@ -675,10 +675,17 @@ p AS (
   FROM events WHERE event_type = 'purchase'
 ),
 thr AS (
-  SELECT (((least((SELECT epoch_us(max(ts)) // 1000 FROM c),
+  -- If EITHER side is empty its Spark operator watermark stays at epoch 0,
+  -- pinning the global min there and evicting nothing; DuckDB's least()
+  -- would silently IGNORE the NULL max-subquery and evict by the non-empty
+  -- side, so the CASE yields NULL (comparisons false, no evictions) instead.
+  SELECT CASE
+    WHEN (SELECT max(ts) FROM c) IS NULL OR (SELECT max(pts) FROM p) IS NULL
+    THEN NULL
+    ELSE (((least((SELECT epoch_us(max(ts)) // 1000 FROM c),
                   (SELECT epoch_us(max(pts)) // 1000 FROM p))
             - 7200000) * 1000
-           - 1800000000 + 999999) // 1000000 - 1) * 1000000 AS thr_us
+           - 1800000000 + 999999) // 1000000 - 1) * 1000000 END AS thr_us
 )
 SELECT c.user_id, c.click_id, p.purchase_id
 FROM c LEFT JOIN p
@@ -765,9 +772,16 @@ p AS (
   FROM events WHERE event_type = 'purchase'
 ),
 wm AS (
-  SELECT (least((SELECT epoch_us(max(ts)) // 1000 FROM c),
+  -- Empty-side guard, same rationale as B18's thr CTE: an empty side pins
+  -- Spark's global watermark at epoch 0 (no evictions); least() over an
+  -- ignored NULL would evict by the other side. NULL wm_us => both
+  -- eviction predicates are NULL => false => matched rows only.
+  SELECT CASE
+    WHEN (SELECT max(ts) FROM c) IS NULL OR (SELECT max(pts) FROM p) IS NULL
+    THEN NULL
+    ELSE (least((SELECT epoch_us(max(ts)) // 1000 FROM c),
                 (SELECT epoch_us(max(pts)) // 1000 FROM p))
-          - 7200000) * 1000 AS wm_us
+          - 7200000) * 1000 END AS wm_us
 )
 SELECT coalesce(c.user_id, p.p_user_id) AS user_id, c.click_id, p.purchase_id
 FROM c FULL JOIN p

@@ -935,3 +935,45 @@ def test_pca_moments_partial_aggregates_before_shuffle(spark, sf_dir):
     # both aggregations (mean pass + moment pass) are two-phase
     assert plan.count("partial_sum") >= 2, plan[:2000]
     assert not rep["has_cartesian"]
+
+
+def test_image_dedup_block_equi_join(spark, sf_dir):
+    """D70: the dHash pairing must be the pigeonhole block equi-join over
+    the lineage-cut code frame — never an all-pairs comparison (the
+    oracle goes all-pairs; the Spark side must not)."""
+    from frolyk_spark.operators.multimodal import image_dedup
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(image_dedup(spark, sf_dir), forbid_nested_loop=True)
+    assert any(
+        op in rep["joins"]
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), rep["joins"]
+    assert "block_val" in rep["plan"], "join must key on the pigeonhole blocks"
+
+
+def test_ann_ivf_nprobe_pruned_join(spark, sf_dir):
+    """D11b (r10 verdict #8): candidate generation must stay the
+    cluster-id equi-join against the broadcast (probe, cell) pairs — the
+    nprobe/nlist pruning a refactor could silently degrade to a
+    full-corpus rerank. The r10 oracle change touched only the SQL side;
+    this pins the Spark plan."""
+    from frolyk_spark.operators.similarity import ann_ivf
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(ann_ivf(spark, sf_dir), forbid_nested_loop=True)
+    assert "BroadcastHashJoin" in rep["joins"], rep["joins"]
+    assert "cluster" in rep["plan"], "candidates must join on the IVF cell id"
+
+
+def test_ann_pq_lut_and_partial_topk(spark, sf_dir):
+    """D40 (r10 verdict #8): ADC scoring must stay on the coded path —
+    per-probe top-C planned as WindowGroupLimit (per-partition partial
+    top-K before the exchange), exact rerank only on the C survivors,
+    never a cartesian over probe x corpus floats."""
+    from frolyk_spark.operators.similarity import ann_pq
+    from frolyk_spark.plans import plan_report
+
+    rep = plan_report(ann_pq(spark, sf_dir))
+    assert "WindowGroupLimit" in rep["plan"], "top-C must push a group limit"
+    assert not rep["has_cartesian"]
