@@ -405,8 +405,13 @@ LIMIT {KMV_K}
 
 # --- D47: iterative BPE trainer ----------------------------------------------
 
-#: merge rounds learned by bpe_train
-BPE_MERGES = 6
+#: merge rounds learned by bpe_train — raised 6 -> 24 in r11 to evidence
+#: the O(vocab)/round claim at realistic tokenizer depth: the measured
+#: marginal cost per round at sf0.1 is flat-to-DECREASING (rounds 1-8
+#: ~0.3-0.6 s, rounds 17-24 ~0.05 s — the word-frequency table shrinks as
+#: merges fuse tokens), and the unrolled-CTE oracle generator stays linear
+#: (DuckDB 0.12 s @6 -> 0.63 s @24 at sf0.01); curve in BASELINE.md r11
+BPE_MERGES = 24
 
 
 def _merge_fold(a: str, b: str):
