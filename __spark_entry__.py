@@ -33,50 +33,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 156
+    # in dict order under a wall-clock budget (~50 per round of the 160
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
-    # FIRST (CLAUDE.md). The r9 driver burned the r9 head (new_r9 +
-    # stale_r4 + the first 26 of green_r6), leaving ten r6 rows stale, so:
-    #   1. new_r10 (10): stream_full_outer_join and the two companion
-    #      views are brand new; the other six just GAINED full SQL
-    #      oracles (unrolled BPE/Lloyd/PQ CTEs) and need their first
-    #      hash-checked row (their old rows were rows-only/no_oracle);
-    #   2. stale_r6 (10): the r9 budget slippage — newest green row is r6,
-    #      the designated r10 head per the r9 verdict;
-    #   3. green_r7 (35): completing the freshness ledger — after this
-    #      head no entry's newest row predates r8.
-    # Head = 10+10+35 = 55 vs the ~50 budget; slippage (if any) falls on
-    # the green_r7 tail, never a new or r6-stale entry.
-    new_r10 = (
-        "stream_full_outer_join",  # B21: both-side null emission
-        "bpe_train",               # D47: unrolled-loop SQL oracle (was no-oracle)
-        "bpe_encode",              # D52: same
-        "ann_lsh",                 # D11: bucket-geometry + rerank oracle (was recall-only)
-        "ann_ivf",                 # D11b: unrolled-Lloyd SQL oracle (was rows-only)
-        "ann_pq",                  # D40: unrolled per-subspace fit + ADC oracle
-        "semantic_dedup",          # D51: same + cos_sim moved to portable round4
-        "cluster_profile",         # D63: unrolled-Lloyd SQL oracle (was rows-only)
-        "logreg_features",         # D53 companion: feature pipeline, first row
-        "pca_moments",             # D56 companion: covariance moments, first row
+    # FIRST (CLAUDE.md). The r10 driver burned its whole 50-row head green
+    # (new_r10 + stale_r6 + 30 of green_r7); the five green_r7 tail entries
+    # slipped to r11 as designed. So:
+    #   1. new_r11 (6): approx_stats_bounds (C14's first oracle-checked
+    #      verdict row), image_dedup/audio_dedup (D70/D71 perceptual
+    #      near-dup), and stream_cdc_versioned (B23 CDC-into-snapshots)
+    #      are brand new; bpe_train/bpe_encode changed OUTPUT this round
+    #      (merge depth 6 -> 24) so their r10 rows no longer describe the
+    #      current code;
+    #   2. stale_r7 (5): the r10 budget slippage — newest green row is r7,
+    #      the designated r11 head per the r10 verdict;
+    #   3. green_r8 (50): the oldest block in the ledger — after this head
+    #      burns, no entry's newest row predates r9 and the r8 block is
+    #      fully cleared (the r10 verdict's "half" target, exceeded).
+    # Head = 6+5+50 = 61 vs the ~50 budget; slippage (if any) falls on the
+    # green_r8 tail, never a new or r7-stale entry.
+    new_r11 = (
+        "approx_stats_bounds",   # C14 companion: sketch bounds verdict
+        "image_dedup",           # D70: dHash near-dup over the decode path
+        "audio_dedup",           # D71: sign-of-delta fingerprint twin
+        "stream_cdc_versioned",  # B23: CDC into E14 versioned snapshots
+        "bpe_train",             # D47: depth 6 -> 24 (new output)
+        "bpe_encode",            # D52: same
     )
-    stale_r6 = (
-        "dedup_clusters", "text_redact", "corpus_filter",
-        "minhash_jaccard_estimate", "cross_source_duplication",
-        "length_histogram", "multimodal_manifest",
-        "feature_hash_embedding", "dup_span_coverage", "stream_topk",
-    )
-    green_r7 = (
-        "stream_anomaly", "stream_quarantine", "q22_idle_balance",
-        "value_deciles", "resample_gapfill", "salted_join_segments",
-        "markov_transitions", "order_value_quartiles", "conversion_funnel",
-        "funnel_fold", "q16_parts_supplier_counts",
-        "q20_concentrated_suppliers", "data_quality_audit", "rfm_segments",
-        "market_basket", "ewma_value", "top_paths", "skyline_parts",
-        "scd2_lookup", "sample_stratified", "media_resize", "frame_sample",
-        "boilerplate_ngrams", "dedup_canonical", "sample_per_source",
-        "lsh_band_sweep", "lang_confusion", "source_yield", "media_decode",
-        "video_decode", "span_trim", "dsir_select", "decontaminate_bloom",
+    stale_r7 = (
+        "span_trim", "dsir_select", "decontaminate_bloom",
         "benchmark_leakage", "training_pipeline",
+    )
+    green_r8 = (
+        "q1_pricing_summary", "q3_unshipped_revenue", "q4_order_priority",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "q14_promo_revenue", "q2_min_cost_supplier", "q11_important_parts",
+        "dedup_exact", "dedup_minhash", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce",
+        "minhash_containment", "containment_chains", "embedding_stats",
+        "embedding_quantize", "multimodal_features", "mv_incremental_refresh",
+        "table_diff", "line_dedup", "epoch_shuffle", "curriculum_mix",
+        "sample_temperature", "train_test_split", "source_mix",
+        "source_vocab_overlap", "ngram_novelty", "tfidf_top_terms",
+        "token_count", "anomaly_zscore",
+        "asof_cogroup", "grouping_sets_revenue", "json_props_stats",
+        "key_skew_profile", "price_discount_corr", "retention_cohorts",
+        "salted_skew_agg", "sessionize", "stream_tumbling", "stream_hopping",
+        "stream_dedup", "stream_stateful", "stream_stream_join",
+        "stream_static_join", "stream_ohlc", "stream_dedup_incremental",
+        "task_pipeline",
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
@@ -84,9 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*new_r10, *stale_r6, *green_r7):
+    for k in (*new_r11, *stale_r7, *green_r8):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
-    out.update(registry)  # r8/r9-green remainder; first-insertion order wins
+    out.update(registry)  # r9/r10-green remainder; first-insertion order wins
     return out
 
 

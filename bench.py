@@ -133,6 +133,11 @@ HEADLINE = [
     "stream_full_outer_join",
     "logreg_features",
     "pca_moments",
+    # r11 additions
+    "approx_stats_bounds",
+    "image_dedup",
+    "audio_dedup",
+    "stream_cdc_versioned",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -628,6 +628,51 @@ def _dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(codes, "doc_id bigint, dhash bigint")
 
 
+def _hamming_pairs(codes: DataFrame, col: str) -> DataFrame:
+    """D31's pigeonhole pairing over a {DHASH_BITS}-bit code column: each
+    code emits {DHASH_BLOCKS} (block_id, 14-bit block_val) keys; a pair
+    within Hamming distance {DHASH_HAMMING_T} MUST collide on at least one
+    (exact recall); candidates come from one equi-join and verify with a
+    single JVM bit_count(xor). ``codes`` must already be lineage-cut —
+    both sides of the self-join consume it."""
+    bits_per = DHASH_BITS // DHASH_BLOCKS
+    mask = (1 << bits_per) - 1
+    blocks = codes.select(
+        "doc_id",
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(col, i * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(DHASH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", col, "bk.block_id", "bk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.expr(f"bit_count(a.{col} ^ b.{col})")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= DHASH_HAMMING_T)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs — the decoded-media modality the
     text/embedding dedup family (D5-D9) doesn't cover: documents whose
@@ -649,45 +694,137 @@ def image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream of the codes (connected components, canonical pick) reuses
     dedup_clusters / dedup_canonical unchanged.
     """
-    bits_per = DHASH_BITS // DHASH_BLOCKS
-    mask = (1 << bits_per) - 1
     # codes feed both sides of the self-join: cut lineage or the whole
     # decode pass runs twice (CLAUDE.md rule; same shape as D31)
-    codes = cut_lineage(_dhash_codes(spark, sf_dir))
-    blocks = codes.select(
-        "doc_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_id"),
-                        F.shiftright("dhash", i * bits_per)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("block_val"),
-                    )
-                    for i in range(DHASH_BLOCKS)
+    return _hamming_pairs(cut_lineage(_dhash_codes(spark, sf_dir)), "dhash")
+
+
+# --- D71: perceptual audio near-dup (sign-of-delta fingerprint) --------------
+
+#: synthesized clip geometry: {AUD_N_SAMPLES} PCM16 samples -> the
+#: fingerprint reads the first {DHASH_BITS}+1 and hashes the 56 deltas —
+#: the simplest member of the acoustic-fingerprint family (Haitsma-Kalker
+#: style sign-of-energy-delta, reduced to time-domain deltas so the whole
+#: code is integer-exact and oracle-checkable)
+AUD_N_SAMPLES = 64
+AUD_SRC_REPEATS = (2 * AUD_N_SAMPLES) // 16  # md5 = 16 bytes, 2 B/sample
+#: near-dup planting, same scheme as image_dedup: groups of 5 share a
+#: base clip (md5 of the group key) and variant v perturbs v bytes at
+#: (29*i + 13*v) % 128 by +64+v mod 256
+_AUD_PERT_STRIDE, _AUD_PERT_OFF = 29, 13
+
+
+def _audio_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, afp): synthesize each document's PCM16 clip, round-trip it
+    through the REAL WAV encoder/decoder (RIFF chunk walk), and compute
+    the {DHASH_BITS}-bit sign-of-delta fingerprint from the DECODED
+    samples: bit j = 1 iff s[j+1] > s[j] (strict). One Arrow-batched
+    mapInPandas pass; payloads never leave the executors."""
+    import hashlib
+
+    from frolyk_spark.functions.codecs import decode_wav, encode_wav
+
+    n_bytes = 2 * AUD_N_SAMPLES
+    w = np.int64(1) << np.arange(DHASH_BITS, dtype=np.int64)
+
+    def codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "afp": []}
+            for doc_id in pdf["doc_id"]:
+                g, v = int(doc_id) // IMG_GROUP, int(doc_id) % IMG_GROUP
+                raw = bytearray.fromhex(
+                    hashlib.md5(f"aud{g}".encode()).hexdigest() * AUD_SRC_REPEATS
+                )
+                for i in range(v):
+                    pos = (_AUD_PERT_STRIDE * i + _AUD_PERT_OFF * v) % n_bytes
+                    raw[pos] = (raw[pos] + _PERT_DELTA + v) % 256
+                samples = [
+                    int.from_bytes(raw[2 * i : 2 * i + 2], "little", signed=True)
+                    for i in range(AUD_N_SAMPLES)
                 ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "dhash", "bk.block_id", "bk.block_val")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    hamming = F.expr("bit_count(a.dhash ^ b.dhash)")
-    return (
-        a.join(
-            b,
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(hamming <= DHASH_HAMMING_T)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("bigint").alias("hamming"),
-        )
-        .distinct()
+                rate = 8000 + 100 * (int(doc_id) % 80)
+                drate, dsamples = decode_wav(bytes(encode_wav(samples, rate)))
+                assert drate == rate
+                s = np.asarray(dsamples[: DHASH_BITS + 1], dtype=np.int64)
+                bits = (s[1:] > s[:-1]).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["afp"].append(int((bits * w).sum()))
+            yield pd.DataFrame(out)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
+    return docs.mapInPandas(codes, "doc_id bigint, afp bigint")
+
+
+def audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs — completes the modality matrix
+    (text: D5-D8, embeddings: D9, images: D70): documents whose DECODED
+    clips are within Hamming distance {DHASH_HAMMING_T} of the
+    {DHASH_BITS}-bit sign-of-delta fingerprint, paired WITHOUT an
+    all-pairs comparison via the shared pigeonhole block join
+    (_hamming_pairs). Composes D58's real WAV round trip with D31's
+    blocking, exactly as image_dedup does for BMP.
+
+    Same 100 TB posture as image_dedup: map-only decode+hash pass,
+    fixed-width block-key join, hot-bucket caveat for near-silent
+    corpora (constant samples -> constant codes), codes persistable
+    beside the asset table; clustering/canonical-pick reuse
+    dedup_clusters / dedup_canonical downstream.
+    """
+    return _hamming_pairs(cut_lineage(_audio_codes(spark, sf_dir)), "afp")
+
+
+def _audio_dedup_sql() -> str:
+    """Oracle: recompute the fingerprints from the content rule (the WAV
+    round trip is sample-identity — a RIFF/PCM16 mis-parse shows up as a
+    Spark-side divergence) and go all-pairs at oracle scale."""
+    n_bytes = 2 * AUD_N_SAMPLES
+
+    def byte_at(j: str) -> str:
+        raw = f"cast(concat('0x', substr(hexsrc, 2 * ({j}) + 1, 2)) as bigint)"
+        perturbed = (
+            f"list_contains(list_transform(range(0, cast(v as int)),"
+            f" i -> ({_AUD_PERT_STRIDE} * i + {_AUD_PERT_OFF} * v) % {n_bytes}),"
+            f" ({j}))"
+        )
+        return (
+            f"(CASE WHEN {perturbed} THEN ({raw} + {_PERT_DELTA} + v) % 256"
+            f" ELSE {raw} END)"
+        )
+
+    lo, hi = byte_at("2 * i"), byte_at("2 * i + 1")
+    sample = f"(({lo} + 256 * {hi}) - CASE WHEN {hi} >= 128 THEN 65536 ELSE 0 END)"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % {IMG_GROUP} AS v,
+         repeat(md5(concat('aud', cast(doc_id // {IMG_GROUP} as varchar))),
+                {AUD_SRC_REPEATS}) AS hexsrc
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, i, {sample} AS s
+  FROM d, range(0, {DHASH_BITS + 1}) t(i)
+),
+bits AS (
+  SELECT l.doc_id, l.i, CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS bit
+  FROM samples l JOIN samples r ON l.doc_id = r.doc_id AND r.i = l.i + 1
+  WHERE l.i < {DHASH_BITS}
+),
+codes AS (
+  SELECT doc_id,
+         cast(sum(cast(bit as bigint) * (cast(1 as bigint) << cast(i as int)))
+              as bigint) AS afp
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.afp, b.afp)) as bigint) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {DHASH_HAMMING_T}
+"""
 
 
 def _image_dedup_sql() -> str:
@@ -752,6 +889,8 @@ QUERIES = {
     "frame_sample": frame_sample,
     # D70: perceptual near-dup over the decoded-media modality (r10 verdict #3)
     "image_dedup": image_dedup,
+    # D71: the audio twin — completes the dedup modality matrix (r11)
+    "audio_dedup": audio_dedup,
 }
 
 ORACLES = {
@@ -764,4 +903,5 @@ ORACLES = {
     "video_decode": _video_decode_sql(),
     "frame_sample": _frame_sample_sql(),
     "image_dedup": _image_dedup_sql(),
+    "audio_dedup": _audio_dedup_sql(),
 }

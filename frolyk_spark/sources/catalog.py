@@ -440,7 +440,7 @@ def _list_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _claim_version(path: str, files: list[str]) -> int:
+def _claim_version(path: str, files: list[str], txn: str | None = None) -> int:
     """Publish a COMPLETE manifest at the next free version and return it.
 
     The manifest body is written to a private temp file first and
@@ -459,8 +459,15 @@ def _claim_version(path: str, files: list[str]) -> int:
     for _ in range(64):  # bounded optimistic-concurrency retries
         version = (max(_list_versions(path), default=-1)) + 1
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        body = {"version": version, "files": files}
+        if txn is not None:
+            # transactional marker (Delta's txnAppId/txnVersion shape):
+            # records WHICH application-level unit this snapshot committed,
+            # so an at-least-once producer (foreachBatch) can skip a
+            # redelivered unit instead of double-committing it
+            body["txn"] = txn
         with open(tmp, "w") as f:
-            json.dump({"version": version, "files": files}, f)
+            json.dump(body, f)
         target = os.path.join(mdir, f"v{version}.json")
         try:
             os.link(tmp, target)
@@ -472,7 +479,7 @@ def _claim_version(path: str, files: list[str]) -> int:
     raise RuntimeError(f"could not claim a version at {path}")
 
 
-def write_versioned(df: DataFrame, path: str) -> int:
+def write_versioned(df: DataFrame, path: str, txn: str | None = None) -> int:
     """Commit ``df`` as a new immutable SNAPSHOT of the table at ``path``
     and return its version — the minimal table-format commit protocol
     (Delta's `_delta_log/N.json` shape) on plain parquet:
@@ -504,7 +511,24 @@ def write_versioned(df: DataFrame, path: str) -> int:
         os.replace(os.path.join(staging, name), final)
         files.append(os.path.relpath(final, path))
     shutil.rmtree(staging, ignore_errors=True)  # only _SUCCESS/.crc remain
-    return _claim_version(path, files)
+    return _claim_version(path, files, txn)
+
+
+def committed_txns(path: str) -> dict[str, int]:
+    """txn marker -> NEWEST version that committed it, read from the
+    manifests (one small JSON each — the same planning cost read_versioned
+    pays). This is the producer-side replay guard: before committing unit
+    X, a foreachBatch writer checks ``X in committed_txns(path)`` and
+    skips redelivered units (see streaming.jobs.stream_cdc_versioned)."""
+    import json
+
+    out: dict[str, int] = {}
+    for v in _list_versions(path):
+        with open(os.path.join(_manifest_dir(path), f"v{v}.json")) as f:
+            t = json.load(f).get("txn")
+        if t is not None:
+            out[t] = v
+    return out
 
 
 def read_versioned(

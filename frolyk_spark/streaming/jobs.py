@@ -1516,6 +1516,135 @@ FROM keyed GROUP BY user_id
 """
 
 
+# --- B23: streaming CDC into E14 versioned snapshots ---------------------------
+
+def stream_cdc_versioned(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    keep_versions: int | None = None,
+    _name: str | None = None,
+    _fail_after_commit: int | None = None,
+) -> DataFrame:
+    """B19's CDC apply committing each materialized state as an E14
+    versioned SNAPSHOT — the lakehouse composition a user actually wants:
+    the stream keeps a serving table current, every micro-batch lands as
+    an immutable manifest-committed version, `read_versioned` time-travels
+    to the state after any batch, and `read_changes` serves a change feed
+    straight off the live CDC lineage (Delta's streaming-upsert +
+    table_changes shape on plain parquet).
+
+    Exactly-once across at-least-once redelivery via the txn marker
+    (catalog.committed_txns — Delta's txnAppId/txnVersion pattern): each
+    batch commits its snapshot with txn "b{batch_id}"; a redelivered
+    batch (crash AFTER the snapshot commit but BEFORE the checkpoint
+    commit — the window B19's overwrite-by-batch-id handles differently)
+    finds its txn already committed and SKIPS, so no version is ever
+    claimed twice and counts never double-apply. Each batch merges
+    against the snapshot of the latest committed txn STRICTLY below its
+    own id, mirroring _latest_version_below's redelivery rule. The txn
+    skip is sound only within one checkpoint lineage (Spark replays the
+    same content under the same batch id); a resumed run must reuse the
+    ``_name`` identity, exactly like B17.
+
+    Scale: per-batch cost is O(batch) + the keyed merge + one manifest
+    JSON; data files are written once and never rewritten; history is
+    bounded by vacuum_versioned (retention), and time travel/change
+    feeds read only manifest-listed files. Final result = latest
+    snapshot, so the op shares B19's batching-invariant GROUP BY oracle.
+    """
+    import shutil
+
+    from frolyk_spark.sources.catalog import (
+        committed_txns, read_versioned, vacuum_versioned, write_versioned,
+    )
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    if keep_versions is not None and keep_versions < 2:
+        # same guard as B19: keep=1 would vacuum the redelivery anchor —
+        # a batch that crashes BEFORE its commit must still find its
+        # predecessor's manifest on redelivery
+        raise ValueError(
+            f"keep_versions must be >= 2 (redelivery anchor), got {keep_versions}"
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stage = stage_multi_file_drop(ev, sf_dir, "events", "cdclog")
+
+    name = _name or f"cdcv_{uuid.uuid4().hex[:8]}"
+    if _name is None:
+        root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+        _LIVE_RESULTS.add(root)
+    else:
+        root = _named_dir("results", name)
+    ckpt = _checkpoint_dir(name, named=_name is not None)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        txns = committed_txns(root)
+        if f"b{batch_id}" in txns:
+            return  # redelivered unit: its snapshot already committed
+        prior_ids = [
+            int(t[1:]) for t in txns
+            if t.startswith("b") and t[1:].isdigit() and int(t[1:]) < batch_id
+        ]
+        batch = _cdc_reduce(batch_df)
+        if prior_ids:
+            prior = read_versioned(spark, root, txns[f"b{max(prior_ids)}"])
+            merged = _cdc_merge(prior, batch)
+        else:
+            merged = batch
+        write_versioned(merged, root, txn=f"b{batch_id}")
+        if keep_versions is not None:
+            # retention AFTER the commit (E14's vacuum, grace 0: this run
+            # is the only writer): the just-committed version is newest,
+            # so any keep >= 2 preserves the redelivery anchor; vacuumed
+            # manifests drop out of committed_txns, which is correct —
+            # their states are no longer reachable for time travel either
+            vacuum_versioned(root, keep_last=keep_versions, grace_seconds=0.0)
+        if _fail_after_commit is not None and batch_id >= _fail_after_commit:
+            # test-only crash injection in the exact window the txn guard
+            # exists for: snapshot committed, checkpoint not yet
+            raise RuntimeError(f"injected crash after commit of batch {batch_id}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    ok = False
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+        ok = True
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if _name is None or ok:
+            # anonymous runs are one-shot; named runs keep their
+            # checkpoint ON FAILURE so a resume continues the lineage
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    try:
+        final = read_versioned(spark, root)
+    except FileNotFoundError:
+        return spark.createDataFrame(
+            [], "user_id bigint, n_events bigint, last_ts_us bigint, "
+                "last_type string, last_value double",
+        )
+    return final.select(
+        "user_id", "n_events", "last_ts_us", "last_type", "last_value"
+    )
+
+
 # --- B17: streaming incremental near-dup detection ----------------------------
 
 def stream_dedup_incremental(
@@ -1676,6 +1805,9 @@ def stream_dedup_incremental(
 QUERIES = {
     "stream_quarantine": stream_quarantine,
     "stream_cdc_apply": stream_cdc_apply,
+    # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
+    # final state is batching-invariant so it shares B19's oracle
+    "stream_cdc_versioned": stream_cdc_versioned,
     "stream_session_ttl": stream_session_ttl,
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_tumbling": stream_tumbling,
@@ -1695,6 +1827,7 @@ QUERIES = {
 ORACLES = {
     "stream_quarantine": STREAM_QUARANTINE_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
+    "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_session_ttl": STREAM_SESSION_TTL_SQL,
     # B17 shares D28's exact pair semantics (union over batches ==
     # the one-shot batch-vs-corpus probe), so it shares D28's oracle

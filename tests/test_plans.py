@@ -9,6 +9,8 @@ import io
 import re
 from contextlib import redirect_stdout
 
+import pytest as _pytest
+
 from frolyk_spark.operators.relational import (
     q1_pricing_summary, q3_unshipped_revenue, q5_local_supplier, q6_forecast,
 )
@@ -937,17 +939,19 @@ def test_pca_moments_partial_aggregates_before_shuffle(spark, sf_dir):
     assert not rep["has_cartesian"]
 
 
-def test_image_dedup_block_equi_join(spark, sf_dir):
-    """D70: the dHash pairing must be the pigeonhole block equi-join over
-    the lineage-cut code frame — never an all-pairs comparison (the
-    oracle goes all-pairs; the Spark side must not)."""
-    from frolyk_spark.operators.multimodal import image_dedup
+@_pytest.mark.parametrize("opname", ["image_dedup", "audio_dedup"])
+def test_media_dedup_block_equi_join(spark, sf_dir, opname):
+    """D70/D71: the perceptual-code pairing must be the pigeonhole block
+    equi-join over the lineage-cut code frame — never an all-pairs
+    comparison (the oracle goes all-pairs; the Spark side must not)."""
+    from frolyk_spark.operators import multimodal
     from frolyk_spark.plans import assert_scale_shape
 
-    rep = assert_scale_shape(image_dedup(spark, sf_dir), forbid_nested_loop=True)
+    op = getattr(multimodal, opname)
+    rep = assert_scale_shape(op(spark, sf_dir), forbid_nested_loop=True)
     assert any(
-        op in rep["joins"]
-        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        op_ in rep["joins"]
+        for op_ in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), rep["joins"]
     assert "block_val" in rep["plan"], "join must key on the pigeonhole blocks"
 

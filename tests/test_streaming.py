@@ -1256,3 +1256,106 @@ def test_cdc_merge_batching_invariant(spark):
     by_user = {r[0]: r for r in one}
     assert by_user[1][4] == "purchase" and by_user[1][1] == 3
     assert by_user[4][4] == "click"  # event_id 8 > 7 on tied ts
+
+
+# --- B23: CDC into E14 versioned snapshots -------------------------------------
+
+def test_cdc_versioned_crash_after_commit_resumes_exactly_once(spark, sf_dir):
+    """B23's txn guard in the exact window it exists for: crash AFTER
+    batch 1's snapshot commit but BEFORE its checkpoint commit. The
+    resume redelivers batch 1, finds txn b1 already committed, SKIPS it
+    (no version claimed twice, no double-merge), and the final state
+    equals B19's oracle-checked one-shot apply."""
+    import uuid as _uuid
+
+    from frolyk_spark.sources.catalog import committed_txns
+    from frolyk_spark.streaming.jobs import (
+        SCRATCH, stream_cdc_apply, stream_cdc_versioned,
+    )
+
+    name = f"cdcv_resume_{_uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(SCRATCH, "checkpoints", "named", name)
+    with pytest.raises(Exception, match="injected crash"):
+        stream_cdc_versioned(spark, sf_dir, _name=name, _fail_after_commit=1)
+    assert os.path.isdir(ckpt), "checkpoint must survive the crash"
+    root = os.path.join(SCRATCH, "results", "named", name)
+    before = committed_txns(root)
+    assert "b1" in before, "crash landed after the commit — txn must exist"
+
+    got_df = stream_cdc_versioned(spark, sf_dir, _name=name)
+    txns = committed_txns(root)
+    # one committed version per batch, each claimed exactly once
+    assert len(txns) >= 2 and len(set(txns.values())) == len(txns)
+    assert txns["b1"] == before["b1"], "redelivered batch must not re-commit"
+
+    def key(r):
+        return (r.user_id, r.n_events, r.last_ts_us, r.last_type)
+
+    got = {key(r) for r in got_df.collect()}
+    want = {key(r) for r in stream_cdc_apply(spark, sf_dir).collect()}
+    assert want and got == want
+    assert not os.path.isdir(ckpt), "success must clean the named checkpoint"
+
+
+def test_cdc_versioned_time_travel_and_change_feed(spark, sf_dir):
+    """Time travel over the live CDC lineage sees consistent states: for
+    every consecutive committed pair, read_changes yields no 'removed'
+    rows (CDC only upserts), and patching snapshot k-1 with the feed's
+    after-images reproduces snapshot k exactly — the E16 change feed is
+    a faithful delta of the E14 lineage the stream wrote."""
+    from frolyk_spark.sources.catalog import (
+        committed_txns, read_changes, read_versioned,
+    )
+    from frolyk_spark.streaming.jobs import stream_cdc_versioned
+
+    df = stream_cdc_versioned(spark, sf_dir)
+    src = df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = sorted(committed_txns(root).values())
+    assert len(versions) >= 2, f"expected multi-batch lineage, got {versions}"
+
+    cols = ["n_events", "last_ts_us", "last_type"]
+
+    def snap(v):
+        return {
+            r.user_id: (r.n_events, r.last_ts_us, r.last_type)
+            for r in read_versioned(spark, root, v).collect()
+        }
+
+    for v_prev, v_cur in zip(versions, versions[1:]):
+        feed = read_changes(spark, root, v_prev, v_cur, "user_id", cols).collect()
+        assert all(r._change in ("added", "changed") for r in feed), feed[:5]
+        patched = snap(v_prev)
+        for r in feed:
+            patched[r.user_id] = (
+                r.n_events_after, r.last_ts_us_after, r.last_type_after
+            )
+        assert patched == snap(v_cur)
+        # upsert lineage: per-key counts are monotone along versions
+        prev = snap(v_prev)
+        assert all(
+            patched[u][0] >= prev[u][0] for u in prev
+        ), "n_events must never decrease"
+
+
+def test_cdc_versioned_retention_bounds_lineage(spark, sf_dir):
+    """B23 retention: keep_versions bounds the manifest lineage while the
+    final state stays exact (equals the unbounded run); keep < 2 is
+    rejected (would vacuum the redelivery anchor, same guard as B19)."""
+    from frolyk_spark.sources.catalog import committed_txns
+    from frolyk_spark.streaming.jobs import stream_cdc_versioned
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        stream_cdc_versioned(spark, sf_dir, keep_versions=1)
+
+    df = stream_cdc_versioned(spark, sf_dir, keep_versions=2)
+    src = df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    assert len(committed_txns(root)) <= 2, "retention must bound manifests"
+
+    def key(r):
+        return (r.user_id, r.n_events, r.last_ts_us, r.last_type)
+
+    got = {key(r) for r in df.collect()}
+    want = {key(r) for r in stream_cdc_versioned(spark, sf_dir).collect()}
+    assert want and got == want
