@@ -137,6 +137,7 @@ HEADLINE = [
     "approx_stats_bounds",
     "image_dedup",
     "audio_dedup",
+    "video_dedup_pairs",
     "stream_cdc_versioned",
     # streaming + task bridge
     "sessionize",

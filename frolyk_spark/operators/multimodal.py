@@ -699,6 +699,159 @@ def image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hamming_pairs(cut_lineage(_dhash_codes(spark, sf_dir)), "dhash")
 
 
+# --- D72: perceptual video near-dup (frame-dHash parity fingerprint) ---------
+
+#: synthesized clip geometry: {VID_FRAMES} frames of the same 12x8 BGR
+#: thumbnail shape image_dedup hashes — the video fingerprint is the
+#: BITWISE XOR (parity) of the per-frame dHashes, so a perturbation in
+#: any ONE frame flips exactly that frame's changed comparison bits in
+#: the video code (Hamming distance is preserved frame-locally), while
+#: frame REORDERING leaves the code unchanged — the shuffle-invariant
+#: member of the temporal-pooling family
+VID_FRAMES = 3
+VID_FRAME_BYTES = 3 * IMG_W * IMG_H
+VID_SRC_REPEATS = (VID_FRAMES * VID_FRAME_BYTES) // 16
+_VID_PERT_STRIDE, _VID_PERT_OFF = 41, 17
+
+
+def _video_fp_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, vfp): synthesize each document's {VID_FRAMES}-frame clip,
+    round-trip it through the REAL FVID container encoder/decoder
+    (length-prefixed complete BMP frames — container walk + per-frame
+    stride handling), dHash every DECODED frame, and fold the frame
+    codes with XOR. One Arrow-batched mapInPandas pass."""
+    import hashlib
+
+    from frolyk_spark.functions.codecs import decode_fvid, encode_fvid
+
+    n_bytes = VID_FRAMES * VID_FRAME_BYTES
+    xs = [(gx * IMG_W) // DHASH_GRID_X for gx in range(DHASH_GRID_X)]
+    weights = (
+        np.int64(1) << np.arange(DHASH_GRID_Y * 8, dtype=np.int64).reshape(
+            DHASH_GRID_Y, 8
+        )
+    )[:, : DHASH_GRID_X - 1]
+
+    def codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "vfp": []}
+            for doc_id in pdf["doc_id"]:
+                g, v = int(doc_id) // IMG_GROUP, int(doc_id) % IMG_GROUP
+                content = bytearray.fromhex(
+                    hashlib.md5(f"vid{g}".encode()).hexdigest() * VID_SRC_REPEATS
+                )
+                for i in range(v):
+                    pos = (_VID_PERT_STRIDE * i + _VID_PERT_OFF * v) % n_bytes
+                    content[pos] = (content[pos] + _PERT_DELTA + v) % 256
+                frames = [
+                    bytes(content[VID_FRAME_BYTES * f : VID_FRAME_BYTES * (f + 1)])
+                    for f in range(VID_FRAMES)
+                ]
+                _, _, _, dframes = decode_fvid(
+                    bytes(encode_fvid(frames, IMG_W, IMG_H, 24))
+                )
+                code = 0
+                for fr in dframes:
+                    gray = (
+                        np.frombuffer(bytes(fr), dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(IMG_H, IMG_W, 3)
+                        .sum(axis=2)
+                    )
+                    grid = gray[:DHASH_GRID_Y, xs]
+                    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
+                    code ^= int((bits * weights).sum())
+                out["doc_id"].append(int(doc_id))
+                out["vfp"].append(code)
+            yield pd.DataFrame(out)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(codes, "doc_id bigint, vfp bigint")
+
+
+def video_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup pairs — the temporal member closing the
+    dedup modality matrix (text D5-D8, embeddings D9, image D70, audio
+    D71): documents whose decoded {VID_FRAMES}-frame clips are within
+    Hamming distance {DHASH_HAMMING_T} of the frame-dHash parity
+    fingerprint, paired WITHOUT an all-pairs comparison via the shared
+    pigeonhole block join. Composes D60's real FVID container round trip
+    with D70's dHash kernel and D31's blocking.
+
+    Same 100 TB posture as its siblings: map-only decode+hash, fixed-
+    width block-key join, persistable codes; production variants swap
+    the parity pool for per-frame codes + a frame-level join when
+    SUB-clip matching matters (this operator answers whole-clip
+    near-identity).
+    """
+    return _hamming_pairs(cut_lineage(_video_fp_codes(spark, sf_dir)), "vfp")
+
+
+def _video_dedup_sql() -> str:
+    """Oracle: recompute the parity fingerprint from the content rule —
+    per-(frame, cell) grays with the perturbation CASE, per-frame
+    comparison bits, bit of the video code = SUM over frames MOD 2 —
+    and go all-pairs at oracle scale."""
+    n_bytes = VID_FRAMES * VID_FRAME_BYTES
+
+    def byte_at(j: str) -> str:
+        raw = f"cast(concat('0x', substr(hexsrc, 2 * ({j}) + 1, 2)) as bigint)"
+        perturbed = (
+            f"list_contains(list_transform(range(0, cast(v as int)),"
+            f" i -> ({_VID_PERT_STRIDE} * i + {_VID_PERT_OFF} * v) % {n_bytes}),"
+            f" ({j}))"
+        )
+        return (
+            f"(CASE WHEN {perturbed} THEN ({raw} + {_PERT_DELTA} + v) % 256"
+            f" ELSE {raw} END)"
+        )
+
+    j0 = (
+        f"{VID_FRAME_BYTES} * f"
+        f" + 3 * (gy * {IMG_W} + (gx * {IMG_W}) // {DHASH_GRID_X})"
+    )
+    gray = f"({byte_at(j0)} + {byte_at(f'{j0} + 1')} + {byte_at(f'{j0} + 2')})"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % {IMG_GROUP} AS v,
+         repeat(md5(concat('vid', cast(doc_id // {IMG_GROUP} as varchar))),
+                {VID_SRC_REPEATS}) AS hexsrc
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, f, gy, gx, {gray} AS gray
+  FROM d, range(0, {VID_FRAMES}) tf(f),
+       range(0, {DHASH_GRID_Y}) ty(gy), range(0, {DHASH_GRID_X}) tx(gx)
+),
+bits AS (
+  SELECT l.doc_id, l.f, l.gy, l.gx,
+         CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+  FROM cells l JOIN cells r
+    ON l.doc_id = r.doc_id AND l.f = r.f AND l.gy = r.gy AND r.gx = l.gx + 1
+  WHERE l.gx < {DHASH_GRID_X - 1}
+),
+parity AS (
+  SELECT doc_id, gy, gx, sum(bit) % 2 AS pbit
+  FROM bits GROUP BY doc_id, gy, gx
+),
+codes AS (
+  SELECT doc_id,
+         cast(sum(cast(pbit as bigint) * (cast(1 as bigint) << cast(8 * gy + gx as int)))
+              as bigint) AS vfp
+  FROM parity GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.vfp, b.vfp)) as bigint) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.vfp, b.vfp)) <= {DHASH_HAMMING_T}
+"""
+
+
 # --- D71: perceptual audio near-dup (sign-of-delta fingerprint) --------------
 
 #: synthesized clip geometry: {AUD_N_SAMPLES} PCM16 samples -> the
@@ -889,8 +1042,9 @@ QUERIES = {
     "frame_sample": frame_sample,
     # D70: perceptual near-dup over the decoded-media modality (r10 verdict #3)
     "image_dedup": image_dedup,
-    # D71: the audio twin — completes the dedup modality matrix (r11)
+    # D71/D72: the audio + video twins — complete the dedup modality matrix (r11)
     "audio_dedup": audio_dedup,
+    "video_dedup_pairs": video_dedup_pairs,
 }
 
 ORACLES = {
@@ -904,4 +1058,5 @@ ORACLES = {
     "frame_sample": _frame_sample_sql(),
     "image_dedup": _image_dedup_sql(),
     "audio_dedup": _audio_dedup_sql(),
+    "video_dedup_pairs": _video_dedup_sql(),
 }

@@ -482,6 +482,54 @@ def _bpe_loop(toks: DataFrame) -> tuple[list[tuple[int, str, str, str, int]], Da
     return merges, toks
 
 
+def persisted_bpe_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    """The trained merge table, persisted ONCE per (dataset, depth) under
+    source-keyed scratch and reread afterwards — the E4 pattern
+    (persisted_minhash_signatures): a production tokenizer trains once
+    and every downstream consumer (encode passes, re-runs, audits) reads
+    the model instead of re-running the {BPE_MERGES}-round loop. The
+    model is O({BPE_MERGES}) rows — bounded driver state, like IVF
+    centroids. Cache key = resolved source path + depth (a depth change
+    re-trains, never silently reuses)."""
+    import hashlib
+
+    import os as _os
+
+    from frolyk_spark.sources.streams import SCRATCH
+
+    target = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(f"{target}:{BPE_MERGES}".encode()).hexdigest()[:12]
+    out = _os.path.join(SCRATCH, "models", f"bpe_{key}.parquet")
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        from frolyk_spark.functions.lineage import cut_lineage
+
+        docs = load_table(spark, sf_dir, "documents").select("text")
+        wf = (
+            docs.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .where(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+        )
+        toks = cut_lineage(
+            wf.select(
+                "weight",
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                ).alias("toks"),
+            )
+        )
+        merges, _ = _bpe_loop(toks)
+        spark.createDataFrame(
+            merges,
+            "step int, left string, right string, merged string, cnt bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+    rows = spark.read.parquet(out).orderBy("step").collect()
+    return [(r.step, r.left, r.right, r.merged, r.cnt) for r in rows]
+
+
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real (small) BPE training loop, distributed: start from
     characters, and for {BPE_MERGES} rounds count adjacent token pairs
@@ -495,35 +543,21 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-frequency table (identical word forms segment identically, so
     pair counts weight by occurrence count — bit-identical totals to
     counting every occurrence, at O(|vocab|) per round instead of
-    O(corpus); the r6 rewrite measured 9.1 s -> ~1 s at sf0.1). Per
-    round: weighted pair counting is map-side-combinable; the winning
-    pair is TakeOrdered(1) — ONE row of model state to the driver
-    (bounded, like IVF centroids); re-segmentation is a map-only JVM
-    array fold with a lineage cut so round N+1 doesn't replay rounds
-    1..N. Output is the learned merge table ({BPE_MERGES} rows).
-    Oracle-checked: the fixed-round all-integer/string loop unrolls into
-    DuckDB SQL (`_bpe_iter_ctes`); the pure-Python token-for-token model
-    check in tests/test_semantics.py remains.
+    O(corpus); the r6 rewrite measured 9.1 s -> ~1 s at sf0.1, and the
+    r11 depth-24 sweep shows marginal per-round cost FALLING as merges
+    shrink the vocab table — BASELINE.md r11). Per round: weighted pair
+    counting is map-side-combinable; the winning pair is TakeOrdered(1)
+    — ONE row of model state to the driver (bounded, like IVF
+    centroids); re-segmentation is a map-only JVM array fold with a
+    lineage cut so round N+1 doesn't replay rounds 1..N. The trained
+    model persists under source-keyed scratch (persisted_bpe_merges, the
+    E4 train-once shape); output is the learned merge table
+    ({BPE_MERGES} rows). Oracle-checked: the fixed-round
+    all-integer/string loop unrolls into DuckDB SQL (`_bpe_iter_ctes`);
+    the pure-Python token-for-token model check in
+    tests/test_semantics.py remains.
     """
-    from frolyk_spark.functions.lineage import cut_lineage
-
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    wf = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .where(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
-    )
-    toks = cut_lineage(
-        wf.select(
-            "weight",
-            F.expr(
-                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-            ).alias("toks"),
-        )
-    )
-    merges, _ = _bpe_loop(toks)
+    merges = persisted_bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, cnt bigint"
     )
@@ -541,9 +575,14 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (word pieces joined '|', words joined ' ') so any segmentation
     drift is visible as a hash change.
 
-    Scale shape: the loop's final segmentation IS the complete encoder —
-    one (word form -> pieces) row per vocabulary entry — so applying the
-    tokenizer to the corpus is an equi-join of that model table onto
+    Scale shape (r11 train/apply split): the tokenizer-APPLY pass no
+    longer re-runs the training loop — it loads the persisted model
+    (persisted_bpe_merges, O({BPE_MERGES}) rows of driver state) and
+    segments the DISTINCT vocabulary in one Arrow-batched mapInPandas
+    pass (greedy left-to-right merge application per word — the
+    canonical trained-tokenizer kernel, O(vocab x merges), token-for-token
+    equal to the JVM fold by the gaps-and-islands argument the oracle
+    pins). The (word form -> pieces) model table then equi-joins onto
     the (doc_id, wpos, word) stream (un-hinted: AQE broadcasts it while
     the vocabulary is small and shuffles when it is not; the hybrid
     head/tail join is the upgrade if the Zipf-shaped tail ever
@@ -554,7 +593,31 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     join and doc-order piece hash); the per-document pure-Python model
     check in tests/test_semantics.py remains.
     """
-    from frolyk_spark.functions.lineage import cut_lineage
+    from typing import Iterator
+
+    import pandas as pd
+
+    merges = [(m[1], m[2], m[3]) for m in persisted_bpe_merges(spark, sf_dir)]
+
+    def apply_merges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"w": [], "pw": [], "np": []}
+            for w in pdf["w"]:
+                toks = list(w)
+                for a, b, m in merges:
+                    i, res = 0, []
+                    while i < len(toks):
+                        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                            res.append(m)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    toks = res
+                out["w"].append(w)
+                out["pw"].append("|".join(toks))
+                out["np"].append(len(toks))
+            yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = (
@@ -562,21 +625,8 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("wpos", "w"))
         .where(F.length("w") > 0)
     )
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
-    toks = cut_lineage(
-        wf.select(
-            "w",
-            "weight",
-            F.expr(
-                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-            ).alias("toks"),
-        )
-    )
-    _, final = _bpe_loop(toks)
-    seg = final.select(
-        "w",
-        F.concat_ws("|", "toks").alias("pw"),
-        F.size("toks").alias("np"),
+    seg = words.select("w").distinct().mapInPandas(
+        apply_merges, "w string, pw string, np int"
     )
     # no broadcast HINT: the vocabulary scales with corpus size (Heaps'
     # law), so forcing it violates the no-hints-on-SF-scaling rule — AQE

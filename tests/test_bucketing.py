@@ -758,3 +758,27 @@ def test_read_changes_null_keys_and_membership_only(spark, tmp_path):
         for r in read_changes(spark, out, v1, v2, "k", []).collect()
     }
     assert got2 == {(None, "removed"), (2, "removed"), (3, "added")}
+
+
+def test_versioned_txn_markers_and_mixed_lineage(spark, tmp_path):
+    """E14 txn markers (r11): committed_txns maps each txn to the newest
+    version that committed it; plain (txn-less) commits coexist in the
+    same lineage and are simply absent from the map — backward compatible
+    with pre-txn manifests."""
+    from frolyk_spark.sources.catalog import (
+        committed_txns, read_versioned, write_versioned,
+    )
+
+    out = str(tmp_path / "txn_table")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    v0 = write_versioned(df, out)                      # plain commit
+    v1 = write_versioned(df.limit(3), out, txn="b0")
+    v2 = write_versioned(df.limit(1), out, txn="b1")
+    txns = committed_txns(out)
+    assert txns == {"b0": v1, "b1": v2}
+    assert v0 not in txns.values()
+    # a re-commit of the same txn (the at-least-once window) maps to the
+    # NEWEST version — last-writer-wins for consumers that do re-commit
+    v3 = write_versioned(df.limit(2), out, txn="b1")
+    assert committed_txns(out)["b1"] == v3
+    assert read_versioned(spark, out, v1).count() == 3

@@ -939,9 +939,11 @@ def test_pca_moments_partial_aggregates_before_shuffle(spark, sf_dir):
     assert not rep["has_cartesian"]
 
 
-@_pytest.mark.parametrize("opname", ["image_dedup", "audio_dedup"])
+@_pytest.mark.parametrize(
+    "opname", ["image_dedup", "audio_dedup", "video_dedup_pairs"]
+)
 def test_media_dedup_block_equi_join(spark, sf_dir, opname):
-    """D70/D71: the perceptual-code pairing must be the pigeonhole block
+    """D70-D72: the perceptual-code pairing must be the pigeonhole block
     equi-join over the lineage-cut code frame — never an all-pairs
     comparison (the oracle goes all-pairs; the Spark side must not)."""
     from frolyk_spark.operators import multimodal
