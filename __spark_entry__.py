@@ -38,9 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST (CLAUDE.md). The r10 driver burned its whole 50-row head green
     # (new_r10 + stale_r6 + 30 of green_r7); the five green_r7 tail entries
     # slipped to r11 as designed. So:
-    #   1. new_r11 (7): approx_stats_bounds (C14's first oracle-checked
-    #      verdict row), image_dedup/audio_dedup/video_dedup_pairs
-    #      (D70-D72 perceptual near-dup across the decoded modalities),
+    #   1. new_r11 (8): approx_stats_bounds (C14's first oracle-checked
+    #      verdict row), the perceptual media-dedup family (D70-D73:
+    #      image/audio/video pairs + CC clusters over the image graph),
     #      and stream_cdc_versioned (B23 CDC-into-snapshots) are brand
     #      new; bpe_train/bpe_encode changed OUTPUT this round (merge
     #      depth 6 -> 24) so their r10 rows no longer describe the
@@ -50,13 +50,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. green_r8 (50): the oldest block in the ledger — after this head
     #      burns, no entry's newest row predates r9 and the r8 block is
     #      fully cleared (the r10 verdict's "half" target, exceeded).
-    # Head = 7+5+50 = 62 vs the ~50 budget; slippage (if any) falls on the
+    # Head = 8+5+50 = 63 vs the ~50 budget; slippage (if any) falls on the
     # green_r8 tail, never a new or r7-stale entry.
     new_r11 = (
         "approx_stats_bounds",   # C14 companion: sketch bounds verdict
         "image_dedup",           # D70: dHash near-dup over the decode path
         "audio_dedup",           # D71: sign-of-delta fingerprint twin
         "video_dedup_pairs",     # D72: frame-dHash parity fingerprint
+        "media_dedup_clusters",  # D73: CC over the image pair graph
         "stream_cdc_versioned",  # B23: CDC into E14 versioned snapshots
         "bpe_train",             # D47: depth 6 -> 24 (new output)
         "bpe_encode",            # D52: same

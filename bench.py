@@ -138,6 +138,7 @@ HEADLINE = [
     "image_dedup",
     "audio_dedup",
     "video_dedup_pairs",
+    "media_dedup_clusters",
     "stream_cdc_versioned",
     # streaming + task bridge
     "sessionize",

@@ -842,11 +842,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reread from parquet here, the incremental shape a real pipeline needs.
     """
     pairs = band_pairs(persisted_minhash_signatures(spark, sf_dir))
-    edges = pairs.union(
+    return min_label_clusters(pairs)
+
+
+def min_label_clusters(pairs: DataFrame) -> DataFrame:
+    """The reusable CC core (factored out in r11 for the media dedup
+    family): iterative min-label propagation over a (doc_a, doc_b) pair
+    frame -> (doc_id, cluster_id, is_canonical). Level-synchronous, one
+    doc_id shuffle per round, lineage cut per round, fixpoint detected
+    with a one-long count action — never a path-enumerating recursive
+    CTE (CLAUDE.md graph rule)."""
+    edges = pairs.select("doc_a", "doc_b").union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    # materialize once: every round joins edges, and recomputing the band
-    # join per round would multiply its cost
+    # materialize once: every round joins edges, and recomputing the
+    # candidate join per round would multiply its cost
     edges = _cut_lineage(edges)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
@@ -880,7 +890,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     if not converged:
         raise RuntimeError(
-            f"dedup_clusters did not converge in {CC_MAX_ITERS} rounds — "
+            f"min_label_clusters did not converge in {CC_MAX_ITERS} rounds — "
             "component diameter exceeds the iteration cap; raise CC_MAX_ITERS"
         )
     return labels.select(

@@ -852,6 +852,43 @@ WHERE bit_count(xor(a.vfp, b.vfp)) <= {DHASH_HAMMING_T}
 """
 
 
+# --- D73: media near-dup clusters (CC over the image pairs) ------------------
+
+def media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering step over the PERCEPTUAL pair graph — what D15 is to
+    D6, for the decoded-media modality: connected components over D70's
+    image near-dup pairs by the shared iterative min-label core
+    (dedup.min_label_clusters — level-synchronous, one shuffle per
+    round, never a path-enumerating recursive CTE), cluster id = min
+    doc_id = the canonical asset. Downstream keep-best policies compose
+    exactly as dedup_canonical does for text. Oracle: the image-pair SQL
+    feeds the same tiny-diameter transitive-closure CTE the D15 oracle
+    uses (tractable at oracle scale; the Spark side stays iterative)."""
+    from frolyk_spark.operators.dedup import min_label_clusters
+
+    return min_label_clusters(image_dedup(spark, sf_dir))
+
+
+def _media_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_image_dedup_sql()}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+reach(doc, label) AS (
+  SELECT DISTINCT doc_a AS doc, doc_a AS label FROM edges
+  UNION
+  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc = e.doc_b
+)
+SELECT doc AS doc_id,
+       min(label) AS cluster_id,
+       (min(label) = doc) AS is_canonical
+FROM reach GROUP BY doc
+"""
+
+
 # --- D71: perceptual audio near-dup (sign-of-delta fingerprint) --------------
 
 #: synthesized clip geometry: {AUD_N_SAMPLES} PCM16 samples -> the
@@ -1045,6 +1082,8 @@ QUERIES = {
     # D71/D72: the audio + video twins — complete the dedup modality matrix (r11)
     "audio_dedup": audio_dedup,
     "video_dedup_pairs": video_dedup_pairs,
+    # D73: CC clustering over the perceptual pair graph (shared CC core)
+    "media_dedup_clusters": media_dedup_clusters,
 }
 
 ORACLES = {
@@ -1059,4 +1098,5 @@ ORACLES = {
     "image_dedup": _image_dedup_sql(),
     "audio_dedup": _audio_dedup_sql(),
     "video_dedup_pairs": _video_dedup_sql(),
+    "media_dedup_clusters": _media_clusters_sql(),
 }

@@ -1108,13 +1108,27 @@ def approx_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     this verdict on sampled shards.
     """
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    sk = orders.agg(
+    # The exact count(DISTINCT) runs in its OWN aggregate: mixing it with
+    # the sketch aggregates routes them through Spark's distinct-Expand
+    # rewrite, which carries the GK-percentile/HLL buffers into a
+    # regroup over every distinct key — measured 13 s vs 1.3 s split at
+    # sf0.1 (r11). Both quantiles share ONE GK sketch via the array form.
+    sketch = orders.agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("o_custkey").alias("exact_d"),
         F.approx_count_distinct("o_custkey", APPROX_DISTINCT_RSD).alias("apx_d"),
-        F.percentile_approx("o_totalprice", 0.5, APPROX_PCT_ACCURACY).alias("p50"),
-        F.percentile_approx("o_totalprice", 0.95, APPROX_PCT_ACCURACY).alias("p95"),
+        F.percentile_approx(
+            "o_totalprice",
+            F.array(F.lit(0.5), F.lit(0.95)),
+            F.lit(APPROX_PCT_ACCURACY),
+        ).alias("pcts"),
+    ).select(
+        "n",
+        "apx_d",
+        F.col("pcts")[0].alias("p50"),
+        F.col("pcts")[1].alias("p95"),
     )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_d"))
+    sk = sketch.crossJoin(exact)  # 1 row x 1 row
     ranks = orders.crossJoin(F.broadcast(sk)).agg(
         F.first("n").alias("n"),
         F.first("exact_d").alias("exact_d"),

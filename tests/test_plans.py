@@ -983,3 +983,18 @@ def test_ann_pq_lut_and_partial_topk(spark, sf_dir):
     rep = plan_report(ann_pq(spark, sf_dir))
     assert "WindowGroupLimit" in rep["plan"], "top-C must push a group limit"
     assert not rep["has_cartesian"]
+
+
+def test_approx_stats_bounds_no_distinct_expand(spark, sf_dir):
+    """C14 companion (r11): the exact count(DISTINCT) must aggregate in
+    its own pass — mixed into the sketch aggregate it routes the
+    GK-percentile/HLL buffers through the distinct-Expand regroup over
+    every key (measured 13 s vs 1.3 s at sf0.1). No Expand anywhere in
+    the plan; both quantiles share one sketch (a single
+    approx_percentile call)."""
+    from frolyk_spark.operators.relational import approx_stats_bounds
+    from frolyk_spark.plans import plan_report
+
+    rep = plan_report(approx_stats_bounds(spark, sf_dir))
+    assert "Expand" not in rep["plan"], "distinct rewrite leaked into the sketch pass"
+    assert rep["plan"].count("approx_percentile") <= 2, "quantiles must share one sketch"
