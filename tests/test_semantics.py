@@ -707,3 +707,20 @@ def test_epoch_shuffle_epochs_genuinely_reorder(spark, sf_dir):
     # placement: P[same (shard,pos)] is tiny; require <10% agreement)
     same = sum(1 for d in docs if by_epoch[0][d] == by_epoch[1][d])
     assert same < 0.1 * len(docs), f"{same}/{len(docs)} unchanged"
+
+
+def test_persisted_bpe_model_keyed_by_depth(spark, sf_dir, monkeypatch):
+    """The persisted BPE model (r11 train-once split) must key its scratch
+    cache on (source path, depth): changing BPE_MERGES retrains instead
+    of silently reusing the other depth's model, and repeated calls at
+    one depth return the identical merge table (the reuse path)."""
+    import frolyk_spark.operators.vocab as V
+
+    full = V.persisted_bpe_merges(spark, sf_dir)
+    assert len(full) == V.BPE_MERGES
+    monkeypatch.setattr(V, "BPE_MERGES", 2)
+    short = V.persisted_bpe_merges(spark, sf_dir)
+    assert len(short) == 2
+    # greedy BPE is prefix-stable: the first merges agree across depths
+    assert short == full[:2]
+    assert V.persisted_bpe_merges(spark, sf_dir) == short  # cache hit
