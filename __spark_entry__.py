@@ -38,19 +38,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST (CLAUDE.md). The r10 driver burned its whole 50-row head green
     # (new_r10 + stale_r6 + 30 of green_r7); the five green_r7 tail entries
     # slipped to r11 as designed. So:
-    #   1. new_r11 (8): approx_stats_bounds (C14's first oracle-checked
+    #   1. new_r11 (9): approx_stats_bounds (C14's first oracle-checked
     #      verdict row), the perceptual media-dedup family (D70-D73:
     #      image/audio/video pairs + CC clusters over the image graph),
-    #      and stream_cdc_versioned (B23 CDC-into-snapshots) are brand
-    #      new; bpe_train/bpe_encode changed OUTPUT this round (merge
-    #      depth 6 -> 24) so their r10 rows no longer describe the
-    #      current code;
+    #      stream_cdc_versioned (B23 CDC-into-snapshots), and
+    #      stream_media_dedup (B24 incremental perceptual probe) are
+    #      brand new; bpe_train/bpe_encode changed OUTPUT this round
+    #      (merge depth 6 -> 24) so their r10 rows no longer describe
+    #      the current code;
     #   2. stale_r7 (5): the r10 budget slippage — newest green row is r7,
     #      the designated r11 head per the r10 verdict;
     #   3. green_r8 (50): the oldest block in the ledger — after this head
     #      burns, no entry's newest row predates r9 and the r8 block is
     #      fully cleared (the r10 verdict's "half" target, exceeded).
-    # Head = 8+5+50 = 63 vs the ~50 budget; slippage (if any) falls on the
+    # Head = 9+5+50 = 64 vs the ~50 budget; slippage (if any) falls on the
     # green_r8 tail, never a new or r7-stale entry.
     new_r11 = (
         "approx_stats_bounds",   # C14 companion: sketch bounds verdict
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dedup_pairs",     # D72: frame-dHash parity fingerprint
         "media_dedup_clusters",  # D73: CC over the image pair graph
         "stream_cdc_versioned",  # B23: CDC into E14 versioned snapshots
+        "stream_media_dedup",    # B24: incremental perceptual probe
         "bpe_train",             # D47: depth 6 -> 24 (new output)
         "bpe_encode",            # D52: same
     )

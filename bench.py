@@ -140,6 +140,7 @@ HEADLINE = [
     "video_dedup_pairs",
     "media_dedup_clusters",
     "stream_cdc_versioned",
+    "stream_media_dedup",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -1516,6 +1516,113 @@ FROM keyed GROUP BY user_id
 """
 
 
+# --- B24: streaming incremental media near-dup --------------------------------
+
+def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest PERCEPTUAL near-dup detection — B17's shape for
+    the decoded-media modality: new assets land as a multi-file drop
+    (maxFilesPerTrigger=1, real multi-batch ingest) and each micro-batch
+    is dHash-coded fresh (dhash_codes_frame — the identical kernel the
+    batch operator uses) and block-probed against the PERSISTED corpus
+    code table (persisted_dhash_codes, E4) ∪ previously-ingested batches
+    ∪ itself. Old×old never re-forms — the probe side is always just the
+    batch; a pair is emitted exactly once, by the batch of its LATER
+    asset, so the union over batches equals the batch operator's pairs
+    restricted to new docs REGARDLESS of how ingest was batched, and the
+    op shares D70's oracle filtered to the new split (same equivalence
+    contract as B17≡D28).
+
+    Per-batch sinks overwrite their own subdir (at-least-once redelivery
+    replaces, never duplicates — B7's idempotence contract); batch codes
+    append to the accumulating store after the pair emit. Scale: per
+    batch O(batch codes) + one fixed-width block equi-join probed by the
+    batch; the corpus is never re-decoded (codes only)."""
+    import shutil
+
+    from frolyk_spark.operators.dedup import NEW_DOC_MOD
+    from frolyk_spark.operators.multimodal import (
+        dhash_codes_frame, media_probe_pairs, persisted_dhash_codes,
+    )
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    is_new = F.pmod("doc_id", F.lit(NEW_DOC_MOD)) == NEW_DOC_MOD - 1
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stage = stage_multi_file_drop(
+        docs.where(is_new), sf_dir, "documents", f"newmedia{NEW_DOC_MOD}"
+    )
+    corpus_codes = persisted_dhash_codes(spark, sf_dir).where(~is_new)
+
+    name = f"smd_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    out, accum = os.path.join(root, "pairs"), os.path.join(root, "sigs")
+    ckpt = _checkpoint_dir(name)
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        batch_codes = dhash_codes_frame(batch_df)
+        batch_codes.persist()
+        try:
+            prior = sorted(
+                os.path.join(accum, d)
+                for d in (os.listdir(accum) if os.path.isdir(accum) else [])
+                if d != f"b{batch_id}"  # a redelivered batch never self-probes
+            )
+            fresh = batch_codes
+            if prior:
+                fresh = fresh.unionByName(spark.read.parquet(*prior))
+            pairs = media_probe_pairs(
+                batch_codes, corpus_codes.unionByName(fresh)
+            )
+            pairs.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+            batch_codes.write.mode("overwrite").parquet(
+                os.path.join(accum, f"b{batch_id}")
+            )
+        finally:
+            batch_codes.unpersist()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_probe)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    dirs = sorted(
+        os.path.join(out, d)
+        for d in (os.listdir(out) if os.path.isdir(out) else [])
+    )
+    if not dirs:
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, hamming bigint"
+        )
+    return spark.read.parquet(*dirs)
+
+
+def _stream_media_dedup_sql() -> str:
+    from frolyk_spark.operators.dedup import NEW_DOC_MOD
+    from frolyk_spark.operators.multimodal import _image_dedup_sql
+
+    return f"""
+WITH pairs AS ({_image_dedup_sql()})
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE doc_a % {NEW_DOC_MOD} = {NEW_DOC_MOD - 1}
+   OR doc_b % {NEW_DOC_MOD} = {NEW_DOC_MOD - 1}
+"""
+
+
 # --- B23: streaming CDC into E14 versioned snapshots ---------------------------
 
 def stream_cdc_versioned(
@@ -1808,6 +1915,9 @@ QUERIES = {
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
     "stream_cdc_versioned": stream_cdc_versioned,
+    # B24: incremental perceptual dedup (B17's shape over D70's codes);
+    # batching-invariant, shares D70's oracle filtered to the new split
+    "stream_media_dedup": stream_media_dedup,
     "stream_session_ttl": stream_session_ttl,
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_tumbling": stream_tumbling,
@@ -1828,6 +1938,7 @@ ORACLES = {
     "stream_quarantine": STREAM_QUARANTINE_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
+    "stream_media_dedup": _stream_media_dedup_sql(),
     "stream_session_ttl": STREAM_SESSION_TTL_SQL,
     # B17 shares D28's exact pair semantics (union over batches ==
     # the one-shot batch-vs-corpus probe), so it shares D28's oracle

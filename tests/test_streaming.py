@@ -1359,3 +1359,31 @@ def test_cdc_versioned_retention_bounds_lineage(spark, sf_dir):
     got = {key(r) for r in df.collect()}
     want = {key(r) for r in stream_cdc_versioned(spark, sf_dir).collect()}
     assert want and got == want
+
+
+# --- B24: streaming incremental media near-dup ---------------------------------
+
+def test_stream_media_dedup_multibatch_equals_batch(spark, sf_dir):
+    """B24's equivalence contract (B17≡D28's shape for the perceptual
+    modality): the union of per-batch probe pairs over a REAL multi-batch
+    ingest equals D70's one-shot pairs restricted to the new split — no
+    pair lost at batch boundaries, none duplicated, old×old never
+    formed."""
+    from frolyk_spark.operators.dedup import NEW_DOC_MOD
+    from frolyk_spark.operators.multimodal import image_dedup
+    from frolyk_spark.streaming.jobs import stream_media_dedup
+
+    got_df = stream_media_dedup(spark, sf_dir)
+    got = [(r.doc_a, r.doc_b) for r in got_df.collect()]
+    assert len(got) == len(set(got)), "a pair must be emitted exactly once"
+    new = NEW_DOC_MOD - 1
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in image_dedup(spark, sf_dir).collect()
+        if r.doc_a % NEW_DOC_MOD == new or r.doc_b % NEW_DOC_MOD == new
+    }
+    assert want and set(got) == want
+    # the ingest really was multi-batch: >= 2 per-batch pair sinks
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    out = os.path.dirname(os.path.dirname(src))
+    assert len([d for d in os.listdir(out) if d.startswith("b")]) >= 2
