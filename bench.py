@@ -141,6 +141,7 @@ HEADLINE = [
     "media_dedup_clusters",
     "stream_cdc_versioned",
     "stream_media_dedup",
+    "pagerank_parts",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -1,0 +1,193 @@
+"""Graph analytics over the relational tables.
+
+First resident: fixed-round PageRank over the part co-purchase graph —
+"which parts anchor the catalog", the classic importance measure a
+merchandising/recommendation pipeline derives from order baskets. The
+reference (JaapRood/frolyk) has no graph layer; this extends the engine
+the way SURVEY §2's LLM-pipeline block does: a first-class distributed
+operator with an exact DuckDB oracle.
+
+Exactness strategy (the CLAUDE.md integer-sufficient-statistics rule,
+taken to its logical end): the ENTIRE iteration runs in scaled integer
+arithmetic — ranks are parts-per-10^12 mass, every division is a floor
+division — so Spark and DuckDB agree bit-for-bit with no rounding policy
+at all. Unlike the BPE/k-means unrolled fits (whose double state matches
+only because outputs quantize), here there is no double anywhere: the
+oracle is exact by construction at every round.
+
+Scale posture (the 100 TB review):
+  - The basket self-join shuffles lineitem ONCE on l_orderkey; per-order
+    fanout is bounded by basket size (TPC-H orders hold ≤7 lines), so the
+    pair explosion is a small constant factor, never quadratic in a key.
+  - The edge table is materialized once (cut_lineage) and reused by all
+    rounds — without the cut each round would re-run the basket join.
+  - Per round: one equi-join of the rank table (O(#parts), scales with
+    SF ⇒ deliberately UN-hinted — AQE broadcasts while small, CLAUDE.md
+    model-table rule) against the edge table, one groupBy(dst) partial
+    aggregate. Fixed ROUNDS rounds ⇒ fixed shuffle count, no convergence
+    probe, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frolyk_spark.functions.lineage import cut_lineage
+from frolyk_spark.sources.catalog import load_table
+
+#: total rank mass, in integer "mass units" (1e12 ⇒ per-node shares stay
+#: comfortably inside BIGINT: 85 * 1e12 < 2^63 by five orders of magnitude)
+PR_MASS = 1_000_000_000_000
+
+#: fixed damping as an integer percentage (0.85) — kept integral so the
+#: per-round update is pure floor arithmetic on both engines
+PR_DAMP_PCT = 85
+
+#: fixed iteration count; PageRank's geometric convergence makes 8 rounds
+#: a standard production choice, and a FIXED count is what makes the
+#: computation oracle-expressible (one chained CTE per round)
+PR_ROUNDS = 8
+
+#: result size: top-K parts by final rank
+PR_TOP_K = 50
+
+
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PR_TOP_K} parts by {PR_ROUNDS}-round integer PageRank over the
+    co-purchase graph (parts are adjacent iff some order contains both).
+
+    Graph: nodes = parts appearing in at least one multi-part order;
+    edges = unweighted, symmetric distinct co-purchase pairs. Every node
+    therefore has outdeg ≥ 1 — no dangling-mass correction needed.
+
+    Update (all BIGINT, both engines):
+        share[u] = r[u] div outdeg[u]
+        r'[v]    = (15 * MASS) div (100 * n)            -- teleport
+                 + (85 * sum_{u->v} share[u]) div 100   -- damped inflow
+
+    The node count n enters as a one-row aggregate crossJoined into the
+    projection (never a driver collect, never a literal — one plan serves
+    every SF, the CLAUDE.md derive-in-query rule).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # materialized once: all PR_ROUNDS rounds re-join this frame, and the
+    # basket self-join above is the expensive stage
+    edges = cut_lineage(edges)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n1 = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        deg.select(F.col("src").alias("part"), "outdeg")
+        .crossJoin(F.broadcast(n1))
+        .withColumn("r", F.expr(f"{PR_MASS} div n"))
+    )
+    for _ in range(PR_ROUNDS):
+        shares = ranks.select(
+            F.col("part").alias("src"), F.expr("r div outdeg").alias("share")
+        )
+        inflow = (
+            edges.join(shares, "src")
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = (
+            ranks.join(inflow, ranks.part == inflow.dst, "left")
+            .select(
+                "part",
+                "outdeg",
+                "n",
+                (
+                    F.expr(f"({15 * PR_MASS} div (100 * n))")
+                    + F.expr(
+                        f"({PR_DAMP_PCT} * coalesce(inflow, 0)) div 100"
+                    )
+                ).alias("r"),
+            )
+        )
+        # the rank frame is O(#parts) — cutting per round keeps the plan
+        # depth constant instead of 8 joins deep
+        ranks = cut_lineage(ranks)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("r"), F.asc("part"))
+    return (
+        ranks.withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= PR_TOP_K)
+        .select(
+            F.col("rank_pos").cast("bigint").alias("rank_pos"),
+            F.col("part").cast("bigint").alias("part_key"),
+            F.col("r").cast("bigint").alias("pr_score"),
+        )
+    )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled-CTE oracle: one MATERIALIZED CTE per round (the BPE
+    pattern — multiply-referenced CTEs must not re-inline). Pure integer
+    floor arithmetic reproduces the Spark iteration exactly; every
+    intermediate is cast back to BIGINT so DuckDB's HUGEINT sum never
+    leaks a float kind into the compare."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ROUNDS + 1):
+        rounds.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT d.part, d.outdeg, nn.n,
+         CAST(({15 * PR_MASS} // (100 * nn.n))
+              + ({PR_DAMP_PCT} * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS r
+  FROM deg d
+  LEFT JOIN (SELECT e.dst AS part,
+                    CAST(sum(p.r // p.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN {prev} p ON e.src = p.part
+             GROUP BY e.dst) i USING (part)
+  CROSS JOIN nn
+)""")
+        prev = f"r{i}"
+    chain = ",".join(rounds)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+deg AS MATERIALIZED (SELECT src AS part, count(*) AS outdeg FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT part, outdeg, nn.n, CAST({PR_MASS} // nn.n AS BIGINT) AS r
+  FROM deg CROSS JOIN nn),{chain}
+SELECT CAST(rank_pos AS BIGINT) AS rank_pos,
+       CAST(part AS BIGINT) AS part_key,
+       CAST(r AS BIGINT) AS pr_score
+FROM (SELECT part, r,
+             row_number() OVER (ORDER BY r DESC, part ASC) AS rank_pos
+      FROM {prev})
+WHERE rank_pos <= {PR_TOP_K}
+"""
+
+
+QUERIES = {
+    "pagerank_parts": pagerank_parts,
+}
+
+ORACLES = {
+    "pagerank_parts": _pagerank_sql(),
+}

@@ -1,0 +1,65 @@
+"""pagerank_parts (C67): independent pure-Python integer reference +
+plan-shape audit. Oracle parity runs in test_correctness like every
+other entry; this file checks the MATH against a third implementation
+(Python ints, no SQL engine) so a shared Spark/DuckDB misreading of the
+update rule can't self-certify."""
+
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+
+from frolyk_spark.operators.graph import (
+    PR_DAMP_PCT,
+    PR_MASS,
+    PR_ROUNDS,
+    PR_TOP_K,
+    pagerank_parts,
+)
+
+
+def _python_reference(sf_dir: str):
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    by_order = defaultdict(set)
+    for ok, pk in zip(tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()):
+        by_order[ok].add(pk)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                edges.add((u, v))
+                edges.add((v, u))
+    outdeg = defaultdict(int)
+    for u, _ in edges:
+        outdeg[u] += 1
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    r = {u: PR_MASS // n for u in nodes}
+    for _ in range(PR_ROUNDS):
+        inflow = defaultdict(int)
+        share = {u: r[u] // outdeg[u] for u in nodes}
+        for u, v in edges:
+            inflow[v] += share[u]
+        r = {
+            u: (15 * PR_MASS) // (100 * n) + (PR_DAMP_PCT * inflow[u]) // 100
+            for u in nodes
+        }
+    ranked = sorted(nodes, key=lambda u: (-r[u], u))[:PR_TOP_K]
+    return [(i + 1, u, r[u]) for i, u in enumerate(ranked)]
+
+
+def test_pagerank_matches_python_reference(spark, sf_dir):
+    got = sorted(
+        tuple(row) for row in pagerank_parts(spark, sf_dir).collect()
+    )
+    want = sorted(_python_reference(sf_dir))
+    assert got == want
+
+
+def test_pagerank_plan_shape(spark, sf_dir):
+    from frolyk_spark.plans.inspect import assert_scale_shape
+
+    # the final frame's lineage starts at the last round's checkpoint; the
+    # audit still proves the top-K window runs without a cartesian and the
+    # result is a bounded 3-column projection
+    assert_scale_shape(pagerank_parts(spark, sf_dir), forbid_cartesian=True)
