@@ -27,18 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.operators import (
         dedup, graph, learn, multimodal, partsupp, pipeline, relational,
-        sampling, similarity, temporal, text, vocab,
+        retrieval, sampling, similarity, temporal, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 166
+    # in dict order under a wall-clock budget (~50 per round of the 167
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
     # FIRST (CLAUDE.md). The r10 driver burned its whole 50-row head green
     # (new_r10 + stale_r6 + 30 of green_r7); the five green_r7 tail entries
     # slipped to r11 as designed. So:
-    #   1. new_r11 (10): pagerank_parts (C67, integer-exact by
+    #   1. new_r11 (11): bm25_topk (D74, integer-quantized BM25),
+    #      pagerank_parts (C67, integer-exact by
     #      construction), approx_stats_bounds (C14's first oracle-checked
     #      verdict row), the perceptual media-dedup family (D70-D73:
     #      image/audio/video pairs + CC clusters over the image graph),
@@ -52,9 +53,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. green_r8 (50): the oldest block in the ledger — after this head
     #      burns, no entry's newest row predates r9 and the r8 block is
     #      fully cleared (the r10 verdict's "half" target, exceeded).
-    # Head = 10+5+50 = 65 vs the ~50 budget; slippage (if any) falls on the
+    # Head = 11+5+50 = 66 vs the ~50 budget; slippage (if any) falls on the
     # green_r8 tail, never a new or r7-stale entry.
     new_r11 = (
+        "bm25_topk",             # D74: integer-quantized BM25 retrieval
         "pagerank_parts",        # C67: integer-exact 8-round PageRank
         "approx_stats_bounds",   # C14 companion: sketch bounds verdict
         "image_dedup",           # D70: dHash near-dup over the decode path
@@ -92,7 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
                 dedup, similarity, multimodal, sampling, learn, graph,
-                streaming_jobs, bridge):
+                retrieval, streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for k in (*new_r11, *stale_r7, *green_r8):
@@ -104,12 +106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from frolyk_spark.operators import (
         dedup, graph, learn, multimodal, partsupp, pipeline, relational,
-        sampling, similarity, temporal, text, vocab,
+        retrieval, sampling, similarity, temporal, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     out: dict[str, str] = {}
+    out.update(retrieval.ORACLES)
     out.update(graph.ORACLES)
     out.update(learn.ORACLES)
     out.update(temporal.ORACLES)

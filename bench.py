@@ -142,6 +142,7 @@ HEADLINE = [
     "stream_cdc_versioned",
     "stream_media_dedup",
     "pagerank_parts",
+    "bm25_topk",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",
