@@ -143,6 +143,7 @@ HEADLINE = [
     "stream_media_dedup",
     "pagerank_parts",
     "bm25_topk",
+    "stream_late_routing",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

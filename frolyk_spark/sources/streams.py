@@ -99,6 +99,62 @@ def stage_multi_file_drop(df: DataFrame, sf_dir: str, table: str,
     return build
 
 
+def stage_keyed_file_drop(df: DataFrame, sf_dir: str, table: str,
+                          salt: str, parts: int, key_col: str) -> str:
+    """Stage ``df`` as a ``parts``-file drop where file k holds EXACTLY
+    the rows with ``key_col % parts == k`` — a CONTENT-DEFINED batch
+    assignment an external oracle can reconstruct, unlike
+    stage_multi_file_drop's round-robin split (fine for the
+    batching-INVARIANT operators, useless for one whose output depends on
+    which batch a row arrived in, like the late-data router).
+
+    Consumption order is pinned two ways: zero-padded lexicographic file
+    names AND strictly increasing mtimes (the file source processes
+    oldest-first); the consuming job must still assert the contract per
+    batch (content % parts == batch_id) so a listing-order change fails
+    loudly instead of silently desynchronizing the oracle.
+
+    Same persistence contract as stage_multi_file_drop: keyed on resolved
+    source path + salt + parts with a _SUCCESS reuse check, built in a
+    private dir and published by atomic symlink swap.
+    """
+    import hashlib
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    target = os.path.realpath(os.path.join(sf_dir, f"{table}.parquet"))
+    key = hashlib.md5(f"{target}:{salt}:{parts}:{key_col}".encode()).hexdigest()[:12]
+    stage = os.path.join(SCRATCH, "streams", f"{salt}_{key}.parquet")
+    if os.path.exists(os.path.join(stage, "_SUCCESS")):
+        return stage
+    build = f"{stage}.build-{_uuid.uuid4().hex[:8]}"
+    os.makedirs(build, exist_ok=True)
+    base = _time.time() - parts * 10
+    for k in range(parts):
+        tmp = os.path.join(build, f".tmp{k}")
+        (df.where(F.expr(f"{key_col} % {parts} = {k}"))
+           .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = next(f for f in os.listdir(tmp)
+                    if f.endswith(".parquet") and not f.startswith("."))
+        os.replace(os.path.join(tmp, part), os.path.join(build, f"{k:04d}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(os.path.join(build, f"{k:04d}.parquet"), (base + k * 10, base + k * 10))
+    open(os.path.join(build, "_SUCCESS"), "w").close()
+    for _attempt in range(2):
+        tmp_link = f"{stage}.lnk-{_uuid.uuid4().hex[:8]}"
+        os.symlink(build, tmp_link)
+        try:
+            os.replace(tmp_link, stage)
+            return stage
+        except OSError:
+            os.unlink(tmp_link)
+            if os.path.exists(os.path.join(stage, "_SUCCESS")):
+                return stage
+            shutil.rmtree(stage, ignore_errors=True)
+    return build
+
+
 def file_stream(
     spark: SparkSession,
     path: str,

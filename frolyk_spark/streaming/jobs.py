@@ -1909,8 +1909,199 @@ def stream_dedup_incremental(
     return spark.read.parquet(*parts)
 
 
+# --- B25: late-data routing (watermark side-output) ---------------------------
+
+#: lateness delay for the router — 7 days against the events table's 30-day
+#: span, so every SF yields both on-time and late rows in batches 1..3
+LATE_DELAY_US = 7 * 24 * 3600 * 1_000_000
+
+#: batch count for the content-defined drop
+LATE_PARTS = 4
+
+
+def stream_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data ROUTER (B25): the observability pattern Spark's watermark
+    lacks — a watermarked stateful operator silently DROPS rows older than
+    the watermark; a production pipeline routes them to a dead-letter sink
+    and accounts for them instead. This job keeps its own watermark
+    bookkeeping (Spark's global-watermark rule: the running max event time
+    over all PRIOR batches, minus the delay — the same arithmetic pinned
+    empirically for B18/B20, here owned by the operator so the split is
+    explicit): per micro-batch, rows with ts_us <= wm_us go to the late
+    side-sink, the rest to the on-time sink, and the watermark state
+    advances as a versioned one-row table (B19's s{batch_id} pattern, so
+    at-least-once redelivery rebuilds from its own predecessor and never
+    double-routes).
+
+    Batches are CONTENT-DEFINED (file k = event_id % {LATE_PARTS} == k,
+    stage_keyed_file_drop) — the one batching-DEPENDENT operator in the
+    B-block, so the oracle must reconstruct batch membership, not just
+    the final union. Each batch asserts the contract (its rows' key mod
+    equals its batch id); a file-listing-order change fails loudly.
+
+    Output: one exact-integer accounting row per batch — row/late/on-time
+    counts, event-id checksums of each side (membership-sensitive), the
+    watermark in force (epoch-µs; -1 sentinel for the first batch), and
+    the batch's max event time. The routed rows themselves live in the
+    side sinks (asserted in tests/test_streaming.py).
+
+    Scale: the router is a map-only filter per batch (no shuffle before
+    the sinks); watermark state is ONE ROW per version; the accounting
+    aggregate groups by batch id — O(batches), never O(corpus).
+    """
+    from frolyk_spark.sources.streams import stage_keyed_file_drop
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    stage = stage_keyed_file_drop(
+        ev, sf_dir, "events", "latert", LATE_PARTS, "event_id"
+    )
+
+    name = f"latert_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+    wm_root = os.path.join(root, "wm")
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            "event_id", F.unix_micros("ts").alias("ts_us")
+        )
+        # two sinks + a state write + the contract check consume this
+        # batch — cache once (the standard foreachBatch multi-sink rule)
+        batch.persist()
+        try:
+            mods = [
+                r[0]
+                for r in batch.select(
+                    F.expr(f"event_id % {LATE_PARTS}")
+                ).distinct().collect()
+            ]
+            if mods and mods != [batch_id % LATE_PARTS]:
+                raise RuntimeError(
+                    f"batch {batch_id} violated the content contract: "
+                    f"key mods {mods} (file listing order changed?)"
+                )
+            prior_v = _latest_version_below(wm_root, batch_id)
+            if prior_v is not None:
+                prior_max = spark.read.parquet(
+                    os.path.join(wm_root, f"s{prior_v}")
+                ).collect()[0][0]
+                wm_us = prior_max - LATE_DELAY_US
+            else:
+                wm_us = -1  # first batch: nothing can be late
+            # cast the literal: a -1 sentinel would otherwise write int32
+            # while real watermarks write int64, splitting the sink schema
+            wm_lit = F.lit(int(wm_us)).cast("bigint")
+            routed = batch.withColumn("wm_us", wm_lit).withColumn(
+                "is_late", F.col("ts_us") <= wm_lit
+            )
+            for side, flag in (("late", True), ("ontime", False)):
+                (
+                    routed.where(F.col("is_late") == flag)
+                    .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(root, side, f"b{batch_id}"))
+                )
+            batch_max = batch.agg(F.max("ts_us")).collect()[0][0]
+            running = batch_max if prior_v is None else max(prior_max, batch_max)
+            spark.createDataFrame(
+                [(int(running),)], "running_max_us bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(wm_root, f"s{batch_id}")
+            )
+        finally:
+            batch.unpersist()
+
+    from frolyk_spark.sources.streams import file_stream
+
+    stream = file_stream(
+        spark, stage, ev.schema, max_files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_route)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    sides = []
+    for side in ("late", "ontime"):
+        d = os.path.join(root, side)
+        parts = sorted(
+            os.path.join(d, s) for s in (os.listdir(d) if os.path.isdir(d) else [])
+        )
+        if parts:
+            sides.append(
+                spark.read.parquet(*parts).withColumn(
+                    "side_late", F.lit(side == "late")
+                )
+            )
+    if not sides:
+        return spark.createDataFrame(
+            [],
+            "batch_id bigint, n_rows bigint, n_late bigint, n_ontime bigint, "
+            "late_id_sum bigint, ontime_id_sum bigint, wm_us bigint, "
+            "max_ts_us bigint",
+        )
+    allrows = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    return allrows.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("side_late"), 1).otherwise(0)).alias("n_late"),
+        F.sum(F.when(~F.col("side_late"), 1).otherwise(0)).alias("n_ontime"),
+        F.sum(F.when(F.col("side_late"), F.col("event_id")).otherwise(0)).alias("late_id_sum"),
+        F.sum(F.when(~F.col("side_late"), F.col("event_id")).otherwise(0)).alias("ontime_id_sum"),
+        F.max("wm_us").alias("wm_us"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
+STREAM_LATE_ROUTING_SQL = f"""
+WITH b AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         event_id % {LATE_PARTS} AS batch_id
+  FROM events
+),
+mx AS (SELECT batch_id, max(ts_us) AS m FROM b GROUP BY batch_id),
+wm AS (
+  SELECT batch_id,
+         coalesce(max(m) OVER (ORDER BY batch_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - {LATE_DELAY_US}, -1) AS wm_us
+  FROM mx
+),
+flagged AS (
+  SELECT b.batch_id, b.event_id, b.ts_us, wm.wm_us,
+         (b.ts_us <= wm.wm_us) AS is_late
+  FROM b JOIN wm USING (batch_id)
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN is_late THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime,
+       CAST(sum(CASE WHEN is_late THEN event_id ELSE 0 END) AS BIGINT) AS late_id_sum,
+       CAST(sum(CASE WHEN is_late THEN 0 ELSE event_id END) AS BIGINT) AS ontime_id_sum,
+       CAST(max(wm_us) AS BIGINT) AS wm_us,
+       CAST(max(ts_us) AS BIGINT) AS max_ts_us
+FROM flagged
+GROUP BY batch_id
+"""
+
+
 QUERIES = {
     "stream_quarantine": stream_quarantine,
+    # B25: batching-DEPENDENT by design (content-defined batches);
+    # oracle reconstructs batch membership from event_id % parts
+    "stream_late_routing": stream_late_routing,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -1936,6 +2127,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_quarantine": STREAM_QUARANTINE_SQL,
+    "stream_late_routing": STREAM_LATE_ROUTING_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

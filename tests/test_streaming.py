@@ -1387,3 +1387,52 @@ def test_stream_media_dedup_multibatch_equals_batch(spark, sf_dir):
     src = got_df.inputFiles()[0].removeprefix("file://")
     out = os.path.dirname(os.path.dirname(src))
     assert len([d for d in os.listdir(out) if d.startswith("b")]) >= 2
+
+
+def test_late_routing_accounts_for_every_row(spark, sf_dir):
+    """B25: the router's accounting must PARTITION each batch (no row
+    dropped, none double-routed), the first batch can have no late rows
+    (watermark sentinel), and later batches of the content-defined drop
+    must see both classes (the 7-day delay against the 30-day span)."""
+    from frolyk_spark.streaming.jobs import LATE_PARTS, stream_late_routing
+
+    rows = {r.batch_id: r for r in stream_late_routing(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(LATE_PARTS))
+    total = 0
+    for bid, r in rows.items():
+        assert r.n_rows == r.n_late + r.n_ontime
+        total += r.n_rows
+    assert rows[0].n_late == 0 and rows[0].wm_us == -1
+    for bid in range(1, LATE_PARTS):
+        assert rows[bid].n_late > 0 and rows[bid].n_ontime > 0
+        assert rows[bid].wm_us > 0
+        # the watermark is the running max over PRIOR batches minus the
+        # delay, so it must be non-decreasing across batches
+        assert rows[bid].wm_us >= rows[bid - 1].wm_us
+    from frolyk_spark.sources.catalog import load_table
+
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_stage_keyed_file_drop_contract(spark, sf_dir, tmp_path):
+    """File k holds exactly key%parts==k, mtimes strictly increase with
+    k, and a second call reuses the staged dir (the _SUCCESS contract)."""
+    import os
+
+    from frolyk_spark.sources.catalog import load_table
+    from frolyk_spark.sources.streams import stage_keyed_file_drop
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    stage = stage_keyed_file_drop(ev, sf_dir, "events", "latert_t", 3, "event_id")
+    assert stage == stage_keyed_file_drop(ev, sf_dir, "events", "latert_t", 3, "event_id")
+    files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    assert files == ["0000.parquet", "0001.parquet", "0002.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(stage, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+    for k, f in enumerate(files):
+        mods = {
+            r[0] % 3
+            for r in spark.read.parquet(os.path.join(stage, f))
+                         .select("event_id").collect()
+        }
+        assert mods == {k}
