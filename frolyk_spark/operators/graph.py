@@ -19,8 +19,9 @@ Scale posture (the 100 TB review):
   - The basket self-join shuffles lineitem ONCE on l_orderkey; per-order
     fanout is bounded by basket size (TPC-H orders hold ≤7 lines), so the
     pair explosion is a small constant factor, never quadratic in a key.
-  - The edge table is materialized once (cut_lineage) and reused by all
-    rounds — without the cut each round would re-run the basket join.
+  - The edge table is dataset-derived state, persisted once per source
+    under source-keyed scratch (the E4 pattern) and reread by every call
+    and every round — the basket join never re-runs for a known corpus.
   - Per round: one equi-join of the rank table (O(#parts), scales with
     SF ⇒ deliberately UN-hinted — AQE broadcasts while small, CLAUDE.md
     model-table rule) against the edge table, one groupBy(dst) partial
@@ -29,6 +30,8 @@ Scale posture (the 100 TB review):
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +56,48 @@ PR_ROUNDS = 8
 PR_TOP_K = 50
 
 
+def copurchase_edges_frame(li: DataFrame) -> DataFrame:
+    """Symmetric distinct co-purchase edge list from a (l_orderkey,
+    l_partkey) frame — the basket self-join, shuffled once on the order
+    key with per-order fan-out bounded by basket size."""
+    dli = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = dli.alias("a"), dli.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def persisted_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase graph persisted once per source dataset under
+    source-keyed scratch (the E4 persisted-state pattern, like the minhash
+    signature and dHash code tables): the basket self-join is the
+    expensive stage, the edge list is dataset-derived state every
+    consumer (PageRank rounds here; any future graph analysis) rereads
+    from parquet instead of re-forming. NEVER under the pid-scoped
+    results root (CLAUDE.md janitor rule)."""
+    import hashlib
+
+    from frolyk_spark.sources.streams import SCRATCH
+
+    target = os.path.realpath(os.path.join(sf_dir, "lineitem.parquet"))
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    out = os.path.join(SCRATCH, "graphs", f"copurchase_{key}.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        copurchase_edges_frame(
+            load_table(spark, sf_dir, "lineitem")
+        ).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PR_TOP_K} parts by {PR_ROUNDS}-round integer PageRank over the
     co-purchase graph (parts are adjacent iff some order contains both).
@@ -70,27 +115,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (never a driver collect, never a literal — one plan serves
     every SF, the CLAUDE.md derive-in-query rule).
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    # materialized once: all PR_ROUNDS rounds re-join this frame, and the
-    # basket self-join above is the expensive stage
-    edges = cut_lineage(edges)
+    edges = persisted_copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n1 = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = (
