@@ -1927,11 +1927,13 @@ def stream_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bookkeeping (Spark's global-watermark rule: the running max event time
     over all PRIOR batches, minus the delay — the same arithmetic pinned
     empirically for B18/B20, here owned by the operator so the split is
-    explicit): per micro-batch, rows with ts_us <= wm_us go to the late
-    side-sink, the rest to the on-time sink, and the watermark state
-    advances as a versioned one-row table (B19's s{batch_id} pattern, so
+    explicit): per micro-batch, ONE partitioned write physically splits
+    rows with ts_us <= wm_us into the dead-letter dir
+    (rows/batch_id={{id}}/late=1) beside the on-time partition, and the watermark
+    state advances as a versioned scalar (B19's s{{batch_id}} rule —
     at-least-once redelivery rebuilds from its own predecessor and never
-    double-routes).
+    double-routes — as an atomically-renamed text file: a one-long state
+    doesn't earn a parquet job per batch).
 
     Batches are CONTENT-DEFINED (file k = event_id % {LATE_PARTS} == k,
     stage_keyed_file_drop) — the one batching-DEPENDENT operator in the
@@ -1962,53 +1964,69 @@ def stream_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _checkpoint_dir(name)
     wm_root = os.path.join(root, "wm")
 
+    def _read_wm(batch_id: int) -> int | None:
+        """Running max event time from the latest state version strictly
+        below batch_id (B19's redelivery rule) — one long per version,
+        kept as an atomically-renamed text file: a scalar doesn't earn a
+        parquet write job per batch."""
+        versions = [
+            int(f[1:-4])
+            for f in (os.listdir(wm_root) if os.path.isdir(wm_root) else [])
+            if f.startswith("s") and f.endswith(".txt")
+            and f[1:-4].isdigit() and int(f[1:-4]) < batch_id
+        ]
+        if not versions:
+            return None
+        with open(os.path.join(wm_root, f"s{max(versions)}.txt")) as fh:
+            return int(fh.read())
+
     def _route(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(
             "event_id", F.unix_micros("ts").alias("ts_us")
         )
-        # two sinks + a state write + the contract check consume this
+        # the stats aggregate and the routed write both consume this
         # batch — cache once (the standard foreachBatch multi-sink rule)
         batch.persist()
         try:
-            mods = [
-                r[0]
-                for r in batch.select(
-                    F.expr(f"event_id % {LATE_PARTS}")
-                ).distinct().collect()
-            ]
-            if mods and mods != [batch_id % LATE_PARTS]:
+            # ONE aggregate job serves the contract check and the
+            # watermark advance (a distinct+collect and a separate max
+            # were two extra jobs per batch in the first cut)
+            n, batch_max, mod_min, mod_max = batch.agg(
+                F.count(F.lit(1)),
+                F.max("ts_us"),
+                F.min(F.expr(f"event_id % {LATE_PARTS}")),
+                F.max(F.expr(f"event_id % {LATE_PARTS}")),
+            ).collect()[0]
+            if n and not (mod_min == mod_max == batch_id % LATE_PARTS):
                 raise RuntimeError(
                     f"batch {batch_id} violated the content contract: "
-                    f"key mods {mods} (file listing order changed?)"
+                    f"key mods [{mod_min}..{mod_max}] "
+                    "(file listing order changed?)"
                 )
-            prior_v = _latest_version_below(wm_root, batch_id)
-            if prior_v is not None:
-                prior_max = spark.read.parquet(
-                    os.path.join(wm_root, f"s{prior_v}")
-                ).collect()[0][0]
-                wm_us = prior_max - LATE_DELAY_US
-            else:
-                wm_us = -1  # first batch: nothing can be late
+            prior_max = _read_wm(batch_id)
+            wm_us = -1 if prior_max is None else prior_max - LATE_DELAY_US
             # cast the literal: a -1 sentinel would otherwise write int32
             # while real watermarks write int64, splitting the sink schema
             wm_lit = F.lit(int(wm_us)).cast("bigint")
-            routed = batch.withColumn("wm_us", wm_lit).withColumn(
-                "is_late", F.col("ts_us") <= wm_lit
-            )
-            for side, flag in (("late", True), ("ontime", False)):
-                (
-                    routed.where(F.col("is_late") == flag)
-                    .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(root, side, f"b{batch_id}"))
+            # one write job, physically split late/on-time by the
+            # partition column — the dead-letter dir is
+            # rows/batch_id={id}/late=1 (key=value levels so the read-back
+            # recovers batch_id and late by partition discovery)
+            (
+                batch.withColumn("wm_us", wm_lit)
+                .withColumn(
+                    "late", F.when(F.col("ts_us") <= wm_lit, 1).otherwise(0)
                 )
-            batch_max = batch.agg(F.max("ts_us")).collect()[0][0]
-            running = batch_max if prior_v is None else max(prior_max, batch_max)
-            spark.createDataFrame(
-                [(int(running),)], "running_max_us bigint"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(wm_root, f"s{batch_id}")
+                .write.partitionBy("late")
+                .mode("overwrite")
+                .parquet(os.path.join(root, "rows", f"batch_id={batch_id}"))
             )
+            running = batch_max if prior_max is None else max(prior_max, batch_max)
+            os.makedirs(wm_root, exist_ok=True)
+            tmp = os.path.join(wm_root, f".s{batch_id}.{uuid.uuid4().hex[:6]}")
+            with open(tmp, "w") as fh:
+                fh.write(str(int(running)))
+            os.replace(tmp, os.path.join(wm_root, f"s{batch_id}.txt"))
         finally:
             batch.unpersist()
 
@@ -2034,32 +2052,22 @@ def stream_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(ckpt, ignore_errors=True)
 
-    sides = []
-    for side in ("late", "ontime"):
-        d = os.path.join(root, side)
-        parts = sorted(
-            os.path.join(d, s) for s in (os.listdir(d) if os.path.isdir(d) else [])
-        )
-        if parts:
-            sides.append(
-                spark.read.parquet(*parts).withColumn(
-                    "side_late", F.lit(side == "late")
-                )
-            )
-    if not sides:
+    rows_root = os.path.join(root, "rows")
+    if not os.path.isdir(rows_root):
         return spark.createDataFrame(
             [],
             "batch_id bigint, n_rows bigint, n_late bigint, n_ontime bigint, "
             "late_id_sum bigint, ontime_id_sum bigint, wm_us bigint, "
             "max_ts_us bigint",
         )
-    allrows = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
-    return allrows.groupBy("batch_id").agg(
+    allrows = spark.read.parquet(rows_root)
+    is_late = F.col("late") == 1
+    return allrows.groupBy(F.col("batch_id").cast("bigint").alias("batch_id")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("side_late"), 1).otherwise(0)).alias("n_late"),
-        F.sum(F.when(~F.col("side_late"), 1).otherwise(0)).alias("n_ontime"),
-        F.sum(F.when(F.col("side_late"), F.col("event_id")).otherwise(0)).alias("late_id_sum"),
-        F.sum(F.when(~F.col("side_late"), F.col("event_id")).otherwise(0)).alias("ontime_id_sum"),
+        F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late"),
+        F.sum(F.when(~is_late, 1).otherwise(0)).alias("n_ontime"),
+        F.sum(F.when(is_late, F.col("event_id")).otherwise(0)).alias("late_id_sum"),
+        F.sum(F.when(~is_late, F.col("event_id")).otherwise(0)).alias("ontime_id_sum"),
         F.max("wm_us").alias("wm_us"),
         F.max("ts_us").alias("max_ts_us"),
     )
