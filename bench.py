@@ -144,6 +144,7 @@ HEADLINE = [
     "pagerank_parts",
     "bm25_topk",
     "stream_late_routing",
+    "media_binary_ingest",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -388,22 +388,23 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_decode_sql() -> str:
-    # byte j (0-based) of the content source = hex chars 2j+1..2j+2
-    byte_at = (
-        "cast(concat('0x', substr(hexsrc, 2 * __J__ + 1, 2)) as bigint)"
-    )
+def _hexsrc_byte(j_expr: str) -> str:
+    """DuckDB expression for byte j (0-based) of the md5-derived content
+    source (hex chars 2j+1..2j+2 of the `hexsrc` column) — ONE definition
+    shared by every oracle that re-derives content bytes (media_decode and
+    the binaryFile ingest), so the byte-addressing rule can never drift
+    between them."""
+    return f"cast(concat('0x', substr(hexsrc, 2 * ({j_expr}) + 1, 2)) as bigint)"
 
-    def b(j_expr: str) -> str:
-        return byte_at.replace("__J__", f"({j_expr})")
 
-    # signed little-endian int16 from bytes (2i, 2i+1)
-    sample = (
-        f"({b('2 * i')} + 256 * {b('2 * i + 1')}) "
-        f"- CASE WHEN {b('2 * i + 1')} >= 128 THEN 65536 ELSE 0 END"
-    )
+def _img_rows_sql() -> str:
+    """The image half of the decode oracle (doc_id % 2 = 0 rows): expected
+    (dim1, dim2, content_sum, head_val) computed straight from the content
+    rule. Shared by media_decode (unioned with the audio half) and
+    media_binary_ingest (image files are the only staged assets)."""
+    b = _hexsrc_byte
     return f"""
-WITH src AS (
+src AS (
   SELECT doc_id, repeat(md5(text), {MEDIA_SRC_REPEATS}) AS hexsrc
   FROM documents
 ),
@@ -412,12 +413,6 @@ img AS (
          4 * (1 + doc_id % 8) AS w,
          2 + doc_id % 7 AS h
   FROM src WHERE doc_id % 2 = 0
-),
-aud AS (
-  SELECT doc_id, hexsrc,
-         8000 + 100 * (doc_id % 80) AS rate,
-         64 + doc_id % 192 AS n
-  FROM src WHERE doc_id % 2 = 1
 ),
 img_rows AS (
   SELECT doc_id, 'image' AS modality,
@@ -428,6 +423,25 @@ img_rows AS (
          cast({b('0')} * 65536 + {b('1')} * 256 + {b('2')} AS BIGINT)
            AS head_val
   FROM img
+)"""
+
+
+def _media_decode_sql() -> str:
+    def b(j_expr: str) -> str:
+        return _hexsrc_byte(j_expr)
+
+    # signed little-endian int16 from bytes (2i, 2i+1)
+    sample = (
+        f"({b('2 * i')} + 256 * {b('2 * i + 1')}) "
+        f"- CASE WHEN {b('2 * i + 1')} >= 128 THEN 65536 ELSE 0 END"
+    )
+    return f"""
+WITH {_img_rows_sql().strip()},
+aud AS (
+  SELECT doc_id, hexsrc,
+         8000 + 100 * (doc_id % 80) AS rate,
+         64 + doc_id % 192 AS n
+  FROM src WHERE doc_id % 2 = 1
 ),
 aud_rows AS (
   SELECT doc_id, 'audio' AS modality,
@@ -441,6 +455,121 @@ aud_rows AS (
   FROM aud
 )
 SELECT * FROM img_rows UNION ALL SELECT * FROM aud_rows
+"""
+
+
+# --- E17: binaryFile-source ingest of real asset files ------------------------
+
+def stage_binary_assets(spark: SparkSession, sf_dir: str) -> str:
+    """One real .bmp FILE per image-modality document (even doc_ids),
+    staged once per dataset under source-keyed scratch — the test-scale
+    stand-in for the object-store prefix a 100 TB media corpus actually
+    lives in. Files are written EXECUTOR-side (mapInPandas over the
+    documents scan; local mode shares the filesystem, a cluster would
+    write the same loop against object storage) with atomic per-file
+    renames — never a driver collect, and idempotent under concurrent
+    staging because every racer writes identical bytes."""
+    import hashlib
+    import os
+
+    from frolyk_spark.functions.codecs import encode_bmp
+    from frolyk_spark.sources.streams import SCRATCH
+
+    target = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    out = os.path.join(SCRATCH, "assets", f"bmp_{key}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+        import os as _os
+        import uuid as _uuid
+
+        for pdf in batches:
+            n = 0
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id % 2 != 0:
+                    continue
+                src = bytes.fromhex(
+                    _h.md5(text.encode()).hexdigest() * MEDIA_SRC_REPEATS
+                )
+                w = 4 * (1 + doc_id % 8)
+                h = 2 + doc_id % 7
+                payload = bytes(encode_bmp(src[: 3 * w * h], w, h))
+                tmp = _os.path.join(out, f".img_{doc_id}.{_uuid.uuid4().hex[:6]}")
+                with open(tmp, "wb") as fh:
+                    fh.write(payload)
+                _os.replace(tmp, _os.path.join(out, f"img_{doc_id:010d}.bmp"))
+                n += 1
+            yield pd.DataFrame({"n": [n]})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.mapInPandas(write_files, "n bigint").agg(F.sum("n")).collect()
+    open(marker, "w").close()
+    return out
+
+
+def media_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real media INGEST path (E17): a directory of actual .bmp files
+    read through Spark's built-in ``binaryFile`` source — the format a
+    100 TB image corpus arrives in (an object-store prefix of asset
+    files), complementing the parquet-embedded binary-column path the
+    rest of the multimodal block uses. ``pathGlobFilter`` pushes the
+    suffix filter into the file LISTING (non-matching files are never
+    opened); the source splits work by files under
+    ``spark.sql.files.maxPartitionBytes``, so decode parallelism scales
+    with the corpus, not the file count of one directory listing.
+
+    Each asset decodes with the same real BMP parser media_decode uses
+    (one Arrow-batched mapInPandas; payloads never leave the executors),
+    keyed by the doc_id parsed from its file name, and emits the same
+    decoded stats — so the oracle is the image half of media_decode's:
+    a divergence ANYWHERE in file write, listing, binary transport, or
+    decode shows up as a hash red, not just a row-count drift.
+    """
+    path = stage_binary_assets(spark, sf_dir)
+    assets = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "modality": [], "dim1": [], "dim2": [],
+                "content_sum": [], "head_val": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                dw, dh, pix = _decode_media(bytes(content), "image")
+                out["doc_id"].append(doc_id)
+                out["modality"].append("image")
+                out["dim1"].append(dw)
+                out["dim2"].append(dh)
+                out["content_sum"].append(sum(pix))
+                out["head_val"].append(pix[0] * 65536 + pix[1] * 256 + pix[2])
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        decode,
+        "doc_id bigint, modality string, dim1 bigint, dim2 bigint,"
+        " content_sum bigint, head_val bigint",
+    )
+
+
+def _binary_ingest_sql() -> str:
+    return f"""
+WITH {_img_rows_sql().strip()}
+SELECT * FROM img_rows
 """
 
 
@@ -1150,6 +1279,8 @@ QUERIES = {
     "video_dedup_pairs": video_dedup_pairs,
     # D73: CC clustering over the perceptual pair graph (shared CC core)
     "media_dedup_clusters": media_dedup_clusters,
+    # E17: binaryFile-source ingest of real .bmp asset files (r11)
+    "media_binary_ingest": media_binary_ingest,
 }
 
 ORACLES = {
@@ -1165,4 +1296,5 @@ ORACLES = {
     "audio_dedup": _audio_dedup_sql(),
     "video_dedup_pairs": _video_dedup_sql(),
     "media_dedup_clusters": _media_clusters_sql(),
+    "media_binary_ingest": _binary_ingest_sql(),
 }

@@ -145,3 +145,27 @@ def test_truncation_always_raises_valueerror():
     struct.pack_into("<I", short, fidx + 4, 8)
     with pytest.raises(ValueError):
         decode_wav(bytes(short))
+
+
+def test_binary_asset_staging_reuse_and_coverage(spark, sf_dir):
+    """E17: the staged asset dir holds exactly one .bmp per image-modality
+    doc, a second call reuses it (the _SUCCESS contract — mtimes
+    unchanged), and the binaryFile read covers every staged file."""
+    import os
+
+    from frolyk_spark.operators.multimodal import (
+        media_binary_ingest, stage_binary_assets,
+    )
+    from frolyk_spark.sources.catalog import load_table
+
+    d = stage_binary_assets(spark, sf_dir)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".bmp"))
+    n_imgs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 2 = 0").count()
+    )
+    assert len(files) == n_imgs
+    mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in files}
+    assert stage_binary_assets(spark, sf_dir) == d
+    assert {f: os.path.getmtime(os.path.join(d, f)) for f in files} == mtimes
+    assert media_binary_ingest(spark, sf_dir).count() == n_imgs
