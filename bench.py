@@ -145,6 +145,7 @@ HEADLINE = [
     "bm25_topk",
     "stream_late_routing",
     "media_binary_ingest",
+    "stream_token_feed",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

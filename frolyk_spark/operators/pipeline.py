@@ -396,12 +396,29 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         F.expr(portable_hash_spark_sql("cast(doc_id AS string)")).alias("ord_key"),
-    ).withColumn("bucket", (F.col("ord_key") / _BUCKET_WIDTH).cast("int"))
+    )
+    packed, _end = packed_offsets(toks, base_offset=0)
+    return packed
+
+
+def packed_offsets(
+    toks: DataFrame, *, base_offset: int = 0
+) -> tuple[DataFrame, int]:
+    """The reusable packing core (factored out in r11 for the streaming
+    token feed): exact global start offsets for a (doc_id, n_tokens,
+    ord_key) frame via the two-phase bucketed prefix sum described in
+    sequence_pack's docstring, starting at ``base_offset`` (a continuing
+    stream passes its running total; a one-shot pass passes 0). Returns
+    (offsets frame, end offset) — the end offset is already known from
+    the bucket totals the prefix phase collected, so a streaming caller
+    advances its state without a second aggregation job."""
+    spark = toks.sparkSession
+    toks = toks.withColumn("bucket", (F.col("ord_key") / _BUCKET_WIDTH).cast("int"))
     totals = {
         r["bucket"]: r["tot"]
         for r in toks.groupBy("bucket").agg(F.sum("n_tokens").alias("tot")).collect()
     }
-    prefix, acc = [], 0
+    prefix, acc = [], int(base_offset)
     for b in range(PACK_BUCKETS):
         prefix.append((b, acc))
         acc += totals.get(b, 0)
@@ -412,7 +429,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.col("bucket_start") + F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return (
+    out = (
         toks.join(F.broadcast(prefix_df), "bucket")
         .select(
             "doc_id",
@@ -422,6 +439,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             (start % SEQ_LEN).alias("offset_in_seq"),
         )
     )
+    return out, acc
 
 
 SEQUENCE_PACK_SQL = f"""

@@ -565,6 +565,39 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- D52: BPE corpus encoding -------------------------------------------------
 
+def bpe_apply_kernel(merges: list[tuple[str, str, str]]):
+    """The trained-tokenizer APPLY kernel as a mapInPandas function:
+    (w) -> (w, pw, np), greedy left-to-right application of the merge
+    list per word. ONE definition shared by bpe_encode and the streaming
+    token feed — two hand-synced copies would let the fold order drift
+    from the oracle's gaps-and-islands SQL twin."""
+    from typing import Iterator as _Iterator
+
+    import pandas as _pd
+
+    def apply_merges(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        for pdf in batches:
+            out = {"w": [], "pw": [], "np": []}
+            for w in pdf["w"]:
+                toks = list(w)
+                for a, b, m in merges:
+                    i, res = 0, []
+                    while i < len(toks):
+                        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                            res.append(m)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    toks = res
+                out["w"].append(w)
+                out["pw"].append("|".join(toks))
+                out["np"].append(len(toks))
+            yield _pd.DataFrame(out)
+
+    return apply_merges
+
+
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the WHOLE corpus with the {BPE_MERGES}-round trained merges —
     the tokenizer-apply pass that turns raw text into training pieces.
@@ -593,31 +626,8 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     join and doc-order piece hash); the per-document pure-Python model
     check in tests/test_semantics.py remains.
     """
-    from typing import Iterator
-
-    import pandas as pd
-
     merges = [(m[1], m[2], m[3]) for m in persisted_bpe_merges(spark, sf_dir)]
-
-    def apply_merges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"w": [], "pw": [], "np": []}
-            for w in pdf["w"]:
-                toks = list(w)
-                for a, b, m in merges:
-                    i, res = 0, []
-                    while i < len(toks):
-                        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
-                            res.append(m)
-                            i += 2
-                        else:
-                            res.append(toks[i])
-                            i += 1
-                    toks = res
-                out["w"].append(w)
-                out["pw"].append("|".join(toks))
-                out["np"].append(len(toks))
-            yield pd.DataFrame(out)
+    apply_merges = bpe_apply_kernel(merges)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = (
@@ -759,6 +769,29 @@ SELECT doc_id,
        {h} AS enc_hash
 FROM enc GROUP BY doc_id
 """
+
+
+def bpe_doc_token_counts_ctes() -> str:
+    """Shared oracle fragment (r11, for the streaming token feed): the
+    full unrolled BPE train+apply chain ending in a CTE ``d`` of
+    (doc_id, n_tokens = per-document trained-piece count). ONE definition
+    next to _bpe_encode_sql's chain so the segmentation SQL can never
+    drift between the batch encode and the streaming feed."""
+    return f"""words AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(arr, 1) - 1 AS wpos, unnest(arr) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+),
+wnz AS MATERIALIZED (SELECT * FROM words WHERE length(w) > 0),
+{_BPE_WF_S0.format(word_src='wnz')},{_bpe_iter_ctes(BPE_MERGES)},
+seg AS MATERIALIZED (
+  SELECT w, cast(count(*) AS bigint) AS np
+  FROM s{BPE_MERGES} GROUP BY w
+),
+d AS (
+  SELECT wnz.doc_id, cast(sum(seg.np) AS bigint) AS n_tokens
+  FROM wnz JOIN seg ON wnz.w = seg.w
+  GROUP BY wnz.doc_id
+)"""
 
 
 QUERIES = {

@@ -2105,11 +2105,199 @@ GROUP BY batch_id
 """
 
 
+# --- B26: streaming tokenize -> pack training-data feed ------------------------
+
+#: batch count for the token feed's content-defined document drop
+TOKFEED_PARTS = 4
+
+
+def stream_token_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming end of a training-data pipeline (B26): documents
+    arrive in micro-batches, each batch is tokenized with the PERSISTED
+    trained BPE model (vocab.persisted_bpe_merges — train once, apply
+    forever) and packed into fixed-length training sequences whose token
+    offsets CONTINUE exactly across batches — the online data-loader
+    shape, where sequence ids must be globally consistent no matter how
+    ingest was batched.
+
+    Composition of proven pieces, each shared with its batch twin so the
+    semantics can't fork: the content-defined drop (doc_id %
+    {TOKFEED_PARTS}, B25's stage_keyed_file_drop + per-batch contract
+    assertion), the tokenizer-apply kernel (vocab.bpe_apply_kernel, the
+    bpe_encode kernel), the two-phase bucketed prefix sum
+    (pipeline.packed_offsets — never a single-partition global window),
+    and the versioned scalar state file (B25's rule: batch k's base
+    offset comes from the latest version strictly below k, so
+    at-least-once redelivery re-packs from its own predecessor and never
+    shifts downstream offsets).
+
+    Per batch: segment the batch's DISTINCT words (Arrow-batched
+    mapInPandas), join counts back, pack from the running base, ONE
+    partitioned manifest write (batch_id recovered by partition
+    discovery), advance the offset state. 2 Spark jobs + a text rename
+    per batch.
+
+    Oracle: per-doc trained-piece counts from the unrolled BPE chain
+    (vocab.bpe_doc_token_counts_ctes — the same SQL the encode oracle
+    uses), then one window cumsum over (batch_id, ord_key, doc_id): the
+    cross-batch offset continuity collapses to a single global order.
+    """
+    from frolyk_spark.functions.hashing import portable_hash_spark_sql
+    from frolyk_spark.operators.pipeline import packed_offsets
+    from frolyk_spark.operators.vocab import bpe_apply_kernel, persisted_bpe_merges
+    from frolyk_spark.sources.streams import file_stream, stage_keyed_file_drop
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = stage_keyed_file_drop(
+        docs, sf_dir, "documents", "tokfeed", TOKFEED_PARTS, "doc_id"
+    )
+    kernel = bpe_apply_kernel(
+        [(m[1], m[2], m[3]) for m in persisted_bpe_merges(spark, sf_dir)]
+    )
+
+    name = f"tokfeed_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+    off_root = os.path.join(root, "offset")
+
+    def _read_base(batch_id: int) -> int:
+        versions = [
+            int(f[1:-4])
+            for f in (os.listdir(off_root) if os.path.isdir(off_root) else [])
+            if f.startswith("s") and f.endswith(".txt")
+            and f[1:-4].isdigit() and int(f[1:-4]) < batch_id
+        ]
+        if not versions:
+            return 0
+        with open(os.path.join(off_root, f"s{max(versions)}.txt")) as fh:
+            return int(fh.read())
+
+    def _feed(batch_df: DataFrame, batch_id: int) -> None:
+        words = batch_df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        ).where(F.length("w") > 0)
+        # two consumers (distinct-word segmentation + the count join)
+        words.persist()
+        try:
+            seg = words.select("w").distinct().mapInPandas(
+                kernel, "w string, pw string, np int"
+            )
+            toks = (
+                words.join(seg, "w")
+                .groupBy("doc_id")
+                .agg(F.sum("np").cast("bigint").alias("n_tokens"))
+                .withColumn(
+                    "ord_key",
+                    F.expr(portable_hash_spark_sql("cast(doc_id AS string)")),
+                )
+                .withColumn("mod", F.expr(f"doc_id % {TOKFEED_PARTS}"))
+            )
+            # three actions consume toks (contract aggregate, the prefix
+            # phase inside packed_offsets, the manifest write) — persist
+            # the one-row-per-doc frame or each would re-run the
+            # segmentation join
+            toks.persist()
+            try:
+                # contract first — packing is wasted on a desynced batch
+                mods = toks.agg(
+                    F.min("mod"), F.max("mod"), F.count(F.lit(1))
+                ).collect()[0]
+                if mods[2] and not (
+                    mods[0] == mods[1] == batch_id % TOKFEED_PARTS
+                ):
+                    raise RuntimeError(
+                        f"batch {batch_id} violated the content contract: "
+                        f"doc mods [{mods[0]}..{mods[1]}]"
+                    )
+                base = _read_base(batch_id)
+                packed, end = packed_offsets(toks.drop("mod"), base_offset=base)
+                packed.write.mode("overwrite").parquet(
+                    os.path.join(root, "packed", f"batch_id={batch_id}")
+                )
+                os.makedirs(off_root, exist_ok=True)
+                tmp = os.path.join(
+                    off_root, f".s{batch_id}.{uuid.uuid4().hex[:6]}"
+                )
+                with open(tmp, "w") as fh:
+                    fh.write(str(int(end)))
+                os.replace(tmp, os.path.join(off_root, f"s{batch_id}.txt"))
+            finally:
+                toks.unpersist()
+        finally:
+            words.unpersist()
+
+    stream = file_stream(spark, stage, docs.schema, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_feed)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    packed_root = os.path.join(root, "packed")
+    if not os.path.isdir(packed_root):
+        return spark.createDataFrame(
+            [],
+            "batch_id bigint, doc_id bigint, n_tokens bigint, "
+            "start_offset bigint, seq_id bigint, offset_in_seq bigint",
+        )
+    return spark.read.parquet(packed_root).select(
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        "doc_id",
+        "n_tokens",
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        "seq_id",
+        F.col("offset_in_seq").cast("bigint").alias("offset_in_seq"),
+    )
+
+
+def _stream_token_feed_sql() -> str:
+    from frolyk_spark.functions.hashing import portable_hash_sql
+    from frolyk_spark.operators.pipeline import SEQ_LEN
+    from frolyk_spark.operators.vocab import bpe_doc_token_counts_ctes
+
+    h = portable_hash_sql("cast(doc_id AS varchar)")
+    return f"""
+WITH {bpe_doc_token_counts_ctes()},
+t AS (
+  SELECT doc_id, n_tokens, {h} AS ord_key,
+         doc_id % {TOKFEED_PARTS} AS batch_id
+  FROM d
+),
+c AS (
+  SELECT batch_id, doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (
+           ORDER BY batch_id, ord_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS start_offset
+  FROM t
+)
+SELECT cast(batch_id AS BIGINT) AS batch_id, doc_id, n_tokens, start_offset,
+       cast(start_offset // {SEQ_LEN} AS BIGINT) AS seq_id,
+       cast(start_offset % {SEQ_LEN} AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
 QUERIES = {
     "stream_quarantine": stream_quarantine,
     # B25: batching-DEPENDENT by design (content-defined batches);
     # oracle reconstructs batch membership from event_id % parts
     "stream_late_routing": stream_late_routing,
+    # B26: tokenize->pack feed; offsets continue across batches, so the
+    # oracle is one cumsum over the (batch, hash-order) composite order
+    "stream_token_feed": stream_token_feed,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -2136,6 +2324,7 @@ QUERIES = {
 ORACLES = {
     "stream_quarantine": STREAM_QUARANTINE_SQL,
     "stream_late_routing": STREAM_LATE_ROUTING_SQL,
+    "stream_token_feed": _stream_token_feed_sql(),
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

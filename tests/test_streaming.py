@@ -1436,3 +1436,34 @@ def test_stage_keyed_file_drop_contract(spark, sf_dir, tmp_path):
                          .select("event_id").collect()
         }
         assert mods == {k}
+
+
+def test_token_feed_offsets_continue_across_batches(spark, sf_dir):
+    """B26: per-batch offsets must form ONE contiguous global token
+    stream (batch k starts exactly where k-1 ended, no gap or overlap),
+    and per-doc token counts must equal the batch encoder's n_pieces —
+    the stream and bpe_encode share the tokenizer kernel, so a drift
+    here means the composition broke the model contract."""
+    from frolyk_spark.operators.vocab import bpe_encode
+    from frolyk_spark.streaming.jobs import TOKFEED_PARTS, stream_token_feed
+
+    rows = stream_token_feed(spark, sf_dir).collect()
+    assert {r.batch_id for r in rows} == set(range(TOKFEED_PARTS))
+    # global contiguity: sorted by start_offset, each row starts where
+    # the previous ended, beginning at 0
+    expect = 0
+    for r in sorted(rows, key=lambda r: r.start_offset):
+        assert r.start_offset == expect
+        assert r.offset_in_seq == r.start_offset % 256
+        expect = r.start_offset + r.n_tokens
+    # batch boundaries respect the continuity: min offset of batch k ==
+    # end of batch k-1
+    ends = {}
+    for b in range(TOKFEED_PARTS):
+        batch = [r for r in rows if r.batch_id == b]
+        assert batch, f"batch {b} produced no rows"
+        ends[b] = max(r.start_offset + r.n_tokens for r in batch)
+        if b:
+            assert min(r.start_offset for r in batch) == ends[b - 1]
+    enc = {r.doc_id: r.n_pieces for r in bpe_encode(spark, sf_dir).collect()}
+    assert {r.doc_id: r.n_tokens for r in rows} == enc
