@@ -115,7 +115,10 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (never a driver collect, never a literal — one plan serves
     every SF, the CLAUDE.md derive-in-query rule).
     """
-    edges = persisted_copurchase_edges(spark, sf_dir)
+    # cache for the loop: 8 rounds + the degree pass would otherwise
+    # re-scan the persisted parquet once per round (the r11 bench draw
+    # measured the 8-scan form at ~2x the cached one)
+    edges = persisted_copurchase_edges(spark, sf_dir).persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n1 = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = (
@@ -149,6 +152,9 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the rank frame is O(#parts) — cutting per round keeps the plan
         # depth constant instead of 8 joins deep
         ranks = cut_lineage(ranks)
+    # every round's checkpoint is EAGER, so nothing downstream of the
+    # returned frame re-reads the edge cache — release the blocks now
+    edges.unpersist()
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("r"), F.asc("part"))
