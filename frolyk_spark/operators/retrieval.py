@@ -70,8 +70,8 @@ DF_PRUNE_DENOM = 4
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{BM25_TOP_K} documents per probe query under integer-quantized
     BM25 (k1=1.2, b=0.75, floor-avgdl — see module docstring). Queries
-    are the distinct words of the {N_QUERIES} probe docs; the probe doc
-    itself is excluded from its own candidates.
+    are the distinct bigrams of the {N_QUERIES} probe docs; the probe
+    doc itself is excluded from its own candidates.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bigrams_expr = (

@@ -1936,10 +1936,11 @@ def stream_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't earn a parquet job per batch).
 
     Batches are CONTENT-DEFINED (file k = event_id % {LATE_PARTS} == k,
-    stage_keyed_file_drop) — the one batching-DEPENDENT operator in the
-    B-block, so the oracle must reconstruct batch membership, not just
-    the final union. Each batch asserts the contract (its rows' key mod
-    equals its batch id); a file-listing-order change fails loudly.
+    stage_keyed_file_drop) — this operator's output is batching-DEPENDENT
+    by design (B26 shares the trait), so the oracle must reconstruct
+    batch membership, not just the final union. Each batch asserts the
+    contract (its rows' key mod equals its batch id); a
+    file-listing-order change fails loudly.
 
     Output: one exact-integer accounting row per batch — row/late/on-time
     counts, event-id checksums of each side (membership-sensitive), the
