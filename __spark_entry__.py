@@ -26,19 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.operators import (
-        dedup, graph, learn, multimodal, partsupp, pipeline, relational,
-        retrieval, sampling, similarity, temporal, text, vocab,
+        dedup, governance, graph, learn, multimodal, partsupp, pipeline,
+        relational, retrieval, sampling, similarity, temporal, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 170
+    # in dict order under a wall-clock budget (~50 per round of the 172
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
     # FIRST (CLAUDE.md). The r10 driver burned its whole 50-row head green
     # (new_r10 + stale_r6 + 30 of green_r7); the five green_r7 tail entries
     # slipped to r11 as designed. So:
-    #   1. new_r11 (14): stream_token_feed (B26, the streaming
+    #   1. new_r11 (16): k_anonymity_audit + corpus_card (the
+    #      governance block), stream_token_feed (B26, the streaming
     #      tokenize->pack feed), media_binary_ingest (E17, binaryFile source),
     #      stream_late_routing (B25, the late-data DLQ
     #      router), bm25_topk (D74, integer-quantized BM25),
@@ -56,9 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. green_r8 (50): the oldest block in the ledger — after this head
     #      burns, no entry's newest row predates r9 and the r8 block is
     #      fully cleared (the r10 verdict's "half" target, exceeded).
-    # Head = 14+5+50 = 69 vs the ~50 budget; slippage (if any) falls on the
+    # Head = 16+5+50 = 71 vs the ~50 budget; slippage (if any) falls on the
     # green_r8 tail, never a new or r7-stale entry.
     new_r11 = (
+        "k_anonymity_audit",     # C68: re-identification risk audit
+        "corpus_card",           # D75: per-source dataset card
         "stream_token_feed",     # B26: streaming tokenize->pack feed
         "media_binary_ingest",   # E17: binaryFile-source asset ingest
         "stream_late_routing",   # B25: watermark late-data side-output
@@ -100,7 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
                 dedup, similarity, multimodal, sampling, learn, graph,
-                retrieval, streaming_jobs, bridge):
+                retrieval, governance, streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for k in (*new_r11, *stale_r7, *green_r8):
@@ -111,13 +114,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from frolyk_spark.operators import (
-        dedup, graph, learn, multimodal, partsupp, pipeline, relational,
-        retrieval, sampling, similarity, temporal, text, vocab,
+        dedup, governance, graph, learn, multimodal, partsupp, pipeline,
+        relational, retrieval, sampling, similarity, temporal, text, vocab,
     )
     from frolyk_spark.streaming import jobs as streaming_jobs
     from frolyk_spark.tasks import bridge
 
     out: dict[str, str] = {}
+    out.update(governance.ORACLES)
     out.update(retrieval.ORACLES)
     out.update(graph.ORACLES)
     out.update(learn.ORACLES)

@@ -146,6 +146,8 @@ HEADLINE = [
     "stream_late_routing",
     "media_binary_ingest",
     "stream_token_feed",
+    "k_anonymity_audit",
+    "corpus_card",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

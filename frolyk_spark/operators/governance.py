@@ -1,0 +1,202 @@
+"""Data-governance operators: the audits a training-data pipeline runs
+before it is allowed to ship a corpus.
+
+Two residents:
+  - k_anonymity_audit: re-identification risk over the events table —
+    group sizes of quasi-identifier combinations (the k-anonymity
+    measure of Sweeney 2002), reported as an exact integer histogram
+    plus the count of rows violating the k >= {K_MIN} policy.
+  - corpus_card: the per-source dataset card (doc/token/char counts,
+    language mix, exact-duplicate rate, length profile) a pipeline
+    publishes alongside a corpus release.
+
+Both are single-pass aggregations with exact integer (or portable-
+rounded) outputs — no sketches, no doubles in the compare path except
+one round2 mean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frolyk_spark.functions.portable import round2, round2_sql
+from frolyk_spark.sources.catalog import load_table
+
+#: k-anonymity policy threshold: QI groups smaller than this are violations
+K_MIN = 5
+
+#: value bucketing for the quasi-identifier (floor(value / VALUE_BUCKET))
+VALUE_BUCKET = 10
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity histogram over the events table: quasi-identifiers are
+    (event_type, event day, value bucket) — the indirect attributes an
+    adversary could link on — and each row's k is the size of its QI
+    group. One row per k-band (1, 2-4, 5-9, 10-99, 100+): group count,
+    row count, and whether the band violates the k >= {K_MIN} policy.
+
+    All integer: the value bucket is floor(value / {VALUE_BUCKET}) (both
+    engines floor the identical double, then everything downstream is
+    BIGINT); the day is date-truncated inside the group key only, never
+    emitted (the CLAUDE.md dates-as-strings rule applies to outputs).
+
+    Scale: ONE map-side-combinable groupBy on the QI key (the shuffle any
+    profiling aggregate pays), then a band roll-up over the
+    group-cardinality frame — O(groups), never a second corpus pass.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    groups = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("d"),
+            F.floor(F.col("value") / VALUE_BUCKET).cast("bigint").alias("vb"),
+        )
+        .groupBy("event_type", "d", "vb")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    band = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") <= 4, "2-4")
+        .when(F.col("k") <= 9, "5-9")
+        .when(F.col("k") <= 99, "10-99")
+        .otherwise("100+")
+    )
+    return (
+        groups.select(band.alias("k_band"), "k")
+        .groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+            F.min("k").alias("min_k"),
+        )
+        .select(
+            "k_band",
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("min_k") < K_MIN).alias("violates_policy"),
+        )
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH g AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(floor(value / {VALUE_BUCKET}) AS BIGINT) AS vb,
+         count(*) AS k
+  FROM events GROUP BY 1, 2, 3
+),
+banded AS (
+  SELECT CASE WHEN k = 1 THEN '1'
+              WHEN k <= 4 THEN '2-4'
+              WHEN k <= 9 THEN '5-9'
+              WHEN k <= 99 THEN '10-99'
+              ELSE '100+' END AS k_band,
+         k
+  FROM g
+)
+SELECT k_band,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       (min(k) < {K_MIN}) AS violates_policy
+FROM banded GROUP BY k_band
+"""
+
+
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card: one row per source with document,
+    token, and character counts, the language mix (serialized
+    "lang:count" pairs, sorted — non-scalar outputs crash the driver
+    canonicalizer, the CLAUDE.md concat_ws rule), the exact-duplicate
+    rate (documents whose full text appears more than once WITHIN the
+    source — surplus copies, the number dedup_exact would remove), and
+    the portable-rounded mean document length.
+
+    Two shuffles, both map-side-combinable: one on (source, lang) for
+    the mix + totals (rolled up from the lang level so the corpus scans
+    once), one on (source, text-hash) for the duplicate surplus —
+    hashed 60-bit keys, never full-text shuffle keys.
+    """
+    from frolyk_spark.functions.hashing import portable_hash_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    by_lang = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    per_source = by_lang.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(F.concat_ws(":", "lang", F.col("n_docs").cast("string")))
+            ),
+        ).alias("lang_mix"),
+    )
+    dup_surplus = (
+        docs.groupBy("source", portable_hash_expr("text").alias("th"))
+        .agg((F.count(F.lit(1)) - 1).alias("surplus"))
+        .groupBy("source")
+        .agg(F.sum("surplus").cast("bigint").alias("n_dup_docs"))
+    )
+    return (
+        per_source.join(dup_surplus, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_dup_docs",
+            "lang_mix",
+            round2(F.col("n_chars") / F.col("n_docs")).alias("mean_chars"),
+        )
+    )
+
+
+def _corpus_card_sql() -> str:
+    from frolyk_spark.functions.hashing import portable_hash_sql
+
+    th = portable_hash_sql("text")
+    return f"""
+WITH by_lang AS (
+  SELECT source, lang, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens,
+         sum(n_chars) AS n_chars
+  FROM documents GROUP BY source, lang
+),
+per_source AS (
+  SELECT source,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         list_aggregate(list_sort(list(lang || ':' || CAST(n_docs AS VARCHAR))),
+                        'string_agg', ',') AS lang_mix
+  FROM by_lang GROUP BY source
+),
+dups AS (
+  SELECT source, CAST(sum(surplus) AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, {th} AS th, count(*) - 1 AS surplus
+        FROM documents GROUP BY source, th)
+  GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.n_chars, d.n_dup_docs, p.lang_mix,
+       {round2_sql('p.n_chars / CAST(p.n_docs AS DOUBLE)')} AS mean_chars
+FROM per_source p JOIN dups d USING (source)
+"""
+
+
+QUERIES = {
+    "k_anonymity_audit": k_anonymity_audit,
+    "corpus_card": corpus_card,
+}
+
+ORACLES = {
+    "k_anonymity_audit": K_ANONYMITY_SQL,
+    "corpus_card": _corpus_card_sql(),
+}
