@@ -148,6 +148,7 @@ HEADLINE = [
     "stream_token_feed",
     "k_anonymity_audit",
     "corpus_card",
+    "contrastive_pairs",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -1290,8 +1290,149 @@ FROM chain GROUP BY anc, descn ORDER BY doc_a, doc_b
 """
 
 
+# --- D76: contrastive training triplets from the dedup pipeline ---------------
+
+#: hash-ring buckets for negative selection (the sequence_pack bucket
+#: treatment: the ring successor is found WITHIN a hash bucket so the
+#: ordering window is partitioned, never a single-partition global sort)
+RING_BUCKETS = 64
+_RING_WIDTH = (1 << 60) // RING_BUCKETS + 1
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-training triplets mined from the dedup pipeline (D76):
+    (anchor, positive, negative, n_agree). Anchors and positives are the
+    minhash candidate pairs — the weak-supervision positive signal an
+    embedding trainer mines from near-dups — with the signature-agreement
+    count (of {MINHASH_K} slots) as an integer confidence. The negative
+    is the anchor's SUCCESSOR on the portable-hash ring: deterministic,
+    uniformly distributed over the corpus, and computed inside hash
+    BUCKETS (partitioned window + per-bucket wrap-around) so no
+    single-partition global sort exists. When the successor happens to
+    BE the paired positive, the next ring slot is taken; a successor
+    that is some OTHER near-dup of the anchor is accepted — occasional
+    false negatives are inherent to random-negative mining and a trainer
+    tolerates them (documented rule, mirrored exactly in the oracle).
+
+    Reads the PERSISTED signature table (computed once per corpus);
+    three doc_id equi-joins and one bucket-partitioned window.
+    """
+    sigs = persisted_minhash_signatures(spark, sf_dir)
+    pairs = band_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{j}").alias(f"a{j}") for j in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{j}").alias(f"b{j}") for j in range(MINHASH_K)],
+    )
+    agree = None
+    for j in range(MINHASH_K):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree.cast("bigint").alias("n_agree"))
+    )
+    ring = sigs.select("doc_id").withColumn(
+        "hk", portable_hash_expr(F.col("doc_id").cast("string"))
+    ).withColumn("bucket", (F.col("hk") / _RING_WIDTH).cast("int"))
+    wb = Window.partitionBy("bucket").orderBy("hk", "doc_id")
+    ring = (
+        ring.withColumn("succ1", F.lead("doc_id", 1).over(wb))
+        .withColumn("succ2", F.lead("doc_id", 2).over(wb))
+        .withColumn("rn", F.row_number().over(wb))
+    )
+    firsts = ring.groupBy("bucket").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("f1"),
+        F.max(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("f2"),
+    )
+    ring = ring.join(firsts, "bucket").select(
+        F.col("doc_id").alias("doc_a"),
+        F.coalesce("succ1", "f1").alias("cand1"),
+        F.coalesce("succ2", F.when(F.col("succ1").isNull(), F.col("f2")).otherwise(F.col("f1"))).alias("cand2"),
+    )
+    out = scored.join(ring, "doc_a").select(
+        F.col("doc_a").alias("anchor_doc"),
+        F.col("doc_b").alias("positive_doc"),
+        F.when(F.col("cand1") != F.col("doc_b"), F.col("cand1"))
+        .otherwise(F.col("cand2"))
+        .alias("negative_doc"),
+        "n_agree",
+    )
+    # a 1-doc bucket yields negative == anchor (its own wrap-around) or a
+    # null cand2; both engines drop the identical degenerate rows
+    return out.where(
+        F.col("negative_doc").isNotNull()
+        & (F.col("negative_doc") != F.col("anchor_doc"))
+    )
+
+
+def _contrastive_pairs_sql() -> str:
+    seeds_duck = "[" + ", ".join(str(s) for s in MINHASH_SEEDS) + "]"
+    hk = portable_hash_sql("cast(doc_id AS varchar)")
+    return f"""
+WITH pairs AS ({_dedup_minhash_sql()}),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {MINHASH_K}),
+                        j -> list_min(list_transform({_SHINGLES_DUCK},
+                               s -> xor({portable_hash_sql('s')}, {seeds_duck}[j + 1])))) AS sig
+  FROM documents
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_filter(range(0, {MINHASH_K}),
+                              j -> sa.sig[j + 1] = sb.sig[j + 1])) AS BIGINT)
+           AS n_agree
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+),
+ring0 AS (
+  SELECT doc_id, {hk} AS hk,
+         CAST({hk} // {_RING_WIDTH} AS INT) AS bucket
+  FROM documents
+),
+ring1 AS (
+  SELECT doc_id, bucket,
+         lead(doc_id, 1) OVER w AS succ1,
+         lead(doc_id, 2) OVER w AS succ2,
+         row_number() OVER w AS rn
+  FROM ring0
+  WINDOW w AS (PARTITION BY bucket ORDER BY hk, doc_id)
+),
+firsts AS (
+  SELECT bucket,
+         max(CASE WHEN rn = 1 THEN doc_id END) AS f1,
+         max(CASE WHEN rn = 2 THEN doc_id END) AS f2
+  FROM ring1 GROUP BY bucket
+),
+ring AS (
+  SELECT r.doc_id AS doc_a,
+         coalesce(r.succ1, f.f1) AS cand1,
+         coalesce(r.succ2,
+                  CASE WHEN r.succ1 IS NULL THEN f.f2 ELSE f.f1 END) AS cand2
+  FROM ring1 r JOIN firsts f USING (bucket)
+)
+SELECT s.doc_a AS anchor_doc, s.doc_b AS positive_doc,
+       CASE WHEN r.cand1 <> s.doc_b THEN r.cand1 ELSE r.cand2 END
+         AS negative_doc,
+       s.n_agree
+FROM scored s JOIN ring r ON r.doc_a = s.doc_a
+WHERE (CASE WHEN r.cand1 <> s.doc_b THEN r.cand1 ELSE r.cand2 END)
+        IS NOT NULL
+  AND (CASE WHEN r.cand1 <> s.doc_b THEN r.cand1 ELSE r.cand2 END)
+        <> s.doc_a
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    # D76: triplet mining over the persisted signature + ring machinery
+    "contrastive_pairs": contrastive_pairs,
     "minhash_containment": minhash_containment,
     "containment_chains": containment_chains,
     "lsh_band_sweep": lsh_band_sweep,
@@ -1309,6 +1450,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "contrastive_pairs": _contrastive_pairs_sql(),
     "minhash_containment": _minhash_containment_sql(),
     "containment_chains": _containment_chains_sql(),
     "dedup_minhash": _dedup_minhash_sql(),

@@ -186,3 +186,29 @@ def test_star_routing_oracle_parity(spark):
     assert (100, 200) in got
     assert (1, 2) not in got, "star path should have pruned non-anchor pairs"
     assert got == want
+
+
+def test_contrastive_pairs_triplet_invariants(spark, sf_dir):
+    """D76: each triplet's negative differs from both the anchor and the
+    paired positive, (anchor, positive) is exactly the minhash candidate
+    pair set, and the agreement count stays within the signature width."""
+    from frolyk_spark.operators.dedup import (
+        MINHASH_K,
+        band_pairs,
+        contrastive_pairs,
+        persisted_minhash_signatures,
+    )
+
+    rows = contrastive_pairs(spark, sf_dir).collect()
+    assert rows
+    want_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in band_pairs(persisted_minhash_signatures(spark, sf_dir)).collect()
+    }
+    got_pairs = {(r.anchor_doc, r.positive_doc) for r in rows}
+    # every emitted triplet is a real candidate pair; pairs may only drop
+    # through the documented 1-doc-bucket degeneracy (none at these SFs)
+    assert got_pairs == want_pairs
+    for r in rows:
+        assert r.negative_doc not in (r.anchor_doc, r.positive_doc)
+        assert 0 <= r.n_agree <= MINHASH_K
