@@ -149,6 +149,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "corpus_card",
     "contrastive_pairs",
+    "split_leakage_audit",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

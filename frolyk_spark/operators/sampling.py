@@ -370,9 +370,166 @@ WHERE rk <= {QUOTA_K}
 """
 
 
+# --- D77: train/test split leakage audit ---------------------------------------
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene audit (D77): does the held-out split leak into train?
+    The question every benchmark result depends on, asked of the split
+    this repo itself produces (train_test_split's stable hash buckets).
+    Two leakage channels, each reported per held-out split (val, test):
+
+      - ``exact``: a val/test document whose full text (portable 60-bit
+        hash — never a full-text shuffle key) also appears in train;
+      - ``near``: a val/test document linked to ANY train document by a
+        minhash band-bucket candidate pair (the same near-dup relation
+        dedup_minhash ships) — the channel that catches the perturbed
+        copies exact hashing misses.
+
+    Output: (split, channel, n_docs, n_leaked, leaked_id_sum) — all
+    integer; a zero-leak row is a PASS certificate, not a degenerate
+    result. Scale: the exact channel is one hash groupBy + a broadcast-
+    eligible semi join of held-out hashes against train hashes; the near
+    channel reads the PERSISTED signature pairs (computed once per
+    corpus) and classifies each pair by the split rule — no new corpus
+    pass at all.
+    """
+    from frolyk_spark.functions.hashing import portable_hash_expr
+    from frolyk_spark.operators.dedup import (
+        band_pairs, persisted_minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = _bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_TRAIN + SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    tagged = docs.select(
+        "doc_id", split.alias("split"), portable_hash_expr("text").alias("th")
+    )
+    sizes = (
+        tagged.where(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    train_th = tagged.where(F.col("split") == "train").select("th").distinct()
+    exact_leaked = (
+        tagged.where(F.col("split") != "train")
+        .join(train_th, "th", "left_semi")
+        .select("split", "doc_id")
+        .distinct()
+    )
+    splits_by_id = tagged.select("doc_id", "split")
+    pairs = band_pairs(persisted_minhash_signatures(spark, sf_dir))
+    sa = splits_by_id.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits_by_id.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    tagged_pairs = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    near_leaked = (
+        tagged_pairs.where(
+            (F.col("split_a") == "train") & (F.col("split_b") != "train")
+        )
+        .select(F.col("split_b").alias("split"), F.col("doc_b").alias("doc_id"))
+        .unionByName(
+            tagged_pairs.where(
+                (F.col("split_b") == "train") & (F.col("split_a") != "train")
+            ).select(
+                F.col("split_a").alias("split"), F.col("doc_a").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+
+    def _channel(leaked: DataFrame, name: str) -> DataFrame:
+        agg = leaked.groupBy("split").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_leaked"),
+            F.sum("doc_id").cast("bigint").alias("leaked_id_sum"),
+        )
+        return sizes.join(agg, "split", "left").select(
+            "split",
+            F.lit(name).alias("channel"),
+            "n_docs",
+            F.coalesce("n_leaked", F.lit(0).cast("bigint")).alias("n_leaked"),
+            F.coalesce("leaked_id_sum", F.lit(0).cast("bigint")).alias(
+                "leaked_id_sum"
+            ),
+        )
+
+    return _channel(exact_leaked, "exact").unionByName(
+        _channel(near_leaked, "near")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from frolyk_spark.functions.hashing import portable_hash_sql
+    from frolyk_spark.operators.dedup import _dedup_minhash_sql
+
+    b = _bucket_sql("cast(doc_id as varchar)")
+    th = portable_hash_sql("text")
+    return f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN {b} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {b} < {SPLIT_TRAIN + SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         {th} AS th
+  FROM documents
+),
+sizes AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+  FROM tagged WHERE split <> 'train' GROUP BY split
+),
+exact_leaked AS (
+  SELECT DISTINCT t.split, t.doc_id
+  FROM tagged t
+  WHERE t.split <> 'train'
+    AND t.th IN (SELECT th FROM tagged WHERE split = 'train')
+),
+pairs AS ({_dedup_minhash_sql()}),
+tp AS (
+  SELECT p.doc_a, p.doc_b, ta.split AS split_a, tb.split AS split_b
+  FROM pairs p
+  JOIN tagged ta ON ta.doc_id = p.doc_a
+  JOIN tagged tb ON tb.doc_id = p.doc_b
+),
+near_leaked AS (
+  SELECT DISTINCT split, doc_id FROM (
+    SELECT split_b AS split, doc_b AS doc_id FROM tp
+    WHERE split_a = 'train' AND split_b <> 'train'
+    UNION ALL
+    SELECT split_a AS split, doc_a AS doc_id FROM tp
+    WHERE split_b = 'train' AND split_a <> 'train'
+  )
+),
+chan AS (
+  SELECT 'exact' AS channel, split,
+         CAST(count(*) AS BIGINT) AS n_leaked,
+         CAST(sum(doc_id) AS BIGINT) AS leaked_id_sum
+  FROM exact_leaked GROUP BY split
+  UNION ALL
+  SELECT 'near' AS channel, split,
+         CAST(count(*) AS BIGINT) AS n_leaked,
+         CAST(sum(doc_id) AS BIGINT) AS leaked_id_sum
+  FROM near_leaked GROUP BY split
+)
+SELECT s.split, ch.channel, s.n_docs,
+       coalesce(c.n_leaked, 0) AS n_leaked,
+       coalesce(c.leaked_id_sum, 0) AS leaked_id_sum
+FROM sizes s
+CROSS JOIN (VALUES ('exact'), ('near')) ch(channel)
+LEFT JOIN chan c ON c.split = s.split AND c.channel = ch.channel
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "train_test_split": train_test_split,
+    # D77: eval-hygiene — exact + near leakage across the split
+    "split_leakage_audit": split_leakage_audit,
     "sample_per_source": sample_per_source,
     "epoch_shuffle": epoch_shuffle,
     "curriculum_mix": curriculum_mix,
@@ -383,6 +540,7 @@ ORACLES = {
     "curriculum_quota": _curriculum_quota_sql(),
     "sample_stratified": _sample_stratified_sql(),
     "train_test_split": _train_test_split_sql(),
+    "split_leakage_audit": _split_leakage_sql(),
     "sample_per_source": _sample_per_source_sql(),
     "epoch_shuffle": _epoch_shuffle_sql(),
     "curriculum_mix": _curriculum_mix_sql(),

@@ -184,3 +184,34 @@ def test_kafka_source_includes_headers():
 
     opts = build_source_options({"brokers": "b:9092"}, "t", "latest")
     assert opts["includeHeaders"] == "true"
+
+
+def test_split_leakage_audit_structure(spark, sf_dir):
+    """D77: the audit covers every (held-out split, channel) cell, leak
+    counts stay within split sizes, and every near-leaked doc really has
+    a candidate pair to a train doc under the split rule."""
+    from frolyk_spark.operators.dedup import (
+        band_pairs, persisted_minhash_signatures,
+    )
+    from frolyk_spark.operators.sampling import (
+        split_leakage_audit, train_test_split,
+    )
+
+    rows = split_leakage_audit(spark, sf_dir).collect()
+    assert {(r.split, r.channel) for r in rows} == {
+        (s, c) for s in ("val", "test") for c in ("exact", "near")
+    }
+    split_of = {r.doc_id: r.split for r in train_test_split(spark, sf_dir).collect()}
+    near_truth = set()
+    for p in band_pairs(persisted_minhash_signatures(spark, sf_dir)).collect():
+        sa, sb = split_of[p.doc_a], split_of[p.doc_b]
+        if sa == "train" and sb != "train":
+            near_truth.add((sb, p.doc_b))
+        if sb == "train" and sa != "train":
+            near_truth.add((sa, p.doc_a))
+    for r in rows:
+        assert 0 <= r.n_leaked <= r.n_docs
+        if r.channel == "near":
+            want = [d for s, d in near_truth if s == r.split]
+            assert r.n_leaked == len(want)
+            assert r.leaked_id_sum == sum(want)
