@@ -150,6 +150,7 @@ HEADLINE = [
     "corpus_card",
     "contrastive_pairs",
     "split_leakage_audit",
+    "stream_k_anonymity",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -2106,6 +2106,124 @@ GROUP BY batch_id
 """
 
 
+# --- B27: streaming k-anonymity monitor ----------------------------------------
+
+def stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous privacy monitoring (B27): the C68 k-anonymity audit
+    maintained as STREAMING STATE — each micro-batch reduces to
+    quasi-identifier counts and merges them into a versioned state table
+    (counts ADD, so the final state equals the whole-corpus groupBy
+    REGARDLESS of how ingest was batched — the B19/B17
+    batching-invariance contract, which is why this job shares C68's
+    oracle verbatim). The governance posture this enables: the privacy
+    gate is evaluated continuously as data lands, not in a nightly batch
+    after a leaky corpus already shipped.
+
+    Per batch: one map-side-combinable QI groupBy over the batch, one
+    keyed full-outer merge against the latest state version strictly
+    below this batch id (redelivery rebuilds from its own predecessor —
+    never double-counts), one state overwrite. The k-band histogram is a
+    view over the final state's group-cardinality frame: O(groups).
+    """
+    from frolyk_spark.operators.governance import K_MIN, VALUE_BUCKET
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stage = stage_multi_file_drop(ev, sf_dir, "events", "kanonmon")
+
+    name = f"kanonmon_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    def _reduce(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.select(
+                "event_type",
+                F.date_trunc("day", "ts").alias("d"),
+                F.floor(F.col("value") / VALUE_BUCKET).cast("bigint").alias("vb"),
+            )
+            .groupBy("event_type", "d", "vb")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = _reduce(batch_df)
+        prior_v = _latest_version_below(root, batch_id)
+        if prior_v is not None:
+            prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
+            merged = (
+                prior.select(
+                    "event_type", "d", "vb", F.col("k").alias("k_prior")
+                )
+                .join(batch, ["event_type", "d", "vb"], "full_outer")
+                .select(
+                    "event_type", "d", "vb",
+                    (
+                        F.coalesce("k_prior", F.lit(0).cast("bigint"))
+                        + F.coalesce("k", F.lit(0).cast("bigint"))
+                    ).alias("k"),
+                )
+            )
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(os.path.join(root, f"s{batch_id}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [], "k_band string, n_groups bigint, n_rows bigint, "
+                "violates_policy boolean",
+        )
+    state = spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
+    band = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") <= 4, "2-4")
+        .when(F.col("k") <= 9, "5-9")
+        .when(F.col("k") <= 99, "10-99")
+        .otherwise("100+")
+    )
+    return (
+        state.select(band.alias("k_band"), "k")
+        .groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.min("k").alias("min_k"),
+        )
+        .select(
+            "k_band", "n_groups", "n_rows",
+            (F.col("min_k") < K_MIN).alias("violates_policy"),
+        )
+    )
+
+
 # --- B26: streaming tokenize -> pack training-data feed ------------------------
 
 #: batch count for the token feed's content-defined document drop
@@ -2291,6 +2409,8 @@ FROM c
 """
 
 
+from frolyk_spark.operators.governance import K_ANONYMITY_SQL as _K_ANON_ORACLE
+
 QUERIES = {
     "stream_quarantine": stream_quarantine,
     # B25: batching-DEPENDENT by design (content-defined batches);
@@ -2299,6 +2419,9 @@ QUERIES = {
     # B26: tokenize->pack feed; offsets continue across batches, so the
     # oracle is one cumsum over the (batch, hash-order) composite order
     "stream_token_feed": stream_token_feed,
+    # B27: cumulative QI-count state; batching-invariant (counts add),
+    # so it shares C68's whole-corpus oracle verbatim
+    "stream_k_anonymity": stream_k_anonymity,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -2326,6 +2449,7 @@ ORACLES = {
     "stream_quarantine": STREAM_QUARANTINE_SQL,
     "stream_late_routing": STREAM_LATE_ROUTING_SQL,
     "stream_token_feed": _stream_token_feed_sql(),
+    "stream_k_anonymity": _K_ANON_ORACLE,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

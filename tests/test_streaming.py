@@ -1467,3 +1467,21 @@ def test_token_feed_offsets_continue_across_batches(spark, sf_dir):
             assert min(r.start_offset for r in batch) == ends[b - 1]
     enc = {r.doc_id: r.n_pieces for r in bpe_encode(spark, sf_dir).collect()}
     assert {r.doc_id: r.n_tokens for r in rows} == enc
+
+
+def test_stream_k_anonymity_matches_batch_audit(spark, sf_dir):
+    """B27: the streaming monitor's final histogram must equal the batch
+    audit exactly — the batching-invariance contract (cumulative QI
+    counts add across batches), and the ingest must really have been
+    multi-batch (multiple state versions)."""
+    from frolyk_spark.operators.governance import k_anonymity_audit
+    from frolyk_spark.streaming.jobs import stream_k_anonymity
+
+    got_df = stream_k_anonymity(spark, sf_dir)
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in k_anonymity_audit(spark, sf_dir).collect()}
+    assert got == want
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = [d for d in os.listdir(root) if d.startswith("s") and d[1:].isdigit()]
+    assert len(versions) >= 2, "ingest was not multi-batch"
