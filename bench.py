@@ -151,6 +151,7 @@ HEADLINE = [
     "contrastive_pairs",
     "split_leakage_audit",
     "stream_k_anonymity",
+    "stream_corpus_filter",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -2106,6 +2106,142 @@ GROUP BY batch_id
 """
 
 
+# --- B28: streaming corpus-filter ingest gate -----------------------------------
+
+#: batch count for the corpus-filter drop
+CFILTER_PARTS = 4
+
+
+def stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest QUALITY GATE (B28): documents arrive in
+    micro-batches and pass the same composite filter corpus_filter ships
+    (quality + language + exact-dedup keep-first) — with the dedup state
+    carried ACROSS batches, so the stream's output equals the one-shot
+    batch operator exactly and the job shares corpus_filter's oracle
+    verbatim.
+
+    The subtlety is keep-FIRST: corpus_filter keeps the min doc_id per
+    text hash; a stream keeps the first ARRIVAL. The two agree iff
+    arrival order respects id order, so the drop is RANGE-batched (file
+    k = ids in the k-th quartile, `(doc_id * parts) div n_docs` — the
+    one staging where B25's mod-split would be wrong), and each batch
+    asserts that contract. Per batch: quality/language filtering is
+    row-local (trivially batching-invariant); the keep-first winner per
+    hash within the batch (one window) then anti-joins the persisted
+    seen-hash state (hashes of all PRIOR batches — the B17
+    signature-append shape: old hashes are never re-shuffled against
+    each other, state grows by exactly the new batch); kept rows land in
+    the per-batch result sink and the batch's hashes append to state,
+    both idempotent under redelivery.
+    """
+    from frolyk_spark.functions.hashing import portable_hash_expr
+    from frolyk_spark.operators.text import (
+        KEEP_LANGS, MIN_QUALITY, lang_id_frame, text_stats_frame,
+    )
+    from frolyk_spark.sources.streams import file_stream, stage_keyed_file_drop
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()  # staging scaffolding only: fixes the range key
+    stage = stage_keyed_file_drop(
+        docs, sf_dir, "documents", "cfilter",
+        CFILTER_PARTS, f"(doc_id * {CFILTER_PARTS}) div {n_docs}",
+    )
+
+    name = f"cfilter_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            "doc_id", "text", portable_hash_expr("text").alias("th")
+        )
+        batch.persist()
+        try:
+            lo, hi, n = batch.agg(
+                F.min(F.expr(f"(doc_id * {CFILTER_PARTS}) div {n_docs}")),
+                F.max(F.expr(f"(doc_id * {CFILTER_PARTS}) div {n_docs}")),
+                F.count(F.lit(1)),
+            ).collect()[0]
+            if n and not (lo == hi == batch_id % CFILTER_PARTS):
+                raise RuntimeError(
+                    f"batch {batch_id} violated the range contract: "
+                    f"quartiles [{lo}..{hi}]"
+                )
+            w = Window.partitionBy("th").orderBy("doc_id")
+            firsts = (
+                batch.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            seen_dirs = [
+                os.path.join(root, "seen", d)
+                for d in (
+                    os.listdir(os.path.join(root, "seen"))
+                    if os.path.isdir(os.path.join(root, "seen"))
+                    else []
+                )
+                if d.startswith("b") and int(d[1:]) < batch_id
+            ]
+            if seen_dirs:
+                seen = spark.read.parquet(*seen_dirs)
+                firsts = firsts.join(seen, "th", "left_anti")
+            stats = text_stats_frame(firsts).select("doc_id", "quality_score")
+            langs = lang_id_frame(firsts).select("doc_id", "predicted_lang")
+            kept = (
+                firsts.select("doc_id")
+                .join(stats, "doc_id")
+                .join(langs, "doc_id")
+                .where(
+                    (F.col("quality_score") >= MIN_QUALITY)
+                    & F.col("predicted_lang").isin(*KEEP_LANGS)
+                )
+                .select("doc_id", "predicted_lang", "quality_score")
+            )
+            kept.write.mode("overwrite").parquet(
+                os.path.join(root, "out", f"b{batch_id}")
+            )
+            # state append AFTER the result write: a crash between the
+            # two replays the batch, which overwrites both idempotently.
+            # ALL first-seen hashes advance state, kept or filtered — a
+            # quality-rejected copy still makes later duplicates drop,
+            # exactly like the batch operator's window-then-filter order
+            firsts.select("th").write.mode("overwrite").parquet(
+                os.path.join(root, "seen", f"b{batch_id}")
+            )
+        finally:
+            batch.unpersist()
+
+    stream = file_stream(spark, stage, docs.schema, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_gate)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    out_root = os.path.join(root, "out")
+    parts = sorted(
+        os.path.join(out_root, d)
+        for d in (os.listdir(out_root) if os.path.isdir(out_root) else [])
+    )
+    if not parts:
+        return spark.createDataFrame(
+            [], "doc_id bigint, predicted_lang string, quality_score double"
+        )
+    return spark.read.parquet(*parts)
+
+
 # --- B27: streaming k-anonymity monitor ----------------------------------------
 
 def stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2410,6 +2546,9 @@ FROM c
 
 
 from frolyk_spark.operators.governance import K_ANONYMITY_SQL as _K_ANON_ORACLE
+from frolyk_spark.operators.text import _corpus_filter_sql as _cf_sql
+
+_CORPUS_FILTER_ORACLE = _cf_sql()
 
 QUERIES = {
     "stream_quarantine": stream_quarantine,
@@ -2422,6 +2561,9 @@ QUERIES = {
     # B27: cumulative QI-count state; batching-invariant (counts add),
     # so it shares C68's whole-corpus oracle verbatim
     "stream_k_anonymity": stream_k_anonymity,
+    # B28: range-batched arrival order makes keep-first identical to the
+    # batch operator, so it shares corpus_filter's oracle verbatim
+    "stream_corpus_filter": stream_corpus_filter,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -2450,6 +2592,7 @@ ORACLES = {
     "stream_late_routing": STREAM_LATE_ROUTING_SQL,
     "stream_token_feed": _stream_token_feed_sql(),
     "stream_k_anonymity": _K_ANON_ORACLE,
+    "stream_corpus_filter": _CORPUS_FILTER_ORACLE,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

@@ -1485,3 +1485,19 @@ def test_stream_k_anonymity_matches_batch_audit(spark, sf_dir):
     root = os.path.dirname(os.path.dirname(src))
     versions = [d for d in os.listdir(root) if d.startswith("s") and d[1:].isdigit()]
     assert len(versions) >= 2, "ingest was not multi-batch"
+
+
+def test_stream_corpus_filter_equals_batch(spark, sf_dir):
+    """B28: the streaming gate's union over batches must equal the
+    one-shot batch operator row-for-row (keep-first made order-safe by
+    the range-batched drop), and the ingest really was multi-batch."""
+    from frolyk_spark.operators.text import corpus_filter
+    from frolyk_spark.streaming.jobs import stream_corpus_filter
+
+    got_df = stream_corpus_filter(spark, sf_dir)
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in corpus_filter(spark, sf_dir).collect()}
+    assert got == want and want
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    out = os.path.dirname(os.path.dirname(src))
+    assert len([d for d in os.listdir(out) if d.startswith("b")]) >= 2
