@@ -267,3 +267,95 @@ def test_dsir_products_inside_int64_at_test_scale():
     ).fetchone()
     assert int(mt) * int(tot_r) < 2**62, (mt, tot_r)
     assert int(mr) * int(tot_t) < 2**62, (mr, tot_t)
+
+
+# --- r11 integer kernels -------------------------------------------------------
+# Pure-Python models of the cross-engine integer arithmetic the r11
+# operators rely on: both engines execute these exact expressions, so the
+# property layer explores the input space the fixed corpus can't.
+
+
+@given(
+    st.integers(min_value=0, max_value=30_000_000),  # idf_u (1e6-scaled ln)
+    st.integers(min_value=1, max_value=10_000),      # tf
+    st.integers(min_value=1, max_value=100_000),     # A = floor avgdl
+    st.integers(min_value=1, max_value=10_000_000),  # dl
+)
+@settings(max_examples=500, deadline=None)
+def test_bm25_units_fit_in_bigint_and_bound(idf_u, tf, a, dl):
+    """The quantized-BM25 per-term unit stays inside BIGINT at any
+    plausible scale and is bounded by 2.2x the idf (the k1+1 ceiling of
+    the tf saturation), so per-doc sums cannot overflow for any real
+    document width."""
+    num = idf_u * 22 * tf * a
+    den = 10 * a * tf + 3 * a + 9 * dl
+    assert num < (1 << 63)
+    units = num // den
+    assert 0 <= units <= (idf_u * 22) // 10 + 1
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=1000), min_size=2, max_size=40),
+    st.integers(min_value=2, max_value=400),
+)
+@settings(max_examples=200, deadline=None)
+def test_pagerank_update_conserves_bounded_mass(outdegs, n_rounds_seed):
+    """The integer PageRank round never grows total mass beyond the pool:
+    floor divisions only ever LOSE mass, so sum(r) <= MASS + n (the +n is
+    the per-node teleport floor remainder), at every depth. Models one
+    star round on a synthetic degree profile."""
+    from frolyk_spark.operators.graph import PR_DAMP_PCT, PR_MASS
+
+    n = len(outdegs)
+    ranks = [PR_MASS // n] * n
+    for _ in range(min(8, n_rounds_seed % 9 + 1)):
+        shares = [r // d for r, d in zip(ranks, outdegs)]
+        # worst case: every share lands on one node per edge
+        inflow = [sum(shares)] + [0] * (n - 1)
+        ranks = [
+            (15 * PR_MASS) // (100 * n) + (PR_DAMP_PCT * i) // 100
+            for i in inflow
+        ]
+        assert all(0 <= r <= PR_MASS + n for r in ranks)
+        assert sum(ranks) <= PR_MASS + n
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=200),
+       st.integers(min_value=0, max_value=1 << 40))
+@settings(max_examples=200, deadline=None)
+def test_packed_offsets_model_contiguity(tokens, base):
+    """The two-phase prefix-sum model: bucketed partial sums stitched by
+    bucket prefix offsets equal the flat cumulative sum for ANY bucket
+    assignment — the invariant packed_offsets and the token feed's
+    cross-batch continuity both stand on."""
+    buckets = [t % 7 for t in tokens]  # arbitrary deterministic bucketing
+    flat_for_bucket_order = sorted(range(len(tokens)), key=lambda i: (buckets[i], i))
+    expect = base
+    totals = {}
+    for i in flat_for_bucket_order:
+        b = buckets[i]
+        totals.setdefault(b, 0)
+    prefix, acc = {}, base
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += sum(t for t, bb in zip(tokens, buckets) if bb == b)
+    seen = {b: 0 for b in totals}
+    for i in flat_for_bucket_order:
+        b = buckets[i]
+        start = prefix[b] + seen[b]
+        assert start == expect
+        seen[b] += tokens[i]
+        expect += tokens[i]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=300),
+       st.integers(min_value=2, max_value=8))
+@settings(max_examples=200, deadline=None)
+def test_keyed_drop_mod_split_partitions(ids, parts):
+    """stage_keyed_file_drop's content rule: the mod split is a partition
+    of the id set (every row in exactly one file) and file k holds only
+    keys congruent to k."""
+    files = {k: [i for i in ids if i % parts == k] for k in range(parts)}
+    assert sorted(x for f in files.values() for x in f) == sorted(ids)
+    for k, f in files.items():
+        assert all(i % parts == k for i in f)
