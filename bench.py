@@ -152,6 +152,7 @@ HEADLINE = [
     "split_leakage_audit",
     "stream_k_anonymity",
     "stream_corpus_filter",
+    "sample_weighted",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -370,6 +370,57 @@ WHERE rk <= {QUOTA_K}
 """
 
 
+# --- D78: deterministic weighted sampling (bottom-k priorities) -----------------
+
+#: docs kept by the weighted sample
+WEIGHTED_K = 200
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministically (D78):
+    each document gets priority = hash(doc_id) div weight (weight =
+    n_chars — longer docs get proportionally smaller priorities, hence
+    proportionally higher inclusion odds), and the sample is the
+    bottom-{WEIGHTED_K} priorities — the integer-arithmetic cousin of
+    A-ES exponential-jump weighted reservoir sampling (Efraimidis &
+    Spirakis use u^(1/w); hash/w keeps the whole compare path in exact
+    BIGINTs, trading the precise inclusion distribution for bit-exact
+    reproducibility, which is what a replayable pipeline needs).
+
+    Membership is a pure function of (doc_id, weight): re-running,
+    repartitioning, or appending other documents never flips a kept doc
+    except by genuine displacement. One TakeOrderedAndProject top-K —
+    never a global sort; ties broken by doc_id.
+    """
+    from frolyk_spark.functions.hashing import portable_hash_spark_sql
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = portable_hash_spark_sql("cast(doc_id as string)")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.expr(f"({h}) div cast(n_chars as bigint)").alias("priority"),
+    )
+    return (
+        scored.orderBy("priority", "doc_id")
+        .limit(WEIGHTED_K)
+        .select("doc_id", "weight", "priority")
+    )
+
+
+def _sample_weighted_sql() -> str:
+    from frolyk_spark.functions.hashing import portable_hash_sql
+
+    h = portable_hash_sql("cast(doc_id as varchar)")
+    return f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       ({h}) // CAST(n_chars AS BIGINT) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
 # --- D77: train/test split leakage audit ---------------------------------------
 
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +581,8 @@ QUERIES = {
     "train_test_split": train_test_split,
     # D77: eval-hygiene — exact + near leakage across the split
     "split_leakage_audit": split_leakage_audit,
+    # D78: deterministic bottom-k weighted sample
+    "sample_weighted": sample_weighted,
     "sample_per_source": sample_per_source,
     "epoch_shuffle": epoch_shuffle,
     "curriculum_mix": curriculum_mix,
@@ -541,6 +594,7 @@ ORACLES = {
     "sample_stratified": _sample_stratified_sql(),
     "train_test_split": _train_test_split_sql(),
     "split_leakage_audit": _split_leakage_sql(),
+    "sample_weighted": _sample_weighted_sql(),
     "sample_per_source": _sample_per_source_sql(),
     "epoch_shuffle": _epoch_shuffle_sql(),
     "curriculum_mix": _curriculum_mix_sql(),

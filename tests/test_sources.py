@@ -215,3 +215,24 @@ def test_split_leakage_audit_structure(spark, sf_dir):
             want = [d for s, d in near_truth if s == r.split]
             assert r.n_leaked == len(want)
             assert r.leaked_id_sum == sum(want)
+
+
+def test_sample_weighted_plan_and_bias(spark, sf_dir):
+    """D78: the bottom-k runs as a partial top-K (TakeOrderedAndProject,
+    never a global sort), membership is deterministic across calls, and
+    the weighting biases the sample toward heavier docs (mean sampled
+    weight above the corpus mean — the property the operator exists for)."""
+    from frolyk_spark.operators.sampling import sample_weighted
+    from frolyk_spark.plans.inspect import plan_report
+    from frolyk_spark.sources.catalog import load_table
+
+    df = sample_weighted(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_report(df)["plan"]
+    a = {r.doc_id for r in df.collect()}
+    assert a == {r.doc_id for r in sample_weighted(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    sample_mean = (
+        docs.where(docs.doc_id.isin(list(a))).agg({"n_chars": "avg"}).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
