@@ -153,6 +153,7 @@ HEADLINE = [
     "stream_k_anonymity",
     "stream_corpus_filter",
     "sample_weighted",
+    "stream_sample_weighted",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

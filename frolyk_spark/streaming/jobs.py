@@ -2106,6 +2106,89 @@ GROUP BY batch_id
 """
 
 
+# --- B29: streaming weighted sample (mergeable bottom-k state) ------------------
+
+def stream_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D78's weighted sample maintained over a stream (B29): bottom-k
+    hash/weight priorities are MERGEABLE state — the bottom-K of a union
+    is the bottom-K of (state ∪ batch's bottom-K) — so each micro-batch
+    reduces to its own K best rows, merges against the prior state
+    version (strictly below this batch id, the redelivery anchor), and
+    overwrites its version. The final state is the corpus-wide bottom-K
+    REGARDLESS of batching, so the job shares sample_weighted's oracle
+    verbatim. This is how a pipeline keeps a live weighted sample of an
+    unbounded ingest: state is O(K) forever, per-batch work is one
+    partial top-K over the batch + one K-row merge.
+    """
+    from frolyk_spark.operators.sampling import WEIGHTED_K
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stage = stage_multi_file_drop(docs, sf_dir, "documents", "wsample")
+
+    name = f"wsample_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    def _bottom_k(df: DataFrame) -> DataFrame:
+        return df.orderBy("priority", "doc_id").limit(WEIGHTED_K)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = _bottom_k(
+            batch_df.select(
+                "doc_id",
+                F.col("n_chars").cast("bigint").alias("weight"),
+                F.expr(
+                    "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) "
+                    "as bigint) div cast(n_chars as bigint)"
+                ).alias("priority"),
+            )
+        )
+        prior_v = _latest_version_below(root, batch_id)
+        if prior_v is not None:
+            prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
+            merged = _bottom_k(prior.unionByName(batch))
+        else:
+            merged = batch
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, f"s{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [], "doc_id bigint, weight bigint, priority bigint"
+        )
+    return spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
+
+
 # --- B28: streaming corpus-filter ingest gate -----------------------------------
 
 #: batch count for the corpus-filter drop
@@ -2546,9 +2629,11 @@ FROM c
 
 
 from frolyk_spark.operators.governance import K_ANONYMITY_SQL as _K_ANON_ORACLE
+from frolyk_spark.operators.sampling import _sample_weighted_sql as _ws_sql
 from frolyk_spark.operators.text import _corpus_filter_sql as _cf_sql
 
 _CORPUS_FILTER_ORACLE = _cf_sql()
+_WSAMPLE_ORACLE = _ws_sql()
 
 QUERIES = {
     "stream_quarantine": stream_quarantine,
@@ -2564,6 +2649,8 @@ QUERIES = {
     # B28: range-batched arrival order makes keep-first identical to the
     # batch operator, so it shares corpus_filter's oracle verbatim
     "stream_corpus_filter": stream_corpus_filter,
+    # B29: mergeable bottom-k state; batching-invariant, shares D78's oracle
+    "stream_sample_weighted": stream_sample_weighted,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -2593,6 +2680,7 @@ ORACLES = {
     "stream_token_feed": _stream_token_feed_sql(),
     "stream_k_anonymity": _K_ANON_ORACLE,
     "stream_corpus_filter": _CORPUS_FILTER_ORACLE,
+    "stream_sample_weighted": _WSAMPLE_ORACLE,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

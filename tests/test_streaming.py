@@ -1501,3 +1501,20 @@ def test_stream_corpus_filter_equals_batch(spark, sf_dir):
     src = got_df.inputFiles()[0].removeprefix("file://")
     out = os.path.dirname(os.path.dirname(src))
     assert len([d for d in os.listdir(out) if d.startswith("b")]) >= 2
+
+
+def test_stream_sample_weighted_matches_batch(spark, sf_dir):
+    """B29: the streaming bottom-k equals the one-shot weighted sample
+    exactly (mergeable-priority invariance) and the ingest was really
+    multi-batch (multiple state versions)."""
+    from frolyk_spark.operators.sampling import sample_weighted
+    from frolyk_spark.streaming.jobs import stream_sample_weighted
+
+    got_df = stream_sample_weighted(spark, sf_dir)
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in sample_weighted(spark, sf_dir).collect()}
+    assert got == want and want
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = [d for d in os.listdir(root) if d.startswith("s") and d[1:].isdigit()]
+    assert len(versions) >= 2
