@@ -1518,3 +1518,43 @@ def test_stream_sample_weighted_matches_batch(spark, sf_dir):
     root = os.path.dirname(os.path.dirname(src))
     versions = [d for d in os.listdir(root) if d.startswith("s") and d[1:].isdigit()]
     assert len(versions) >= 2
+
+
+def test_late_routing_contract_fails_loudly_on_reordered_files(spark, sf_dir, tmp_path):
+    """B25's oracle is only valid if file k really arrives as batch k; the
+    per-batch contract assertion is the guard. Corrupt a staged drop by
+    swapping two files' contents and prove the job DIES with the contract
+    error instead of silently producing oracle-divergent accounting."""
+    import shutil
+
+    import pytest
+
+    from frolyk_spark.sources.catalog import load_table
+    from frolyk_spark.sources.streams import stage_keyed_file_drop
+    from frolyk_spark.streaming.jobs import LATE_PARTS, stream_late_routing
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), fake_sf / "events.parquet"
+    )
+    ev = load_table(spark, str(fake_sf), "events").select("event_id", "ts")
+    stage = stage_keyed_file_drop(
+        ev, str(fake_sf), "events", "latert", LATE_PARTS, "event_id"
+    )
+    f0, f1 = os.path.join(stage, "0000.parquet"), os.path.join(stage, "0001.parquet")
+    m0, m1 = os.path.getmtime(f0), os.path.getmtime(f1)
+    tmp = os.path.join(stage, ".swap")
+    shutil.move(f0, tmp); shutil.move(f1, f0); shutil.move(tmp, f1)
+    # keep the mtime ORDER pinned so the listing order is unchanged and
+    # only the CONTENT is wrong — exactly the desync the contract catches
+    os.utime(f0, (m0, m0)); os.utime(f1, (m1, m1))
+    try:
+        with pytest.raises(Exception, match="content contract"):
+            stream_late_routing(spark, str(fake_sf))
+    finally:
+        # restore the staged dir: it is keyed on the resolved source path
+        # under tmp_path, so it dies with the test either way, but leave
+        # it coherent for any same-session reuse
+        shutil.move(f0, tmp); shutil.move(f1, f0); shutil.move(tmp, f1)
+        os.utime(f0, (m0, m0)); os.utime(f1, (m1, m1))
