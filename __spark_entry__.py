@@ -33,12 +33,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 178
+    # in dict order under a wall-clock budget (~50 per round of the 179
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
     # FIRST (CLAUDE.md). The r10 driver burned its whole 50-row head green
     # (new_r10 + stale_r6 + 30 of green_r7); the five green_r7 tail entries
     # slipped to r11 as designed. So:
-    #   1. new_r11 (22): stream_sample_weighted (B29),
+    #   1. new_r11 (23): bigram_lm_score (D79),
+    #      stream_sample_weighted (B29),
     #      sample_weighted (D78),
     #      stream_corpus_filter (B28),
     #      stream_k_anonymity (B27),
@@ -63,9 +64,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. green_r8 (50): the oldest block in the ledger — after this head
     #      burns, no entry's newest row predates r9 and the r8 block is
     #      fully cleared (the r10 verdict's "half" target, exceeded).
-    # Head = 22+5+50 = 77 vs the ~50 budget; slippage (if any) falls on the
+    # Head = 23+5+50 = 78 vs the ~50 budget; slippage (if any) falls on the
     # green_r8 tail, never a new or r7-stale entry.
     new_r11 = (
+        "bigram_lm_score",         # D79: stupid-backoff LM scoring
         "stream_sample_weighted",  # B29: mergeable bottom-k sample state
         "sample_weighted",       # D78: deterministic weighted sample
         "stream_corpus_filter",  # B28: streaming ingest quality gate

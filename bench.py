@@ -154,6 +154,7 @@ HEADLINE = [
     "stream_corpus_filter",
     "sample_weighted",
     "stream_sample_weighted",
+    "bigram_lm_score",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -650,7 +650,150 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- D79: Stupid-Backoff bigram LM scoring of held-out data --------------------
+
+#: log-prob quantization: micro-units per natural-log unit (the BM25 idf
+#: treatment — ONE guarded transcendental, floor-quantized, then pure BIGINT)
+LM_SCALE = 1_000_000
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity proxy under a Stupid-Backoff bigram LM
+    (Brants et al. 2007 — the web-scale scoring rule: no normalization,
+    score(b|a) = C(a,b)/C(a) if seen, else 0.4 * C(b)/N): the LM trains
+    on the TRAIN split (the same stable hash split train_test_split
+    ships) and scores the held-out docs — the quality-filter shape where
+    new data is scored by a model of the curated corpus, and the one
+    arrangement where the backoff path genuinely fires (a corpus scored
+    by its own LM has no unseen bigrams).
+
+    Cross-engine exactness: each token-pair log-prob quantizes to
+    floor({LM_SCALE}·ln(ratio)) — the ratio is one IEEE-exact division
+    of BIGINT counts built identically on both engines (backoff
+    add-one-guards the unseen-unigram edge) — and everything after the
+    floor is an order-free BIGINT sum. Output per held-out doc: pair
+    count, backoff-hit count (makes the backoff path hash-visible), and
+    the summed negative log-prob in micro-units.
+
+    Scale: bigram extraction binds the split array once (the zip_with
+    barrier idiom); the LM tables scale with the corpus (Heaps' law) so
+    both joins are UN-hinted — AQE broadcasts while small; one shuffle
+    each for the two count tables, one join pipeline for scoring.
+    """
+    from frolyk_spark.operators.sampling import SPLIT_TRAIN, _bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_train = _bucket(F.col("doc_id").cast("string")) < SPLIT_TRAIN
+    pairs_expr = (
+        "transform(array(split(text, ' ')), ws -> "
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        "(a, b) -> struct(a, b)))[0]"
+    )
+    pairs = docs.withColumn("is_train", is_train).select(
+        "doc_id", "is_train", F.explode(F.expr(pairs_expr)).alias("p")
+    ).select("doc_id", "is_train", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    train_pairs = pairs.where("is_train")
+    bi = train_pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    uni = train_pairs.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_a")
+    )
+    uni_b = uni.select(F.col("a").alias("b"), F.col("c_a").alias("c_b"))
+    n1 = uni.agg(F.sum("c_a").alias("n_total"))
+    held = (
+        pairs.where(~F.col("is_train"))
+        .join(bi, ["a", "b"], "left")
+        .join(uni, "a", "left")
+        .join(uni_b, "b", "left")
+        .crossJoin(F.broadcast(n1))
+    )
+    lp = F.when(
+        F.col("c_ab").isNotNull(),
+        F.floor(
+            F.lit(float(LM_SCALE))
+            * F.log(F.col("c_ab").cast("double") / F.col("c_a").cast("double"))
+        ),
+    ).otherwise(
+        # backoff: 0.4 * C(b)/N, add-one on both so an unseen unigram
+        # (impossible on this corpus, structural elsewhere) stays finite
+        F.floor(
+            F.lit(float(LM_SCALE))
+            * F.log(
+                F.lit(0.4)
+                * (F.coalesce(F.col("c_b"), F.lit(0)).cast("double") + 1.0)
+                / (F.col("n_total").cast("double") + 1.0)
+            )
+        )
+    ).cast("bigint")
+    return (
+        held.select(
+            "doc_id",
+            lp.alias("lp_mu"),
+            F.when(F.col("c_ab").isNull(), 1).otherwise(0).alias("backoff"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("backoff").cast("bigint").alias("n_backoff"),
+            (-F.sum("lp_mu")).cast("bigint").alias("neg_logprob_mu"),
+        )
+    )
+
+
+def _bigram_lm_sql() -> str:
+    from frolyk_spark.operators.sampling import SPLIT_TRAIN, _bucket_sql
+
+    b = _bucket_sql("cast(doc_id as varchar)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ({b}) < {SPLIT_TRAIN} AS is_train,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, is_train,
+         unnest(list_transform(range(2, len(ws) + 1), i -> ws[i-1])) AS a,
+         unnest(list_transform(range(2, len(ws) + 1), i -> ws[i])) AS b
+  FROM toks
+),
+bi AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM pairs WHERE is_train GROUP BY a, b
+),
+uni AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS c_a
+  FROM pairs WHERE is_train GROUP BY a
+),
+nn AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_total FROM uni),
+held AS (
+  SELECT p.doc_id,
+         CASE WHEN bi.c_ab IS NOT NULL THEN
+           CAST(floor({LM_SCALE}.0 * ln(CAST(bi.c_ab AS DOUBLE)
+                                        / CAST(u.c_a AS DOUBLE))) AS BIGINT)
+         ELSE
+           CAST(floor({LM_SCALE}.0 * ln(0.4
+                * (CAST(coalesce(ub.c_a, 0) AS DOUBLE) + 1.0)
+                / (CAST(nn.n_total AS DOUBLE) + 1.0))) AS BIGINT)
+         END AS lp_mu,
+         CASE WHEN bi.c_ab IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM pairs p
+  LEFT JOIN bi ON bi.a = p.a AND bi.b = p.b
+  LEFT JOIN uni u ON u.a = p.a
+  LEFT JOIN uni ub ON ub.a = p.b
+  CROSS JOIN nn
+  WHERE NOT p.is_train
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(backoff) AS BIGINT) AS n_backoff,
+       CAST(-sum(lp_mu) AS BIGINT) AS neg_logprob_mu
+FROM held GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "bigram_lm_score": bigram_lm_score,
     "unigram_logprob": unigram_logprob,
     "feature_hash_embedding": feature_hash_embedding,
     "token_entropy": token_entropy,
@@ -665,6 +808,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bigram_lm_score": _bigram_lm_sql(),
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "feature_hash_embedding": _feature_hash_sql(),
     "token_entropy": TOKEN_ENTROPY_SQL,

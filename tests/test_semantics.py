@@ -724,3 +724,31 @@ def test_persisted_bpe_model_keyed_by_depth(spark, sf_dir, monkeypatch):
     # greedy BPE is prefix-stable: the first merges agree across depths
     assert short == full[:2]
     assert V.persisted_bpe_merges(spark, sf_dir) == short  # cache hit
+
+
+def test_bigram_lm_score_covers_heldout_and_fires_backoff(spark, sf_dir):
+    """D79: exactly the held-out docs are scored, pair counts match the
+    documents' bigram counts, and the backoff path genuinely fires on
+    this corpus (otherwise the CASE branch is dead code the oracle
+    can't distinguish)."""
+    from frolyk_spark.operators.sampling import train_test_split
+    from frolyk_spark.operators.text import bigram_lm_score
+    from frolyk_spark.sources.catalog import load_table
+
+    rows = {r.doc_id: r for r in bigram_lm_score(spark, sf_dir).collect()}
+    held = {
+        r.doc_id
+        for r in train_test_split(spark, sf_dir).collect()
+        if r.split != "train"
+    }
+    assert set(rows) == held
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.doc_id in held
+    }
+    for doc_id, r in rows.items():
+        assert r.n_pairs == len(docs[doc_id].split(" ")) - 1
+        assert 0 <= r.n_backoff <= r.n_pairs
+        assert r.neg_logprob_mu > 0
+    assert sum(r.n_backoff for r in rows.values()) > 0
