@@ -2022,12 +2022,19 @@ def stream_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .mode("overwrite")
                 .parquet(os.path.join(root, "rows", f"batch_id={batch_id}"))
             )
-            running = batch_max if prior_max is None else max(prior_max, batch_max)
-            os.makedirs(wm_root, exist_ok=True)
-            tmp = os.path.join(wm_root, f".s{batch_id}.{uuid.uuid4().hex[:6]}")
-            with open(tmp, "w") as fh:
-                fh.write(str(int(running)))
-            os.replace(tmp, os.path.join(wm_root, f"s{batch_id}.txt"))
+            # empty micro-batch: batch_max is NULL — carry the prior
+            # watermark forward as a no-op instead of TypeError-ing on
+            # max(prior, None) / int(None)
+            if batch_max is None:
+                running = prior_max
+            else:
+                running = batch_max if prior_max is None else max(prior_max, batch_max)
+            if running is not None:
+                os.makedirs(wm_root, exist_ok=True)
+                tmp = os.path.join(wm_root, f".s{batch_id}.{uuid.uuid4().hex[:6]}")
+                with open(tmp, "w") as fh:
+                    fh.write(str(int(running)))
+                os.replace(tmp, os.path.join(wm_root, f"s{batch_id}.txt"))
         finally:
             batch.unpersist()
 
@@ -2135,14 +2142,16 @@ def stream_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.orderBy("priority", "doc_id").limit(WEIGHTED_K)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from frolyk_spark.functions.hashing import portable_hash_spark_sql
+
+        # shared hash kernel — the batch twin (sample_weighted) and the
+        # common oracle depend on this exact definition; never inline it
+        prio = portable_hash_spark_sql("cast(doc_id as string)")
         batch = _bottom_k(
             batch_df.select(
                 "doc_id",
                 F.col("n_chars").cast("bigint").alias("weight"),
-                F.expr(
-                    "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) "
-                    "as bigint) div cast(n_chars as bigint)"
-                ).alias("priority"),
+                F.expr(f"({prio}) div cast(n_chars as bigint)").alias("priority"),
             )
         )
         prior_v = _latest_version_below(root, batch_id)
@@ -2206,9 +2215,9 @@ def stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The subtlety is keep-FIRST: corpus_filter keeps the min doc_id per
     text hash; a stream keeps the first ARRIVAL. The two agree iff
     arrival order respects id order, so the drop is RANGE-batched (file
-    k = ids in the k-th quartile, `(doc_id * parts) div n_docs` — the
-    one staging where B25's mod-split would be wrong), and each batch
-    asserts that contract. Per batch: quality/language filtering is
+    k = ids in the k-th quartile of the observed [min_id, max_id] span —
+    the one staging where B25's mod-split would be wrong), and each
+    batch asserts that contract. Per batch: quality/language filtering is
     row-local (trivially batching-invariant); the keep-first winner per
     hash within the batch (one window) then anti-joins the persisted
     seen-hash state (hashes of all PRIOR batches — the B17
@@ -2224,10 +2233,16 @@ def stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frolyk_spark.sources.streams import file_stream, stage_keyed_file_drop
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.count()  # staging scaffolding only: fixes the range key
+    # staging scaffolding only: the range key is derived from the OBSERVED
+    # id span, not from count — `(doc_id * parts) div n` would map a
+    # 1-based or sparse corpus's max ids to partition `parts` (out of
+    # range), which the mod staging would route to file 0 and the
+    # contract would then kill the whole job (r11 ADVICE)
+    lo_id, hi_id = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    span = int(hi_id) - int(lo_id) + 1
+    range_key = f"((doc_id - {int(lo_id)}) * {CFILTER_PARTS}) div {span}"
     stage = stage_keyed_file_drop(
-        docs, sf_dir, "documents", "cfilter",
-        CFILTER_PARTS, f"(doc_id * {CFILTER_PARTS}) div {n_docs}",
+        docs, sf_dir, "documents", "cfilter", CFILTER_PARTS, range_key,
     )
 
     name = f"cfilter_{uuid.uuid4().hex[:8]}"
@@ -2242,8 +2257,8 @@ def stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.persist()
         try:
             lo, hi, n = batch.agg(
-                F.min(F.expr(f"(doc_id * {CFILTER_PARTS}) div {n_docs}")),
-                F.max(F.expr(f"(doc_id * {CFILTER_PARTS}) div {n_docs}")),
+                F.min(F.expr(range_key)),
+                F.max(F.expr(range_key)),
                 F.count(F.lit(1)),
             ).collect()[0]
             if n and not (lo == hi == batch_id % CFILTER_PARTS):

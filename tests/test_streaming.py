@@ -1535,7 +1535,11 @@ def test_late_routing_contract_fails_loudly_on_reordered_files(spark, sf_dir, tm
 
     fake_sf = tmp_path / "sf"
     fake_sf.mkdir()
-    os.symlink(
+    # COPY, never symlink: stage_keyed_file_drop keys on os.path.realpath,
+    # which would resolve a symlink back to the shared sf_dir and make the
+    # corrupted stage the exact dir every other B25 consumer reuses (a
+    # crash between swap and restore would poison cross-session state)
+    shutil.copyfile(
         os.path.join(sf_dir, "events.parquet"), fake_sf / "events.parquet"
     )
     ev = load_table(spark, str(fake_sf), "events").select("event_id", "ts")
@@ -1553,8 +1557,8 @@ def test_late_routing_contract_fails_loudly_on_reordered_files(spark, sf_dir, tm
         with pytest.raises(Exception, match="content contract"):
             stream_late_routing(spark, str(fake_sf))
     finally:
-        # restore the staged dir: it is keyed on the resolved source path
-        # under tmp_path, so it dies with the test either way, but leave
-        # it coherent for any same-session reuse
+        # restore anyway: the stage is keyed on the COPIED file under
+        # tmp_path (test-scoped by construction), but leave it coherent
+        # for any same-session reuse of this tmp dir
         shutil.move(f0, tmp); shutil.move(f1, f0); shutil.move(tmp, f1)
         os.utime(f0, (m0, m0)); os.utime(f1, (m1, m1))
