@@ -33,86 +33,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 179
+    # in dict order under a wall-clock budget (~50 per round of the 181
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
-    # FIRST (CLAUDE.md). The r10 driver burned its whole 50-row head green
-    # (new_r10 + stale_r6 + 30 of green_r7); the five green_r7 tail entries
-    # slipped to r11 as designed. So:
-    #   1. new_r11 (23): bigram_lm_score (D79),
-    #      stream_sample_weighted (B29),
-    #      sample_weighted (D78),
-    #      stream_corpus_filter (B28),
-    #      stream_k_anonymity (B27),
-    #      split_leakage_audit (D77),
-    #      contrastive_pairs (D76),
-    #      k_anonymity_audit + corpus_card (the
-    #      governance block), stream_token_feed (B26, the streaming
-    #      tokenize->pack feed), media_binary_ingest (E17, binaryFile source),
-    #      stream_late_routing (B25, the late-data DLQ
-    #      router), bm25_topk (D74, integer-quantized BM25),
-    #      pagerank_parts (C67, integer-exact by
-    #      construction), approx_stats_bounds (C14's first oracle-checked
-    #      verdict row), the perceptual media-dedup family (D70-D73:
-    #      image/audio/video pairs + CC clusters over the image graph),
-    #      stream_cdc_versioned (B23 CDC-into-snapshots), and
-    #      stream_media_dedup (B24 incremental perceptual probe) are
-    #      brand new; bpe_train/bpe_encode changed OUTPUT this round
-    #      (merge depth 6 -> 24) so their r10 rows no longer describe
-    #      the current code;
-    #   2. stale_r7 (5): the r10 budget slippage — newest green row is r7,
-    #      the designated r11 head per the r10 verdict;
-    #   3. green_r8 (50): the oldest block in the ledger — after this head
-    #      burns, no entry's newest row predates r9 and the r8 block is
-    #      fully cleared (the r10 verdict's "half" target, exceeded).
-    # Head = 23+5+50 = 78 vs the ~50 budget; slippage (if any) falls on the
-    # green_r8 tail, never a new or r7-stale entry.
-    new_r11 = (
-        "bigram_lm_score",         # D79: stupid-backoff LM scoring
-        "stream_sample_weighted",  # B29: mergeable bottom-k sample state
-        "sample_weighted",       # D78: deterministic weighted sample
-        "stream_corpus_filter",  # B28: streaming ingest quality gate
-        "stream_k_anonymity",    # B27: streaming privacy monitor
-        "split_leakage_audit",   # D77: eval-hygiene leakage audit
-        "contrastive_pairs",     # D76: triplet mining for embedding training
-        "k_anonymity_audit",     # C68: re-identification risk audit
-        "corpus_card",           # D75: per-source dataset card
-        "stream_token_feed",     # B26: streaming tokenize->pack feed
-        "media_binary_ingest",   # E17: binaryFile-source asset ingest
-        "stream_late_routing",   # B25: watermark late-data side-output
-        "bm25_topk",             # D74: integer-quantized BM25 retrieval
-        "pagerank_parts",        # C67: integer-exact 8-round PageRank
-        "approx_stats_bounds",   # C14 companion: sketch bounds verdict
-        "image_dedup",           # D70: dHash near-dup over the decode path
-        "audio_dedup",           # D71: sign-of-delta fingerprint twin
-        "video_dedup_pairs",     # D72: frame-dHash parity fingerprint
-        "media_dedup_clusters",  # D73: CC over the image pair graph
-        "stream_cdc_versioned",  # B23: CDC into E14 versioned snapshots
-        "stream_media_dedup",    # B24: incremental perceptual probe
-        "bpe_train",             # D47: depth 6 -> 24 (new output)
-        "bpe_encode",            # D52: same
+    # FIRST (CLAUDE.md). The r11 driver burned its whole 50-row head green
+    # (new_r11 + stale_r7 + 22 of green_r8); 28 green_r8 entries slipped to
+    # r12 as designed. So:
+    #   1. new_r12 (2): dedup_substring (D80, maximal exact-substring
+    #      spans — the Lee et al. 2022 ExactSubstr artifact via
+    #      gaps-and-islands over positional-gram pair matches) and
+    #      kcore_parts (C69, fixed-round onion-layer k-core peel of the
+    #      co-purchase graph, integer-exact like pagerank_parts) are
+    #      brand new this round;
+    #   2. stale_r8 (28): the r11 budget slippage — newest green row is
+    #      r8, the oldest block in the ledger and the r11 verdict's
+    #      designated r12 head (streaming core block + the r8
+    #      relational/sampling tail);
+    #   3. green_r9 (49): after the head burns, no oracle-checkable
+    #      entry's newest row predates r9; remaining budget starts here
+    #      per the r11 verdict's "done" criterion.
+    # Head = 2+28+49 = 79 vs the ~50 budget; slippage (if any) falls on the
+    # green_r9 tail, never a new or r8-stale entry.
+    new_r12 = (
+        "dedup_substring",  # D80: suffix-array-style maximal dup spans
+        "kcore_parts",      # C69: onion-layer k-core peel
     )
-    stale_r7 = (
-        "span_trim", "dsir_select", "decontaminate_bloom",
-        "benchmark_leakage", "training_pipeline",
+    stale_r8 = (
+        "sessionize", "stream_tumbling", "stream_hopping", "stream_dedup",
+        "stream_stateful", "stream_stream_join", "stream_static_join",
+        "stream_ohlc", "stream_dedup_incremental", "task_pipeline",
+        "anomaly_zscore", "asof_cogroup", "curriculum_mix", "epoch_shuffle",
+        "grouping_sets_revenue", "json_props_stats", "key_skew_profile",
+        "line_dedup", "ngram_novelty", "price_discount_corr",
+        "retention_cohorts", "salted_skew_agg", "sample_temperature",
+        "source_mix", "source_vocab_overlap", "tfidf_top_terms",
+        "token_count", "train_test_split",
     )
-    green_r8 = (
-        "q1_pricing_summary", "q3_unshipped_revenue", "q4_order_priority",
-        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "q14_promo_revenue", "q2_min_cost_supplier", "q11_important_parts",
-        "dedup_exact", "dedup_minhash", "dedup_simhash",
-        "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce",
-        "minhash_containment", "containment_chains", "embedding_stats",
-        "embedding_quantize", "multimodal_features", "mv_incremental_refresh",
-        "table_diff", "line_dedup", "epoch_shuffle", "curriculum_mix",
-        "sample_temperature", "train_test_split", "source_mix",
-        "source_vocab_overlap", "ngram_novelty", "tfidf_top_terms",
-        "token_count", "anomaly_zscore",
-        "asof_cogroup", "grouping_sets_revenue", "json_props_stats",
-        "key_skew_profile", "price_discount_corr", "retention_cohorts",
-        "salted_skew_agg", "sessionize", "stream_tumbling", "stream_hopping",
-        "stream_dedup", "stream_stateful", "stream_stream_join",
-        "stream_static_join", "stream_ohlc", "stream_dedup_incremental",
-        "task_pipeline",
+    green_r9 = (
+        "q5_local_supplier", "q6_forecast", "q10_returned",
+        "q12_delay_priority", "q13_order_distribution", "q15_top_supplier",
+        "q17_small_qty_revenue", "q18_large_orders", "q19_discount_revenue",
+        "q21_waiting_suppliers", "topk_orders_per_customer",
+        "running_revenue", "event_deltas", "rollup_revenue",
+        "cube_lineitem", "customers_with_orders", "customers_without_orders",
+        "distinct_parts_per_supplier", "event_type_pivot",
+        "asof_purchase_click", "clicks_before_purchase", "set_ops_customers",
+        "explode_words", "daily_revenue", "scd2_history",
+        "supplier_peak_load", "spending_percentiles", "time_weighted_avg",
+        "ohlc_bars", "session_overlaps", "ann_lsh_buckets", "sketch_kmv",
+        "text_stats", "lang_id", "doc_fingerprint", "token_entropy",
+        "unigram_logprob", "vocab_topk", "bigram_counts", "decontaminate",
+        "doc_chunks", "repetition_stats", "sequence_pack",
+        "dedup_incremental", "dedup_simhash_pairs", "curriculum_quota",
+        "stream_cdc_apply", "stream_outer_join", "stream_session_ttl",
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
@@ -120,9 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 retrieval, governance, streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*new_r11, *stale_r7, *green_r8):
+    for k in (*new_r12, *stale_r8, *green_r9):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
-    out.update(registry)  # r9/r10-green remainder; first-insertion order wins
+    out.update(registry)  # r10/r11-green remainder; first-insertion order wins
     return out
 
 

@@ -1429,6 +1429,157 @@ WHERE (CASE WHEN r.cand1 <> s.doc_b THEN r.cand1 ELSE r.cand2 END)
 """
 
 
+# --- D80: maximal exact-substring dedup (suffix-array-style) -----------------
+
+#: minimum duplicated-span length in tokens to report (Lee et al. 2022,
+#: arXiv:2107.06499 use 50 tokens as the ExactSubstr threshold)
+SUBSTR_MIN_TOKENS = 50
+
+#: chaining guard: grams occurring more than this many times corpus-wide are
+#: excluded from pair chaining (a gram with occ occurrences fans out to
+#: occ^2 pair rows — the dedup_minhash giant-bucket posture, mirrored into
+#: the oracle so both engines split runs identically). At the shipped SFs
+#: max occ is 4, so the cap is inert locally; at 100 TB it bounds the
+#: boilerplate-gram blowup the same way Lee et al.'s practical filters do.
+SUBSTR_OCC_CAP = 16
+
+
+def dedup_substring_frame(
+    docs_in: DataFrame,
+    min_tokens: int = SUBSTR_MIN_TOKENS,
+    occ_cap: int = SUBSTR_OCC_CAP,
+) -> DataFrame:
+    """All maximal cross-document exact-substring duplicates of
+    ``min_tokens`` or more tokens in a (doc_id, text) frame — the
+    variable-length ExactSubstr artifact of Lee et al. 2022
+    (arXiv:2107.06499 §4), computed WITHOUT a suffix array: a maximal
+    equal token run A[s..s+n) == B[t..t+n) with n >= {SPAN_W} appears as
+    exactly the consecutive positional {SPAN_W}-gram matches
+    s..s+n-{SPAN_W} at constant offset s-t, and maximality is the island
+    boundary (the gram before/after the run cannot match, its first/last
+    token differs). So for spans >= the gram width the gaps-and-islands
+    reconstruction is EXACT, not approximate — the fixed-window
+    machinery D50/D59 share only yields coverage masks; this recovers
+    the spans themselves with their true variable lengths.
+
+    Shape: positional postings (shared stage, lineage-cut) → occurrence
+    census per gram hash → pair join restricted to grams with
+    2..{occ_cap} occurrences (equi-join on the 60-bit hash, never
+    all-pairs; the cap is the hot-gram star-routing guard) → one
+    (doc_a, doc_b, offset)-keyed window for the island ids → one groupBy
+    per island → spans >= min_tokens joined back to doc_a's text for a
+    verification hash of the actual span. Shuffles: postings census,
+    pair join, island window/groupBy, one doc-keyed text join — all
+    equi-keyed; per-group state bounded by doc length.
+
+    Output: (doc_a, doc_b, start_a, start_b, len_tokens, span_h) — 1-based
+    token offsets, span_h = portable hash of the duplicated text sliced
+    from doc_a (both engines must extract the identical tokens, so a
+    positional bookkeeping slip cannot hash-match). 60-bit gram-hash
+    collisions could chain a false match — the accepted portable-hash
+    class (see line_dedup's birthday note); the verification hash keeps
+    any such row identical across engines.
+    """
+    from frolyk_spark.functions.lineage import cut_lineage
+    from frolyk_spark.operators.pipeline import SPAN_W, _positional_postings_frame
+
+    docs, postings = _positional_postings_frame(docs_in)
+    occ = postings.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    chainable = occ.where(
+        (F.col("occ") >= 2) & (F.col("occ") <= occ_cap)
+    ).select("h")
+    # computed frame feeding both sides of a self-join -> cut (CLAUDE.md);
+    # tiny after the shared-gram filter (~1% of postings)
+    post = cut_lineage(
+        postings.join(chainable, "h").select("h", "doc_id", "pos")
+    )
+    a = post.select("h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"))
+    b = post.select("h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa",
+            (F.col("pa") - F.col("pb")).alias("off"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "off", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            (F.count(F.lit(1)) + (SPAN_W - 1)).cast("bigint").alias("len_tokens"),
+        )
+        .where(F.col("len_tokens") >= min_tokens)
+    )
+    span_txt = F.expr(
+        "concat_ws(' ', slice(split(text, ' '), start_a, len_tokens))"
+    )
+    return (
+        runs.join(docs.select(F.col("doc_id").alias("doc_a"), "text"), "doc_a")
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            F.col("start_a").cast("bigint").alias("start_a"),
+            (F.col("start_a") - F.col("off")).cast("bigint").alias("start_b"),
+            "len_tokens",
+            portable_hash_expr(span_txt).alias("span_h"),
+        )
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    )
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact-substring duplicates (>= {SUBSTR_MIN_TOKENS} tokens)
+    over the documents table — see dedup_substring_frame."""
+    return dedup_substring_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _dedup_substring_sql() -> str:
+    from frolyk_spark.operators.pipeline import SPAN_W, _postings_sql_ctes
+
+    w = SPAN_W
+    return f"""
+WITH {_postings_sql_ctes()},
+occ AS (SELECT h, count(*) AS occ FROM postings GROUP BY h),
+chainable AS (
+  SELECT h FROM occ WHERE occ BETWEEN 2 AND {SUBSTR_OCC_CAP}
+),
+post AS (
+  SELECT p.h, p.doc_id, p.pos FROM postings p JOIN chainable USING (h)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         a.pos - b.pos AS off
+  FROM post a JOIN post b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, off, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, off
+                                 ORDER BY pa) AS grp
+  FROM pairs
+),
+runs AS (
+  SELECT doc_a, doc_b, off, min(pa) AS start_a,
+         CAST(count(*) + {w - 1} AS BIGINT) AS len_tokens
+  FROM isl GROUP BY doc_a, doc_b, off, grp
+)
+SELECT CAST(r.doc_a AS BIGINT) AS doc_a,
+       CAST(r.doc_b AS BIGINT) AS doc_b,
+       CAST(r.start_a AS BIGINT) AS start_a,
+       CAST(r.start_a - r.off AS BIGINT) AS start_b,
+       r.len_tokens,
+       {portable_hash_sql("array_to_string(t.ws[r.start_a : r.start_a + r.len_tokens - 1], ' ')")} AS span_h
+FROM runs r JOIN t ON t.doc_id = r.doc_a
+WHERE r.len_tokens >= {SUBSTR_MIN_TOKENS}
+ORDER BY doc_a, doc_b, start_a, start_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     # D76: triplet mining over the persisted signature + ring machinery
@@ -1446,6 +1597,9 @@ QUERIES = {
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     # also model-checked against union-find in tests/test_dedup_clusters.py
     "dedup_clusters": dedup_clusters,
+    # D80: also brute-force-checked against a diagonal-scan reference in
+    # tests/test_dedup_substring.py
+    "dedup_substring": dedup_substring,
 }
 
 ORACLES = {
@@ -1465,4 +1619,5 @@ ORACLES = {
     # propagation fixpoint (upgraded from no-oracle in r3)
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
+    "dedup_substring": _dedup_substring_sql(),
 }

@@ -215,10 +215,148 @@ WHERE rank_pos <= {PR_TOP_K}
 """
 
 
+# --- C69: k-core peel decomposition ------------------------------------------
+
+#: fixed peel rounds; the observed fixpoint on the shipped SFs is <= 8
+#: (sf0.001: 3, sf0.01/sf0.1: 8-round avalanche collapse), so 12 carries a
+#: 50% margin. A graph needing more rounds would get the 12-round truncated
+#: peel — still bit-identical across engines (both run exactly 12), just
+#: documented-partial, the pagerank fixed-round posture.
+KCORE_ROUNDS = 12
+
+#: threshold as a scale-free multiple of mean degree (CLAUDE.md: never a
+#: fraction-of-total, never an absolute literal): k = (3 * (m div n)) div 4.
+#: Probed on the shipped SFs: 3/4 of mean sits exactly at the avalanche
+#: edge of this tight-degree random graph — sf0.001 peels 13 nodes over 3
+#: rounds and keeps a 187-node core; sf0.01/sf0.1 cascade to empty over 8
+#: rounds — both regimes visible, nothing degenerate-constant.
+KCORE_NUM, KCORE_DEN = 3, 4
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion-layer k-core peel of the co-purchase graph (C69): remove all
+    nodes of residual degree < k simultaneously, round after round, and
+    record for every part WHEN it fell (removed_round 1..{KCORE_ROUNDS};
+    0 = survives in the k-core) and its frozen degree at that moment
+    (survivors report their final within-core degree). The per-round
+    layer index is the "onion decomposition" curation signal (a node
+    peeled early is weakly embedded no matter how high its raw degree);
+    membership at fixpoint is the classic k-core.
+
+    k is derived IN-QUERY as the scale-free (3/4)·(mean degree) — floor
+    arithmetic on BIGINTs end to end, so Spark and DuckDB agree
+    bit-for-bit with no rounding policy (the pagerank_parts exactness
+    posture; oracle = one MATERIALIZED CTE per round).
+
+    Scale: reuses the persisted co-purchase edge table (E4 pattern);
+    per round, two equi-joins of the O(#parts) alive set against the
+    edge table + one groupBy partial count — fixed {KCORE_ROUNDS}-round
+    shuffle count, no convergence probe, no driver-side graph state;
+    rank frame lineage-cut per round so plan depth stays constant.
+    """
+    edges = persisted_copurchase_edges(spark, sf_dir).persist()
+    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    k1 = deg0.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("deg").alias("m")
+    ).select(
+        F.expr(f"(({KCORE_NUM} * (m div n)) div {KCORE_DEN})").alias("k")
+    )
+    state = (
+        deg0.select(F.col("src").alias("part"), "deg")
+        .crossJoin(F.broadcast(k1))
+        .withColumn("rr", F.lit(None).cast("bigint"))
+    )
+    for t in range(1, KCORE_ROUNDS + 1):
+        # stamp this round's casualties, freezing their residual degree
+        state = state.withColumn(
+            "rr",
+            F.when(F.col("rr").isNull() & (F.col("deg") < F.col("k")), F.lit(t))
+            .otherwise(F.col("rr")),
+        )
+        alive = state.where(F.col("rr").isNull()).select("part")
+        newdeg = (
+            edges.join(alive.withColumnRenamed("part", "src"), "src")
+            .join(alive.withColumnRenamed("part", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+            .withColumnRenamed("src", "part")
+        )
+        state = cut_lineage(
+            state.join(newdeg, "part", "left").select(
+                "part",
+                F.when(
+                    F.col("rr").isNull(), F.coalesce("nd", F.lit(0)).cast("bigint")
+                ).otherwise(F.col("deg")).alias("deg"),
+                "k",
+                "rr",
+            )
+        )
+    edges.unpersist()
+    return state.select(
+        F.col("part").cast("bigint").alias("part_key"),
+        F.coalesce("rr", F.lit(0)).cast("bigint").alias("removed_round"),
+        F.col("deg").cast("bigint").alias("last_deg"),
+    ).orderBy("part_key")
+
+
+def _kcore_sql() -> str:
+    """Unrolled-CTE oracle, one MATERIALIZED round each (the pagerank
+    pattern). Alive after round t = (rr still NULL) AND (deg >= k); the
+    stamped round freezes deg, survivors get their recount."""
+    rounds = []
+    prev = "s0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT s.part,
+         CAST(CASE WHEN s.rr IS NULL AND s.deg >= s.k
+                   THEN coalesce(nd.nd, 0) ELSE s.deg END AS BIGINT) AS deg,
+         s.k,
+         CASE WHEN s.rr IS NULL AND s.deg < s.k THEN {t} ELSE s.rr END AS rr
+  FROM {prev} s
+  LEFT JOIN (
+    SELECT e.src AS part, CAST(count(*) AS BIGINT) AS nd
+    FROM e
+    JOIN {prev} a ON a.part = e.src AND a.rr IS NULL
+                 AND a.deg >= (SELECT k FROM kk)
+    JOIN {prev} b ON b.part = e.dst AND b.rr IS NULL
+                 AND b.deg >= (SELECT k FROM kk)
+    GROUP BY e.src
+  ) nd USING (part)
+)""")
+        prev = f"s{t}"
+    chain = ",".join(rounds)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+deg0 AS MATERIALIZED (
+  SELECT src AS part, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+kk AS MATERIALIZED (
+  SELECT CAST((({KCORE_NUM} * (sum(deg) // count(*))) // {KCORE_DEN})
+              AS BIGINT) AS k
+  FROM deg0),
+s0 AS MATERIALIZED (
+  SELECT part, deg, kk.k, CAST(NULL AS BIGINT) AS rr
+  FROM deg0 CROSS JOIN kk),{chain}
+SELECT CAST(part AS BIGINT) AS part_key,
+       CAST(coalesce(rr, 0) AS BIGINT) AS removed_round,
+       CAST(deg AS BIGINT) AS last_deg
+FROM {prev}
+ORDER BY part_key
+"""
+
+
 QUERIES = {
     "pagerank_parts": pagerank_parts,
+    "kcore_parts": kcore_parts,
 }
 
 ORACLES = {
     "pagerank_parts": _pagerank_sql(),
+    "kcore_parts": _kcore_sql(),
 }

@@ -609,18 +609,19 @@ ORDER BY doc_id
 SPAN_W = 8
 
 
-def _span_hit_frames(spark: SparkSession, sf_dir: str):
-    """Shared candidate machinery for D50/D59: returns (docs, hits) where
-    docs = (doc_id, text, n_tokens) and hits = one row per positional
-    {SPAN_W}-gram occurrence whose gram also occurs in ANOTHER document,
-    with its covered token interval [pos, e]. Postings are lineage-cut
-    (they feed both the df aggregate and the hit join — the CLAUDE.md
-    self-join rule; without the cut the per-gram md5 explode runs once
-    per plan arm). Hot (boilerplate) grams bound their postings by doc
-    count exactly as in ngram_novelty; AQE skew-join covers the join."""
+def _positional_postings_frame(docs_in: DataFrame):
+    """Positional {SPAN_W}-gram postings of a (doc_id, text) frame:
+    returns (docs, postings) where docs = (doc_id, text, n_tokens) and
+    postings = one row per positional gram occurrence
+    (doc_id, n_tokens, pos, h). Postings are lineage-cut (every consumer
+    feeds them into >=2 plan arms — the df/occ aggregate AND the hit or
+    pair join — the CLAUDE.md self-join rule; without the cut the
+    per-gram md5 explode runs once per plan arm). Shared by D50/D59
+    (_span_hit_frames) and D80 (dedup_substring)."""
     from frolyk_spark.functions.lineage import cut_lineage
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    spark = docs_in.sparkSession
+    docs = docs_in.select(
         "doc_id", "text", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
     pos_grams = (
@@ -637,6 +638,19 @@ def _span_hit_frames(spark: SparkSession, sf_dir: str):
             F.col("pg.pos").cast("bigint").alias("pos"),
             F.expr(portable_hash_spark_sql("pg.g")).alias("h"),
         )
+    )
+    return docs, postings
+
+
+def _span_hit_frames(spark: SparkSession, sf_dir: str):
+    """Shared candidate machinery for D50/D59: returns (docs, hits) where
+    docs = (doc_id, text, n_tokens) and hits = one row per positional
+    {SPAN_W}-gram occurrence whose gram also occurs in ANOTHER document,
+    with its covered token interval [pos, e]. Hot (boilerplate) grams
+    bound their postings by doc count exactly as in ngram_novelty; AQE
+    skew-join covers the join."""
+    docs, postings = _positional_postings_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     shared = (
         postings.select("h", "doc_id")
@@ -655,9 +669,10 @@ def _span_hit_frames(spark: SparkSession, sf_dir: str):
     return docs, hits
 
 
-def _span_hits_sql_ctes() -> str:
-    """The matching DuckDB CTE block (t/p/postings/shared/hits) — ONE
-    definition so the D50 and D59 oracles can never drift apart."""
+def _postings_sql_ctes() -> str:
+    """The DuckDB twin of :func:`_positional_postings_frame`
+    (t/p/postings) — ONE definition shared by the D50/D59 span oracles
+    and the D80 dedup_substring oracle so they can never drift apart."""
     w = SPAN_W
     return f"""t AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -674,7 +689,14 @@ postings AS (
   SELECT doc_id, n_tokens, cast(pg.pos AS BIGINT) AS pos,
          {portable_hash_sql('pg.g')} AS h
   FROM p
-),
+)"""
+
+
+def _span_hits_sql_ctes() -> str:
+    """The matching DuckDB CTE block (t/p/postings/shared/hits) — ONE
+    definition so the D50 and D59 oracles can never drift apart."""
+    w = SPAN_W
+    return f"""{_postings_sql_ctes()},
 shared AS (
   SELECT h FROM (
     SELECT h, count(*) AS df

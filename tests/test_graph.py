@@ -63,3 +63,55 @@ def test_pagerank_plan_shape(spark, sf_dir):
     # audit still proves the top-K window runs without a cartesian and the
     # result is a bounded 3-column projection
     assert_scale_shape(pagerank_parts(spark, sf_dir), forbid_cartesian=True)
+
+
+def _python_kcore(sf_dir: str):
+    from frolyk_spark.operators.graph import (
+        KCORE_DEN, KCORE_NUM, KCORE_ROUNDS,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order = defaultdict(set)
+    for ok, pk in zip(tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()):
+        by_order[ok].add(pk)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    n = len(adj)
+    m = sum(len(vs) for vs in adj.values())
+    k = (KCORE_NUM * (m // n)) // KCORE_DEN
+    deg = {u: len(adj[u]) for u in adj}
+    rr = {u: 0 for u in adj}
+    alive = set(adj)
+    for t in range(1, KCORE_ROUNDS + 1):
+        drop = {u for u in alive if deg[u] < k}
+        for u in drop:
+            rr[u] = t  # degree frozen at removal
+        alive -= drop
+        deg.update(
+            (u, sum(1 for v in adj[u] if v in alive)) for u in alive
+        )
+    return sorted((u, rr[u], deg[u]) for u in adj)
+
+
+def test_kcore_matches_python_reference(spark, sf_dir):
+    from frolyk_spark.operators.graph import kcore_parts
+
+    got = sorted(tuple(row) for row in kcore_parts(spark, sf_dir).collect())
+    want = _python_kcore(sf_dir)
+    assert got == want
+    # the peel actually fired (some node removed in round >= 1)
+    assert any(r[1] >= 1 for r in want)
+
+
+def test_kcore_plan_shape(spark, sf_dir):
+    from frolyk_spark.operators.graph import kcore_parts
+    from frolyk_spark.plans.inspect import assert_scale_shape
+
+    assert_scale_shape(kcore_parts(spark, sf_dir), forbid_cartesian=True)
