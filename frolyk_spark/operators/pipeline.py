@@ -402,7 +402,8 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def packed_offsets(
-    toks: DataFrame, *, base_offset: int = 0
+    toks: DataFrame, *, base_offset: int = 0,
+    totals: dict[int, int] | None = None,
 ) -> tuple[DataFrame, int]:
     """The reusable packing core (factored out in r11 for the streaming
     token feed): exact global start offsets for a (doc_id, n_tokens,
@@ -411,13 +412,19 @@ def packed_offsets(
     stream passes its running total; a one-shot pass passes 0). Returns
     (offsets frame, end offset) — the end offset is already known from
     the bucket totals the prefix phase collected, so a streaming caller
-    advances its state without a second aggregation job."""
+    advances its state without a second aggregation job.
+
+    ``totals`` (bucket -> token sum, bucket = ord_key div _BUCKET_WIDTH)
+    lets a caller that already ran a per-bucket aggregate for its own
+    purposes (B26's contract check) hand the phase-1 result in and skip
+    the collect job entirely — the r11 jobs-per-batch census."""
     spark = toks.sparkSession
     toks = toks.withColumn("bucket", (F.col("ord_key") / _BUCKET_WIDTH).cast("int"))
-    totals = {
-        r["bucket"]: r["tot"]
-        for r in toks.groupBy("bucket").agg(F.sum("n_tokens").alias("tot")).collect()
-    }
+    if totals is None:
+        totals = {
+            r["bucket"]: r["tot"]
+            for r in toks.groupBy("bucket").agg(F.sum("n_tokens").alias("tot")).collect()
+        }
     prefix, acc = [], int(base_offset)
     for b in range(PACK_BUCKETS):
         prefix.append((b, acc))

@@ -2222,9 +2222,9 @@ def stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash within the batch (one window) then anti-joins the persisted
     seen-hash state (hashes of all PRIOR batches — the B17
     signature-append shape: old hashes are never re-shuffled against
-    each other, state grows by exactly the new batch); kept rows land in
-    the per-batch result sink and the batch's hashes append to state,
-    both idempotent under redelivery.
+    each other, state grows by exactly the new batch); kept rows and the
+    batch's state-advancing hashes land in ONE side-partitioned write
+    (r12 job fusion), idempotent under redelivery.
     """
     from frolyk_spark.functions.hashing import portable_hash_expr
     from frolyk_spark.operators.text import (
@@ -2272,17 +2272,17 @@ def stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("rn") == 1)
                 .drop("rn")
             )
+            rows_root = os.path.join(root, "rows")
             seen_dirs = [
-                os.path.join(root, "seen", d)
+                os.path.join(rows_root, d, "side=seen")
                 for d in (
-                    os.listdir(os.path.join(root, "seen"))
-                    if os.path.isdir(os.path.join(root, "seen"))
-                    else []
+                    os.listdir(rows_root) if os.path.isdir(rows_root) else []
                 )
                 if d.startswith("b") and int(d[1:]) < batch_id
+                and os.path.isdir(os.path.join(rows_root, d, "side=seen"))
             ]
             if seen_dirs:
-                seen = spark.read.parquet(*seen_dirs)
+                seen = spark.read.parquet(*seen_dirs).select("th")
                 firsts = firsts.join(seen, "th", "left_anti")
             stats = text_stats_frame(firsts).select("doc_id", "quality_score")
             langs = lang_id_frame(firsts).select("doc_id", "predicted_lang")
@@ -2296,16 +2296,33 @@ def stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .select("doc_id", "predicted_lang", "quality_score")
             )
-            kept.write.mode("overwrite").parquet(
-                os.path.join(root, "out", f"b{batch_id}")
-            )
-            # state append AFTER the result write: a crash between the
-            # two replays the batch, which overwrites both idempotently.
-            # ALL first-seen hashes advance state, kept or filtered — a
-            # quality-rejected copy still makes later duplicates drop,
-            # exactly like the batch operator's window-then-filter order
-            firsts.select("th").write.mode("overwrite").parquet(
-                os.path.join(root, "seen", f"b{batch_id}")
+            # ONE partitioned write carries BOTH the kept rows and the
+            # seen-hash state append (r12 job fusion: two filtered writes
+            # were two jobs/batch; redelivery overwrites the whole batch
+            # dir idempotently). ALL first-seen hashes advance state,
+            # kept or filtered — a quality-rejected copy still makes
+            # later duplicates drop, exactly like the batch operator's
+            # window-then-filter order.
+            (
+                kept.select(
+                    F.lit("kept").alias("side"),
+                    "doc_id",
+                    "predicted_lang",
+                    F.col("quality_score").cast("double").alias("quality_score"),
+                    F.lit(None).cast("bigint").alias("th"),
+                )
+                .unionByName(
+                    firsts.select(
+                        F.lit("seen").alias("side"),
+                        F.lit(None).cast("bigint").alias("doc_id"),
+                        F.lit(None).cast("string").alias("predicted_lang"),
+                        F.lit(None).cast("double").alias("quality_score"),
+                        "th",
+                    )
+                )
+                .write.partitionBy("side")
+                .mode("overwrite")
+                .parquet(os.path.join(rows_root, f"b{batch_id}"))
             )
         finally:
             batch.unpersist()
@@ -2328,16 +2345,19 @@ def stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(ckpt, ignore_errors=True)
 
-    out_root = os.path.join(root, "out")
+    rows_root = os.path.join(root, "rows")
     parts = sorted(
-        os.path.join(out_root, d)
-        for d in (os.listdir(out_root) if os.path.isdir(out_root) else [])
+        os.path.join(rows_root, d, "side=kept")
+        for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
+        if os.path.isdir(os.path.join(rows_root, d, "side=kept"))
     )
     if not parts:
         return spark.createDataFrame(
             [], "doc_id bigint, predicted_lang string, quality_score double"
         )
-    return spark.read.parquet(*parts)
+    return spark.read.parquet(*parts).select(
+        "doc_id", "predicted_lang", "quality_score"
+    )
 
 
 # --- B27: streaming k-anonymity monitor ----------------------------------------
@@ -2485,10 +2505,11 @@ def stream_token_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts downstream offsets).
 
     Per batch: segment the batch's DISTINCT words (Arrow-batched
-    mapInPandas), join counts back, pack from the running base, ONE
-    partitioned manifest write (batch_id recovered by partition
-    discovery), advance the offset state. 2 Spark jobs + a text rename
-    per batch.
+    mapInPandas), join counts back, run ONE per-bucket aggregate that
+    serves both the content contract and packed_offsets' phase-1 totals
+    (the r12 job fusion), pack from the running base, ONE partitioned
+    manifest write (batch_id recovered by partition discovery), advance
+    the offset state. 2 Spark jobs + a text rename per batch.
 
     Oracle: per-doc trained-piece counts from the unrolled BPE chain
     (vocab.bpe_doc_token_counts_ctes — the same SQL the encode oracle
@@ -2496,7 +2517,7 @@ def stream_token_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-batch offset continuity collapses to a single global order.
     """
     from frolyk_spark.functions.hashing import portable_hash_spark_sql
-    from frolyk_spark.operators.pipeline import packed_offsets
+    from frolyk_spark.operators.pipeline import _BUCKET_WIDTH, packed_offsets
     from frolyk_spark.operators.vocab import bpe_apply_kernel, persisted_bpe_merges
     from frolyk_spark.sources.streams import file_stream, stage_keyed_file_drop
 
@@ -2545,26 +2566,43 @@ def stream_token_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(portable_hash_spark_sql("cast(doc_id AS string)")),
                 )
                 .withColumn("mod", F.expr(f"doc_id % {TOKFEED_PARTS}"))
+                .withColumn(
+                    "bucket", (F.col("ord_key") / _BUCKET_WIDTH).cast("int")
+                )
             )
-            # three actions consume toks (contract aggregate, the prefix
-            # phase inside packed_offsets, the manifest write) — persist
-            # the one-row-per-doc frame or each would re-run the
+            # two actions consume toks (the fused contract+prefix
+            # aggregate, the manifest write) — persist the
+            # one-row-per-doc frame or each would re-run the
             # segmentation join
             toks.persist()
             try:
-                # contract first — packing is wasted on a desynced batch
-                mods = toks.agg(
-                    F.min("mod"), F.max("mod"), F.count(F.lit(1))
-                ).collect()[0]
-                if mods[2] and not (
-                    mods[0] == mods[1] == batch_id % TOKFEED_PARTS
+                # ONE per-bucket aggregate serves BOTH the content
+                # contract and packed_offsets' phase-1 bucket totals —
+                # the r11 jobs-per-batch census (3 jobs/batch -> 2;
+                # contract still evaluated before any write)
+                stats = toks.groupBy("bucket").agg(
+                    F.sum("n_tokens").alias("tot"),
+                    F.min("mod").alias("lo"),
+                    F.max("mod").alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()
+                n = sum(r["n"] for r in stats)
+                if n and not all(
+                    r["lo"] == r["hi"] == batch_id % TOKFEED_PARTS
+                    for r in stats
                 ):
+                    lo = min(r["lo"] for r in stats)
+                    hi = max(r["hi"] for r in stats)
                     raise RuntimeError(
                         f"batch {batch_id} violated the content contract: "
-                        f"doc mods [{mods[0]}..{mods[1]}]"
+                        f"doc mods [{lo}..{hi}]"
                     )
                 base = _read_base(batch_id)
-                packed, end = packed_offsets(toks.drop("mod"), base_offset=base)
+                packed, end = packed_offsets(
+                    toks.drop("mod"),
+                    base_offset=base,
+                    totals={r["bucket"]: r["tot"] for r in stats},
+                )
                 packed.write.mode("overwrite").parquet(
                     os.path.join(root, "packed", f"batch_id={batch_id}")
                 )

@@ -1498,9 +1498,16 @@ def test_stream_corpus_filter_equals_batch(spark, sf_dir):
     got = {tuple(r) for r in got_df.collect()}
     want = {tuple(r) for r in corpus_filter(spark, sf_dir).collect()}
     assert got == want and want
+    # files live at rows/bN/side=kept/part-*.parquet since the r12 write
+    # fusion: three levels up is the rows root holding one bN per batch,
+    # and each batch dir must carry BOTH sides (result + state append)
     src = got_df.inputFiles()[0].removeprefix("file://")
-    out = os.path.dirname(os.path.dirname(src))
-    assert len([d for d in os.listdir(out) if d.startswith("b")]) >= 2
+    out = os.path.dirname(os.path.dirname(os.path.dirname(src)))
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("b")]
+    assert len(batch_dirs) >= 2
+    assert all(
+        os.path.isdir(os.path.join(out, d, "side=seen")) for d in batch_dirs
+    )
 
 
 def test_stream_sample_weighted_matches_batch(spark, sf_dir):
