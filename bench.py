@@ -158,6 +158,10 @@ HEADLINE = [
     # r12 additions
     "dedup_substring",
     "kcore_parts",
+    "triangle_parts",
+    "heavy_hitters_cms",
+    "vocab_growth",
+    "stream_asof_join",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

@@ -351,12 +351,155 @@ ORDER BY part_key
 """
 
 
+# --- C71: triangle counting (degree-oriented wedge check) ---------------------
+
+
+def triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation over the co-purchase graph (C71):
+    for every part its degree, the number of triangles it sits in, and its
+    open-wedge count deg*(deg-1) div 2 — the integer numerator/denominator
+    of the local clustering coefficient, left un-divided per the
+    no-ratios-in-the-compare-path rule. Triangle density vs wedge count is
+    the classic "community part vs hub part" curation signal the graph
+    block exists for.
+
+    Algorithm (the standard distributed triangle count, e.g. Suri &
+    Vassilvitskii "Counting Triangles and the Curse of the Last Reducer",
+    WWW'11): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one. Out-degree under this orientation is
+    O(sqrt(m)) regardless of skew, so the wedge join below never
+    explodes on a hub the way a naive neighbor self-join would — the
+    100 TB posture. Wedges (a->b, a->c) with order(b) < order(c) are
+    generated by ONE equi-join of the oriented table with itself on the
+    tail, then closed by ONE equi-join probing edge (b, c); orientation
+    consistency means a closing edge can only appear as lo=b, hi=c.
+
+    All arithmetic is BIGINT (counts only) — bit-exact across engines by
+    construction, the pagerank/kcore exactness posture.
+    """
+    edges = persisted_copurchase_edges(spark, sf_dir)
+    deg = cut_lineage(
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .withColumnRenamed("src", "part")
+    )
+    und = edges.where(F.col("src") < F.col("dst"))
+    withdeg = (
+        und.join(
+            deg.select(F.col("part").alias("src"), F.col("deg").alias("sdeg")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("part").alias("dst"), F.col("deg").alias("ddeg")),
+            "dst",
+        )
+    )
+    src_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    # oriented edge table feeds THREE join sides (both wedge legs + the
+    # closing probe) — cut or Spark recomputes the degree joins per side
+    o = cut_lineage(
+        withdeg.select(
+            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+            F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("hideg"),
+        )
+    )
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.lo") == F.col("e2.lo"))
+        .where(
+            (F.col("e1.hideg") < F.col("e2.hideg"))
+            | (
+                (F.col("e1.hideg") == F.col("e2.hideg"))
+                & (F.col("e1.hi") < F.col("e2.hi"))
+            )
+        )
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
+        )
+        .join(
+            e3,
+            (F.col("b") == F.col("e3.lo")) & (F.col("c") == F.col("e3.hi")),
+            "left_semi",
+        )
+    )
+    per_node = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    )
+    return (
+        deg.join(per_node, "part", "left")
+        .select(
+            F.col("part").cast("bigint").alias("part_key"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias("tri_count"),
+            F.expr("(deg * (deg - 1)) div 2").cast("bigint").alias("open_wedges"),
+        )
+        .orderBy("part_key")
+    )
+
+
+def _triangle_sql() -> str:
+    """Same degree orientation, wedge join, and closing probe in DuckDB —
+    counts only, exact by construction."""
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+deg AS MATERIALIZED (
+  SELECT src AS part, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+o AS MATERIALIZED (
+  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND p.src < p.dst)
+              THEN p.src ELSE p.dst END AS lo,
+         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND p.src < p.dst)
+              THEN p.dst ELSE p.src END AS hi,
+         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND p.src < p.dst)
+              THEN dd.deg ELSE ds.deg END AS hideg
+  FROM pr p
+  JOIN deg ds ON ds.part = p.src
+  JOIN deg dd ON dd.part = p.dst),
+tri AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM o e1
+  JOIN o e2 ON e1.lo = e2.lo
+           AND (e1.hideg < e2.hideg
+                OR (e1.hideg = e2.hideg AND e1.hi < e2.hi))
+  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.lo = e1.hi AND e3.hi = e2.hi)),
+pc AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS tri
+  FROM (SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY part)
+SELECT CAST(d.part AS BIGINT) AS part_key,
+       CAST(d.deg AS BIGINT) AS degree,
+       CAST(coalesce(pc.tri, 0) AS BIGINT) AS tri_count,
+       CAST((d.deg * (d.deg - 1)) // 2 AS BIGINT) AS open_wedges
+FROM deg d
+LEFT JOIN pc USING (part)
+ORDER BY part_key
+"""
+
+
 QUERIES = {
     "pagerank_parts": pagerank_parts,
     "kcore_parts": kcore_parts,
+    "triangle_parts": triangle_parts,
 }
 
 ORACLES = {
     "pagerank_parts": _pagerank_sql(),
     "kcore_parts": _kcore_sql(),
+    "triangle_parts": _triangle_sql(),
 }

@@ -794,8 +794,233 @@ d AS (
 )"""
 
 
+# --- D81: Count-Min-sketch heavy hitters ---------------------------------------
+
+#: sketch geometry: depth (independent hash rows) x width (buckets per row).
+#: Fixed and SF-independent — the whole point of a CMS is that state stays
+#: CMS_D*CMS_W cells no matter how many distinct words stream through it.
+CMS_D = 4
+CMS_W = 256
+#: heavy hitters reported (top-K by estimate, word tie-break)
+CMS_K = 50
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{CMS_K} corpus BIGRAMS by Count-Min-sketch estimate (D81), with
+    the exact count and the sketch's overcount alongside — the mergeable
+    fixed-size frequency sketch a 100 TB ingest keeps per shard and adds
+    together at the coordinator (Cormode & Muthukrishnan 2005), here
+    materialized once over the corpus so the estimate-vs-truth gap is
+    itself auditable. The domain is adjacent word pairs (the bigram_counts
+    kernel), not unigrams: the testdata vocabulary is a fixed 31 words at
+    every SF — unigrams would never collide in {CMS_D}x{CMS_W} cells and
+    the overcount column would be degenerately zero; the ~900-bigram
+    domain packs ~3.6 keys per bucket, so the sketch genuinely saturates
+    and real overcounts surface in the output.
+
+    Unlike approx_percentile/HLL (engine-specific buffers, no_oracle by
+    design), a CMS is deterministic given the hash family: cell (r, b)
+    holds the exact sum of counts of all keys hashing to b under row
+    r's salt. Built on the portable 60-bit md5, both engines reconstruct
+    the IDENTICAL sketch, so this entry is fully hash-green — the sketch
+    family's first exact-oracle member.
+
+    Scale shape: one bigram-count aggregate (shuffle = distinct bigrams),
+    a {CMS_D}x{CMS_W}-cell aggregate (bounded state — broadcast back by
+    construction, the genuinely-bounded exception to the no-broadcast
+    rule), one groupBy(word) min over {CMS_D} joined rows. No all-pairs
+    anywhere; the sketch is CMS_D*CMS_W cells at every SF.
+    """
+    from frolyk_spark.functions.hashing import portable_hash_expr
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    # the bigram_counts pair kernel: transform(array(...))[0] is the
+    # evaluation barrier binding split() once per row (CLAUDE.md)
+    pairs_expr = (
+        "transform(array(split(text, ' ')), ws -> "
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        "(a, b) -> concat(a, ' ', b)))[0]"
+    )
+    # pair counts feed both the cell aggregate and the estimate join —
+    # cut or Spark recomputes the corpus scan per side
+    wc = cut_lineage(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.expr(pairs_expr)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wb = wc.select(
+        "word",
+        "cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        portable_hash_expr(
+            F.concat(
+                F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("word")
+            )
+        )
+        % CMS_W,
+    )
+    cells = (
+        wb.groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("tot"))
+    )
+    return (
+        wb.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("word")
+        .agg(
+            F.min("tot").cast("bigint").alias("est_count"),
+            F.max("cnt").cast("bigint").alias("true_count"),
+            (F.min("tot") - F.max("cnt")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "word")
+        .limit(CMS_K)
+    )
+
+
+def _heavy_hitters_cms_sql() -> str:
+    h = portable_hash_sql("'cms' || CAST(r AS VARCHAR) || ':' || word")
+    return f"""
+WITH wc AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(2, len(ws) + 1),
+                                 i -> ws[i-1] || ' ' || ws[i])) AS w
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+  )
+  GROUP BY w),
+wb AS MATERIALIZED (
+  SELECT word, cnt, r, {h} % {CMS_W} AS bucket
+  FROM wc CROSS JOIN (SELECT unnest(range({CMS_D})) AS r)),
+cells AS MATERIALIZED (
+  SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS tot
+  FROM wb GROUP BY r, bucket)
+SELECT word,
+       CAST(min(c.tot) AS BIGINT) AS est_count,
+       CAST(max(wb.cnt) AS BIGINT) AS true_count,
+       CAST(min(c.tot) - max(wb.cnt) AS BIGINT) AS overcount
+FROM wb JOIN cells c USING (r, bucket)
+GROUP BY word
+ORDER BY est_count DESC, word
+LIMIT {CMS_K}
+"""
+
+
+# --- D82: Heaps-law vocabulary growth curve -------------------------------------
+
+#: fixed corpus-order buckets for the growth curve — scale-free by
+#: construction (each bucket is 1/VG_BUCKETS of the doc_id RANGE, derived
+#: in-query from min/max, never assuming density or 0-base)
+VG_BUCKETS = 20
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve over corpus order (D82):
+    split the doc_id range into {VG_BUCKETS} equal slices and report, per
+    slice, its doc and token volume plus the number of NEVER-SEEN-BEFORE
+    words it introduces, with running totals — the cumulative
+    tokens-vs-distinct-vocabulary curve that sizes tokenizer vocabularies
+    and detects corpus drift (a slice whose new-word rate jumps is a new
+    domain entering the feed).
+
+    The naive form (distinct-so-far per prefix) rescans the corpus per
+    point; this one is a single pass — a word's first occurrence is
+    min(doc_id) (ONE aggregate, shuffle = distinct words), and
+    "new words in slice b" is just a count over first occurrences. The
+    cumulative sums then run over the {VG_BUCKETS}-row bucket frame —
+    bounded state, so the unpartitioned window is O({VG_BUCKETS}), not a
+    corpus-wide single-partition sort.
+
+    All-integer output (counts and sums) — bit-exact across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bounds = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    span = "(mx - mn + 1)"
+    per_doc = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((doc_id - mn) * {VG_BUCKETS}) div {span}").alias("bucket"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_b"),
+            F.sum("n_toks").cast("bigint").alias("toks"),
+        )
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+        .crossJoin(F.broadcast(bounds))
+        .select(F.expr(f"((fd - mn) * {VG_BUCKETS}) div {span}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_words"))
+    )
+    spine = spark.range(VG_BUCKETS).select(F.col("id").cast("bigint").alias("bucket"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(per_doc, "bucket", "left")
+        .join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_docs_b", F.lit(0)).cast("bigint").alias("n_docs_b"),
+            F.coalesce("new_words", F.lit(0)).cast("bigint").alias("new_words"),
+            F.coalesce("toks", F.lit(0)).cast("bigint").alias("toks"),
+        )
+        .select(
+            "bucket",
+            "n_docs_b",
+            "new_words",
+            F.sum("toks").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("new_words").over(w).cast("bigint").alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH b AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS mn, CAST(max(doc_id) AS BIGINT) AS mx
+  FROM documents),
+agg AS (
+  SELECT ((d.doc_id - b.mn) * {VG_BUCKETS}) // (b.mx - b.mn + 1) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs_b,
+         CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS toks
+  FROM documents d CROSS JOIN b
+  GROUP BY 1),
+fw AS (
+  SELECT w, min(doc_id) AS fd
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w),
+fb AS (
+  SELECT ((fw.fd - b.mn) * {VG_BUCKETS}) // (b.mx - b.mn + 1) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_words
+  FROM fw CROSS JOIN b
+  GROUP BY 1),
+sp AS (SELECT unnest(range({VG_BUCKETS})) AS bucket)
+SELECT CAST(sp.bucket AS BIGINT) AS bucket,
+       CAST(coalesce(agg.n_docs_b, 0) AS BIGINT) AS n_docs_b,
+       CAST(coalesce(fb.new_words, 0) AS BIGINT) AS new_words,
+       CAST(sum(coalesce(agg.toks, 0))
+            OVER (ORDER BY sp.bucket) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(fb.new_words, 0))
+            OVER (ORDER BY sp.bucket) AS BIGINT) AS cum_vocab
+FROM sp
+LEFT JOIN agg ON agg.bucket = sp.bucket
+LEFT JOIN fb ON fb.bucket = sp.bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "vocab_topk": vocab_topk,
+    "heavy_hitters_cms": heavy_hitters_cms,
+    "vocab_growth": vocab_growth,
     "bigram_counts": bigram_counts,
     "tfidf_top_terms": tfidf_top_terms,
     "source_vocab_overlap": source_vocab_overlap,
@@ -813,6 +1038,8 @@ QUERIES = {
 
 ORACLES = {
     "vocab_topk": VOCAB_TOPK_SQL,
+    "heavy_hitters_cms": _heavy_hitters_cms_sql(),
+    "vocab_growth": VOCAB_GROWTH_SQL,
     "sketch_kmv": _sketch_kmv_sql(),
     "bigram_counts": BIGRAM_COUNTS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,

@@ -2681,7 +2681,183 @@ FROM c
 """
 
 
+# --- B30: streaming as-of join (point-in-time enrichment) ------------------------
+
+#: batch count for the as-of drop
+ASOF_STREAM_PARTS = 4
+
+
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment (B30): purchases arrive in
+    micro-batches and each is stamped with the user's most recent click
+    AT OR BEFORE it — the classic trades-vs-quotes as-of join run as a
+    stream, with per-user "latest click" state carried across batches.
+
+    Order sensitivity is the whole problem (the C16 batch operator sees
+    the full history; a stream sees a prefix): the drop is RANGE-batched
+    on event time (file k = the k-th quarter of the observed epoch span
+    — the B28 staging, asserted per batch), so by arrival time every
+    prior click is either in the cross-batch state (strictly earlier
+    span) or earlier in THIS batch (the same (ts, event_id) window the
+    batch operator runs). The two sources merge with one null-skipping
+    greatest(); output therefore equals the one-shot C16 operator and
+    the job shares its oracle verbatim.
+
+    Per batch, priced in Spark jobs (the B25 census): ONE contract
+    aggregate on the persisted batch, then ONE side-partitioned write
+    carrying BOTH the enriched purchases and the full refreshed
+    user-state (side=out / side=state — the r12 fusion template;
+    redelivery overwrites the whole batch dir idempotently). State is
+    O(users) per batch — the model-sized dimension, never the event
+    volume — and each batch reads only the LATEST prior state dir, so
+    old batches never re-shuffle (the B17 posture).
+    """
+    from frolyk_spark.sources.streams import file_stream, stage_keyed_file_drop
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    # staging scaffolding only: range key from the OBSERVED epoch span
+    # (never assuming density/0-base — the r11 ADVICE rule)
+    lo_us, hi_us = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    span = int(hi_us) - int(lo_us) + 1
+    range_key = (
+        f"((unix_micros(ts) - {int(lo_us)}) * {ASOF_STREAM_PARTS}) div {span}"
+    )
+    stage = stage_keyed_file_drop(
+        ev, sf_dir, "events", "asofjoin", ASOF_STREAM_PARTS, range_key,
+    )
+
+    name = f"asofjoin_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+    rows_root = os.path.join(root, "rows")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.persist()
+        try:
+            blo, bhi, n = batch.agg(
+                F.min(F.expr(range_key)),
+                F.max(F.expr(range_key)),
+                F.count(F.lit(1)),
+            ).collect()[0]
+            if n and not (blo == bhi == batch_id % ASOF_STREAM_PARTS):
+                raise RuntimeError(
+                    f"batch {batch_id} violated the range contract: "
+                    f"quarters [{blo}..{bhi}]"
+                )
+            prior = [
+                int(d[1:])
+                for d in (
+                    os.listdir(rows_root) if os.path.isdir(rows_root) else []
+                )
+                if d.startswith("b") and int(d[1:]) < batch_id
+                and os.path.isdir(os.path.join(rows_root, d, "side=state"))
+            ]
+            if prior:
+                state = spark.read.parquet(
+                    os.path.join(rows_root, f"b{max(prior)}", "side=state")
+                ).select("user_id", F.col("last_click_us").alias("st_click_us"))
+            else:
+                state = spark.createDataFrame(
+                    [], "user_id bigint, st_click_us bigint"
+                )
+            w = (
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+            out = (
+                batch.withColumn(
+                    "batch_click_us", F.unix_micros(F.max(click_ts).over(w))
+                )
+                .where(F.col("event_type") == "purchase")
+                .join(state, "user_id", "left")
+                .select(
+                    "event_id",
+                    "user_id",
+                    F.unix_micros("ts").alias("ts_us"),
+                    # greatest() skips nulls: state-only, batch-only, and
+                    # no-click-anywhere (NULL) cases all fall out of it
+                    F.greatest("batch_click_us", "st_click_us").alias(
+                        "last_click_us"
+                    ),
+                )
+            )
+            new_state = (
+                batch.where(F.col("event_type") == "click")
+                .groupBy("user_id")
+                .agg(F.max(F.unix_micros("ts")).alias("bc"))
+                .join(state, "user_id", "full")
+                .select(
+                    "user_id",
+                    F.greatest("bc", "st_click_us").alias("last_click_us"),
+                )
+            )
+            (
+                out.select(
+                    F.lit("out").alias("side"),
+                    "event_id",
+                    "user_id",
+                    "ts_us",
+                    "last_click_us",
+                )
+                .unionByName(
+                    new_state.select(
+                        F.lit("state").alias("side"),
+                        F.lit(None).cast("bigint").alias("event_id"),
+                        "user_id",
+                        F.lit(None).cast("bigint").alias("ts_us"),
+                        "last_click_us",
+                    )
+                )
+                .write.partitionBy("side")
+                .mode("overwrite")
+                .parquet(os.path.join(rows_root, f"b{batch_id}"))
+            )
+        finally:
+            batch.unpersist()
+
+    stream = file_stream(spark, stage, ev.schema, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    parts = sorted(
+        os.path.join(rows_root, d, "side=out")
+        for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
+        if os.path.isdir(os.path.join(rows_root, d, "side=out"))
+    )
+    if not parts:
+        return spark.createDataFrame(
+            [], "event_id bigint, user_id bigint, ts_us bigint, last_click_us bigint"
+        )
+    return spark.read.parquet(*parts).select(
+        "event_id", "user_id", "ts_us", "last_click_us"
+    )
+
+
 from frolyk_spark.operators.governance import K_ANONYMITY_SQL as _K_ANON_ORACLE
+from frolyk_spark.operators.relational import ASOF_SQL as _ASOF_ORACLE
 from frolyk_spark.operators.sampling import _sample_weighted_sql as _ws_sql
 from frolyk_spark.operators.text import _corpus_filter_sql as _cf_sql
 
@@ -2704,6 +2880,9 @@ QUERIES = {
     "stream_corpus_filter": stream_corpus_filter,
     # B29: mergeable bottom-k state; batching-invariant, shares D78's oracle
     "stream_sample_weighted": stream_sample_weighted,
+    # B30: range-batched arrival order makes state+window equal the full
+    # as-of history, so it shares C16's oracle verbatim
+    "stream_asof_join": stream_asof_join,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -2734,6 +2913,7 @@ ORACLES = {
     "stream_k_anonymity": _K_ANON_ORACLE,
     "stream_corpus_filter": _CORPUS_FILTER_ORACLE,
     "stream_sample_weighted": _WSAMPLE_ORACLE,
+    "stream_asof_join": _ASOF_ORACLE,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

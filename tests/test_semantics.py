@@ -752,3 +752,45 @@ def test_bigram_lm_score_covers_heldout_and_fires_backoff(spark, sf_dir):
         assert 0 <= r.n_backoff <= r.n_pairs
         assert r.neg_logprob_mu > 0
     assert sum(r.n_backoff for r in rows.values()) > 0
+
+
+def test_heavy_hitters_cms_upper_bound_and_saturation(spark, sf_dir):
+    """D81: the CMS estimate is a provable UPPER bound on the true count
+    (min over cells each summing a superset), the reported overcount is
+    exactly their gap, and on this corpus the sketch genuinely saturates
+    (some bigram collides in all CMS_D rows — otherwise the overcount
+    column is dead and the entry degenerates to exact counts)."""
+    from frolyk_spark.operators.vocab import CMS_K, heavy_hitters_cms
+
+    rows = heavy_hitters_cms(spark, sf_dir).collect()
+    assert 0 < len(rows) <= CMS_K
+    for r in rows:
+        assert r.est_count >= r.true_count > 0
+        assert r.overcount == r.est_count - r.true_count
+    assert any(r.overcount > 0 for r in rows)
+
+
+def test_vocab_growth_conserves_totals(spark, sf_dir):
+    """D82: the curve's last point equals the corpus totals (every token
+    counted once, every distinct word first-seen exactly once), buckets
+    partition the docs, and both cumulative columns are monotone."""
+    import duckdb
+
+    from frolyk_spark.operators.vocab import VG_BUCKETS, vocab_growth
+
+    rows = sorted(vocab_growth(spark, sf_dir).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(VG_BUCKETS))
+    toks, vocab, docs = duckdb.sql(
+        f"""SELECT (SELECT sum(len(string_split(text, ' ')))
+                    FROM '{sf_dir}/documents.parquet'),
+                   (SELECT count(DISTINCT w)
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM '{sf_dir}/documents.parquet')),
+                   (SELECT count(DISTINCT doc_id)
+                    FROM '{sf_dir}/documents.parquet')"""
+    ).fetchone()
+    assert rows[-1].cum_tokens == toks
+    assert rows[-1].cum_vocab == vocab
+    assert sum(r.n_docs_b for r in rows) == docs
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens >= a.cum_tokens and b.cum_vocab >= a.cum_vocab

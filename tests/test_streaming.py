@@ -1569,3 +1569,30 @@ def test_late_routing_contract_fails_loudly_on_reordered_files(spark, sf_dir, tm
         # for any same-session reuse of this tmp dir
         shutil.move(f0, tmp); shutil.move(f1, f0); shutil.move(tmp, f1)
         os.utime(f0, (m0, m0)); os.utime(f1, (m1, m1))
+
+
+def test_stream_asof_join_equals_batch(spark, sf_dir):
+    """B30: the streaming as-of join's union over batches must equal the
+    one-shot C16 operator row-for-row (cross-batch click state + the
+    within-batch window, made order-safe by the time-RANGE-batched drop),
+    the ingest really was multi-batch, every batch dir carries both the
+    output and the refreshed state side, and the no-click-anywhere NULL
+    path is actually exercised on this corpus."""
+    import os
+
+    from frolyk_spark.operators.relational import asof_purchase_click
+    from frolyk_spark.streaming.jobs import stream_asof_join
+
+    got_df = stream_asof_join(spark, sf_dir)
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in asof_purchase_click(spark, sf_dir).collect()}
+    assert got == want and want
+    assert any(r[3] is None for r in want)
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    rows_root = os.path.dirname(os.path.dirname(os.path.dirname(src)))
+    batch_dirs = [d for d in os.listdir(rows_root) if d.startswith("b")]
+    assert len(batch_dirs) >= 2
+    assert all(
+        os.path.isdir(os.path.join(rows_root, d, "side=state"))
+        for d in batch_dirs
+    )
