@@ -177,6 +177,7 @@ HEADLINE = [
 ITERATIVE_WARM_KEYS = [
     "pagerank_parts",
     "kcore_parts",
+    "triangle_parts",
     "media_dedup_clusters",
     "dedup_clusters",
 ]
