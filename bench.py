@@ -162,6 +162,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "vocab_growth",
     "stream_asof_join",
+    "stream_heavy_hitters",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

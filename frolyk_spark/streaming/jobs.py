@@ -2681,6 +2681,192 @@ FROM c
 """
 
 
+# --- B31: streaming Count-Min heavy hitters ---------------------------------------
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency sketch (B31): D81's Count-Min sketch maintained
+    as MERGEABLE state — the deployment a CMS exists for. Documents arrive
+    in micro-batches; each batch reduces to its bigram counts and its
+    {CMS_D}x{CMS_W} cell increments, and both ADD into versioned state
+    (counts add and the hash family is fixed, so cells add too — the
+    B19/B17 batching-invariance contract; the job therefore shares D81's
+    whole-corpus oracle verbatim).
+
+    The cell state is the point: it stays <= CMS_D*CMS_W rows FOREVER on
+    an unbounded ingest — the bounded-memory frequency monitor a 100 TB
+    feed keeps per shard and adds at the coordinator. The exact bigram
+    counts ride along as a second mergeable state side purely because
+    D81's audit output reports estimate vs truth; a production monitor
+    would drop that side and keep only the 1024 cells.
+
+    Per batch, priced in Spark jobs (the B25 census): ONE side-partitioned
+    state write (side=words / side=cells — the r12 fusion template; the
+    full-outer merges against the latest prior version are inputs to that
+    single action). Redelivery rebuilds from the batch's own predecessor
+    version — never double-counts.
+    """
+    from frolyk_spark.functions.hashing import portable_hash_expr
+    from frolyk_spark.operators.vocab import CMS_D, CMS_K, CMS_W
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = stage_multi_file_drop(docs, sf_dir, "documents", "cmsmon")
+
+    name = f"cmsmon_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    pairs_expr = (
+        "transform(array(split(text, ' ')), ws -> "
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        "(a, b) -> concat(a, ' ', b)))[0]"
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        wc = (
+            batch_df.select(F.explode(F.expr(pairs_expr)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        cells = (
+            wc.select(
+                "cnt",
+                F.explode(
+                    F.array(*[F.lit(r) for r in range(CMS_D)])
+                ).alias("r"),
+                "word",
+            )
+            .withColumn(
+                "bucket",
+                portable_hash_expr(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("word"),
+                    )
+                )
+                % CMS_W,
+            )
+            .groupBy("r", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("tot"))
+        )
+        prior_v = _latest_version_below(root, batch_id)
+        if prior_v is not None:
+            prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
+            pw = prior.where(F.col("side") == "words").select(
+                "word", F.col("cnt").alias("cnt_prior")
+            )
+            wc = (
+                pw.join(wc, "word", "full_outer")
+                .select(
+                    "word",
+                    (
+                        F.coalesce("cnt_prior", F.lit(0).cast("bigint"))
+                        + F.coalesce("cnt", F.lit(0).cast("bigint"))
+                    ).alias("cnt"),
+                )
+            )
+            pc = prior.where(F.col("side") == "cells").select(
+                "r", "bucket", F.col("tot").alias("tot_prior")
+            )
+            cells = (
+                pc.join(cells, ["r", "bucket"], "full_outer")
+                .select(
+                    "r",
+                    "bucket",
+                    (
+                        F.coalesce("tot_prior", F.lit(0).cast("bigint"))
+                        + F.coalesce("tot", F.lit(0).cast("bigint"))
+                    ).alias("tot"),
+                )
+            )
+        (
+            wc.select(
+                F.lit("words").alias("side"),
+                "word",
+                "cnt",
+                F.lit(None).cast("int").alias("r"),
+                F.lit(None).cast("bigint").alias("bucket"),
+                F.lit(None).cast("bigint").alias("tot"),
+            )
+            .unionByName(
+                cells.select(
+                    F.lit("cells").alias("side"),
+                    F.lit(None).cast("string").alias("word"),
+                    F.lit(None).cast("bigint").alias("cnt"),
+                    F.col("r").cast("int").alias("r"),
+                    "bucket",
+                    "tot",
+                )
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, f"s{batch_id}"))
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [], "word string, est_count bigint, true_count bigint, "
+                "overcount bigint",
+        )
+    state = spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
+    wc = state.where(F.col("side") == "words").select("word", "cnt")
+    cells = state.where(F.col("side") == "cells").select("r", "bucket", "tot")
+    wb = wc.select(
+        "word",
+        "cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        portable_hash_expr(
+            F.concat(
+                F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("word")
+            )
+        )
+        % CMS_W,
+    )
+    return (
+        wb.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("word")
+        .agg(
+            F.min("tot").cast("bigint").alias("est_count"),
+            F.max("cnt").cast("bigint").alias("true_count"),
+            (F.min("tot") - F.max("cnt")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "word")
+        .limit(CMS_K)
+    )
+
+
 # --- B30: streaming as-of join (point-in-time enrichment) ------------------------
 
 #: batch count for the as-of drop
@@ -2859,6 +3045,9 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 from frolyk_spark.operators.governance import K_ANONYMITY_SQL as _K_ANON_ORACLE
 from frolyk_spark.operators.relational import ASOF_SQL as _ASOF_ORACLE
 from frolyk_spark.operators.sampling import _sample_weighted_sql as _ws_sql
+from frolyk_spark.operators.vocab import _heavy_hitters_cms_sql as _cms_sql
+
+_CMS_ORACLE = _cms_sql()
 from frolyk_spark.operators.text import _corpus_filter_sql as _cf_sql
 
 _CORPUS_FILTER_ORACLE = _cf_sql()
@@ -2883,6 +3072,9 @@ QUERIES = {
     # B30: range-batched arrival order makes state+window equal the full
     # as-of history, so it shares C16's oracle verbatim
     "stream_asof_join": stream_asof_join,
+    # B31: CMS cells + bigram counts both ADD (batching-invariant), so it
+    # shares D81's whole-corpus oracle verbatim
+    "stream_heavy_hitters": stream_heavy_hitters,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -2914,6 +3106,7 @@ ORACLES = {
     "stream_corpus_filter": _CORPUS_FILTER_ORACLE,
     "stream_sample_weighted": _WSAMPLE_ORACLE,
     "stream_asof_join": _ASOF_ORACLE,
+    "stream_heavy_hitters": _CMS_ORACLE,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

@@ -1596,3 +1596,27 @@ def test_stream_asof_join_equals_batch(spark, sf_dir):
         os.path.isdir(os.path.join(rows_root, d, "side=state"))
         for d in batch_dirs
     )
+
+
+def test_stream_heavy_hitters_equals_batch_with_bounded_cells(spark, sf_dir):
+    """B31: the streaming CMS's final estimates equal the one-shot D81
+    operator (counts and cells both ADD — batching-invariant), the ingest
+    really was multi-batch, and the sketch side of EVERY state version is
+    bounded by CMS_D*CMS_W rows — the whole point of keeping a CMS on an
+    unbounded stream."""
+    import os
+
+    from frolyk_spark.operators.vocab import CMS_D, CMS_W, heavy_hitters_cms
+    from frolyk_spark.streaming.jobs import stream_heavy_hitters
+
+    got_df = stream_heavy_hitters(spark, sf_dir)
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in heavy_hitters_cms(spark, sf_dir).collect())
+    assert got == want and want
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = [d for d in os.listdir(root) if d.startswith("s") and d[1:].isdigit()]
+    assert len(versions) >= 2, "ingest was not multi-batch"
+    for v in versions:
+        cells = spark.read.parquet(os.path.join(root, v)).where("side = 'cells'")
+        assert cells.count() <= CMS_D * CMS_W
