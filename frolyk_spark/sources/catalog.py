@@ -337,6 +337,95 @@ def read_pruned(
     )
 
 
+#: Bloom geometry: bits per file / probe hashes. 2048 bits at K=4 keeps the
+#: false-positive rate ~(1-e^(-4n/2048))^4 — under 2% up to ~150 distinct
+#: keys per file, and the index row stays manifest-sized (<= 2 KB/file).
+BLOOM_M = 2048
+BLOOM_K = 4
+
+
+def _bloom_positions_expr(col: str) -> str:
+    """Spark SQL array of the {BLOOM_K} bit positions for ``col`` —
+    portable 60-bit md5 with per-probe salts (functions/hashing.py), so a
+    planner process without a SparkSession can recompute them (the probe
+    side below does, in pure Python)."""
+    from frolyk_spark.functions.hashing import portable_hash_spark_sql
+
+    probes = []
+    for k in range(BLOOM_K):
+        salted = f"concat('bf{k}:', cast({col} as string))"
+        probes.append(
+            f"int({portable_hash_spark_sql(salted)} % {BLOOM_M})"
+        )
+    return "array(" + ", ".join(probes) + ")"
+
+
+def _bloom_positions_py(value) -> list[int]:
+    from frolyk_spark.functions.hashing import portable_hash_py
+
+    return [
+        portable_hash_py(f"bf{k}:{value}") % BLOOM_M for k in range(BLOOM_K)
+    ]
+
+
+def collect_file_bloom(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """Per-FILE Bloom filter over ``col`` for a parquet directory (E18) —
+    the POINT-lookup data-skipping index that complements E10's min/max
+    envelopes: range stats prune nothing for a needle-in-haystack key
+    probe on an unclustered layout (every file's envelope spans the key),
+    while a {BLOOM_M}-bit Bloom filter prunes every file that provably
+    lacks the key, at <= 2 KB of manifest per file.
+
+    ONE distributed pass (the collect_file_stats posture): explode each
+    row's {BLOOM_K} bit positions, collect_set per input_file_name —
+    partial-aggregating, shuffle bounded by files x {BLOOM_M}, no
+    driver-side loop over files. The filter is stored as the sorted
+    set-bit position array (exact same information as the bitmap, and a
+    manifest consumer in any language can check membership with the
+    portable md5)."""
+    return (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.explode(F.expr(_bloom_positions_expr(col))).alias("pos"),
+        )
+        .groupBy("file")
+        .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+        .orderBy("file")
+    )
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    path: str,
+    bloom: DataFrame,
+    col: str,
+    value,
+) -> tuple[DataFrame, list[str]]:
+    """Bloom-index point-lookup read: scan ONLY the files whose filter
+    contains all {BLOOM_K} bit positions of ``value``, then apply the
+    exact predicate to the survivors. Returns (frame, files read) — the
+    read_pruned contract for equality probes.
+
+    The index frame is manifest-sized (one row per file), so consulting
+    it is one bounded collect — the planner's manifest read, not a data
+    pass. No false negatives by construction (every present key set all
+    its bits); false positives only cost a wasted file read and are
+    removed by the exact predicate."""
+    need = set(_bloom_positions_py(value))
+    keep = [
+        r["file"]
+        for r in bloom.collect()
+        if need <= set(r["bits"])
+    ]
+    if not keep:
+        return spark.read.parquet(path).where(F.lit(False)), []
+    return (
+        spark.read.parquet(*keep).where(F.col(col) == F.lit(value)),
+        keep,
+    )
+
+
 def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Schema-evolution read: union the per-file schemas of a parquet
     directory (``mergeSchema``) so files written before a column existed

@@ -782,3 +782,40 @@ def test_versioned_txn_markers_and_mixed_lineage(spark, tmp_path):
     v3 = write_versioned(df.limit(2), out, txn="b1")
     assert committed_txns(out)["b1"] == v3
     assert read_versioned(spark, out, v1).count() == 3
+
+
+def test_bloom_pruned_point_lookup_skips_files(spark, sf_dir, tmp_path):
+    """E18: the Bloom-index point-lookup must return EXACTLY the full-scan
+    equality result while reading fewer files than the layout holds (the
+    range-stats index can't help here: an unclustered hash layout gives
+    every file the full key envelope); an absent key prunes everything or
+    costs only false-positive file reads that the exact predicate empties;
+    no filter row exceeds the BLOOM_M geometry."""
+    from frolyk_spark.sources.catalog import (
+        BLOOM_M, collect_file_bloom, read_bloom_pruned,
+    )
+
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    out = str(tmp_path / "orders_bloom")
+    # hash-scatter into many files: the worst case for min/max envelopes,
+    # the exact case a Bloom index exists for
+    ords.repartition(16, "o_custkey").write.parquet(out)
+    bloom = collect_file_bloom(spark, out, "o_orderkey")
+    n_files = bloom.count()
+    assert n_files > 1
+    assert all(len(r["bits"]) <= BLOOM_M for r in bloom.collect())
+
+    probe = ords.select("o_orderkey").first()["o_orderkey"]
+    hit, files = read_bloom_pruned(spark, out, bloom, "o_orderkey", probe)
+    full = spark.read.parquet(out).where(F.col("o_orderkey") == probe)
+    assert 0 < len(files) < n_files, "point probe must skip most files"
+    assert sorted(tuple(r) for r in hit.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+
+    # absent key: every surviving read (if any false positive) is empty
+    miss, miss_files = read_bloom_pruned(
+        spark, out, bloom, "o_orderkey", -987654321
+    )
+    assert miss.count() == 0
+    assert len(miss_files) < n_files
