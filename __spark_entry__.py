@@ -33,12 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 186
+    # in dict order under a wall-clock budget (~50 per round of the 188
     # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
     # FIRST (CLAUDE.md). The r11 driver burned its whole 50-row head green
     # (new_r11 + stale_r7 + 22 of green_r8); 28 green_r8 entries slipped to
     # r12 as designed. So:
-    #   1. new_r12 (7): dedup_substring (D80, maximal exact-substring
+    #   1. new_r12 (9): dedup_substring (D80, maximal exact-substring
     #      spans — the Lee et al. 2022 ExactSubstr artifact via
     #      gaps-and-islands over positional-gram pair matches),
     #      kcore_parts (C69, fixed-round onion-layer k-core peel of the
@@ -47,9 +47,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      count), heavy_hitters_cms (D81, Count-Min bigram sketch with
     #      exact oracle), vocab_growth (D82, Heaps-law curve), and
     #      stream_asof_join (B30, range-batched streaming as-of join
-    #      sharing C16's oracle), and stream_heavy_hitters (B31,
-    #      mergeable CMS state sharing D81's oracle) are brand new this
-    #      round;
+    #      sharing C16's oracle), stream_heavy_hitters (B31, mergeable
+    #      CMS state sharing D81's oracle), stream_vocab_growth (B32,
+    #      MIN-mergeable first-occurrence state sharing D82's oracle),
+    #      and tokenizer_fertility (D83, per-source pieces-per-word of
+    #      the persisted BPE model) are brand new this round;
     #   2. stale_r8 (28): the r11 budget slippage — newest green row is
     #      r8, the oldest block in the ledger and the r11 verdict's
     #      designated r12 head (streaming core block + the r8
@@ -57,7 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. green_r9 (49): after the head burns, no oracle-checkable
     #      entry's newest row predates r9; remaining budget starts here
     #      per the r11 verdict's "done" criterion.
-    # Head = 7+28+49 = 84 vs the ~50 budget; slippage (if any) falls on the
+    # Head = 9+28+49 = 86 vs the ~50 budget; slippage (if any) falls on the
     # green_r9 tail, never a new or r8-stale entry.
     new_r12 = (
         "dedup_substring",  # D80: suffix-array-style maximal dup spans
@@ -67,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth",     # D82: Heaps-law vocabulary growth curve
         "stream_asof_join",  # B30: streaming as-of join (C16 oracle)
         "stream_heavy_hitters",  # B31: mergeable CMS state (D81 oracle)
+        "stream_vocab_growth",  # B32: MIN-mergeable state (D82 oracle)
+        "tokenizer_fertility",  # D83: per-source pieces-per-word
     )
     stale_r8 = (
         "sessionize", "stream_tumbling", "stream_hopping", "stream_dedup",

@@ -163,6 +163,8 @@ HEADLINE = [
     "vocab_growth",
     "stream_asof_join",
     "stream_heavy_hitters",
+    "stream_vocab_growth",
+    "tokenizer_fertility",
     # streaming + task bridge
     "sessionize",
     "stream_tumbling",

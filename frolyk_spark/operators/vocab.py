@@ -1017,10 +1017,81 @@ ORDER BY bucket
 """
 
 
+# --- D83: per-source tokenizer fertility ----------------------------------------
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY (D83): pieces-per-word of the
+    persisted depth-{BPE_MERGES} BPE model, broken out by corpus source —
+    the standard tokenizer-evaluation metric (a source whose fertility is
+    high is poorly served by the vocabulary: its text fragments into many
+    pieces per word, inflating sequence lengths and training cost; the
+    signal that drives vocabulary re-training or per-source re-weighting).
+
+    Scale shape: the bpe_encode apply idiom — load the persisted model,
+    segment the DISTINCT vocabulary once (Arrow-batched mapInPandas),
+    equi-join back UN-hinted (Heaps'-law table, AQE decides), then one
+    map-side-combinable per-source reduce. The fertility ratio of exact
+    BIGINT sums rounds with the portable 4-dp form (never engine round()
+    — the CLAUDE.md .xxxx5 boundary rule).
+    """
+    merges = [(m[1], m[2], m[3]) for m in persisted_bpe_merges(spark, sf_dir)]
+    apply_merges = bpe_apply_kernel(merges)
+
+    docs = load_table(spark, sf_dir, "documents").select("text", "source")
+    words = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+    )
+    seg = words.select("w").distinct().mapInPandas(
+        apply_merges, "w string, pw string, np int"
+    )
+    return (
+        words.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            round4(F.col("n_pieces") / F.col("n_words")).alias("fertility_4dp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    ratio = round4_sql("CAST(n_pieces AS DOUBLE) / n_words")
+    return f"""
+WITH {bpe_doc_token_counts_ctes()},
+nw AS (
+  SELECT w.doc_id, cast(count(*) AS bigint) AS n_words
+  FROM wnz w GROUP BY w.doc_id
+),
+per_source AS (
+  SELECT d0.source,
+         CAST(sum(nw.n_words) AS BIGINT) AS n_words,
+         CAST(sum(d.n_tokens) AS BIGINT) AS n_pieces
+  FROM documents d0
+  JOIN d ON d.doc_id = d0.doc_id
+  JOIN nw ON nw.doc_id = d0.doc_id
+  GROUP BY d0.source
+)
+SELECT source, n_words, n_pieces, {ratio} AS fertility_4dp
+FROM per_source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "vocab_topk": vocab_topk,
     "heavy_hitters_cms": heavy_hitters_cms,
     "vocab_growth": vocab_growth,
+    "tokenizer_fertility": tokenizer_fertility,
     "bigram_counts": bigram_counts,
     "tfidf_top_terms": tfidf_top_terms,
     "source_vocab_overlap": source_vocab_overlap,
@@ -1040,6 +1111,7 @@ ORACLES = {
     "vocab_topk": VOCAB_TOPK_SQL,
     "heavy_hitters_cms": _heavy_hitters_cms_sql(),
     "vocab_growth": VOCAB_GROWTH_SQL,
+    "tokenizer_fertility": _tokenizer_fertility_sql(),
     "sketch_kmv": _sketch_kmv_sql(),
     "bigram_counts": BIGRAM_COUNTS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,

@@ -2867,6 +2867,187 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B32: streaming vocabulary-growth monitor -------------------------------------
+
+
+def stream_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Heaps-law monitor (B32): D82's vocabulary-growth curve
+    maintained from MIN-mergeable state — the third mergeable-state class
+    in the B block (B27 counts ADD, B29/B31 bottom-k/cells MERGE, here
+    first-occurrence = MIN, and min of mins is the min). Each micro-batch
+    reduces to (per-word min doc_id) + (per-range-slice doc/token sums),
+    and both merge into versioned state: min for the word side, add for
+    the slice side. Batching-invariant by construction, so the final
+    curve equals the one-shot D82 operator and shares its oracle
+    verbatim.
+
+    Why a stream wants this: the new-words-per-slice rate is the corpus
+    drift alarm — a feed whose incoming slices suddenly mint vocabulary
+    is a new domain (or garbage) entering the pipeline, and the monitor
+    sees it as data lands rather than in a nightly batch.
+
+    State is O(distinct words) + O({VG_BUCKETS}) — the model-sized
+    dimension (Heaps' law itself bounds its growth), joined UN-hinted per
+    the CLAUDE.md model-table rule. ONE side-partitioned state write per
+    batch (side=words / side=slices — the r12 fusion template);
+    redelivery rebuilds from the batch's own predecessor version.
+    """
+    from frolyk_spark.operators.vocab import VG_BUCKETS
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # slice geometry from the OBSERVED id span (scaffolding-only collect,
+    # two scalars; never assumes density/0-base)
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    span = int(mx) - int(mn) + 1
+    bucket_expr = f"((doc_id - {int(mn)}) * {VG_BUCKETS}) div {span}"
+    stage = stage_multi_file_drop(docs, sf_dir, "documents", "vgrowth")
+
+    name = f"vgrowth_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        firsts = (
+            batch_df.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("word")
+            )
+            .groupBy("word")
+            .agg(F.min("doc_id").cast("bigint").alias("fd"))
+        )
+        slices = (
+            batch_df.select(
+                F.expr(bucket_expr).cast("bigint").alias("bucket"),
+                F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs_b"),
+                F.sum("n_toks").cast("bigint").alias("toks"),
+            )
+        )
+        prior_v = _latest_version_below(root, batch_id)
+        if prior_v is not None:
+            prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
+            pw = prior.where(F.col("side") == "words").select(
+                "word", F.col("fd").alias("fd_prior")
+            )
+            firsts = (
+                pw.join(firsts, "word", "full_outer")
+                .select(
+                    "word",
+                    F.least("fd_prior", "fd").alias("fd"),
+                )
+            )
+            ps = prior.where(F.col("side") == "slices").select(
+                "bucket",
+                F.col("n_docs_b").alias("nd_prior"),
+                F.col("toks").alias("tk_prior"),
+            )
+            slices = (
+                ps.join(slices, "bucket", "full_outer")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce("nd_prior", F.lit(0).cast("bigint"))
+                        + F.coalesce("n_docs_b", F.lit(0).cast("bigint"))
+                    ).alias("n_docs_b"),
+                    (
+                        F.coalesce("tk_prior", F.lit(0).cast("bigint"))
+                        + F.coalesce("toks", F.lit(0).cast("bigint"))
+                    ).alias("toks"),
+                )
+            )
+        (
+            firsts.select(
+                F.lit("words").alias("side"),
+                "word",
+                "fd",
+                F.lit(None).cast("bigint").alias("bucket"),
+                F.lit(None).cast("bigint").alias("n_docs_b"),
+                F.lit(None).cast("bigint").alias("toks"),
+            )
+            .unionByName(
+                slices.select(
+                    F.lit("slices").alias("side"),
+                    F.lit(None).cast("string").alias("word"),
+                    F.lit(None).cast("bigint").alias("fd"),
+                    "bucket",
+                    "n_docs_b",
+                    "toks",
+                )
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, f"s{batch_id}"))
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [], "bucket bigint, n_docs_b bigint, new_words bigint, "
+                "cum_tokens bigint, cum_vocab bigint",
+        )
+    state = spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
+    fb = (
+        state.where(F.col("side") == "words")
+        .select(F.expr(bucket_expr.replace("doc_id", "fd")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_words"))
+    )
+    slices = state.where(F.col("side") == "slices").select(
+        "bucket", "n_docs_b", "toks"
+    )
+    spine = spark.range(VG_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(slices, "bucket", "left")
+        .join(fb, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_docs_b", F.lit(0)).cast("bigint").alias("n_docs_b"),
+            F.coalesce("new_words", F.lit(0)).cast("bigint").alias("new_words"),
+            F.coalesce("toks", F.lit(0)).cast("bigint").alias("toks"),
+        )
+        .select(
+            "bucket",
+            "n_docs_b",
+            "new_words",
+            F.sum("toks").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("new_words").over(w).cast("bigint").alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # --- B30: streaming as-of join (point-in-time enrichment) ------------------------
 
 #: batch count for the as-of drop
@@ -3045,6 +3226,7 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 from frolyk_spark.operators.governance import K_ANONYMITY_SQL as _K_ANON_ORACLE
 from frolyk_spark.operators.relational import ASOF_SQL as _ASOF_ORACLE
 from frolyk_spark.operators.sampling import _sample_weighted_sql as _ws_sql
+from frolyk_spark.operators.vocab import VOCAB_GROWTH_SQL as _VGROWTH_ORACLE
 from frolyk_spark.operators.vocab import _heavy_hitters_cms_sql as _cms_sql
 
 _CMS_ORACLE = _cms_sql()
@@ -3075,6 +3257,9 @@ QUERIES = {
     # B31: CMS cells + bigram counts both ADD (batching-invariant), so it
     # shares D81's whole-corpus oracle verbatim
     "stream_heavy_hitters": stream_heavy_hitters,
+    # B32: first-occurrence MIN + slice sums both merge (batching-
+    # invariant), so it shares D82's whole-corpus oracle verbatim
+    "stream_vocab_growth": stream_vocab_growth,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -3107,6 +3292,7 @@ ORACLES = {
     "stream_sample_weighted": _WSAMPLE_ORACLE,
     "stream_asof_join": _ASOF_ORACLE,
     "stream_heavy_hitters": _CMS_ORACLE,
+    "stream_vocab_growth": _VGROWTH_ORACLE,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

@@ -2,6 +2,8 @@
 and DuckDB — it is the keystone every hash-dependent operator (D4-D8)
 builds on (frolyk_spark/functions/hashing.py)."""
 
+from pyspark.sql import functions as F
+
 from frolyk_spark.functions.hashing import (
     portable_hash_expr, portable_hash_spark_sql, portable_hash_sql,
 )
@@ -65,3 +67,37 @@ def test_portable_hash_py_matches_engines(spark):
             f"SELECT {portable_hash_sql('x')} AS h FROM (SELECT '{x}' AS x)"
         ).fetchone()[0]
         assert got_py == got_spark == got_duck, (x, got_py, got_spark, got_duck)
+
+
+def test_bloom_positions_spark_python_parity(spark):
+    """E18's probe side recomputes bit positions in pure Python (the
+    manifest consumer path); they must agree with the Spark-side array
+    expression for arbitrary values, or a point lookup silently turns
+    false-negative — the one failure mode a Bloom index must never have."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from frolyk_spark.sources.catalog import (
+        _bloom_positions_expr, _bloom_positions_py,
+    )
+
+    vals = [-987654321, 0, 1, 7, 10**12, 42]
+    df = spark.createDataFrame([(v,) for v in vals], "k bigint")
+    spark_pos = {
+        r["k"]: list(r["p"])
+        for r in df.select(
+            "k", F.expr(_bloom_positions_expr("k")).alias("p")
+        ).collect()
+    }
+    for v in vals:
+        assert spark_pos[v] == _bloom_positions_py(v), v
+
+    @given(st.integers(min_value=-(2**40), max_value=2**40))
+    @settings(max_examples=50, deadline=None)
+    def py_side_is_total_and_in_range(v):
+        pos = _bloom_positions_py(v)
+        from frolyk_spark.sources.catalog import BLOOM_K, BLOOM_M
+        assert len(pos) == BLOOM_K
+        assert all(0 <= p < BLOOM_M for p in pos)
+
+    py_side_is_total_and_in_range()

@@ -998,3 +998,18 @@ def test_approx_stats_bounds_no_distinct_expand(spark, sf_dir):
     rep = plan_report(approx_stats_bounds(spark, sf_dir))
     assert "Expand" not in rep["plan"], "distinct rewrite leaked into the sketch pass"
     assert rep["plan"].count("approx_percentile") <= 2, "quantiles must share one sketch"
+
+
+def test_cms_and_vocab_growth_plan_shapes(spark, sf_dir):
+    """D81/D82: cartesian-free (the only nested-loop allowed is the
+    broadcast of genuinely bounded state — the 1024-cell sketch and the
+    one-row min/max bounds), and the corpus scan prunes to the text
+    column(s) it needs."""
+    from frolyk_spark.operators.vocab import heavy_hitters_cms, vocab_growth
+    from frolyk_spark.plans import assert_scale_shape
+
+    rep = assert_scale_shape(heavy_hitters_cms(spark, sf_dir))
+    assert not rep["has_cartesian"]
+    assert rep["has_take_ordered"], "top-K must plan as a heap, not a sort"
+    rep2 = assert_scale_shape(vocab_growth(spark, sf_dir))
+    assert not rep2["has_cartesian"]

@@ -794,3 +794,23 @@ def test_vocab_growth_conserves_totals(spark, sf_dir):
     assert sum(r.n_docs_b for r in rows) == docs
     for a, b in zip(rows, rows[1:]):
         assert b.cum_tokens >= a.cum_tokens and b.cum_vocab >= a.cum_vocab
+
+
+def test_tokenizer_fertility_bounds(spark, sf_dir):
+    """D83: every source is present, fertility >= 1 (a word is at least
+    one piece) and pieces >= words per source; the metric actually varies
+    or exceeds 1 somewhere (depth-24 BPE on this corpus fragments words,
+    so a flat 1.0 column would mean the model table did not join)."""
+    from frolyk_spark.operators.vocab import tokenizer_fertility
+    from frolyk_spark.sources.catalog import load_table
+
+    rows = tokenizer_fertility(spark, sf_dir).collect()
+    sources = {
+        r.source
+        for r in load_table(spark, sf_dir, "documents").select("source").distinct().collect()
+    }
+    assert {r.source for r in rows} == sources
+    for r in rows:
+        assert r.n_pieces >= r.n_words > 0
+        assert r.fertility_4dp >= 1.0
+    assert any(r.fertility_4dp > 1.0 for r in rows)

@@ -1620,3 +1620,27 @@ def test_stream_heavy_hitters_equals_batch_with_bounded_cells(spark, sf_dir):
     for v in versions:
         cells = spark.read.parquet(os.path.join(root, v)).where("side = 'cells'")
         assert cells.count() <= CMS_D * CMS_W
+
+
+def test_stream_vocab_growth_equals_batch(spark, sf_dir):
+    """B32: the streaming growth monitor's final curve equals the one-shot
+    D82 operator (first occurrence = MIN is mergeable; slice sums ADD),
+    the ingest really was multi-batch, and every state version carries
+    both sides."""
+    import os
+
+    from frolyk_spark.operators.vocab import vocab_growth
+    from frolyk_spark.streaming.jobs import stream_vocab_growth
+
+    got_df = stream_vocab_growth(spark, sf_dir)
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in vocab_growth(spark, sf_dir).collect())
+    assert got == want and want
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = [d for d in os.listdir(root) if d.startswith("s") and d[1:].isdigit()]
+    assert len(versions) >= 2, "ingest was not multi-batch"
+    for v in versions:
+        st = spark.read.parquet(os.path.join(root, v))
+        sides = {r["side"] for r in st.select("side").distinct().collect()}
+        assert sides == {"words", "slices"}
