@@ -25,6 +25,18 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # iterative keys FIRST, immediately after their untimed first-touch:
+    # Spark's generated-class cache is a fixed-size LRU, so a warm-up at
+    # the start of the session no longer helps a key timed 100 queries
+    # later — the r12 draw measured pagerank 12.6 s late-in-draw vs 6-7 s
+    # adjacent-to-warm-up (kcore 15.8 vs 12.2). Keeping the multi-round
+    # keys adjacent to their warm pass times the operators, not cache
+    # eviction.
+    "pagerank_parts",
+    "kcore_parts",
+    "triangle_parts",
+    "media_dedup_clusters",
+    "dedup_clusters",
     # relational / OLAP
     "q1_pricing_summary",
     "q3_unshipped_revenue",
@@ -41,7 +53,6 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     "ann_bruteforce",
     "ann_lsh",
     "embedding_stats",
@@ -138,10 +149,8 @@ HEADLINE = [
     "image_dedup",
     "audio_dedup",
     "video_dedup_pairs",
-    "media_dedup_clusters",
     "stream_cdc_versioned",
     "stream_media_dedup",
-    "pagerank_parts",
     "bm25_topk",
     "stream_late_routing",
     "media_binary_ingest",
@@ -157,8 +166,6 @@ HEADLINE = [
     "bigram_lm_score",
     # r12 additions
     "dedup_substring",
-    "kcore_parts",
-    "triangle_parts",
     "heavy_hitters_cms",
     "vocab_growth",
     "stream_asof_join",
@@ -177,12 +184,17 @@ HEADLINE = [
 #: sf0.001 warm pass doesn't cover either (plan shapes differ at sf0.1) —
 #: r11 verdict item 5: pagerank read 11.6-12.7 s in committed draws vs
 #: 6-7 s warm in a dedicated session.
+#: REVERSE of their HEADLINE order: the timed draw runs these five first,
+#: so the warm pass touches them last-warmed = first-timed — warming
+#: pagerank first and then pushing four more iterative plans through the
+#: fixed-size codegen cache evicted it again (13.5 s vs 6-7 warm in the
+#: r12 ordering probe).
 ITERATIVE_WARM_KEYS = [
-    "pagerank_parts",
-    "kcore_parts",
-    "triangle_parts",
-    "media_dedup_clusters",
     "dedup_clusters",
+    "media_dedup_clusters",
+    "triangle_parts",
+    "kcore_parts",
+    "pagerank_parts",
 ]
 
 #: interleaved-control protocol (r9 verdict item 5): a q1 control runs
@@ -282,7 +294,13 @@ def main() -> None:
     # review wave 2).
     if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") == "1":
         run_control()
-        for name in ITERATIVE_WARM_KEYS:
+        # TWO untimed passes: the dedicated-session warm floor for the
+        # multi-round keys is a third-execution effect (JIT tier-up of the
+        # generated classes, not just codegen-cache presence — pagerank
+        # read 12.1 s timed right after a single warm pass vs 6-7 s on a
+        # dedicated session's third run), so one pass only buys the
+        # second-run cost.
+        for name in ITERATIVE_WARM_KEYS * 2:
             fn = queries.get(name)
             if fn is None:
                 continue
