@@ -359,3 +359,58 @@ def test_keyed_drop_mod_split_partitions(ids, parts):
     assert sorted(x for f in files.values() for x in f) == sorted(ids)
     for k, f in files.items():
         assert all(i % parts == k for i in f)
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+             min_size=1, max_size=120),
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+             min_size=0, max_size=120),
+)
+@settings(max_examples=100, deadline=None)
+def test_cms_upper_bound_and_mergeability(batch_a, batch_b):
+    """The two claims D81/B31 stand on, checked on the pure-Python twin
+    of the kernel: (1) the CMS estimate is an upper bound on the true
+    count for every key; (2) cell-wise ADDITION of two batches' sketches
+    equals the sketch of the concatenation (the B31 mergeable-state
+    contract — bit-exact, not approximate)."""
+    from collections import Counter
+
+    from frolyk_spark.functions.hashing import portable_hash_py
+    from frolyk_spark.operators.vocab import CMS_D, CMS_W
+
+    def cells_of(words):
+        cells = Counter()
+        for w, c in Counter(words).items():
+            for r in range(CMS_D):
+                cells[(r, portable_hash_py(f"cms{r}:{w}") % CMS_W)] += c
+        return cells
+
+    ca, cb, cab = cells_of(batch_a), cells_of(batch_b), cells_of(batch_a + batch_b)
+    assert ca + cb == cab  # mergeability: cells add, exactly
+
+    truth = Counter(batch_a + batch_b)
+    for w, true_c in truth.items():
+        est = min(
+            cab[(r, portable_hash_py(f"cms{r}:{w}") % CMS_W)]
+            for r in range(CMS_D)
+        )
+        assert est >= true_c
+
+
+@given(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_vocab_growth_bucket_in_range(mn, span_off, doc_off):
+    """D82/B32's range-slice function maps every doc_id in the observed
+    [mn, mx] span into bucket 0..VG_BUCKETS-1 — for ANY span and offset
+    (no density or 0-base assumption, the r11 ADVICE rule)."""
+    from frolyk_spark.operators.vocab import VG_BUCKETS
+
+    mx = mn + span_off
+    doc = mn + min(doc_off, span_off)
+    b = ((doc - mn) * VG_BUCKETS) // (mx - mn + 1)
+    assert 0 <= b < VG_BUCKETS
