@@ -845,13 +845,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_label_clusters(pairs)
 
 
-def min_label_clusters(pairs: DataFrame) -> DataFrame:
-    """The reusable CC core (factored out in r11 for the media dedup
-    family): iterative min-label propagation over a (doc_a, doc_b) pair
-    frame -> (doc_id, cluster_id, is_canonical). Level-synchronous, one
-    doc_id shuffle per round, lineage cut per round, fixpoint detected
-    with a one-long count action — never a path-enumerating recursive
-    CTE (CLAUDE.md graph rule)."""
+def min_label_propagation(
+    pairs: DataFrame, max_iters: int
+) -> tuple[DataFrame, bool]:
+    """The level-synchronous min-label loop itself, factored from
+    min_label_clusters (r13, for the graph block's components_parts):
+    returns ((doc_id, label), converged) after at most ``max_iters``
+    propagation rounds, stopping early the first round nothing changes
+    (bit-identical to running out the budget — stable labels are a
+    fixpoint). One doc_id shuffle per round, lineage cut per round,
+    fixpoint detected with a one-long count action — never a
+    path-enumerating recursive CTE (CLAUDE.md graph rule). The early
+    stop means ``converged`` matches a fixed-round oracle's
+    "did the last two unrolled rounds agree" check in every case,
+    including a fixpoint landing exactly on the final round (both
+    report False — conservative, identically)."""
     edges = pairs.select("doc_a", "doc_b").union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -864,7 +872,7 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
     )
     converged = False
-    for _ in range(CC_MAX_ITERS):
+    for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
@@ -888,6 +896,17 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
         if changed == 0:
             converged = True
             break
+    return labels, converged
+
+
+def min_label_clusters(pairs: DataFrame) -> DataFrame:
+    """The reusable CC core (factored out in r11 for the media dedup
+    family): iterative min-label propagation over a (doc_a, doc_b) pair
+    frame -> (doc_id, cluster_id, is_canonical). Near-dup components
+    have tiny diameter, so non-convergence inside CC_MAX_ITERS is a
+    defect here (raise loudly); graph residents with a fixed round
+    budget call min_label_propagation directly and surface the flag."""
+    labels, converged = min_label_propagation(pairs, CC_MAX_ITERS)
     if not converged:
         raise RuntimeError(
             f"min_label_clusters did not converge in {CC_MAX_ITERS} rounds — "
@@ -1444,6 +1463,53 @@ SUBSTR_MIN_TOKENS = 50
 SUBSTR_OCC_CAP = 16
 
 
+def _substring_runs_frame(
+    docs_in: DataFrame,
+    min_tokens: int = SUBSTR_MIN_TOKENS,
+    occ_cap: int = SUBSTR_OCC_CAP,
+):
+    """Shared maximal-run machinery for D80 (the span REPORT) and D84
+    (the span REMOVAL): returns (docs, runs) where docs = (doc_id, text,
+    n_tokens) and runs = one row per maximal cross-document equal token
+    run of >= min_tokens tokens — (doc_a < doc_b, off = pa-pb, start_a,
+    len_tokens). See dedup_substring_frame for the gaps-and-islands
+    construction and why it is exact for spans >= the gram width."""
+    from frolyk_spark.functions.lineage import cut_lineage
+    from frolyk_spark.operators.pipeline import SPAN_W, _positional_postings_frame
+
+    docs, postings = _positional_postings_frame(docs_in)
+    occ = postings.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    chainable = occ.where(
+        (F.col("occ") >= 2) & (F.col("occ") <= occ_cap)
+    ).select("h")
+    # computed frame feeding both sides of a self-join -> cut (CLAUDE.md);
+    # tiny after the shared-gram filter (~1% of postings)
+    post = cut_lineage(
+        postings.join(chainable, "h").select("h", "doc_id", "pos")
+    )
+    a = post.select("h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"))
+    b = post.select("h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa",
+            (F.col("pa") - F.col("pb")).alias("off"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "off", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            (F.count(F.lit(1)) + (SPAN_W - 1)).cast("bigint").alias("len_tokens"),
+        )
+        .where(F.col("len_tokens") >= min_tokens)
+    )
+    return docs, runs
+
+
 def dedup_substring_frame(
     docs_in: DataFrame,
     min_tokens: int = SUBSTR_MIN_TOKENS,
@@ -1480,39 +1546,7 @@ def dedup_substring_frame(
     class (see line_dedup's birthday note); the verification hash keeps
     any such row identical across engines.
     """
-    from frolyk_spark.functions.lineage import cut_lineage
-    from frolyk_spark.operators.pipeline import SPAN_W, _positional_postings_frame
-
-    docs, postings = _positional_postings_frame(docs_in)
-    occ = postings.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
-    chainable = occ.where(
-        (F.col("occ") >= 2) & (F.col("occ") <= occ_cap)
-    ).select("h")
-    # computed frame feeding both sides of a self-join -> cut (CLAUDE.md);
-    # tiny after the shared-gram filter (~1% of postings)
-    post = cut_lineage(
-        postings.join(chainable, "h").select("h", "doc_id", "pos")
-    )
-    a = post.select("h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"))
-    b = post.select("h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
-    pairs = (
-        a.join(b, "h")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", "pa",
-            (F.col("pa") - F.col("pb")).alias("off"),
-        )
-    )
-    w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
-    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
-    runs = (
-        isl.groupBy("doc_a", "doc_b", "off", "grp")
-        .agg(
-            F.min("pa").alias("start_a"),
-            (F.count(F.lit(1)) + (SPAN_W - 1)).cast("bigint").alias("len_tokens"),
-        )
-        .where(F.col("len_tokens") >= min_tokens)
-    )
+    docs, runs = _substring_runs_frame(docs_in, min_tokens, occ_cap)
     span_txt = F.expr(
         "concat_ws(' ', slice(split(text, ' '), start_a, len_tokens))"
     )
@@ -1538,12 +1572,15 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_substring_sql() -> str:
+def _substring_runs_ctes() -> str:
+    """The DuckDB twin of :func:`_substring_runs_frame` (… → runs) — ONE
+    definition shared by the D80 and D84 oracles so the span semantics
+    can never drift apart. The min-length filter lives in the runs CTE
+    (HAVING), exactly where the frame side applies it."""
     from frolyk_spark.operators.pipeline import SPAN_W, _postings_sql_ctes
 
     w = SPAN_W
-    return f"""
-WITH {_postings_sql_ctes()},
+    return f"""{_postings_sql_ctes()},
 occ AS (SELECT h, count(*) AS occ FROM postings GROUP BY h),
 chainable AS (
   SELECT h FROM occ WHERE occ BETWEEN 2 AND {SUBSTR_OCC_CAP}
@@ -1567,7 +1604,13 @@ runs AS (
   SELECT doc_a, doc_b, off, min(pa) AS start_a,
          CAST(count(*) + {w - 1} AS BIGINT) AS len_tokens
   FROM isl GROUP BY doc_a, doc_b, off, grp
-)
+  HAVING CAST(count(*) + {w - 1} AS BIGINT) >= {SUBSTR_MIN_TOKENS}
+)"""
+
+
+def _dedup_substring_sql() -> str:
+    return f"""
+WITH {_substring_runs_ctes()}
 SELECT CAST(r.doc_a AS BIGINT) AS doc_a,
        CAST(r.doc_b AS BIGINT) AS doc_b,
        CAST(r.start_a AS BIGINT) AS start_a,
@@ -1575,8 +1618,123 @@ SELECT CAST(r.doc_a AS BIGINT) AS doc_a,
        r.len_tokens,
        {portable_hash_sql("array_to_string(t.ws[r.start_a : r.start_a + r.len_tokens - 1], ' ')")} AS span_h
 FROM runs r JOIN t ON t.doc_id = r.doc_a
-WHERE r.len_tokens >= {SUBSTR_MIN_TOKENS}
 ORDER BY doc_a, doc_b, start_a, start_b
+"""
+
+
+# --- D84: exact-substring span removal (ExactSubstr, second half) ------------
+
+
+def dedup_substring_trim_frame(
+    docs_in: DataFrame,
+    min_tokens: int = SUBSTR_MIN_TOKENS,
+    occ_cap: int = SUBSTR_OCC_CAP,
+) -> DataFrame:
+    """The consumer of D80's maximal spans — the second half of the
+    ExactSubstr recipe (Lee et al. 2022, arXiv:2107.06499 §3: "remove
+    all but one copy of each duplicated substring"): per maximal
+    cross-document run, DELETE the copy in the LATER document (doc_b
+    side) and keep the earlier one, then rebuild each document's
+    surviving text in order. Keep-earliest is exactly one surviving copy
+    per span: the lowest-id document holding a span is doc_a in every
+    pair it forms, never doc_b, so its copy is never deleted; every
+    later holder is some pair's doc_b and loses its positions.
+
+    Composes _substring_runs_frame (shared with D80 — the span semantics
+    cannot drift) with D59's covered-position machinery: run intervals →
+    covered (doc_b, position) set (explode of sequence — fan-out bounded
+    by span length, then distinct) → token stream anti-join → per-doc
+    ordered rebuild (sort_array + concat_ws, the span_trim pattern).
+    Versus D59 (which removes EVERY occurrence of any cross-doc gram,
+    both copies, fixed-width): this is span-granular, variable-length,
+    min-length-gated, and keeps a canonical copy — the actual training
+    corpus treatment. All docs report (kept_tokens, trimmed_text);
+    untouched docs pass through whole.
+
+    Shuffles beyond D80's: one (doc_id, p)-keyed distinct + anti-join
+    over the token stream, one doc-keyed rebuild — equi-keyed, per-group
+    state bounded by doc length, nothing quadratic.
+    """
+    docs, runs = _substring_runs_frame(docs_in, min_tokens, occ_cap)
+    covered = (
+        runs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_a") - F.col("off"),
+                    F.col("start_a") - F.col("off") + F.col("len_tokens") - 1,
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokens = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    ).select("doc_id", (F.col("i") + 1).cast("bigint").alias("p"), "tok")
+    rebuilt = (
+        tokens.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("trimmed_text"),
+        )
+    )
+    return (
+        docs.select("doc_id", "n_tokens")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal (keep the earliest copy) over the
+    documents table — see dedup_substring_trim_frame."""
+    return dedup_substring_trim_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _dedup_substring_trim_sql() -> str:
+    return f"""
+WITH {_substring_runs_ctes()},
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_b AS doc_id,
+           unnest(range(start_a - off, start_a - off + len_tokens)) AS p
+    FROM runs
+  )
+),
+tokens AS (
+  SELECT doc_id, u.p AS p, ws[u.p] AS tok
+  FROM t, unnest(range(1, len(ws) + 1)) u(p)
+),
+reb AS (
+  SELECT tk.doc_id,
+         CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(tk.tok, ' ' ORDER BY tk.p) AS trimmed_text
+  FROM tokens tk
+  LEFT JOIN covered c ON c.doc_id = tk.doc_id AND c.p = tk.p
+  WHERE c.p IS NULL
+  GROUP BY tk.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       coalesce(reb.trimmed_text, '') AS trimmed_text
+FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+ORDER BY doc_id
 """
 
 
@@ -1600,6 +1758,8 @@ QUERIES = {
     # D80: also brute-force-checked against a diagonal-scan reference in
     # tests/test_dedup_substring.py
     "dedup_substring": dedup_substring,
+    # D84: the span-REMOVAL consumer of D80 (keep-earliest), same tests
+    "dedup_substring_trim": dedup_substring_trim,
 }
 
 ORACLES = {
@@ -1620,4 +1780,5 @@ ORACLES = {
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
     "dedup_substring": _dedup_substring_sql(),
+    "dedup_substring_trim": _dedup_substring_trim_sql(),
 }

@@ -156,8 +156,13 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at the end re-inflates to 13.9 s from the 8-join-deep plan)
         if i % 2 == 1:
             ranks = cut_lineage(ranks)
-    # every round's checkpoint is EAGER, so nothing downstream of the
-    # returned frame re-reads the edge cache — release the blocks now
+    if PR_ROUNDS % 2 == 1:
+        # the every-2 cadence leaves an odd final round uncut — cut it so
+        # the returned frame never re-reads the edge cache we release below
+        ranks = cut_lineage(ranks)
+    # the final cut is EAGER (every-2 cadence lands on the last round when
+    # PR_ROUNDS is even; the guard above handles odd), so nothing downstream
+    # of the returned frame re-reads the edge cache — release the blocks now
     edges.unpersist()
     from pyspark.sql import Window
 
@@ -252,11 +257,24 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit with no rounding policy (the pagerank_parts exactness
     posture; oracle = one MATERIALIZED CTE per round).
 
-    Scale: reuses the persisted co-purchase edge table (E4 pattern);
-    per round, two equi-joins of the O(#parts) alive set against the
-    edge table + one groupBy partial count — fixed {KCORE_ROUNDS}-round
-    shuffle count, no convergence probe, no driver-side graph state;
-    rank frame lineage-cut per round so plan depth stays constant.
+    ``converged`` (same boolean on every row — one crossJoined one-row
+    aggregate, never a driver collect) reports whether the peel reached
+    its fixpoint within {KCORE_ROUNDS} rounds: true iff after the final
+    round no still-alive part sits below k. A 100×-scale consumer whose
+    avalanche outruns the round budget sees converged=false instead of
+    silently trusting a truncated peel (r12 verdict item 7).
+
+    Scale — DELTA peel (r13): only round 1 pays a full degree count.
+    Every later round recounts NOTHING; it subtracts, from each alive
+    part's running degree, its edge count INTO that round's casualty set
+    (degree within alive_t = degree within alive_{{t-1}} − edges to
+    removed_t, since the edge table is distinct+symmetric). The per-round
+    join input is edges × |removed_t| — near-empty once the avalanche
+    passes — instead of the r12 form's two full alive-set equi-joins +
+    whole-subgraph recount (bit-identical output, measured vs the
+    recount form at sf0.1; oracle unchanged in its round chain). Fixed
+    {KCORE_ROUNDS}-round shuffle count, no driver-side graph state;
+    state frame lineage-cut per round so plan depth stays constant.
     """
     edges = persisted_copurchase_edges(spark, sf_dir).persist()
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
@@ -277,34 +295,49 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rr").isNull() & (F.col("deg") < F.col("k")), F.lit(t))
             .otherwise(F.col("rr")),
         )
-        alive = state.where(F.col("rr").isNull()).select("part")
-        newdeg = (
-            edges.join(alive.withColumnRenamed("part", "src"), "src")
-            .join(alive.withColumnRenamed("part", "dst"), "dst")
+        # delta: alive parts lose exactly their edges into THIS round's
+        # casualty set; everyone else's degree is already correct
+        removed = state.where(F.col("rr") == t).select(
+            F.col("part").alias("dst")
+        )
+        loss = (
+            edges.join(removed, "dst")
             .groupBy("src")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("lost"))
             .withColumnRenamed("src", "part")
         )
-        # cut EVERY round (not pagerank's every-2 cadence): the alive set
-        # feeds BOTH endpoint joins each round, so an uncut round
-        # recomputes it per side and compounds — the every-2 variant
-        # measured 19-21 s vs 12-13 s at sf0.1
+        # cut EVERY round: state feeds the stamp, the removed filter, and
+        # the loss join each round — uncut it recomputes per plan arm and
+        # compounds (the r12 recount form already measured that at 19-21 s
+        # on an every-2 cadence)
         state = cut_lineage(
-            state.join(newdeg, "part", "left").select(
+            state.join(loss, "part", "left").select(
                 "part",
                 F.when(
-                    F.col("rr").isNull(), F.coalesce("nd", F.lit(0)).cast("bigint")
-                ).otherwise(F.col("deg")).alias("deg"),
+                    F.col("rr").isNull(),
+                    F.col("deg") - F.coalesce("lost", F.lit(0)),
+                ).otherwise(F.col("deg")).cast("bigint").alias("deg"),
                 "k",
                 "rr",
             )
         )
     edges.unpersist()
-    return state.select(
-        F.col("part").cast("bigint").alias("part_key"),
-        F.coalesce("rr", F.lit(0)).cast("bigint").alias("removed_round"),
-        F.col("deg").cast("bigint").alias("last_deg"),
-    ).orderBy("part_key")
+    conv = state.agg(
+        (F.sum(
+            F.when(F.col("rr").isNull() & (F.col("deg") < F.col("k")), 1)
+            .otherwise(0)
+        ) == 0).alias("converged")
+    )
+    return (
+        state.crossJoin(F.broadcast(conv))
+        .select(
+            F.col("part").cast("bigint").alias("part_key"),
+            F.coalesce("rr", F.lit(0)).cast("bigint").alias("removed_round"),
+            F.col("deg").cast("bigint").alias("last_deg"),
+            F.col("converged"),
+        )
+        .orderBy("part_key")
+    )
 
 
 def _kcore_sql() -> str:
@@ -350,20 +383,25 @@ kk AS MATERIALIZED (
   FROM deg0),
 s0 AS MATERIALIZED (
   SELECT part, deg, kk.k, CAST(NULL AS BIGINT) AS rr
-  FROM deg0 CROSS JOIN kk),{chain}
+  FROM deg0 CROSS JOIN kk),{chain},
+conv AS (
+  SELECT (sum(CASE WHEN rr IS NULL AND deg < k THEN 1 ELSE 0 END) = 0)
+         AS converged
+  FROM {prev})
 SELECT CAST(part AS BIGINT) AS part_key,
        CAST(coalesce(rr, 0) AS BIGINT) AS removed_round,
-       CAST(deg AS BIGINT) AS last_deg
-FROM {prev}
+       CAST(deg AS BIGINT) AS last_deg,
+       conv.converged AS converged
+FROM {prev} CROSS JOIN conv
 ORDER BY part_key
 """
 
 
-# --- C71: triangle counting (degree-oriented wedge check) ---------------------
+# --- C70: triangle counting (degree-oriented wedge check) ---------------------
 
 
 def triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-part triangle participation over the co-purchase graph (C71):
+    """Per-part triangle participation over the co-purchase graph (C70):
     for every part its degree, the number of triangles it sits in, and its
     open-wedge count deg*(deg-1) div 2 — the integer numerator/denominator
     of the local clustering coefficient, left un-divided per the
@@ -502,14 +540,120 @@ ORDER BY part_key
 """
 
 
+# --- C71: connected components (min-label propagation) ------------------------
+
+#: fixed unroll depth for the ORACLE and the Spark round budget. The
+#: co-purchase graph is near-complete at the shipped SFs (min-label
+#: fixpoint in 2-3 rounds); 12 carries the kcore margin. The Spark loop
+#: early-stops at the fixpoint (bit-identical to running the budget out),
+#: so the only cost of the margin is oracle CTE length.
+COMPONENTS_ROUNDS = 12
+
+
+def components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph (C71): the cluster-id
+    assignment that partitions a catalog into independently-processable
+    part families — the fourth classic next to importance (pagerank),
+    embeddedness (kcore), and community density (triangles). Reuses the
+    persisted edge table (E4 pattern) and the level-synchronous min-label
+    core the dedup family runs (dedup.min_label_propagation — one
+    doc_id-keyed shuffle per round, lineage cut per round, NEVER a
+    path-enumerating recursive CTE; the co-purchase component is giant, so
+    the D15 closure oracle would enumerate O(n²) (node,label) pairs —
+    instead the oracle unrolls {COMPONENTS_ROUNDS} fixed rounds of the
+    same propagation, the kcore/pagerank posture).
+
+    Output per part: its component id (= the component's min part key,
+    the canonical representative), whether it IS the representative, the
+    component size, and the same truncation-honesty ``converged`` flag as
+    kcore_parts — true iff label propagation reached its fixpoint within
+    the round budget (the Spark loop's early stop and the oracle's
+    "last two rounds agree" check coincide in every case, including a
+    fixpoint landing exactly on the final round). Labels are part keys
+    (BIGINTs) end to end — bit-exact across engines by construction.
+    """
+    from frolyk_spark.operators.dedup import min_label_propagation
+
+    edges = persisted_copurchase_edges(spark, sf_dir)
+    # the persisted table is already symmetric; hand the propagation the
+    # src<dst half so its internal symmetrization doesn't double edges
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    labels, converged = min_label_propagation(pairs, COMPONENTS_ROUNDS)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("doc_id").cast("bigint").alias("part_key"),
+            F.col("label").cast("bigint").alias("component_id"),
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+            "component_size",
+            F.lit(converged).alias("converged"),
+        )
+        .orderBy("part_key")
+    )
+
+
+def _components_sql() -> str:
+    """Unrolled fixed-round min-label propagation (one MATERIALIZED CTE
+    per round — the pagerank/kcore pattern), plus a last-two-rounds
+    agreement check for the converged flag."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, COMPONENTS_ROUNDS + 1):
+        rounds.append(f"""
+l{t} AS MATERIALIZED (
+  SELECT l.part, least(l.label, coalesce(nm.m, l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN (SELECT e.src AS part, min(p.label) AS m
+             FROM e JOIN {prev} p ON p.part = e.dst
+             GROUP BY e.src) nm USING (part)
+)""")
+        prev = f"l{t}"
+    chain = ",".join(rounds)
+    last, second_last = prev, f"l{COMPONENTS_ROUNDS - 1}"
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS part, src AS label FROM e),{chain},
+conv AS (
+  SELECT (sum(CASE WHEN a.label != b.label THEN 1 ELSE 0 END) = 0)
+         AS converged
+  FROM {last} a JOIN {second_last} b USING (part)),
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS component_size
+  FROM {last} GROUP BY label)
+SELECT CAST(f.part AS BIGINT) AS part_key,
+       CAST(f.label AS BIGINT) AS component_id,
+       (f.part = f.label) AS is_canonical,
+       s.component_size,
+       conv.converged AS converged
+FROM {last} f
+JOIN sizes s USING (label)
+CROSS JOIN conv
+ORDER BY part_key
+"""
+
+
 QUERIES = {
     "pagerank_parts": pagerank_parts,
     "kcore_parts": kcore_parts,
     "triangle_parts": triangle_parts,
+    "components_parts": components_parts,
 }
 
 ORACLES = {
     "pagerank_parts": _pagerank_sql(),
     "kcore_parts": _kcore_sql(),
     "triangle_parts": _triangle_sql(),
+    "components_parts": _components_sql(),
 }

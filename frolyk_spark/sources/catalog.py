@@ -360,11 +360,29 @@ def _bloom_positions_expr(col: str) -> str:
     return "array(" + ", ".join(probes) + ")"
 
 
+def _bloom_render(value) -> str:
+    """The ONE value→string rendering both Bloom sides share. The index
+    supports integer and string key columns ONLY: for those, Python's
+    str() and Spark's cast-to-string agree byte-for-byte. Anything else
+    (booleans render True vs true, floats/decimals/timestamps have
+    engine-specific shortest-repr rules) would silently desynchronize the
+    build and probe sides — the false NEGATIVE a Bloom index must never
+    produce — so reject loudly instead."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            "Bloom index keys must be int or string columns; got "
+            f"{type(value).__name__} (bool/float/decimal/date renderings "
+            "differ between Spark's cast-to-string and Python's str())"
+        )
+    return str(value)
+
+
 def _bloom_positions_py(value) -> list[int]:
     from frolyk_spark.functions.hashing import portable_hash_py
 
+    rendered = _bloom_render(value)
     return [
-        portable_hash_py(f"bf{k}:{value}") % BLOOM_M for k in range(BLOOM_K)
+        portable_hash_py(f"bf{k}:{rendered}") % BLOOM_M for k in range(BLOOM_K)
     ]
 
 
@@ -382,7 +400,9 @@ def collect_file_bloom(spark: SparkSession, path: str, col: str) -> DataFrame:
     driver-side loop over files. The filter is stored as the sorted
     set-bit position array (exact same information as the bitmap, and a
     manifest consumer in any language can check membership with the
-    portable md5)."""
+    portable md5). Key columns must be INTEGER or STRING typed — the only
+    types whose Spark cast-to-string and Python str() renderings agree
+    (see _bloom_render); the probe side rejects anything else loudly."""
     return (
         spark.read.parquet(path)
         .select(

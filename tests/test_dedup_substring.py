@@ -83,6 +83,38 @@ def test_matches_bruteforce_on_crafted_corpus(spark):
         assert r.span_h == portable_hash_py(span), (r, span)
 
 
+def test_trim_matches_bruteforce_on_crafted_corpus(spark):
+    """D84: keep-earliest span removal — covered positions derived from
+    the brute-force maximal runs (doc_b side only), then the rebuild
+    checked token-for-token. Keep-earliest invariants asserted
+    explicitly: doc 1 (earliest holder of both planted spans) survives
+    whole; later holders lose exactly their span positions."""
+    from frolyk_spark.operators.dedup import dedup_substring_trim_frame
+
+    docs = _crafted_corpus()
+    runs = _brute_maximal_runs(docs, 12)
+    covered = {i: set() for i in docs}
+    for _da, db, _sa, sb, n in runs:
+        covered[db].update(range(sb, sb + n))  # 1-based, doc_b side only
+    want = {}
+    for i, ws in docs.items():
+        kept = [w for p, w in enumerate(ws, start=1) if p not in covered[i]]
+        want[i] = (len(ws), len(kept), " ".join(kept))
+    got = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.trimmed_text)
+        for r in dedup_substring_trim_frame(
+            _mk_docs(spark, docs), min_tokens=12
+        ).collect()
+    }
+    assert got == want
+    # doc 1 is the earliest holder of `big` and `atmin`: untouched
+    assert got[1][1] == got[1][0]
+    # doc 2 holds `big` later than doc 1: lost exactly those 20 tokens
+    assert got[2][0] - got[2][1] == 20
+    # doc 4 holds `big` twice, both later than doc 1: lost both copies
+    assert got[4][0] - got[4][1] == 40
+
+
 def test_occurrence_cap_excludes_hot_grams(spark):
     """A span whose grams exceed the occurrence cap must not chain — the
     star-routing guard that keeps boilerplate grams from fanning out to

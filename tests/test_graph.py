@@ -97,7 +97,8 @@ def _python_kcore(sf_dir: str):
         deg.update(
             (u, sum(1 for v in adj[u] if v in alive)) for u in alive
         )
-    return sorted((u, rr[u], deg[u]) for u in adj)
+    converged = not any(deg[u] < k for u in alive)
+    return sorted((u, rr[u], deg[u], converged) for u in adj)
 
 
 def test_kcore_matches_python_reference(spark, sf_dir):
@@ -108,6 +109,23 @@ def test_kcore_matches_python_reference(spark, sf_dir):
     assert got == want
     # the peel actually fired (some node removed in round >= 1)
     assert any(r[1] >= 1 for r in want)
+    # and the shipped SFs all reach fixpoint inside the round budget
+    assert all(r[3] for r in want)
+
+
+def test_kcore_converged_flag_boundary(spark, sf_dir, monkeypatch):
+    """Truncation honesty (r12 verdict item 7): with the round budget
+    squeezed below the graph's real peel depth, every row must report
+    converged=false — the 100×-scale consumer's signal that the peel was
+    cut short, not finished."""
+    from frolyk_spark.operators import graph
+
+    # sf0.001 needs 3 peel rounds; 1 round leaves sub-k parts alive
+    monkeypatch.setattr(graph, "KCORE_ROUNDS", 1)
+    rows = graph.kcore_parts(spark, sf_dir).collect()
+    assert rows and all(r["converged"] is False for r in rows)
+    # nothing was stamped past the truncated budget
+    assert all(r["removed_round"] <= 1 for r in rows)
 
 
 def test_kcore_plan_shape(spark, sf_dir):
@@ -164,3 +182,75 @@ def test_triangle_plan_shape(spark, sf_dir):
     from frolyk_spark.plans.inspect import assert_scale_shape
 
     assert_scale_shape(triangle_parts(spark, sf_dir), forbid_cartesian=True)
+
+
+def _python_components(sf_dir: str):
+    """Union-find ground truth — deliberately a DIFFERENT algorithm than
+    the min-label propagation under test (the test_dedup_clusters
+    posture), so a shared misreading can't self-certify. The converged
+    flag alone is propagation-defined, so it is simulated separately."""
+    from frolyk_spark.operators.graph import COMPONENTS_ROUNDS
+
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order = defaultdict(set)
+    for ok, pk in zip(tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()):
+        by_order[ok].add(pk)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    parent = {u: u for u in adj}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for u in adj:
+        for v in adj[u]:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    comp = {u: find(u) for u in adj}
+    # canonical id = component min (union-by-min above preserves it)
+    roots = defaultdict(list)
+    for u, r in comp.items():
+        roots[r].append(u)
+    cid = {u: min(roots[comp[u]]) for u in adj}
+    size = {r: len(ms) for r, ms in roots.items()}
+    # converged: simulate the fixed-budget min-label propagation
+    label = {u: u for u in adj}
+    converged = False
+    for _ in range(COMPONENTS_ROUNDS):
+        new = {
+            u: min([label[u]] + [label[v] for v in adj[u]]) for u in adj
+        }
+        if new == label:
+            converged = True
+            break
+        label = new
+    return sorted(
+        (u, cid[u], u == cid[u], size[comp[u]], converged) for u in adj
+    )
+
+
+def test_components_matches_union_find(spark, sf_dir):
+    from frolyk_spark.operators.graph import components_parts
+
+    got = sorted(tuple(r) for r in components_parts(spark, sf_dir).collect())
+    want = _python_components(sf_dir)
+    assert got == want
+    assert all(r[4] for r in want)  # shipped SFs reach the fixpoint
+
+
+def test_components_plan_shape(spark, sf_dir):
+    from frolyk_spark.operators.graph import components_parts
+    from frolyk_spark.plans.inspect import assert_scale_shape
+
+    assert_scale_shape(components_parts(spark, sf_dir), forbid_cartesian=True)

@@ -92,6 +92,31 @@ def test_bloom_positions_spark_python_parity(spark):
     for v in vals:
         assert spark_pos[v] == _bloom_positions_py(v), v
 
+    # second supported type: STRING keys (Spark cast-to-string is the
+    # identity there, so the shared renderer agrees byte-for-byte)
+    svals = ["", "a", "needle-42", "Hello, wörld", "0" * 64]
+    sdf = spark.createDataFrame([(v,) for v in svals], "k string")
+    spark_spos = {
+        r["k"]: list(r["p"])
+        for r in sdf.select(
+            "k", F.expr(_bloom_positions_expr("k")).alias("p")
+        ).collect()
+    }
+    for v in svals:
+        assert spark_spos[v] == _bloom_positions_py(v), v
+
+    # unsupported key types reject LOUDLY (bool renders True vs true,
+    # floats/decimals have engine-specific repr) — a silent divergence
+    # would be the false negative the index must never produce
+    import datetime
+    import decimal
+
+    import pytest as _pytest
+
+    for bad in (True, 1.5, decimal.Decimal("1.50"), datetime.date(2024, 1, 2)):
+        with _pytest.raises(TypeError):
+            _bloom_positions_py(bad)
+
     @given(st.integers(min_value=-(2**40), max_value=2**40))
     @settings(max_examples=50, deadline=None)
     def py_side_is_total_and_in_range(v):
