@@ -1555,27 +1555,47 @@ def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"smd_{uuid.uuid4().hex[:8]}"
     root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
     _LIVE_RESULTS.add(root)
-    out, accum = os.path.join(root, "pairs"), os.path.join(root, "sigs")
+    out = os.path.join(root, "batches")
     ckpt = _checkpoint_dir(name)
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         batch_codes = dhash_codes_frame(batch_df)
         batch_codes.persist()
         try:
+            # prior batches' codes live under their side=codes partition
             prior = sorted(
-                os.path.join(accum, d)
-                for d in (os.listdir(accum) if os.path.isdir(accum) else [])
+                p for d in (os.listdir(out) if os.path.isdir(out) else [])
                 if d != f"b{batch_id}"  # a redelivered batch never self-probes
+                and os.path.isdir(p := os.path.join(out, d, "side=codes"))
             )
             fresh = batch_codes
             if prior:
-                fresh = fresh.unionByName(spark.read.parquet(*prior))
+                fresh = fresh.unionByName(
+                    spark.read.parquet(*prior).select("doc_id", "dhash")
+                )
             pairs = media_probe_pairs(
                 batch_codes, corpus_codes.unionByName(fresh)
             )
-            pairs.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
-            batch_codes.write.mode("overwrite").parquet(
-                os.path.join(accum, f"b{batch_id}")
+            # ONE side-partitioned write per batch (the r12 B25 jobs-per-
+            # batch rule): pairs and the batch's codes land in one Spark
+            # job under b{batch_id}/side={pairs,codes}; overwrite of the
+            # whole batch dir keeps at-least-once redelivery idempotent
+            fused = pairs.select(
+                F.lit("pairs").alias("side"),
+                "doc_a", "doc_b", "hamming",
+                F.lit(None).cast("bigint").alias("doc_id"),
+                F.lit(None).cast("bigint").alias("dhash"),
+            ).unionByName(
+                batch_codes.select(
+                    F.lit("codes").alias("side"),
+                    F.lit(None).cast("bigint").alias("doc_a"),
+                    F.lit(None).cast("bigint").alias("doc_b"),
+                    F.lit(None).cast("bigint").alias("hamming"),
+                    "doc_id", "dhash",
+                )
+            )
+            fused.write.mode("overwrite").partitionBy("side").parquet(
+                os.path.join(out, f"b{batch_id}")
             )
         finally:
             batch_codes.unpersist()
@@ -1601,14 +1621,14 @@ def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
     dirs = sorted(
-        os.path.join(out, d)
-        for d in (os.listdir(out) if os.path.isdir(out) else [])
+        p for d in (os.listdir(out) if os.path.isdir(out) else [])
+        if os.path.isdir(p := os.path.join(out, d, "side=pairs"))
     )
     if not dirs:
         return spark.createDataFrame(
             [], "doc_a bigint, doc_b bigint, hamming bigint"
         )
-    return spark.read.parquet(*dirs)
+    return spark.read.parquet(*dirs).select("doc_a", "doc_b", "hamming")
 
 
 def _stream_media_dedup_sql() -> str:
@@ -1781,10 +1801,13 @@ def stream_dedup_incremental(
     foreachBatch: sign the batch fresh (minhash_signatures_frame), band-join
     its buckets against corpus signatures ∪ previously-ingested batches ∪
     itself (old×old never forms — the probe side is always just the batch),
-    emit (least, greatest) candidate pairs to a per-batch sink, then append
-    the batch's signatures to the accumulating store. Every per-batch write
-    overwrites its own subdir, so at-least-once redelivery replaces rather
-    than duplicates (B7's idempotence contract). A pair is emitted exactly
+    emit (least, greatest) candidate pairs and the batch's band hashes in
+    ONE side-partitioned write (b{{id}}/side={{pairs,bands}} — the bands
+    are the accumulating store later batches probe against, pre-expanded
+    so only the current batch ever pays the md5 band expansion). Every
+    per-batch write overwrites its own subdir, so at-least-once
+    redelivery replaces rather than duplicates (B7's idempotence
+    contract). A pair is emitted exactly
     once — by the batch of its LATER document — so the union over batches
     equals D28's one-shot result and the op shares D28's exact DuckDB
     oracle, independent of how ingest happened to be batched.
@@ -1832,39 +1855,66 @@ def stream_dedup_incremental(
         # process as the owner so the sweep never reclaims a live run;
         # once the owner dies the 1-hour window bounds the leftovers.
         root = _named_dir("results", name)
-    out, accum = os.path.join(root, "pairs"), os.path.join(root, "sigs")
+    out = os.path.join(root, "batches")
     ckpt = _checkpoint_dir(name, named=_name is not None)
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         if _fail_before_batch is not None and batch_id >= _fail_before_batch:
             raise RuntimeError(f"injected crash before batch {batch_id}")
-        batch_sigs = minhash_signatures_frame(batch_df)
-        batch_sigs.persist()
+        # band the batch ONCE and accumulate BANDS, not signatures: the
+        # accumulating store exists only to feed later batches' probe
+        # side, which needs bands — storing them pre-expanded keeps the
+        # per-batch plan to a single md5 band expansion (the batch's own)
+        # plus plain parquet reads, where the r12 form re-expanded the
+        # whole prior tail through band_hashes every batch (banding is
+        # row-wise, so banding-then-storing commutes with union)
+        batch_bands = band_hashes(minhash_signatures_frame(batch_df))
+        batch_bands.persist()
         try:
+            # prior batches' bands live under side=bands of their dir
             prior = sorted(
-                os.path.join(accum, d)
-                for d in (os.listdir(accum) if os.path.isdir(accum) else [])
+                p for d in (os.listdir(out) if os.path.isdir(out) else [])
                 if d != f"b{batch_id}"  # a redelivered batch never self-probes
+                and os.path.isdir(p := os.path.join(out, d, "side=bands"))
             )
-            # band_hashes is row-wise, so banding commutes with union:
-            # bands(corpus ∪ prior ∪ batch) == cached corpus bands ∪
-            # fresh bands of the (batch-sized) prior and current sigs
-            fresh = batch_sigs
+            all_bands = corpus_bands.unionByName(batch_bands)
             if prior:
-                fresh = fresh.unionByName(spark.read.parquet(*prior))
+                all_bands = all_bands.unionByName(
+                    spark.read.parquet(*prior).select(
+                        "doc_id", "band_id", "band_hash"
+                    )
+                )
             # the pair semantics live in dedup.probe_pairs — ONE definition
             # shared with D28, which the B17≡D28 equivalence contract and
             # the shared oracle depend on
-            pairs = probe_pairs(
-                band_hashes(batch_sigs),
-                corpus_bands.unionByName(band_hashes(fresh)),
+            pairs = probe_pairs(batch_bands, all_bands)
+            # ONE side-partitioned write per batch (the r12 B25 jobs-per-
+            # batch rule — this op ran two write jobs per batch before
+            # r13): pairs and the batch's bands land in one Spark job
+            # under b{batch_id}/side={pairs,bands}; overwriting the whole
+            # batch dir keeps at-least-once redelivery idempotent, and
+            # the persisted batch_bands materializes once for both arms
+            band_types = dict(batch_bands.dtypes)
+            fused = pairs.select(
+                F.lit("pairs").alias("side"),
+                "doc_a", "doc_b",
+                *[
+                    F.lit(None).cast(band_types[c]).alias(c)
+                    for c in ("doc_id", "band_id", "band_hash")
+                ],
+            ).unionByName(
+                batch_bands.select(
+                    F.lit("bands").alias("side"),
+                    F.lit(None).cast("bigint").alias("doc_a"),
+                    F.lit(None).cast("bigint").alias("doc_b"),
+                    "doc_id", "band_id", "band_hash",
+                )
             )
-            pairs.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
-            batch_sigs.write.mode("overwrite").parquet(
-                os.path.join(accum, f"b{batch_id}")
+            fused.write.mode("overwrite").partitionBy("side").parquet(
+                os.path.join(out, f"b{batch_id}")
             )
         finally:
-            batch_sigs.unpersist()
+            batch_bands.unpersist()
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -1900,13 +1950,14 @@ def stream_dedup_incremental(
                     pass
 
     parts = sorted(
-        os.path.join(out, d) for d in (os.listdir(out) if os.path.isdir(out) else [])
+        p for d in (os.listdir(out) if os.path.isdir(out) else [])
+        if os.path.isdir(p := os.path.join(out, d, "side=pairs"))
     )
     if not parts:
         return spark.createDataFrame(
             [], "doc_a bigint, doc_b bigint"
         )
-    return spark.read.parquet(*parts)
+    return spark.read.parquet(*parts).select("doc_a", "doc_b")
 
 
 # --- B25: late-data routing (watermark side-output) ---------------------------

@@ -537,9 +537,10 @@ def test_stream_dedup_incremental_multibatch_equals_batch(spark, sf_dir):
     want = {(r.doc_a, r.doc_b) for r in dedup_incremental(spark, sf_dir).collect()}
     assert want, "test data should produce incremental candidates"
     assert got == want
-    # the run really was multi-batch: the per-batch pair sinks remain
+    # the run really was multi-batch: the per-batch fused sinks remain
+    # (layout: batches/b{id}/side=pairs/part-*.parquet since r13)
     src = got_df.inputFiles()[0].removeprefix("file://")
-    root = os.path.dirname(os.path.dirname(src))
+    root = os.path.dirname(os.path.dirname(os.path.dirname(src)))
     batches = [d for d in os.listdir(root) if d.startswith("b")]
     assert len(batches) >= 2, f"expected multi-batch ingest, got {batches}"
 
@@ -568,10 +569,10 @@ def test_stream_dedup_incremental_crash_resume(spark, sf_dir):
     got = {(r.doc_a, r.doc_b) for r in got_df.collect()}
     want = {(r.doc_a, r.doc_b) for r in dedup_incremental(spark, sf_dir).collect()}
     assert want and got == want
-    # success cleans the checkpoint; the pair sinks show all 4 batches ran
+    # success cleans the checkpoint; the fused sinks show all 4 batches ran
     assert not os.path.isdir(ckpt)
     src = got_df.inputFiles()[0].removeprefix("file://")
-    root = os.path.dirname(os.path.dirname(src))
+    root = os.path.dirname(os.path.dirname(os.path.dirname(src)))
     assert len([d for d in os.listdir(root) if d.startswith("b")]) == 4
 
 
@@ -1383,9 +1384,10 @@ def test_stream_media_dedup_multibatch_equals_batch(spark, sf_dir):
         if r.doc_a % NEW_DOC_MOD == new or r.doc_b % NEW_DOC_MOD == new
     }
     assert want and set(got) == want
-    # the ingest really was multi-batch: >= 2 per-batch pair sinks
+    # the ingest really was multi-batch: >= 2 per-batch fused sinks
+    # (layout: batches/b{id}/side=pairs/part-*.parquet since r13)
     src = got_df.inputFiles()[0].removeprefix("file://")
-    out = os.path.dirname(os.path.dirname(src))
+    out = os.path.dirname(os.path.dirname(os.path.dirname(src)))
     assert len([d for d in os.listdir(out) if d.startswith("b")]) >= 2
 
 
