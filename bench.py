@@ -34,6 +34,7 @@ HEADLINE = [
     # eviction.
     "pagerank_parts",
     "kcore_parts",
+    "components_parts",
     "triangle_parts",
     "media_dedup_clusters",
     "dedup_clusters",
@@ -164,6 +165,8 @@ HEADLINE = [
     "sample_weighted",
     "stream_sample_weighted",
     "bigram_lm_score",
+    # r13 additions (components_parts rides the iterative head above)
+    "dedup_substring_trim",
     # r12 additions
     "dedup_substring",
     "heavy_hitters_cms",
@@ -193,6 +196,7 @@ ITERATIVE_WARM_KEYS = [
     "dedup_clusters",
     "media_dedup_clusters",
     "triangle_parts",
+    "components_parts",
     "kcore_parts",
     "pagerank_parts",
 ]
