@@ -272,9 +272,16 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join input is edges × |removed_t| — near-empty once the avalanche
     passes — instead of the r12 form's two full alive-set equi-joins +
     whole-subgraph recount (bit-identical output, measured vs the
-    recount form at sf0.1; oracle unchanged in its round chain). Fixed
-    {KCORE_ROUNDS}-round shuffle count, no driver-side graph state;
-    state frame lineage-cut per round so plan depth stays constant.
+    recount form at sf0.1; oracle unchanged in its round chain). The
+    delta form also licenses an EXACT early stop: a zero-casualty round
+    changes nothing (no removals ⇒ no degree deltas ⇒ the casualty
+    predicate re-evaluates identically), so the loop ends there
+    (sf0.001 stops after 4 of {KCORE_ROUNDS} rounds, sf0.1 after 9)
+    while the oracle runs the full unroll — identical by the no-op
+    argument. At most {KCORE_ROUNDS} rounds ⇒ bounded shuffle count; the
+    only driver-side value is one casualty count per round (the
+    min_label_propagation fixpoint-action posture); state frame
+    lineage-cut per round so plan depth stays constant.
     """
     edges = persisted_copurchase_edges(spark, sf_dir).persist()
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
@@ -321,6 +328,16 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rr",
             )
         )
+        # exact early stop the delta form enables: a zero-casualty round
+        # changes NOTHING (no removals ⇒ no degree deltas ⇒ the casualty
+        # predicate evaluates identically next round), so every remaining
+        # round is a no-op and skipping them is bit-identical to running
+        # the budget out — which is exactly what the 12-round oracle does.
+        # The count is one tiny job over the just-checkpointed state
+        # (min_label_propagation's fixpoint-action posture; the ORACLE
+        # still unrolls all rounds, so cross-engine parity is untouched).
+        if state.where(F.col("rr") == t).count() == 0:
+            break
     edges.unpersist()
     conv = state.agg(
         (F.sum(
