@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_r13 = (
         "components_parts",      # C71: connected components + converged
         "dedup_substring_trim",  # D84: keep-earliest span removal
+        "graph_profile",         # C72: degree/assortativity health card
+        "dedup_eval",            # D85: LSH-vs-exact-truth confusion audit
+        "stream_length_histogram",  # B33: mergeable histogram state (D35)
         "kcore_parts",           # C69: delta peel + converged column
         "stream_dedup_incremental",  # B17: fused side-partitioned sink
         "stream_media_dedup",        # B24: fused side-partitioned sink

@@ -167,6 +167,9 @@ HEADLINE = [
     "bigram_lm_score",
     # r13 additions (components_parts rides the iterative head above)
     "dedup_substring_trim",
+    "graph_profile",
+    "dedup_eval",
+    "stream_length_histogram",
     # r12 additions
     "dedup_substring",
     "heavy_hitters_cms",

@@ -1622,6 +1622,73 @@ ORDER BY doc_a, doc_b, start_a, start_b
 """
 
 
+# --- D85: dedup pipeline evaluation (LSH candidates vs exact truth) ----------
+
+
+def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion audit of the minhash-LSH candidate generator against the
+    exact n-gram-Jaccard ground truth (D85) — the measurement a pipeline
+    owner runs before trusting banded LSH at corpus scale: candidates =
+    D6's banded pairs off the PERSISTED signature table (E4; identical
+    pair semantics to dedup_minhash, star-routing guard included), truth =
+    D8's blocked exact-Jaccard >= t pairs, classified with a full-outer
+    join on MARKER columns (never key null-ness — the CLAUDE.md
+    full-outer rule) into one row of exact BIGINT counts:
+    (n_candidates, n_true, tp, fp, fn). tp+fp == n_candidates and
+    tp+fn == n_true by construction (property-tested); fn counts true
+    near-dups the banding missed (recall loss — the number the b/r
+    S-curve trades against fp's wasted verifies). Complements D46's
+    lsh_band_sweep (a tuning curve over band counts with estimated
+    Jaccard) with ground-truth-anchored precision/recall at the shipped
+    operating point.
+
+    Scale: both inputs are existing banded/blocked joins (never
+    all-pairs); the classify join is pair-keyed and output is one row.
+    Counts stay un-divided (no-ratios rule) — the consumer divides.
+    """
+    cand = band_pairs(persisted_minhash_signatures(spark, sf_dir)).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_cand")
+    )
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    j = cand.join(truth, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("is_cand", F.lit(0)).alias("c"),
+        F.coalesce("is_true", F.lit(0)).alias("t"),
+    )
+    zero = F.lit(0)
+    return j.agg(
+        F.coalesce(F.sum("c"), zero).cast("bigint").alias("n_candidates"),
+        F.coalesce(F.sum("t"), zero).cast("bigint").alias("n_true"),
+        F.coalesce(F.sum(F.col("c") * F.col("t")), zero)
+        .cast("bigint").alias("tp"),
+        F.coalesce(F.sum(F.col("c") * (1 - F.col("t"))), zero)
+        .cast("bigint").alias("fp"),
+        F.coalesce(F.sum((1 - F.col("c")) * F.col("t")), zero)
+        .cast("bigint").alias("fn"),
+    )
+
+
+def _dedup_eval_sql() -> str:
+    return f"""
+WITH cand AS ({_dedup_minhash_sql()}),
+truth AS (SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_JACCARD_SQL}) q),
+cm AS (SELECT doc_a, doc_b, 1 AS is_cand FROM cand),
+tm AS (SELECT doc_a, doc_b, 1 AS is_true FROM truth),
+j AS (
+  SELECT coalesce(cm.is_cand, 0) AS c, coalesce(tm.is_true, 0) AS t
+  FROM cm FULL OUTER JOIN tm
+    ON cm.doc_a = tm.doc_a AND cm.doc_b = tm.doc_b
+)
+SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
+       CAST(coalesce(sum(c * t), 0) AS BIGINT) AS tp,
+       CAST(coalesce(sum(c * (1 - t)), 0) AS BIGINT) AS fp,
+       CAST(coalesce(sum((1 - c) * t), 0) AS BIGINT) AS fn
+FROM j
+"""
+
+
 # --- D84: exact-substring span removal (ExactSubstr, second half) ------------
 
 
@@ -1760,6 +1827,8 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     # D84: the span-REMOVAL consumer of D80 (keep-earliest), same tests
     "dedup_substring_trim": dedup_substring_trim,
+    # D85: LSH-vs-exact-truth confusion audit (identity property tests)
+    "dedup_eval": dedup_eval,
 }
 
 ORACLES = {
@@ -1781,4 +1850,5 @@ ORACLES = {
     "dedup_canonical": _dedup_canonical_sql(),
     "dedup_substring": _dedup_substring_sql(),
     "dedup_substring_trim": _dedup_substring_trim_sql(),
+    "dedup_eval": _dedup_eval_sql(),
 }

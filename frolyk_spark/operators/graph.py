@@ -661,11 +661,119 @@ ORDER BY part_key
 """
 
 
+# --- C72: graph profile (degree-distribution health card) ----------------------
+
+
+def graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass health card of the co-purchase graph (C72): per
+    log2-degree bucket its node count, degree mass, and min/max degree,
+    with the whole-graph sufficient statistics every row carries
+    (crossJoined one-row aggregate, never a driver collect) — node count
+    n, directed edge count m, Σdeg² (the wedge-count/variance numerator),
+    and the degree-assortativity numerator Σ_{(u,v)∈E} deg_u·deg_v. This
+    is the pre-flight a pipeline runs before pagerank/kcore/triangles:
+    the degree histogram prices the wedge joins, Σdeg² prices a
+    center-enumerated common-neighbor pass, and the assortativity
+    numerator (divided by m and the marginal moments downstream — counts
+    stay un-divided per the no-ratios rule) says whether hubs attach to
+    hubs.
+
+    All BIGINT end to end ⇒ bit-exact mirror oracle. Overflow bound:
+    exact while m·(max deg)² < 2^63 — beyond ~10^6-degree hubs on
+    10^12-edge graphs the assortativity sum needs bucketing, noted here
+    rather than silently wrapped. Shuffles: one degree count over the
+    persisted edge table (E4), one bounded bucket groupBy, one edge scan
+    joining the (lineage-cut, thrice-consumed) degree table on both
+    endpoints — un-hinted, AQE broadcasts while small (CLAUDE.md
+    model-table rule). log2 buckets via the bin-string bit-width trick
+    (length(bin(deg))-1), never libm.
+    """
+    edges = persisted_copurchase_edges(spark, sf_dir)
+    deg = cut_lineage(
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .withColumnRenamed("src", "part")
+    )
+    buckets = (
+        deg.withColumn(
+            "deg_bucket", (F.length(F.bin("deg")) - 1).cast("bigint")
+        )
+        .groupBy("deg_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("deg").cast("bigint").alias("sum_deg"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+        )
+    )
+    globals_ = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("deg").cast("bigint").alias("m"),
+        F.sum(F.col("deg") * F.col("deg")).cast("bigint").alias("sum_deg2"),
+    )
+    assort = (
+        edges.join(
+            deg.select(F.col("part").alias("src"), F.col("deg").alias("dsrc")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("part").alias("dst"), F.col("deg").alias("ddst")),
+            "dst",
+        )
+        .agg(
+            F.sum(F.col("dsrc") * F.col("ddst")).cast("bigint").alias("assort_num")
+        )
+    )
+    return (
+        buckets.crossJoin(F.broadcast(globals_))
+        .crossJoin(F.broadcast(assort))
+        .select(
+            "deg_bucket", "n_parts", "sum_deg", "min_deg", "max_deg",
+            "n", "m", "sum_deg2", "assort_num",
+        )
+        .orderBy("deg_bucket")
+    )
+
+
+def _graph_profile_sql() -> str:
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+deg AS MATERIALIZED (
+  SELECT src AS part, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+buckets AS (
+  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bucket,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(deg) AS BIGINT) AS sum_deg,
+         CAST(min(deg) AS BIGINT) AS min_deg,
+         CAST(max(deg) AS BIGINT) AS max_deg
+  FROM deg GROUP BY 1),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(deg) AS BIGINT) AS m,
+         CAST(sum(deg * deg) AS BIGINT) AS sum_deg2
+  FROM deg),
+a AS (
+  SELECT CAST(sum(ds.deg * dd.deg) AS BIGINT) AS assort_num
+  FROM e JOIN deg ds ON ds.part = e.src JOIN deg dd ON dd.part = e.dst)
+SELECT b.deg_bucket, b.n_parts, b.sum_deg, b.min_deg, b.max_deg,
+       g.n, g.m, g.sum_deg2, a.assort_num
+FROM buckets b CROSS JOIN g CROSS JOIN a
+ORDER BY deg_bucket
+"""
+
+
 QUERIES = {
     "pagerank_parts": pagerank_parts,
     "kcore_parts": kcore_parts,
     "triangle_parts": triangle_parts,
     "components_parts": components_parts,
+    "graph_profile": graph_profile,
 }
 
 ORACLES = {
@@ -673,4 +781,5 @@ ORACLES = {
     "kcore_parts": _kcore_sql(),
     "triangle_parts": _triangle_sql(),
     "components_parts": _components_sql(),
+    "graph_profile": _graph_profile_sql(),
 }

@@ -727,6 +727,53 @@ def rollback_versioned(path: str, version: int) -> int:
     return _claim_version(path, manifest["files"])
 
 
+def clone_versioned(
+    src_path: str, dst_path: str, version: int | None = None
+) -> int:
+    """SHALLOW clone (E19): commit a new versioned table at ``dst_path``
+    whose first manifest references the SOURCE snapshot's data files in
+    place — zero bytes copied, planning-cost-only, the Delta/Iceberg
+    `CREATE TABLE ... SHALLOW CLONE` shape for dev/test forks and
+    experiment baselines off a production table. Returns the version
+    committed at the clone (normally 0).
+
+    The clone then evolves independently: later `write_versioned` commits
+    land their data under ``dst_path/data/`` and their manifests next to
+    the clone manifest; `read_versioned`/`read_changes`/time travel work
+    unchanged because manifests resolve files relative to their own table
+    root (the clone manifest stores `../`-style relative paths into the
+    source). `vacuum_versioned` on the CLONE only ever deletes files
+    under the clone's own data/ — source files are never touched. The
+    inherited caveat is Delta's own: vacuuming or dropping the SOURCE
+    breaks shallow clones that still reference its files (the clone
+    manifest's txn marker records the source table and version so an
+    auditor can find the dependency; a
+    pipeline that needs isolation takes a deep copy instead —
+    `read_versioned` + `write_versioned` is exactly that).
+    """
+    import json
+
+    versions = _list_versions(src_path)
+    if not versions:
+        raise FileNotFoundError(f"no versioned table at {src_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    with open(os.path.join(_manifest_dir(src_path), f"v{version}.json")) as f:
+        manifest = json.load(f)
+    os.makedirs(dst_path, exist_ok=True)
+    rel_files = [
+        os.path.relpath(os.path.join(src_path, p), dst_path)
+        for p in manifest["files"]
+    ]
+    return _claim_version(
+        dst_path,
+        rel_files,
+        txn=f"clone:{os.path.realpath(src_path)}@v{version}",
+    )
+
+
 def vacuum_versioned(
     path: str, keep_last: int = 2, grace_seconds: float = 600.0
 ) -> list[str]:

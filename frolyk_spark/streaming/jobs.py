@@ -3274,9 +3274,106 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B33: streaming corpus length monitor (mergeable histogram state) --------
+
+
+def stream_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online corpus shape monitor (B33): D35's per-source log2
+    token-length histogram maintained as MERGEABLE state over a
+    micro-batch ingest — the live dashboard a training-data intake keeps
+    (a drop of long docs or a flood of short boilerplate shows up
+    mid-ingest, not after the crawl lands). Each batch reduces to its own
+    (source, len_bucket) → (n_docs, n_tokens) histogram; both measures
+    ADD, so the state merge is one full-outer + coalesce-sum against the
+    batch's predecessor version (the B17/B19/B27 batching-invariance
+    class) and the job shares D35's whole-corpus oracle verbatim. State
+    is bounded by sources × log2(max doc length) rows FOREVER —
+    dashboard-sized on an unbounded feed. Per batch, priced in Spark
+    jobs: ONE versioned-state write (redelivery rebuilds from the batch's
+    own predecessor — never double-counts)."""
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    stage = stage_multi_file_drop(docs, sf_dir, "documents", "lenmon")
+
+    name = f"lenmon_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    n_tokens = F.size(F.split("text", " "))
+    bucket = (F.length(F.bin(n_tokens)) - 1).cast("bigint")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        hist = (
+            batch_df.select(
+                "source",
+                bucket.alias("len_bucket"),
+                n_tokens.alias("n_tokens"),
+            )
+            .groupBy("source", "len_bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+        prior_v = _latest_version_below(root, batch_id)
+        if prior_v is not None:
+            prior = spark.read.parquet(os.path.join(root, f"s{prior_v}")).select(
+                "source",
+                "len_bucket",
+                F.col("n_docs").alias("d0"),
+                F.col("n_tokens").alias("t0"),
+            )
+            zero = F.lit(0).cast("bigint")
+            hist = prior.join(hist, ["source", "len_bucket"], "full_outer").select(
+                "source",
+                "len_bucket",
+                (F.coalesce("d0", zero) + F.coalesce("n_docs", zero)).alias("n_docs"),
+                (F.coalesce("t0", zero) + F.coalesce("n_tokens", zero)).alias("n_tokens"),
+            )
+        hist.write.mode("overwrite").parquet(os.path.join(root, f"s{batch_id}"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [], "source string, len_bucket bigint, n_docs bigint, n_tokens bigint"
+        )
+    return spark.read.parquet(os.path.join(root, f"s{versions[-1]}")).select(
+        "source", "len_bucket", "n_docs", "n_tokens"
+    )
+
+
 from frolyk_spark.operators.governance import K_ANONYMITY_SQL as _K_ANON_ORACLE
 from frolyk_spark.operators.relational import ASOF_SQL as _ASOF_ORACLE
 from frolyk_spark.operators.sampling import _sample_weighted_sql as _ws_sql
+from frolyk_spark.operators.pipeline import LENGTH_HISTOGRAM_SQL as _LENHIST_ORACLE
 from frolyk_spark.operators.vocab import VOCAB_GROWTH_SQL as _VGROWTH_ORACLE
 from frolyk_spark.operators.vocab import _heavy_hitters_cms_sql as _cms_sql
 
@@ -3311,6 +3408,8 @@ QUERIES = {
     # B32: first-occurrence MIN + slice sums both merge (batching-
     # invariant), so it shares D82's whole-corpus oracle verbatim
     "stream_vocab_growth": stream_vocab_growth,
+    # B33: histogram counts ADD (batching-invariant), shares D35's oracle
+    "stream_length_histogram": stream_length_histogram,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -3344,6 +3443,7 @@ ORACLES = {
     "stream_asof_join": _ASOF_ORACLE,
     "stream_heavy_hitters": _CMS_ORACLE,
     "stream_vocab_growth": _VGROWTH_ORACLE,
+    "stream_length_histogram": _LENHIST_ORACLE,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

@@ -819,3 +819,47 @@ def test_bloom_pruned_point_lookup_skips_files(spark, sf_dir, tmp_path):
     )
     assert miss.count() == 0
     assert len(miss_files) < n_files
+
+
+def test_shallow_clone_zero_copy_and_independent_evolution(spark, sf_dir, tmp_path):
+    """E19: a shallow clone copies NO data bytes (only a manifest), reads
+    back the cloned snapshot exactly, evolves independently of the source
+    (new commits land under the clone's own data/), and vacuuming the
+    clone never deletes source files."""
+    import os
+
+    from frolyk_spark.sources.catalog import (
+        clone_versioned, committed_txns, read_versioned, vacuum_versioned,
+        write_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    write_versioned(ev.where(F.col("event_id") % 2 == 0), src)
+    write_versioned(ev, src)
+
+    v = clone_versioned(src, dst, version=0)
+    assert v == 0
+    # zero copy: the clone has a manifest but no data files of its own
+    assert not os.path.isdir(os.path.join(dst, "data")) or not any(
+        n.endswith(".parquet") for n in os.listdir(os.path.join(dst, "data"))
+    )
+    n_even = ev.where(F.col("event_id") % 2 == 0).count()
+    assert read_versioned(spark, dst).count() == n_even
+    # provenance rides the txn marker
+    assert any(t.startswith("clone:") for t in committed_txns(dst))
+
+    # independent evolution: a commit on the clone doesn't touch the source
+    write_versioned(ev.limit(7), dst)
+    assert read_versioned(spark, dst).count() == 7
+    assert read_versioned(spark, src).count() == ev.count()
+    # the cloned snapshot is still time-travelable on the clone
+    assert read_versioned(spark, dst, 0).count() == n_even
+
+    # vacuum on the clone (keep only its newest) must not delete ANY
+    # source file: the source still reads back in full at every version
+    vacuum_versioned(dst, keep_last=1, grace_seconds=0.0)
+    assert read_versioned(spark, src).count() == ev.count()
+    assert read_versioned(spark, src, 0).count() == n_even
+    assert read_versioned(spark, dst).count() == 7

@@ -212,3 +212,30 @@ def test_contrastive_pairs_triplet_invariants(spark, sf_dir):
     for r in rows:
         assert r.negative_doc not in (r.anchor_doc, r.positive_doc)
         assert 0 <= r.n_agree <= MINHASH_K
+
+
+def test_dedup_eval_confusion_identities(spark, sf_dir):
+    """D85: the confusion row's counts must satisfy the partition
+    identities exactly (tp+fp = candidates, tp+fn = truth) and agree with
+    the two source operators counted independently."""
+    from frolyk_spark.operators.dedup import (
+        band_pairs,
+        dedup_eval,
+        dedup_ngram_jaccard,
+        persisted_minhash_signatures,
+    )
+
+    row = dedup_eval(spark, sf_dir).collect()[0]
+    assert row.tp + row.fp == row.n_candidates
+    assert row.tp + row.fn == row.n_true
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in band_pairs(persisted_minhash_signatures(spark, sf_dir)).collect()
+    }
+    truth = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert row.n_candidates == len(cand) and row.n_true == len(truth)
+    assert row.tp == len(cand & truth)
+    # the corpus's planted near-dups make the audit non-degenerate
+    assert row.n_true > 0 and row.tp > 0

@@ -254,3 +254,47 @@ def test_components_plan_shape(spark, sf_dir):
     from frolyk_spark.plans.inspect import assert_scale_shape
 
     assert_scale_shape(components_parts(spark, sf_dir), forbid_cartesian=True)
+
+
+def test_graph_profile_matches_python_reference(spark, sf_dir):
+    from frolyk_spark.operators.graph import graph_profile
+
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order = defaultdict(set)
+    for ok, pk in zip(tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()):
+        by_order[ok].add(pk)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    n = len(deg)
+    m = sum(deg.values())
+    sum_deg2 = sum(d * d for d in deg.values())
+    assort = sum(deg[u] * deg[v] for u, vs in adj.items() for v in vs)
+    rows = defaultdict(lambda: [0, 0, 1 << 62, 0])
+    for d in deg.values():
+        b = d.bit_length() - 1
+        rows[b][0] += 1
+        rows[b][1] += d
+        rows[b][2] = min(rows[b][2], d)
+        rows[b][3] = max(rows[b][3], d)
+    want = sorted(
+        (b, c, s, lo, hi, n, m, sum_deg2, assort)
+        for b, (c, s, lo, hi) in rows.items()
+    )
+    got = sorted(tuple(r) for r in graph_profile(spark, sf_dir).collect())
+    assert got == want
+    assert len(want) >= 2  # the degree spread spans buckets
+
+
+def test_graph_profile_plan_shape(spark, sf_dir):
+    from frolyk_spark.operators.graph import graph_profile
+    from frolyk_spark.plans.inspect import assert_scale_shape
+
+    assert_scale_shape(graph_profile(spark, sf_dir), forbid_cartesian=False)

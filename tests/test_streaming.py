@@ -1624,6 +1624,32 @@ def test_stream_heavy_hitters_equals_batch_with_bounded_cells(spark, sf_dir):
         assert cells.count() <= CMS_D * CMS_W
 
 
+def test_stream_length_histogram_equals_batch_with_bounded_state(spark, sf_dir):
+    """B33: the streaming length monitor's final histogram equals the
+    one-shot D35 operator (doc and token counts both ADD — batching-
+    invariant), the ingest really was multi-batch, and EVERY state
+    version is bounded by sources × log2-buckets rows — the dashboard
+    contract on an unbounded feed."""
+    import os
+
+    from frolyk_spark.operators.pipeline import length_histogram
+    from frolyk_spark.streaming.jobs import stream_length_histogram
+
+    got_df = stream_length_histogram(spark, sf_dir)
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in length_histogram(spark, sf_dir).collect())
+    assert got == want and want
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = [d for d in os.listdir(root) if d.startswith("s") and d[1:].isdigit()]
+    assert len(versions) >= 2, "ingest was not multi-batch"
+    n_sources = got_df.select("source").distinct().count()
+    max_bucket = max(r[1] for r in got)
+    for v in versions:
+        st = spark.read.parquet(os.path.join(root, v))
+        assert st.count() <= n_sources * (max_bucket + 1)
+
+
 def test_stream_vocab_growth_equals_batch(spark, sf_dir):
     """B32: the streaming growth monitor's final curve equals the one-shot
     D82 operator (first occurrence = MIN is mergeable; slice sums ADD),
