@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_profile",         # C72: degree/assortativity health card
         "dedup_eval",            # D85: LSH-vs-exact-truth confusion audit
         "stream_length_histogram",  # B33: mergeable histogram state (D35)
+        "stream_edge_degrees",   # B34: incremental co-purchase graph
+        "quantile_sketch",       # C73: histogram quantiles + exact audit
         "kcore_parts",           # C69: delta peel + converged column
         "stream_dedup_incremental",  # B17: fused side-partitioned sink
         "stream_media_dedup",        # B24: fused side-partitioned sink

@@ -170,6 +170,8 @@ HEADLINE = [
     "graph_profile",
     "dedup_eval",
     "stream_length_histogram",
+    "stream_edge_degrees",
+    "quantile_sketch",
     # r12 additions
     "dedup_substring",
     "heavy_hitters_cms",

@@ -2883,7 +2883,153 @@ ORDER BY o_orderkey
 """
 
 
+# --- C73: mergeable histogram quantile sketch + exact-error audit -------------
+
+#: fixed sketch width: one row of 256 counters per shard, added at the
+#: coordinator — the bounded-state quantile monitor (the CMS posture for
+#: rank statistics). Estimate error is bounded by one bin width.
+QSKETCH_BINS = 256
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch over order totals with its own exact
+    audit (C73): a {QSKETCH_BINS}-bin equi-width counter sketch —
+    MERGEABLE state (counts add; a 100 TB ingest keeps one per shard and
+    adds at the coordinator, exactly like heavy_hitters_cms for
+    frequencies) — inverted to decile estimates, reported side by side
+    with the TRUE order statistics so the consumer sees the actual error
+    (est <= exact < est + bin width by construction, property-tested).
+
+    All integer: prices cents-scale to BIGINT, bin(v) = ((v-lo) *
+    {QSKETCH_BINS}) div (hi-lo+1) with lo/hi derived in-query (scale-free,
+    one crossJoined one-row aggregate), decile target ranks r_d =
+    ceil(d*n/10) in floor arithmetic. The EXACT side never global-sorts:
+    the sketch accelerates its own audit — rank r's bin comes from the
+    cumulative over the bounded {QSKETCH_BINS}-row bin frame (the
+    vocab_growth bounded-window class), and the true value is selected by
+    a row_number window PARTITIONED BY decile over only that bin's rows
+    (~n/{QSKETCH_BINS} each) — distributed selection, no single-partition
+    data-scale sort (the value_deciles scale note, solved rather than
+    documented). Output per decile: (decile, target_rank, est_cents,
+    exact_cents, err_cents).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rng = o.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = o.crossJoin(F.broadcast(rng)).select(
+        "cents", "lo", "hi", "n",
+        F.expr(f"((cents - lo) * {QSKETCH_BINS}) div (hi - lo + 1)").alias("bin"),
+    )
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    # the binned projection feeds BOTH the sketch aggregate and the
+    # exact in-bin selection below -> cut (CLAUDE.md self-join rule)
+    binned = cut_lineage(binned)
+    bins = (
+        binned.groupBy("bin", "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wb = W.orderBy("bin")  # bounded: <= QSKETCH_BINS rows
+    cum = bins.select(
+        "bin", "lo", "hi", "n", "cnt",
+        (F.sum("cnt").over(wb) - F.col("cnt")).alias("cum_before"),
+    )
+    targets = rng.select(
+        F.explode(F.expr("sequence(1, 9)")).alias("decile"),
+        "lo", "hi", "n",
+    ).withColumn("target_rank", F.expr("((decile * n) + 9) div 10"))
+    placed = targets.drop("lo", "hi", "n").join(
+        F.broadcast(cum),
+        (F.col("target_rank") > F.col("cum_before"))
+        & (F.col("target_rank") <= F.col("cum_before") + F.col("cnt")),
+    ).select(
+        "decile", "target_rank", "bin", "cum_before",
+        F.expr(f"lo + (bin * (hi - lo + 1)) div {QSKETCH_BINS}").alias("est_cents"),
+    )
+    # exact in-bin selection: only the 9 target bins' rows are touched
+    inbin = binned.join(
+        F.broadcast(placed.select("decile", "target_rank", "bin", "cum_before")),
+        "bin",
+    )
+    ws = W.partitionBy("decile").orderBy("cents")
+    exact = (
+        inbin.withColumn("rk", F.row_number().over(ws))
+        .where(F.col("rk") == F.col("target_rank") - F.col("cum_before"))
+        .select("decile", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        placed.join(exact, "decile")
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("target_rank").cast("bigint").alias("target_rank"),
+            F.col("est_cents").cast("bigint").alias("est_cents"),
+            F.col("exact_cents").cast("bigint").alias("exact_cents"),
+            (F.col("exact_cents") - F.col("est_cents"))
+            .cast("bigint").alias("err_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUANTILE_SKETCH_SQL = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+rng AS (
+  SELECT CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM o
+),
+binned AS (
+  SELECT cents, lo, hi, n,
+         ((cents - lo) * {QSKETCH_BINS}) // (hi - lo + 1) AS bin
+  FROM o CROSS JOIN rng
+),
+bins AS (
+  SELECT bin, lo, hi, n, CAST(count(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY bin, lo, hi, n
+),
+cum AS (
+  SELECT bin, lo, hi, n, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin) - cnt AS BIGINT) AS cum_before
+  FROM bins
+),
+targets AS (
+  SELECT unnest(range(1, 10)) AS decile, n FROM rng
+),
+placed AS (
+  SELECT t.decile, ((t.decile * t.n) + 9) // 10 AS target_rank,
+         c.bin, c.cum_before,
+         CAST(c.lo + (c.bin * (c.hi - c.lo + 1)) // {QSKETCH_BINS} AS BIGINT)
+           AS est_cents
+  FROM targets t
+  JOIN cum c ON ((t.decile * t.n) + 9) // 10 > c.cum_before
+            AND ((t.decile * t.n) + 9) // 10 <= c.cum_before + c.cnt
+),
+exact AS (
+  SELECT p.decile, b.cents AS exact_cents,
+         row_number() OVER (PARTITION BY p.decile ORDER BY b.cents) AS rk,
+         p.target_rank - p.cum_before AS want_rk
+  FROM placed p JOIN binned b ON b.bin = p.bin
+)
+SELECT CAST(p.decile AS BIGINT) AS decile,
+       CAST(p.target_rank AS BIGINT) AS target_rank,
+       p.est_cents,
+       CAST(e.exact_cents AS BIGINT) AS exact_cents,
+       CAST(e.exact_cents - p.est_cents AS BIGINT) AS err_cents
+FROM placed p
+JOIN (SELECT decile, exact_cents FROM exact WHERE rk = want_rk) e USING (decile)
+ORDER BY decile
+"""
+
+
 QUERIES = {
+    "quantile_sketch": quantile_sketch,
     "data_quality_audit": data_quality_audit,
     "rfm_segments": rfm_segments,
     "market_basket": market_basket,
@@ -2949,6 +3095,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quantile_sketch": QUANTILE_SKETCH_SQL,
     "approx_stats_bounds": APPROX_STATS_BOUNDS_SQL,
     "data_quality_audit": DATA_QUALITY_SQL,
     "rfm_segments": RFM_SQL,

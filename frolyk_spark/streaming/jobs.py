@@ -3274,6 +3274,199 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B34: incremental co-purchase graph maintenance ---------------------------
+
+#: batch count for the keyed drop (l_orderkey % parts — keyed, not range,
+#: because the only contract the equivalence needs is BASKET INTACTNESS:
+#: every line of an order must land in one batch so its pairs can form)
+EDGEMON_PARTS = 4
+
+
+def stream_edge_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph maintenance (B34): the co-purchase edge table and
+    per-part degrees kept current while orders STREAM in — the live form
+    of the E4 persisted edge table every graph resident (C67/C69/C70-C72)
+    reads. Lineitem arrives in basket-intact micro-batches
+    (stage_keyed_file_drop on l_orderkey % {EDGEMON_PARTS}, contract
+    asserted per batch): each batch forms its own orders' distinct
+    co-purchase pairs (the SAME basket self-join kernel
+    copurchase_edges_frame uses — shuffled once on the order key,
+    fan-out bounded by basket size), anti-joins them against the
+    accumulated edge state (keep-first across batches, the B28 class —
+    an edge enters exactly once, in the first batch containing an order
+    that forms it), and ADDS the new edges' endpoint counts into the
+    versioned degree state (distinct-neighbor degree = sum over DISJOINT
+    new-edge sets, so degrees merge by addition — the B31/B33 contract).
+    Union over batches = the whole-corpus distinct edge set regardless of
+    batching, so the final degree table shares the batch graph's oracle.
+
+    Per batch, priced in Spark jobs: one contract aggregate + ONE fused
+    side-partitioned write (side=edges: this batch's NEW half-edges —
+    the accumulating store; side=degrees: the merged full degree state).
+    State: edges O(m) (the artifact a pipeline persists anyway), degrees
+    O(#parts). Redelivery rebuilds from its own predecessors — the
+    overwritten batch dir is excluded from both prior sides — so nothing
+    double-counts.
+    """
+    from frolyk_spark.sources.streams import stage_keyed_file_drop
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    stage = stage_keyed_file_drop(
+        li, sf_dir, "lineitem", "edgemon", EDGEMON_PARTS, "l_orderkey"
+    )
+
+    name = f"edgemon_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    rows_root = os.path.join(root, "rows")
+    ckpt = _checkpoint_dir(name)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        lo, hi, n = batch_df.agg(
+            F.min(F.expr(f"l_orderkey % {EDGEMON_PARTS}")),
+            F.max(F.expr(f"l_orderkey % {EDGEMON_PARTS}")),
+            F.count(F.lit(1)),
+        ).collect()[0]
+        if n and not (lo == hi == batch_id % EDGEMON_PARTS):
+            raise RuntimeError(
+                f"batch {batch_id} violated the keyed-batch contract: "
+                f"residues [{lo}..{hi}]"
+            )
+        dli = batch_df.distinct()
+        a, b = dli.alias("a"), dli.alias("b")
+        pairs = (
+            a.join(b, "l_orderkey")
+            .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .distinct()
+        )
+        prior_dirs = sorted(
+            p for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
+            if d != f"b{batch_id}"  # a redelivered batch rebuilds cleanly
+            and os.path.isdir(p := os.path.join(rows_root, d, "side=edges"))
+        )
+        new_edges = pairs
+        if prior_dirs:
+            new_edges = pairs.join(
+                spark.read.parquet(*prior_dirs).select("src", "dst"),
+                ["src", "dst"],
+                "left_anti",
+            )
+        new_edges.persist()
+        try:
+            deltas = (
+                new_edges.select(
+                    F.explode(F.array("src", "dst")).alias("part")
+                )
+                .groupBy("part")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+            )
+            prior_v = _latest_version_below_dir(rows_root, batch_id)
+            if prior_v is not None:
+                prior_deg = (
+                    spark.read.parquet(
+                        os.path.join(rows_root, f"b{prior_v}", "side=degrees")
+                    )
+                    .select("part", F.col("degree").alias("d0"))
+                )
+                zero = F.lit(0).cast("bigint")
+                deltas = prior_deg.join(deltas, "part", "full_outer").select(
+                    "part",
+                    (F.coalesce("d0", zero) + F.coalesce("degree", zero)).alias(
+                        "degree"
+                    ),
+                )
+            fused = new_edges.select(
+                F.lit("edges").alias("side"),
+                "src",
+                "dst",
+                F.lit(None).cast("bigint").alias("part"),
+                F.lit(None).cast("bigint").alias("degree"),
+            ).unionByName(
+                deltas.select(
+                    F.lit("degrees").alias("side"),
+                    F.lit(None).cast("bigint").alias("src"),
+                    F.lit(None).cast("bigint").alias("dst"),
+                    F.col("part").cast("bigint").alias("part"),
+                    "degree",
+                )
+            )
+            fused.write.mode("overwrite").partitionBy("side").parquet(
+                os.path.join(rows_root, f"b{batch_id}")
+            )
+        finally:
+            new_edges.unpersist()
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
+        if d.startswith("b") and d[1:].isdigit()
+        and os.path.isdir(os.path.join(rows_root, d, "side=degrees"))
+    )
+    if not versions:
+        return spark.createDataFrame([], "part_key bigint, degree bigint")
+    return (
+        spark.read.parquet(
+            os.path.join(rows_root, f"b{versions[-1]}", "side=degrees")
+        )
+        .select(
+            F.col("part").cast("bigint").alias("part_key"),
+            F.col("degree").cast("bigint").alias("degree"),
+        )
+        .orderBy("part_key")
+    )
+
+
+def _latest_version_below_dir(rows_root: str, batch_id: int) -> int | None:
+    """Newest committed b{N} dir with N < batch_id that carries a
+    side=degrees partition — the redelivery anchor for B34's merged
+    state (the _latest_version_below shape for side-partitioned dirs)."""
+    cands = [
+        int(d[1:])
+        for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
+        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < batch_id
+        and os.path.isdir(os.path.join(rows_root, d, "side=degrees"))
+    ]
+    return max(cands) if cands else None
+
+
+STREAM_EDGE_DEGREES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr)
+SELECT CAST(src AS BIGINT) AS part_key, CAST(count(*) AS BIGINT) AS degree
+FROM e GROUP BY src ORDER BY part_key
+"""
+
+
 # --- B33: streaming corpus length monitor (mergeable histogram state) --------
 
 
@@ -3410,6 +3603,9 @@ QUERIES = {
     "stream_vocab_growth": stream_vocab_growth,
     # B33: histogram counts ADD (batching-invariant), shares D35's oracle
     "stream_length_histogram": stream_length_histogram,
+    # B34: keep-first edge state + ADD degree state over basket-intact
+    # keyed batches; union over batches = the whole-corpus edge set
+    "stream_edge_degrees": stream_edge_degrees,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -3444,6 +3640,7 @@ ORACLES = {
     "stream_heavy_hitters": _CMS_ORACLE,
     "stream_vocab_growth": _VGROWTH_ORACLE,
     "stream_length_histogram": _LENHIST_ORACLE,
+    "stream_edge_degrees": STREAM_EDGE_DEGREES_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

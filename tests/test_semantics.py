@@ -814,3 +814,32 @@ def test_tokenizer_fertility_bounds(spark, sf_dir):
         assert r.n_pieces >= r.n_words > 0
         assert r.fertility_4dp >= 1.0
     assert any(r.fertility_4dp > 1.0 for r in rows)
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
+    """C73: the histogram inverse-CDF estimate must lower-bound the true
+    order statistic with error strictly under one bin width, and the
+    target ranks must be the ceil(d*n/10) ladder."""
+    from frolyk_spark.operators.relational import QSKETCH_BINS, _t, quantile_sketch
+
+    rows = sorted(
+        (r.decile, r.target_rank, r.est_cents, r.exact_cents, r.err_cents)
+        for r in quantile_sketch(spark, sf_dir).collect()
+    )
+    assert [r[0] for r in rows] == list(range(1, 10))
+    o = _t(spark, sf_dir, "orders")
+    n = o.count()
+    import pyspark.sql.functions as F
+
+    stats = o.agg(
+        F.min(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("lo"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("hi"),
+    ).collect()[0]
+    bin_width = (stats.hi - stats.lo + 1) // QSKETCH_BINS + 1
+    for d, r, est, exact, err in rows:
+        assert r == (d * n + 9) // 10
+        assert err == exact - est
+        assert 0 <= err <= bin_width, (d, err, bin_width)
+    # monotone: later deciles never report smaller exact values
+    exacts = [r[3] for r in rows]
+    assert exacts == sorted(exacts)

@@ -1650,6 +1650,43 @@ def test_stream_length_histogram_equals_batch_with_bounded_state(spark, sf_dir):
         assert st.count() <= n_sources * (max_bucket + 1)
 
 
+def test_stream_edge_degrees_equals_batch_graph(spark, sf_dir):
+    """B34: the incrementally-maintained degree table equals the batch
+    graph's degrees (keep-first edge state over basket-intact batches ==
+    the whole-corpus distinct edge set), and the ingest really was
+    multi-batch with every version carrying both state sides."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.operators.graph import persisted_copurchase_edges
+    from frolyk_spark.streaming.jobs import stream_edge_degrees
+
+    got_df = stream_edge_degrees(spark, sf_dir)
+    got = sorted((r.part_key, r.degree) for r in got_df.collect())
+    want = sorted(
+        (r.src, r.d)
+        for r in persisted_copurchase_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    assert got == want and want
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    rows_root = os.path.dirname(os.path.dirname(os.path.dirname(src)))
+    batches = [d for d in os.listdir(rows_root) if d.startswith("b")]
+    assert len(batches) >= 2, "ingest was not multi-batch"
+    for d in batches:
+        assert os.path.isdir(os.path.join(rows_root, d, "side=degrees"))
+        assert os.path.isdir(os.path.join(rows_root, d, "side=edges"))
+    # the accumulated half-edge state matches the batch edge table size
+    n_half = sum(
+        spark.read.parquet(os.path.join(rows_root, d, "side=edges")).count()
+        for d in batches
+    )
+    assert n_half * 2 == persisted_copurchase_edges(spark, sf_dir).count()
+
+
 def test_stream_vocab_growth_equals_batch(spark, sf_dir):
     """B32: the streaming growth monitor's final curve equals the one-shot
     D82 operator (first occurrence = MIN is mergeable; slice sums ADD),
