@@ -1013,3 +1013,13 @@ def test_cms_and_vocab_growth_plan_shapes(spark, sf_dir):
     assert rep["has_take_ordered"], "top-K must plan as a heap, not a sort"
     rep2 = assert_scale_shape(vocab_growth(spark, sf_dir))
     assert not rep2["has_cartesian"]
+
+
+def test_quantile_sketch_plan_shape(spark, sf_dir):
+    """C73's plan must stay cartesian-free (the lo/hi crossJoin is a
+    broadcast one-row scalar) and window-safe: the only orderBy-window
+    runs over the bounded 256-row bin frame or a decile partition."""
+    from frolyk_spark.operators.relational import quantile_sketch
+    from frolyk_spark.plans import assert_scale_shape
+
+    assert_scale_shape(quantile_sketch(spark, sf_dir), forbid_cartesian=False)
