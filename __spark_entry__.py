@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_length_histogram",  # B33: mergeable histogram state (D35)
         "stream_edge_degrees",   # B34: incremental co-purchase graph
         "quantile_sketch",       # C73: histogram quantiles + exact audit
+        "stream_quantile_sketch",  # B35: mergeable bin state (C73 oracle)
         "kcore_parts",           # C69: delta peel + converged column
         "stream_dedup_incremental",  # B17: fused side-partitioned sink
         "stream_media_dedup",        # B24: fused side-partitioned sink

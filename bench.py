@@ -172,6 +172,7 @@ HEADLINE = [
     "stream_length_histogram",
     "stream_edge_degrees",
     "quantile_sketch",
+    "stream_quantile_sketch",
     # r12 additions
     "dedup_substring",
     "heavy_hitters_cms",

@@ -2913,37 +2913,56 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented). Output per decile: (decile, target_rank, est_cents,
     exact_cents, err_cents).
     """
-    o = _t(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    binned = _quantile_binned(
+        _t(spark, sf_dir, "orders").select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
     )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return _quantile_decile_audit(binned, bins)
+
+
+def _quantile_binned(o: DataFrame) -> DataFrame:
+    """(cents) → lineage-cut (cents, lo, hi, n, bin) with the in-query
+    scale-free bin geometry. Cut because the frame feeds BOTH the sketch
+    aggregate and the exact in-bin selection (CLAUDE.md self-join rule).
+    Shared by C73 and its streaming twin B35 so the binning rule can
+    never drift between them."""
+    from frolyk_spark.functions.lineage import cut_lineage
+
     rng = o.agg(
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
-    binned = o.crossJoin(F.broadcast(rng)).select(
-        "cents", "lo", "hi", "n",
-        F.expr(f"((cents - lo) * {QSKETCH_BINS}) div (hi - lo + 1)").alias("bin"),
+    return cut_lineage(
+        o.crossJoin(F.broadcast(rng)).select(
+            "cents", "lo", "hi", "n",
+            F.expr(f"((cents - lo) * {QSKETCH_BINS}) div (hi - lo + 1)").alias("bin"),
+        )
     )
-    from frolyk_spark.functions.lineage import cut_lineage
 
-    # the binned projection feeds BOTH the sketch aggregate and the
-    # exact in-bin selection below -> cut (CLAUDE.md self-join rule)
-    binned = cut_lineage(binned)
-    bins = (
-        binned.groupBy("bin", "lo", "hi", "n")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+def _quantile_decile_audit(binned: DataFrame, bins: DataFrame) -> DataFrame:
+    """Inverse-CDF decile estimates from a (bin, cnt) sketch + the exact
+    in-bin audit against the binned rows — C73's second half, factored so
+    B35 can feed its STREAM-MERGED state as ``bins`` (the estimates then
+    genuinely come from the maintained sketch, the audit from the data)."""
+    geo = binned.agg(
+        F.min("lo").alias("lo"), F.min("hi").alias("hi"), F.min("n").alias("n")
     )
+    bins = bins.select("bin", "cnt").crossJoin(F.broadcast(geo))
     wb = W.orderBy("bin")  # bounded: <= QSKETCH_BINS rows
     cum = bins.select(
         "bin", "lo", "hi", "n", "cnt",
         (F.sum("cnt").over(wb) - F.col("cnt")).alias("cum_before"),
     )
-    targets = rng.select(
-        F.explode(F.expr("sequence(1, 9)")).alias("decile"),
-        "lo", "hi", "n",
+    targets = geo.select(
+        F.explode(F.expr("sequence(1, 9)")).alias("decile"), "n"
     ).withColumn("target_rank", F.expr("((decile * n) + 9) div 10"))
-    placed = targets.drop("lo", "hi", "n").join(
+    placed = targets.drop("n").join(
         F.broadcast(cum),
         (F.col("target_rank") > F.col("cum_before"))
         & (F.col("target_rank") <= F.col("cum_before") + F.col("cnt")),

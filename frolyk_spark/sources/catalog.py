@@ -727,6 +727,36 @@ def rollback_versioned(path: str, version: int) -> int:
     return _claim_version(path, manifest["files"])
 
 
+def compact_versioned(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE on the manifest log (E20): rewrite the LATEST snapshot's
+    data into ``target_files`` files and commit the result as a new
+    version — Delta's `OPTIMIZE` / Iceberg's `rewrite_data_files` on the
+    E14 protocol. Content is bit-identical (the new manifest lists the
+    rewritten files; readers of the new version see the same rows in
+    fewer files); every RETAINED older version still reads its original
+    files — compaction never mutates or deletes anything, it only adds a
+    version, and `vacuum_versioned` later reclaims the small originals
+    once they age out of retention. The txn marker records provenance
+    (`compact:vN`), so `committed_txns` shows which version a compaction
+    rewrote — and a redelivered compaction of the same version is
+    detectable the same way.
+
+    The small-file problem this solves is E7's, lifted to the versioned
+    table: a streaming CDC writer (B23) commits per micro-batch, each a
+    handful of tiny files; scan cost grows with file count (footer reads,
+    task scheduling) while the data doesn't. Scale: one read of the
+    snapshot + one coalesced write — the same IO a plain compaction pays,
+    plus one manifest JSON."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    src_version = versions[-1]
+    df = read_versioned(spark, path, src_version).coalesce(max(1, target_files))
+    return write_versioned(df, path, txn=f"compact:v{src_version}")
+
+
 def clone_versioned(
     src_path: str, dst_path: str, version: int | None = None
 ) -> int:

@@ -3274,6 +3274,124 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B35: streaming histogram quantile monitor --------------------------------
+
+
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rank-statistics monitor (B35): C73's 256-bin histogram
+    sketch maintained as MERGEABLE state over an order-total ingest —
+    completing the sketch family's streaming twins (B31→D81 frequencies,
+    B32→D82 vocabulary, B33→D35 lengths, here quantiles). Bin counts ADD,
+    so per batch the state merge is one full-outer + coalesce-sum against
+    the batch's predecessor version (the batching-invariance class) and
+    the final inverse-CDF + exact audit reproduces C73's output exactly —
+    the job shares C73's whole-corpus oracle verbatim.
+
+    One subtlety C73's batch form doesn't have: the bin GEOMETRY (lo, hi)
+    must be fixed BEFORE binning so every shard/batch bins identically —
+    the sketch contract at 100 TB is "agree on the bins, then counts add
+    anywhere". Here the geometry comes from one bounded aggregate over
+    the staged drop (in production: the table's E10 stats index or a
+    declared domain), which equals C73's in-query geometry by
+    construction (same rows). State stays <= 256 bins FOREVER. Per
+    batch: ONE versioned-state write. The final inverse-CDF runs over
+    the MERGED STATE (the estimates genuinely come from the maintained
+    sketch — asserted by count conservation first); the exact-audit side
+    legitimately reads the corpus once at the end, C73's shared
+    _quantile_decile_audit doing both.
+    """
+    from frolyk_spark.operators.relational import (
+        QSKETCH_BINS, _quantile_binned, _quantile_decile_audit,
+    )
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    stage = stage_multi_file_drop(o, sf_dir, "orders", "qsketchmon")
+
+    name = f"qsk_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    # fixed bin geometry, derived once from the staged drop (the E10
+    # stats read a production deployment would use) — never per batch
+    geo = spark.read.parquet(stage).agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    ).collect()[0]
+    lo, hi = geo.lo, geo.hi
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        bins = (
+            batch_df.select(
+                F.expr(
+                    f"((cents - {lo}L) * {QSKETCH_BINS}) div ({hi}L - {lo}L + 1)"
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        prior_v = _latest_version_below(root, batch_id)
+        if prior_v is not None:
+            prior = spark.read.parquet(os.path.join(root, f"s{prior_v}")).select(
+                "bin", F.col("cnt").alias("c0")
+            )
+            zero = F.lit(0).cast("bigint")
+            bins = prior.join(bins, "bin", "full_outer").select(
+                "bin",
+                (F.coalesce("c0", zero) + F.coalesce("cnt", zero)).alias("cnt"),
+            )
+        bins.write.mode("overwrite").parquet(os.path.join(root, f"s{batch_id}"))
+
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [],
+            "decile bigint, target_rank bigint, est_cents bigint, "
+            "exact_cents bigint, err_cents bigint",
+        )
+    final_bins = spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
+    # count conservation: the merged state must account for every source
+    # row before anything is estimated from it
+    n_state = final_bins.agg(F.sum("cnt")).collect()[0][0]
+    n_src = o.count()
+    if n_state != n_src:
+        raise RuntimeError(
+            f"sketch state lost counts: {n_state} != {n_src} source rows"
+        )
+    # estimates FROM the maintained state; exact audit from the data —
+    # C73's shared second half (identical binning rule via the shared
+    # _quantile_binned, so the stream shares C73's oracle verbatim)
+    return _quantile_decile_audit(_quantile_binned(o), final_bins)
+
+
 # --- B34: incremental co-purchase graph maintenance ---------------------------
 
 #: batch count for the keyed drop (l_orderkey % parts — keyed, not range,
@@ -3567,6 +3685,7 @@ from frolyk_spark.operators.governance import K_ANONYMITY_SQL as _K_ANON_ORACLE
 from frolyk_spark.operators.relational import ASOF_SQL as _ASOF_ORACLE
 from frolyk_spark.operators.sampling import _sample_weighted_sql as _ws_sql
 from frolyk_spark.operators.pipeline import LENGTH_HISTOGRAM_SQL as _LENHIST_ORACLE
+from frolyk_spark.operators.relational import QUANTILE_SKETCH_SQL as _QSKETCH_ORACLE
 from frolyk_spark.operators.vocab import VOCAB_GROWTH_SQL as _VGROWTH_ORACLE
 from frolyk_spark.operators.vocab import _heavy_hitters_cms_sql as _cms_sql
 
@@ -3606,6 +3725,9 @@ QUERIES = {
     # B34: keep-first edge state + ADD degree state over basket-intact
     # keyed batches; union over batches = the whole-corpus edge set
     "stream_edge_degrees": stream_edge_degrees,
+    # B35: bin counts ADD under fixed geometry (batching-invariant),
+    # estimates come FROM the merged state; shares C73's oracle
+    "stream_quantile_sketch": stream_quantile_sketch,
     "stream_cdc_apply": stream_cdc_apply,
     # B23: CDC into E14 versioned snapshots (txn-guarded exactly-once);
     # final state is batching-invariant so it shares B19's oracle
@@ -3641,6 +3763,7 @@ ORACLES = {
     "stream_vocab_growth": _VGROWTH_ORACLE,
     "stream_length_histogram": _LENHIST_ORACLE,
     "stream_edge_degrees": STREAM_EDGE_DEGREES_SQL,
+    "stream_quantile_sketch": _QSKETCH_ORACLE,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,
     "stream_media_dedup": _stream_media_dedup_sql(),

@@ -863,3 +863,45 @@ def test_shallow_clone_zero_copy_and_independent_evolution(spark, sf_dir, tmp_pa
     assert read_versioned(spark, src).count() == ev.count()
     assert read_versioned(spark, src, 0).count() == n_even
     assert read_versioned(spark, dst).count() == 7
+
+
+def test_compact_versioned_rewrites_latest_snapshot(spark, sf_dir, tmp_path):
+    """E20: compaction commits a new version with identical content in
+    fewer files, leaves every retained older version readable from its
+    original files, records provenance in the txn marker, and the small
+    originals are reclaimed only by a later vacuum."""
+    import json
+    import os
+
+    from frolyk_spark.sources.catalog import (
+        committed_txns, compact_versioned, read_versioned, vacuum_versioned,
+        write_versioned,
+    )
+
+    out = str(tmp_path / "ctable")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    # simulate a per-batch streaming writer: many-file commits
+    write_versioned(ev.where(F.col("event_id") % 2 == 0).repartition(6), out)
+    v1 = write_versioned(ev.repartition(8), out)
+
+    def manifest_files(v):
+        with open(os.path.join(out, "_manifests", f"v{v}.json")) as f:
+            return json.load(f)["files"]
+
+    assert len(manifest_files(v1)) == 8
+    v2 = compact_versioned(spark, out, target_files=1)
+    assert v2 == v1 + 1
+    assert len(manifest_files(v2)) == 1
+    # bit-identical content, old versions intact, provenance recorded
+    key = lambda df: sorted((r.event_id, r.event_type) for r in df.collect())
+    assert key(read_versioned(spark, out, v2)) == key(read_versioned(spark, out, v1))
+    assert read_versioned(spark, out, 0).count() == ev.where(
+        F.col("event_id") % 2 == 0
+    ).count()
+    assert committed_txns(out).get(f"compact:v{v1}") == v2
+    # vacuum to the compacted version: the 8 small files become orphans
+    n_before = len(os.listdir(os.path.join(out, "data")))
+    vacuum_versioned(out, keep_last=1, grace_seconds=0.0)
+    n_after = len(os.listdir(os.path.join(out, "data")))
+    assert n_after < n_before
+    assert key(read_versioned(spark, out)) == key(read_versioned(spark, out, v2))

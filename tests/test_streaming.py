@@ -1709,3 +1709,15 @@ def test_stream_vocab_growth_equals_batch(spark, sf_dir):
         st = spark.read.parquet(os.path.join(root, v))
         sides = {r["side"] for r in st.select("side").distinct().collect()}
         assert sides == {"words", "slices"}
+
+
+def test_stream_quantile_sketch_equals_batch(spark, sf_dir):
+    """B35: the decile table estimated FROM the stream-merged bin state
+    equals C73's one-shot sketch (bin counts add under fixed geometry);
+    count conservation is asserted inside the op before any estimate."""
+    from frolyk_spark.operators.relational import quantile_sketch
+    from frolyk_spark.streaming.jobs import stream_quantile_sketch
+
+    got = sorted(tuple(r) for r in stream_quantile_sketch(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in quantile_sketch(spark, sf_dir).collect())
+    assert got == want and want
