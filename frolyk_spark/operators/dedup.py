@@ -846,7 +846,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def min_label_propagation(
-    pairs: DataFrame, max_iters: int
+    pairs: DataFrame, max_iters: int, *, symmetric: bool = False
 ) -> tuple[DataFrame, bool]:
     """The level-synchronous min-label loop itself, factored from
     min_label_clusters (r13, for the graph block's components_parts):
@@ -859,13 +859,25 @@ def min_label_propagation(
     stop means ``converged`` matches a fixed-round oracle's
     "did the last two unrolled rounds agree" check in every case,
     including a fixpoint landing exactly on the final round (both
-    report False — conservative, identically)."""
-    edges = pairs.select("doc_a", "doc_b").union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    # materialize once: every round joins edges, and recomputing the
-    # candidate join per round would multiply its cost
-    edges = _cut_lineage(edges)
+    report False — conservative, identically).
+
+    ``symmetric=True`` declares the input already holds BOTH directions
+    of every edge (e.g. the persisted co-purchase table) — the
+    symmetrizing union AND the materializing cut are skipped, because a
+    bare persisted-parquet scan re-read once per round is exactly the
+    CLAUDE.md cheap-rescan exception the cut exists to protect computed
+    frames from."""
+    if symmetric:
+        edges = pairs.select("doc_a", "doc_b")
+    else:
+        edges = pairs.select("doc_a", "doc_b").union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        # materialize once: every round joins edges, and recomputing the
+        # candidate join per round would multiply its cost
+        edges = _cut_lineage(edges)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()

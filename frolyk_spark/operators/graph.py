@@ -591,13 +591,17 @@ def components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frolyk_spark.operators.dedup import min_label_propagation
 
-    edges = persisted_copurchase_edges(spark, sf_dir)
-    # the persisted table is already symmetric; hand the propagation the
-    # src<dst half so its internal symmetrization doesn't double edges
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
+    # the persisted table is already symmetric — declare it so the
+    # propagation skips its symmetrizing union AND the materializing cut
+    # (a bare persisted scan re-read per round is the CLAUDE.md cheap-
+    # rescan exception; the r13 draw measured the redundant
+    # filter+union+checkpoint of 1.9M rows on every call)
+    pairs = persisted_copurchase_edges(spark, sf_dir).select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
-    labels, converged = min_label_propagation(pairs, COMPONENTS_ROUNDS)
+    labels, converged = min_label_propagation(
+        pairs, COMPONENTS_ROUNDS, symmetric=True
+    )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size")
     )
