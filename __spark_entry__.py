@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_edge_degrees",   # B34: incremental co-purchase graph
         "quantile_sketch",       # C73: histogram quantiles + exact audit
         "stream_quantile_sketch",  # B35: mergeable bin state (C73 oracle)
+        "filter_funnel",         # D87: per-source cleaning-funnel counts
         "kcore_parts",           # C69: delta peel + converged column
         "stream_dedup_incremental",  # B17: fused side-partitioned sink
         "stream_media_dedup",        # B24: fused side-partitioned sink

@@ -173,6 +173,7 @@ HEADLINE = [
     "stream_edge_degrees",
     "quantile_sketch",
     "stream_quantile_sketch",
+    "filter_funnel",
     # r12 additions
     "dedup_substring",
     "heavy_hitters_cms",

@@ -318,6 +318,91 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter_frame(load_table(spark, sf_dir, "documents"))
 
 
+# --- D87: cleaning-funnel observability ---------------------------------------
+
+
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival funnel of the D17 cleaning composite (D87) —
+    the observability table a curation team reads before shipping a
+    filter change (the RefinedWeb-style "how much does each rule cost
+    per source" ablation): for every source, the document counts
+    surviving each stage of the FIXED pipeline order
+    raw → exact-dedup keep-first → language gate → quality gate.
+    The final column equals corpus_filter's survivor count by
+    construction (same flags, same thresholds — the rules are evaluated
+    once, here kept as booleans instead of filtered on), and the
+    intermediate columns attribute the losses: a source bleeding at the
+    dedup stage is a mirror/boilerplate problem, at the language stage a
+    routing problem, at the quality stage a content problem.
+
+    ONE aggregate over the flag projection (stage survival = running
+    conjunction, so each stage is a sum of AND-chains — no per-stage
+    passes, no joins beyond D17's own three); one hash-keyed window
+    shuffle (the dedup keep-first) + one source-keyed groupBy. All
+    counts BIGINT."""
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    from pyspark.sql import Window
+
+    stats = text_stats_frame(raw).select("doc_id", "quality_score")
+    langs = lang_id_frame(raw).select("doc_id", "predicted_lang")
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    flags = (
+        raw.select(
+            "doc_id", "source", portable_hash_expr("text").alias("text_hash")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .join(stats, "doc_id")
+        .join(langs, "doc_id")
+        .select(
+            "source",
+            (F.col("rn") == 1).alias("s_dedup"),
+            F.col("predicted_lang").isin(*KEEP_LANGS).alias("ok_lang"),
+            (F.col("quality_score") >= MIN_QUALITY).alias("ok_quality"),
+        )
+    )
+    one = lambda c: F.sum(c.cast("int")).cast("bigint")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            one(F.col("s_dedup")).alias("after_dedup"),
+            one(F.col("s_dedup") & F.col("ok_lang")).alias("after_lang"),
+            one(
+                F.col("s_dedup") & F.col("ok_lang") & F.col("ok_quality")
+            ).alias("after_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _filter_funnel_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in KEEP_LANGS)
+    return f"""
+WITH stats AS ({TEXT_STATS_SQL.strip()}),
+langs AS ({LANG_ID_SQL.strip()}),
+hashed AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY {portable_hash_sql('text')} ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT h.source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN h.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+       CAST(sum(CASE WHEN h.rn = 1 AND l.predicted_lang IN ({langs})
+                THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
+       CAST(sum(CASE WHEN h.rn = 1 AND l.predicted_lang IN ({langs})
+                AND s.quality_score >= {MIN_QUALITY}
+                THEN 1 ELSE 0 END) AS BIGINT) AS after_quality
+FROM hashed h
+JOIN stats s ON h.doc_id = s.doc_id
+JOIN langs l ON h.doc_id = l.doc_id
+GROUP BY h.source
+ORDER BY h.source
+"""
+
+
 def _corpus_filter_sql() -> str:
     langs = ", ".join(f"'{l}'" for l in KEEP_LANGS)
     return f"""
@@ -805,6 +890,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "text_redact": text_redact,
     "corpus_filter": corpus_filter,
+    "filter_funnel": filter_funnel,
 }
 
 ORACLES = {
@@ -820,4 +906,5 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "text_redact": TEXT_REDACT_SQL,
     "corpus_filter": _corpus_filter_sql(),
+    "filter_funnel": _filter_funnel_sql(),
 }

@@ -843,3 +843,22 @@ def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
     # monotone: later deciles never report smaller exact values
     exacts = [r[3] for r in rows]
     assert exacts == sorted(exacts)
+
+
+def test_filter_funnel_monotone_and_matches_corpus_filter(spark, sf_dir):
+    """D87: stage counts are monotone non-increasing, and the last stage
+    sums to exactly corpus_filter's survivor count (same rules evaluated
+    as flags instead of filters)."""
+    from frolyk_spark.operators.text import corpus_filter, filter_funnel
+
+    rows = filter_funnel(spark, sf_dir).collect()
+    assert rows and len(rows) >= 2  # multiple sources
+    for r in rows:
+        assert r.n_raw >= r.after_dedup >= r.after_lang >= r.after_quality >= 0
+    assert sum(r.after_quality for r in rows) == corpus_filter(spark, sf_dir).count()
+    # the funnel is non-degenerate: the gates drop documents overall
+    # (sf0.001 has no exact duplicates, so the dedup stage alone may be
+    # a no-op there — assert on the gate stages and the total instead)
+    assert any(r.after_dedup > r.after_lang for r in rows)
+    assert any(r.after_lang > r.after_quality for r in rows)
+    assert sum(r.n_raw for r in rows) > sum(r.after_quality for r in rows)
