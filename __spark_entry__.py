@@ -33,62 +33,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 190
-    # registered entries). Rotation order is BY DRIVER-ROW AGE, red/new
-    # FIRST (CLAUDE.md). The r12 driver burned its whole head green
-    # (new_r12 9 + stale_r8 28 + the first 13 of green_r9, through
-    # event_deltas); 36 green_r9 entries slipped to r13 as designed. So:
-    #   1. new_r13 (5): components_parts (C71, min-label connected
-    #      components over the persisted co-purchase edges, unrolled
-    #      fixed-round oracle + converged flag) and dedup_substring_trim
-    #      (D84, ExactSubstr keep-earliest span removal sharing D80's
-    #      maximal-run CTEs) are brand new; kcore_parts re-heads because
-    #      its output gained the converged truncation-honesty column and
-    #      its loop became the delta peel; stream_dedup_incremental and
-    #      stream_media_dedup re-head because their sinks fused into the
-    #      side-partitioned per-batch layout (outputs bit-identical, but
-    #      changed code re-certifies first);
-    #   2. green_r9 (36): the r12 budget slippage — newest green row is
-    #      r9, the oldest block in the ledger and the r12 verdict's
-    #      designated r13 head (rollup/cube/set-ops relational tail, the
-    #      temporal block, the text/vocab tail, three streaming rows);
-    #   3. green_r10 (14): after the r9 tail burns, the oldest remaining
-    #      rows are r10; budget slippage falls here, never on a new or
-    #      r9-stale entry.
-    new_r13 = (
-        "components_parts",      # C71: connected components + converged
-        "dedup_substring_trim",  # D84: keep-earliest span removal
-        "graph_profile",         # C72: degree/assortativity health card
-        "dedup_eval",            # D85: LSH-vs-exact-truth confusion audit
-        "stream_length_histogram",  # B33: mergeable histogram state (D35)
-        "stream_edge_degrees",   # B34: incremental co-purchase graph
-        "quantile_sketch",       # C73: histogram quantiles + exact audit
-        "stream_quantile_sketch",  # B35: mergeable bin state (C73 oracle)
-        "filter_funnel",         # D87: per-source cleaning-funnel counts
-        "kcore_parts",           # C69: delta peel + converged column
-        "stream_dedup_incremental",  # B17: fused side-partitioned sink
-        "stream_media_dedup",        # B24: fused side-partitioned sink
+    # in dict order under a wall-clock budget (~50 per round of the 199
+    # registered entries; 195 oracle-checked + 4 documented no-oracle).
+    # Rotation order is BY DRIVER-ROW AGE, red/new FIRST (CLAUDE.md). The
+    # r13 driver burned exactly its designed head green: new_r13 (12) +
+    # green_r9 (36) + the first 2 of green_r10 (stream_topk,
+    # stream_quarantine) = 50. Freshness after r13: 50 entries newest-green
+    # at r13, 48 at r12, 49 at r11, 46 at r10 — so:
+    #   1. new_r14 (3): stream_components (B36, incremental connected
+    #      components over B34's basket-intact batches — contracted
+    #      min-label merge per batch, shares C71's oracle) and
+    #      pagerank_weighted (C74, co-order-count-weighted integer
+    #      PageRank) are brand new; lsh_band_sweep re-heads because its
+    #      output gained the ground-truth confusion columns
+    #      (n_true/tp/fp/fn vs the D8 truth — the per-(b,r)
+    #      precision/recall tuning closure, r13 verdict item 6);
+    #   2. stale_r10 (45): the rest of the oldest block — every entry
+    #      whose newest green row is r10 (lsh_band_sweep is listed in
+    #      new_r14 instead). Head = 48 of the ~50 budget;
+    #   3. after the r10 tail burns, the oldest remaining rows are r11
+    #      (49 entries); budget slippage falls there, never on a new or
+    #      r10-stale entry.
+    new_r14 = (
+        "stream_components",   # B36: incremental CC label state (C71 oracle)
+        "pagerank_weighted",   # C74: weighted co-purchase PageRank
+        "lsh_band_sweep",      # D46: + per-(b,r) tp/fp/fn vs D8 truth
     )
-    green_r9 = (
-        "rollup_revenue",
-        "cube_lineitem", "customers_with_orders", "customers_without_orders",
-        "distinct_parts_per_supplier", "event_type_pivot",
-        "asof_purchase_click", "clicks_before_purchase", "set_ops_customers",
-        "explode_words", "daily_revenue", "scd2_history",
-        "supplier_peak_load", "spending_percentiles", "time_weighted_avg",
-        "ohlc_bars", "session_overlaps", "ann_lsh_buckets", "sketch_kmv",
-        "text_stats", "lang_id", "doc_fingerprint", "token_entropy",
-        "unigram_logprob", "vocab_topk", "bigram_counts", "decontaminate",
-        "doc_chunks", "repetition_stats", "sequence_pack",
-        "dedup_incremental", "dedup_simhash_pairs", "curriculum_quota",
-        "stream_cdc_apply", "stream_outer_join", "stream_session_ttl",
-    )
-    green_r10 = (
-        "stream_topk", "stream_quarantine", "stream_anomaly",
-        "stream_full_outer_join", "q22_idle_balance", "value_deciles",
-        "resample_gapfill", "salted_join_segments", "markov_transitions",
-        "order_value_quartiles", "conversion_funnel", "funnel_fold",
-        "q16_parts_supplier_counts", "q20_concentrated_suppliers",
+    stale_r10 = (
+        "ann_ivf", "ann_lsh", "ann_pq", "boilerplate_ngrams",
+        "cluster_profile", "conversion_funnel", "corpus_filter",
+        "cross_source_duplication", "data_quality_audit", "dedup_canonical",
+        "dedup_clusters", "dup_span_coverage", "ewma_value",
+        "feature_hash_embedding", "frame_sample", "funnel_fold",
+        "lang_confusion", "length_histogram", "logreg_features",
+        "market_basket", "markov_transitions", "media_decode",
+        "media_resize", "minhash_jaccard_estimate", "multimodal_manifest",
+        "order_value_quartiles", "pca_moments", "q16_parts_supplier_counts",
+        "q20_concentrated_suppliers", "q22_idle_balance", "resample_gapfill",
+        "rfm_segments", "salted_join_segments", "sample_per_source",
+        "sample_stratified", "scd2_lookup", "semantic_dedup",
+        "skyline_parts", "source_yield", "stream_anomaly",
+        "stream_full_outer_join", "text_redact", "top_paths",
+        "value_deciles", "video_decode",
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
@@ -96,9 +82,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 retrieval, governance, streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*new_r13, *green_r9, *green_r10):
+    for k in (*new_r14, *stale_r10):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
-    out.update(registry)  # r10/r11/r12-green remainder; first insertion wins
+    out.update(registry)  # r11/r12/r13-green remainder; first insertion wins
     return out
 
 

@@ -33,6 +33,7 @@ HEADLINE = [
     # keys adjacent to their warm pass times the operators, not cache
     # eviction.
     "pagerank_parts",
+    "pagerank_weighted",
     "kcore_parts",
     "components_parts",
     "triangle_parts",
@@ -165,6 +166,9 @@ HEADLINE = [
     "sample_weighted",
     "stream_sample_weighted",
     "bigram_lm_score",
+    # r14 additions (pagerank_weighted rides the iterative head above)
+    "stream_components",
+    "lsh_band_sweep",
     # r13 additions (components_parts rides the iterative head above)
     "dedup_substring_trim",
     "graph_profile",
@@ -205,6 +209,7 @@ ITERATIVE_WARM_KEYS = [
     "triangle_parts",
     "components_parts",
     "kcore_parts",
+    "pagerank_weighted",
     "pagerank_parts",
 ]
 

@@ -1021,22 +1021,34 @@ SWEEP_BAND_COUNTS = (2, 3, 4, 6)
 
 def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH tuning table: for each banding of the k={MINHASH_K}
-    signature (b bands × r rows), the candidate-pair count and the mean
-    signature-agreement (estimated Jaccard) of those candidates — what an
-    engineer consults to pick the precision/recall point BEFORE running
-    dedup at corpus scale (more rows per band = stricter buckets = fewer,
-    higher-precision candidates; the S-curve 1-(1-j^r)^b made concrete on
-    the actual corpus). The data-side complement of key_skew_profile's
-    join diagnostic, for the dedup pipeline.
+    signature (b bands × r rows), the candidate-pair count, the mean
+    signature-agreement (estimated Jaccard) of those candidates, AND the
+    ground-truth-anchored confusion counts against the D8 exact-Jaccard
+    truth (n_true, tp, fp, fn) — the per-(b,r) PRECISION/RECALL table an
+    operator actually picks a banding from (r13 verdict item 6: D85 gave
+    tp/fp/fn at the shipped config only, D46 gave counts without truth —
+    this closes the tuning loop by classifying EVERY config's candidates
+    against the same truth set). The S-curve 1-(1-j^r)^b made concrete on
+    the actual corpus, with recall loss (fn) and wasted verifies (fp) in
+    exact BIGINTs per row; counts stay un-divided (no-ratios rule) — the
+    consumer divides.
 
     Shape: the persisted signature table (computed once per corpus) is
     lineage-cut and re-banded per config — each config is the standard
-    banded equi-join plus two signature joins, all on the 12-slot table;
-    text is never touched. Per-config output is ONE row (exact integer
-    n_pairs / matches sums; the mean is one division), so the union is a
-    {len(SWEEP_BAND_COUNTS)}-row frame.
+    banded equi-join plus two signature joins plus ONE pair-keyed
+    classify join against the (lineage-cut, shared across configs +
+    the n_true aggregate) truth pair set; text is never touched.
+    Per-config output is ONE row (exact integer sums; the mean is one
+    division), so the union is a {len(SWEEP_BAND_COUNTS)}-row frame.
+    tp+fp == n_pairs and tp+fn == n_true by construction
+    (property-tested), and the b={MINHASH_B} row reproduces dedup_eval.
     """
     sigs = _cut_lineage(persisted_minhash_signatures(spark, sf_dir))
+    truth = _cut_lineage(
+        dedup_ngram_jaccard(spark, sf_dir).select(
+            "doc_a", "doc_b", F.lit(1).alias("is_true")
+        )
+    )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{j}").alias(f"a{j}") for j in range(MINHASH_K)],
@@ -1057,10 +1069,14 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = (
             pairs.join(sa, "doc_a")
             .join(sb, "doc_b")
+            .join(truth, ["doc_a", "doc_b"], "left")
             .agg(
                 F.count(F.lit(1)).alias("n_pairs"),
                 F.coalesce(F.sum(matches), F.lit(0)).cast("bigint").alias(
                     "sum_matches"
+                ),
+                F.coalesce(F.sum("is_true"), F.lit(0)).cast("bigint").alias(
+                    "tp"
                 ),
             )
             .select(
@@ -1074,10 +1090,25 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (F.lit(float(MINHASH_K)) * F.col("n_pairs").cast("double"))
                     ),
                 ).alias("mean_est_jaccard"),
+                "tp",
             )
         )
         out = agg if out is None else out.unionAll(agg)
-    return out.orderBy("bands")
+    n_true1 = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    return (
+        out.crossJoin(F.broadcast(n_true1))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_pairs",
+            "mean_est_jaccard",
+            "n_true",
+            "tp",
+            (F.col("n_pairs") - F.col("tp")).cast("bigint").alias("fp"),
+            (F.col("n_true") - F.col("tp")).cast("bigint").alias("fn"),
+        )
+        .orderBy("bands")
+    )
 
 
 def _lsh_band_sweep_sql() -> str:
@@ -1102,7 +1133,8 @@ SELECT {b_cnt} AS bands, {r} AS rows_per_band,
        CAST(count(*) AS BIGINT) AS n_pairs,
        CASE WHEN count(*) > 0 THEN
          {round4_sql(mean_expr)}
-       END AS mean_est_jaccard
+       END AS mean_est_jaccard,
+       CAST(coalesce(sum(tm.is_true), 0) AS BIGINT) AS tp
 FROM (
   WITH bands_{b_cnt} AS (
     SELECT doc_id, b, {band_hash} AS band_hash
@@ -1120,7 +1152,8 @@ FROM (
   WHERE s.n_docs <= {LSH_BUCKET_CAP} OR a.doc_id = s.anchor
 ) p
 JOIN sig sa ON p.doc_a = sa.doc_id
-JOIN sig sb ON p.doc_b = sb.doc_id""")
+JOIN sig sb ON p.doc_b = sb.doc_id
+LEFT JOIN tm ON tm.doc_a = p.doc_a AND tm.doc_b = p.doc_b""")
     union = "\nUNION ALL\n".join(parts)
     return f"""
 WITH sh AS (
@@ -1132,8 +1165,19 @@ sig AS (
                         j -> list_min(list_transform(shingles,
                                s -> xor({portable_hash_sql('s')}, {seeds_duck}[j + 1])))) AS sig
   FROM sh
-)
+),
+tm AS MATERIALIZED (
+  SELECT doc_a, doc_b, 1 AS is_true
+  FROM ({DEDUP_NGRAM_JACCARD_SQL}) q
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tm)
+SELECT u.bands, u.rows_per_band, u.n_pairs, u.mean_est_jaccard,
+       nt.n_true, u.tp,
+       CAST(u.n_pairs - u.tp AS BIGINT) AS fp,
+       CAST(nt.n_true - u.tp AS BIGINT) AS fn
+FROM (
 {union}
+) u CROSS JOIN nt
 ORDER BY bands
 """
 
@@ -1714,10 +1758,15 @@ def dedup_substring_trim_frame(
     all but one copy of each duplicated substring"): per maximal
     cross-document run, DELETE the copy in the LATER document (doc_b
     side) and keep the earlier one, then rebuild each document's
-    surviving text in order. Keep-earliest is exactly one surviving copy
-    per span: the lowest-id document holding a span is doc_a in every
-    pair it forms, never doc_b, so its copy is never deleted; every
-    later holder is some pair's doc_b and loses its positions.
+    surviving text in order. Keep-earliest preserves one copy per
+    NON-OVERLAPPING run: the lowest-id document holding a span is doc_a
+    in every pair that run forms, never doc_b, so that run never deletes
+    its copy. When distinct maximal runs OVERLAP, the guarantee weakens
+    to the greedy position-union — the earliest holder of span S can
+    still lose positions inside S through a different, partially-
+    overlapping run in which it is doc_b, so no intact copy of S need
+    survive (r13 advice). Cross-engine parity is unaffected: the oracle
+    mirrors the same position-union semantics.
 
     Composes _substring_runs_frame (shared with D80 — the span semantics
     cannot drift) with D59's covered-position machinery: run intervals →

@@ -772,12 +772,182 @@ ORDER BY deg_bucket
 """
 
 
+# --- C74: weighted PageRank (co-purchase COUNTS as edge mass) ------------------
+
+
+def persisted_copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEIGHTED co-purchase graph persisted once per source dataset
+    (the E4 pattern persisted_copurchase_edges uses): (src, dst, w) where
+    w = the number of distinct orders containing both parts. The basket
+    self-join is the same single l_orderkey shuffle; the only change from
+    the unweighted build is count(*) instead of distinct over the pair
+    groupBy. Kept as a SEPARATE artifact from the unweighted table: its
+    consumers (C74) need the weight column, while the unweighted table's
+    five residents (C67/C69-C72) reuse their established schema — and a
+    schema change under a _SUCCESS reuse check would silently serve old
+    files to new readers."""
+    import hashlib
+
+    from frolyk_spark.sources.streams import SCRATCH
+
+    target = os.path.realpath(os.path.join(sf_dir, "lineitem.parquet"))
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    out = os.path.join(SCRATCH, "graphs", f"copurchase_w_{key}.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        dli = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = dli.alias("a"), dli.alias("b")
+        pairs = (
+            a.join(b, "l_orderkey")
+            .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        )
+        sym = pairs.union(
+            pairs.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        sym.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PR_TOP_K} parts by {PR_ROUNDS}-round WEIGHTED integer PageRank
+    (C74): the curation-relevant form of C67 — two parts co-bought in 50
+    orders are 50× the signal of a one-off basket, and the unweighted walk
+    throws that mass away. Edge weight w(u,v) = distinct co-orders of the
+    pair (the persisted weighted table above); rank mass flows
+    proportionally to w.
+
+    Update (all BIGINT, both engines — C67's floor-arithmetic exactness
+    posture extended to weights):
+        rate[u]  = r[u] div W[u]          -- W[u] = Σ_v w(u,v)
+        r'[v]    = (15 * MASS) div (100 * n)
+                 + (85 * Σ_{{u->v}} w(u,v) * rate[u]) div 100
+
+    The per-edge product w·rate never overflows: rate ≤ r ≤ MASS (1e12)
+    and w ≤ #orders, so w·rate < 2^63 with orders of margin, and the
+    inflow sum is bounded by the total mass. Same loop shape as C67:
+    persisted+cached edges, un-hinted O(#parts) rank joins (AQE
+    broadcasts while small), lineage cut every second round, fixed
+    {PR_ROUNDS} rounds ⇒ fixed shuffle count. Output adds each part's
+    weighted degree W (exact BIGINT) next to its score.
+    """
+    edges = persisted_copurchase_weighted(spark, sf_dir).persist()
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
+    n1 = wdeg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        wdeg.select(F.col("src").alias("part"), "wdeg")
+        .crossJoin(F.broadcast(n1))
+        .withColumn("r", F.expr(f"{PR_MASS} div n"))
+    )
+    for i in range(PR_ROUNDS):
+        rates = ranks.select(
+            F.col("part").alias("src"), F.expr("r div wdeg").alias("rate")
+        )
+        inflow = (
+            edges.join(rates, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("w") * F.col("rate")).cast("bigint").alias("inflow")
+            )
+        )
+        ranks = (
+            ranks.join(inflow, ranks.part == inflow.dst, "left")
+            .select(
+                "part",
+                "wdeg",
+                "n",
+                (
+                    F.expr(f"({15 * PR_MASS} div (100 * n))")
+                    + F.expr(
+                        f"({PR_DAMP_PCT} * coalesce(inflow, 0)) div 100"
+                    )
+                ).alias("r"),
+            )
+        )
+        if i % 2 == 1:
+            ranks = cut_lineage(ranks)
+    if PR_ROUNDS % 2 == 1:
+        ranks = cut_lineage(ranks)
+    edges.unpersist()
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("r"), F.asc("part"))
+    return (
+        ranks.withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= PR_TOP_K)
+        .select(
+            F.col("rank_pos").cast("bigint").alias("rank_pos"),
+            F.col("part").cast("bigint").alias("part_key"),
+            F.col("r").cast("bigint").alias("pr_score"),
+            F.col("wdeg").cast("bigint").alias("w_deg"),
+        )
+    )
+
+
+def _pagerank_weighted_sql() -> str:
+    """C67's unrolled-CTE oracle with the weight column threaded through:
+    one MATERIALIZED CTE per round, pure BIGINT floor arithmetic, every
+    HUGEINT sum cast back to BIGINT."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ROUNDS + 1):
+        rounds.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT d.part, d.wdeg, nn.n,
+         CAST(({15 * PR_MASS} // (100 * nn.n))
+              + ({PR_DAMP_PCT} * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS r
+  FROM wdeg d
+  LEFT JOIN (SELECT e.dst AS part,
+                    CAST(sum(e.w * (p.r // p.wdeg)) AS BIGINT) AS inflow
+             FROM e JOIN {prev} p ON e.src = p.part
+             GROUP BY e.dst) i USING (part)
+  CROSS JOIN nn
+)""")
+        prev = f"r{i}"
+    chain = ",".join(rounds)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT src, dst, w FROM prw
+  UNION ALL SELECT dst AS src, src AS dst, w FROM prw),
+wdeg AS MATERIALIZED (
+  SELECT src AS part, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM wdeg),
+r0 AS MATERIALIZED (
+  SELECT part, wdeg, nn.n, CAST({PR_MASS} // nn.n AS BIGINT) AS r
+  FROM wdeg CROSS JOIN nn),{chain}
+SELECT CAST(rank_pos AS BIGINT) AS rank_pos,
+       CAST(part AS BIGINT) AS part_key,
+       CAST(r AS BIGINT) AS pr_score,
+       CAST(wdeg AS BIGINT) AS w_deg
+FROM (SELECT part, r, wdeg,
+             row_number() OVER (ORDER BY r DESC, part ASC) AS rank_pos
+      FROM {prev})
+WHERE rank_pos <= {PR_TOP_K}
+"""
+
+
 QUERIES = {
     "pagerank_parts": pagerank_parts,
     "kcore_parts": kcore_parts,
     "triangle_parts": triangle_parts,
     "components_parts": components_parts,
     "graph_profile": graph_profile,
+    "pagerank_weighted": pagerank_weighted,
 }
 
 ORACLES = {
@@ -786,4 +956,5 @@ ORACLES = {
     "triangle_parts": _triangle_sql(),
     "components_parts": _components_sql(),
     "graph_profile": _graph_profile_sql(),
+    "pagerank_weighted": _pagerank_weighted_sql(),
 }

@@ -402,9 +402,21 @@ def collect_file_bloom(spark: SparkSession, path: str, col: str) -> DataFrame:
     manifest consumer in any language can check membership with the
     portable md5). Key columns must be INTEGER or STRING typed — the only
     types whose Spark cast-to-string and Python str() renderings agree
-    (see _bloom_render); the probe side rejects anything else loudly."""
+    (see _bloom_render) — validated HERE at build time (r13 advice: the
+    probe-side TypeError alone fired far from the misconfiguration,
+    after a useless index was already built and stored)."""
+    df = spark.read.parquet(path)
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"Bloom index column {col!r} not found in {path}")
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise TypeError(
+            f"Bloom index keys must be int or string columns; {col!r} is "
+            f"{dtype} (bool/float/decimal/date renderings differ between "
+            "Spark's cast-to-string and Python's str())"
+        )
     return (
-        spark.read.parquet(path)
+        df
         .select(
             F.input_file_name().alias("file"),
             F.explode(F.expr(_bloom_positions_expr(col))).alias("pos"),

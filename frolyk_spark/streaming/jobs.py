@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frolyk_spark.operators.dedup import _dedup_incremental_sql
+from frolyk_spark.operators.graph import ORACLES as _graph_oracles
 from frolyk_spark.sources.catalog import load_table
 from frolyk_spark.sources.streams import SCRATCH, events_stream, stage_stream_dir  # noqa: F401
 
@@ -3585,6 +3586,196 @@ FROM e GROUP BY src ORDER BY part_key
 """
 
 
+# --- B36: incremental connected components (streaming twin of C71) ------------
+
+
+def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (B36): C71's component-id
+    assignment maintained as LABEL STATE across micro-batches — the
+    streaming-graph op a live catalog actually wants on top of B34's
+    edge/degree maintenance (degrees alone don't give cluster ids; a
+    merchandiser watching baskets stream in wants "which part family did
+    this order just connect"). Consumes the SAME basket-intact keyed drop
+    as B34 (stage_keyed_file_drop on l_orderkey % {EDGEMON_PARTS} — one
+    staged artifact serves both operators, and batch membership stays
+    content-defined/oracle-reconstructible).
+
+    Per batch (the contraction argument that keeps the work incremental):
+    new edges can only merge EXISTING components or attach NEW parts, so
+    it suffices to min-label-propagate over the CONTRACTED graph whose
+    nodes are current component labels — (label(u), label(v)) for each
+    batch co-purchase pair (u,v), label(x) = stored label, or x itself
+    for first-seen parts. The contracted propagation reuses THE min-label
+    core every CC consumer rides (dedup.min_label_propagation: one
+    shuffle per round, lineage cut per round, exact early stop), then one
+    label-keyed relabel join folds the merge map back into the full state.
+    Labels are part keys end to end, and "label = component's min part
+    key" is an inductive invariant (contracted mins of mins = merged
+    component's min), so the final state equals C71's fixpoint labels and
+    the job SHARES C71's ORACLE verbatim — batching-invariant by the
+    contraction argument, provided every batch's contracted propagation
+    reaches its fixpoint inside COMPONENTS_ROUNDS (the conjunction is the
+    returned ``converged``; a truncated batch would surface false there,
+    C71's documented-partial posture, though unlike C71's global
+    truncation the labels are then mid-merge rather than round-budget
+    bit-exact — the shipped SFs converge in 1-3 contracted rounds per
+    batch).
+
+    State and cost per batch: ONE full-state relabel write (O(#parts),
+    the B34 accumulate class — the label table IS the output artifact),
+    one contract aggregate, and the contracted propagation whose join
+    inputs are batch-sized, never corpus×corpus; the only cross-batch
+    read is the single predecessor state version (bounded per-batch state
+    reads). The per-batch converged scalar lives in an atomically-renamed
+    text file next to its state version (the CLAUDE.md one-scalar rule),
+    so redelivery rebuilds both the labels and the flag from the batch's
+    own predecessor.
+    """
+    from frolyk_spark.functions.lineage import cut_lineage
+    from frolyk_spark.operators.dedup import min_label_propagation
+    from frolyk_spark.operators.graph import COMPONENTS_ROUNDS
+    from frolyk_spark.sources.streams import stage_keyed_file_drop
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    stage = stage_keyed_file_drop(
+        li, sf_dir, "lineitem", "edgemon", EDGEMON_PARTS, "l_orderkey"
+    )
+
+    name = f"ccmon_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    def _conv_path(v: int) -> str:
+        return os.path.join(root, f"conv_s{v}.txt")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        lo, hi, n = batch_df.agg(
+            F.min(F.expr(f"l_orderkey % {EDGEMON_PARTS}")),
+            F.max(F.expr(f"l_orderkey % {EDGEMON_PARTS}")),
+            F.count(F.lit(1)),
+        ).collect()[0]
+        if n and not (lo == hi == batch_id % EDGEMON_PARTS):
+            raise RuntimeError(
+                f"batch {batch_id} violated the keyed-batch contract: "
+                f"residues [{lo}..{hi}]"
+            )
+        dli = batch_df.distinct()
+        a, b = dli.alias("a"), dli.alias("b")
+        pairs = (
+            a.join(b, "l_orderkey")
+            .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .distinct()
+        )
+        ends = pairs.select(
+            F.explode(F.array("src", "dst")).alias("part")
+        ).distinct()
+        prior_v = _latest_version_below(root, batch_id)
+        prior_conv = True
+        if prior_v is not None:
+            prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
+            with open(_conv_path(prior_v)) as fh:
+                prior_conv = fh.read().strip() == "1"
+            base = prior.unionByName(
+                ends.join(prior, "part", "left_anti").select(
+                    "part", F.col("part").alias("label")
+                )
+            )
+        else:
+            base = ends.select("part", F.col("part").alias("label"))
+        # base feeds three plan arms (both contracted-endpoint joins and
+        # the relabel) — cut or the anti-join recomputes per arm
+        base = cut_lineage(base)
+        cpairs = (
+            pairs.join(
+                base.select(F.col("part").alias("src"), F.col("label").alias("la")),
+                "src",
+            )
+            .join(
+                base.select(F.col("part").alias("dst"), F.col("label").alias("lb")),
+                "dst",
+            )
+            .where(F.col("la") != F.col("lb"))
+            .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+            .distinct()
+        )
+        merge_map, conv_b = min_label_propagation(cpairs, COMPONENTS_ROUNDS)
+        new_state = (
+            base.join(
+                merge_map.select(
+                    F.col("doc_id").alias("label"),
+                    F.col("label").alias("merged"),
+                ),
+                "label",
+                "left",
+            )
+            .select(
+                "part",
+                F.coalesce("merged", F.col("label")).cast("bigint").alias("label"),
+            )
+        )
+        new_state.write.mode("overwrite").parquet(os.path.join(root, f"s{batch_id}"))
+        tmp = _conv_path(batch_id) + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write("1" if (prior_conv and conv_b) else "0")
+        os.replace(tmp, _conv_path(batch_id))
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [],
+            "part_key bigint, component_id bigint, is_canonical boolean, "
+            "component_size bigint, converged boolean",
+        )
+    final = spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
+    with open(_conv_path(versions[-1])) as fh:
+        converged = fh.read().strip() == "1"
+    sizes = final.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return (
+        final.join(sizes, "label")
+        .select(
+            F.col("part").cast("bigint").alias("part_key"),
+            F.col("label").cast("bigint").alias("component_id"),
+            (F.col("part") == F.col("label")).alias("is_canonical"),
+            "component_size",
+            F.lit(converged).alias("converged"),
+        )
+        .orderBy("part_key")
+    )
+
+
 # --- B33: streaming corpus length monitor (mergeable histogram state) --------
 
 
@@ -3725,6 +3916,10 @@ QUERIES = {
     # B34: keep-first edge state + ADD degree state over basket-intact
     # keyed batches; union over batches = the whole-corpus edge set
     "stream_edge_degrees": stream_edge_degrees,
+    # B36: label state merged per batch via contracted min-label
+    # propagation; batching-invariant by the contraction argument, so it
+    # shares C71's whole-corpus oracle verbatim
+    "stream_components": stream_components,
     # B35: bin counts ADD under fixed geometry (batching-invariant),
     # estimates come FROM the merged state; shares C73's oracle
     "stream_quantile_sketch": stream_quantile_sketch,
@@ -3763,6 +3958,8 @@ ORACLES = {
     "stream_vocab_growth": _VGROWTH_ORACLE,
     "stream_length_histogram": _LENHIST_ORACLE,
     "stream_edge_degrees": STREAM_EDGE_DEGREES_SQL,
+    # B36 shares C71's oracle (see stream_components docstring)
+    "stream_components": _graph_oracles["components_parts"],
     "stream_quantile_sketch": _QSKETCH_ORACLE,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_cdc_versioned": STREAM_CDC_APPLY_SQL,

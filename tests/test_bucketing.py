@@ -821,6 +821,28 @@ def test_bloom_pruned_point_lookup_skips_files(spark, sf_dir, tmp_path):
     assert len(miss_files) < n_files
 
 
+def test_bloom_build_rejects_unrenderable_key_types(spark, sf_dir, tmp_path):
+    """E18 (r13 advice): a float/date/bool-keyed index must be rejected AT
+    BUILD TIME — the probe-side TypeError alone fired far from the
+    misconfiguration, after a silently-desynchronized index was already
+    built and stored."""
+    import pytest
+
+    from frolyk_spark.sources.catalog import collect_file_bloom
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    out = str(tmp_path / "li_bloom")
+    li.write.parquet(out)
+    with pytest.raises(TypeError, match="int or string"):
+        collect_file_bloom(spark, out, "l_quantity")  # double
+    with pytest.raises(TypeError, match="int or string"):
+        collect_file_bloom(spark, out, "l_shipdate")  # date
+    with pytest.raises(ValueError, match="not found"):
+        collect_file_bloom(spark, out, "no_such_col")
+
+
 def test_shallow_clone_zero_copy_and_independent_evolution(spark, sf_dir, tmp_path):
     """E19: a shallow clone copies NO data bytes (only a manifest), reads
     back the cloned snapshot exactly, evolves independently of the source

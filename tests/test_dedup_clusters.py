@@ -239,3 +239,35 @@ def test_dedup_eval_confusion_identities(spark, sf_dir):
     assert row.tp == len(cand & truth)
     # the corpus's planted near-dups make the audit non-degenerate
     assert row.n_true > 0 and row.tp > 0
+
+
+def test_lsh_band_sweep_precision_recall_identities(spark, sf_dir):
+    """D46 (extended, r14): every (b,r) row must satisfy the partition
+    identities exactly (tp+fp = n_pairs, tp+fn = n_true), n_true is one
+    config-independent constant, and the shipped-config row (b=MINHASH_B)
+    reproduces D85's confusion counts — the tuning table and the shipped
+    audit cannot disagree about the operating point."""
+    from frolyk_spark.operators.dedup import (
+        MINHASH_B,
+        dedup_eval,
+        lsh_band_sweep,
+    )
+
+    rows = lsh_band_sweep(spark, sf_dir).collect()
+    assert rows
+    n_trues = {r.n_true for r in rows}
+    assert len(n_trues) == 1 and n_trues.pop() > 0
+    for r in rows:
+        assert r.tp + r.fp == r.n_pairs
+        assert r.tp + r.fn == r.n_true
+        assert r.tp >= 0 and r.fp >= 0 and r.fn >= 0
+    shipped = {r.bands: r for r in rows}[MINHASH_B]
+    audit = dedup_eval(spark, sf_dir).collect()[0]
+    assert (shipped.n_pairs, shipped.tp, shipped.fp, shipped.fn) == (
+        audit.n_candidates, audit.tp, audit.fp, audit.fn
+    )
+    # NOTE: tp is NOT asserted monotone in the band count — band
+    # boundaries don't nest between b=3 and b=4 (a pair agreeing exactly
+    # on signature rows 4-7 is a b=3 candidate but no b=4 band is a
+    # subset of rows 4-7), and the star-routing cap can drop pairs from
+    # oversized buckets; only the partition identities are guaranteed.

@@ -298,3 +298,70 @@ def test_graph_profile_plan_shape(spark, sf_dir):
     from frolyk_spark.plans.inspect import assert_scale_shape
 
     assert_scale_shape(graph_profile(spark, sf_dir), forbid_cartesian=False)
+
+
+def _python_weighted_reference(sf_dir: str):
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order = defaultdict(set)
+    for ok, pk in zip(tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()):
+        by_order[ok].add(pk)
+    w = defaultdict(int)  # symmetric: both directions carry the co-order count
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                w[(u, v)] += 1
+                w[(v, u)] += 1
+    wdeg = defaultdict(int)
+    for (u, _), c in w.items():
+        wdeg[u] += c
+    nodes = sorted(wdeg)
+    n = len(nodes)
+    r = {u: PR_MASS // n for u in nodes}
+    for _ in range(PR_ROUNDS):
+        rate = {u: r[u] // wdeg[u] for u in nodes}
+        inflow = defaultdict(int)
+        for (u, v), c in w.items():
+            inflow[v] += c * rate[u]
+        r = {
+            u: (15 * PR_MASS) // (100 * n) + (PR_DAMP_PCT * inflow[u]) // 100
+            for u in nodes
+        }
+    ranked = sorted(nodes, key=lambda u: (-r[u], u))[:PR_TOP_K]
+    return [(i + 1, u, r[u], wdeg[u]) for i, u in enumerate(ranked)]
+
+
+def test_pagerank_weighted_matches_python_reference(spark, sf_dir):
+    from frolyk_spark.operators.graph import pagerank_weighted
+
+    got = sorted(
+        tuple(row) for row in pagerank_weighted(spark, sf_dir).collect()
+    )
+    want = sorted(_python_weighted_reference(sf_dir))
+    assert got == want
+    # the weights genuinely bite: some ranked part has w_deg > unweighted
+    # degree (i.e. at least one repeated co-purchase reached the top-K)
+    assert any(row[3] > 0 for row in want)
+
+
+def test_pagerank_weighted_differs_from_unweighted(spark, sf_dir):
+    """The weighted walk must not degenerate to the unweighted one — if
+    every co-purchase count were 1 the new operator would be C67 with
+    extra steps. On the shipped data repeated co-purchases exist, so the
+    score vectors differ somewhere in the top-K."""
+    from frolyk_spark.operators.graph import pagerank_parts, pagerank_weighted
+
+    unw = {r["part_key"]: r["pr_score"]
+           for r in pagerank_parts(spark, sf_dir).collect()}
+    wgt = {r["part_key"]: r["pr_score"]
+           for r in pagerank_weighted(spark, sf_dir).collect()}
+    assert any(unw.get(k) != v for k, v in wgt.items())
+
+
+def test_pagerank_weighted_plan_shape(spark, sf_dir):
+    from frolyk_spark.operators.graph import pagerank_weighted
+    from frolyk_spark.plans.inspect import assert_scale_shape
+
+    assert_scale_shape(pagerank_weighted(spark, sf_dir), forbid_cartesian=True)

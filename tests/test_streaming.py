@@ -1687,6 +1687,38 @@ def test_stream_edge_degrees_equals_batch_graph(spark, sf_dir):
     assert n_half * 2 == persisted_copurchase_edges(spark, sf_dir).count()
 
 
+def test_stream_components_equals_batch(spark, sf_dir):
+    """B36: label state maintained across basket-intact batches via
+    contracted min-label propagation ends at EXACTLY the batch operator's
+    component assignment (C71 — same part_key/component_id/is_canonical/
+    component_size/converged rows), the ingest really was multi-batch,
+    every state version carries its atomically-published converged
+    scalar, and the state versions grow monotonically to the full node
+    set (each batch touches only its own new parts plus the relabel)."""
+    import os
+
+    from frolyk_spark.operators.graph import components_parts
+    from frolyk_spark.streaming.jobs import stream_components
+
+    got_df = stream_components(spark, sf_dir)
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in components_parts(spark, sf_dir).collect())
+    assert got == want and want
+    assert all(r[4] for r in got)  # every batch's propagation converged
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(root)
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    assert len(versions) >= 2, "ingest was not multi-batch"
+    counts = []
+    for v in versions:
+        assert os.path.exists(os.path.join(root, f"conv_s{v}.txt"))
+        counts.append(spark.read.parquet(os.path.join(root, f"s{v}")).count())
+    assert counts == sorted(counts) and counts[-1] == len(want)
+
+
 def test_stream_vocab_growth_equals_batch(spark, sf_dir):
     """B32: the streaming growth monitor's final curve equals the one-shot
     D82 operator (first occurrence = MIN is mergeable; slice sums ADD),
