@@ -75,10 +75,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, key: str, *, buckets: int = 64, sort: bool = True
+    df: DataFrame,
+    table_name: str,
+    key: str | list[str],
+    *,
+    buckets: int = 64,
+    sort: bool = True,
 ) -> DataFrame:
     """Persist a fact table bucketed (and bucket-sorted) on its recurring
-    join key, returning the catalog-backed table.
+    join key — a single column or a COMPOSITE key list — returning the
+    catalog-backed table.
 
     The 100 TB answer for fact-fact joins that run every day: with BOTH
     sides bucketed on the join key into the same bucket count, Spark reads
@@ -86,11 +92,17 @@ def write_bucketed(
     (asserted in tests/test_bucketing.py); sortBy additionally removes the
     per-query sort for sort-merge joins. Bucket count is a storage-time
     choice: target buckets ~ total_size / desired_partition_size, and keep
-    it identical across the tables that join together.
+    it identical across the tables that join together. Composite keys
+    matter because Spark requires ALL the join's clustering keys among the
+    partition keys to skip the shuffle
+    (spark.sql.requireAllClusterKeysForCoPartition, default true) — a
+    table bucketed on src alone still exchanges under a join on
+    (src, dst).
     """
-    writer = df.write.bucketBy(buckets, key)
+    cols = [key] if isinstance(key, str) else list(key)
+    writer = df.write.bucketBy(buckets, *cols)
     if sort:
-        writer = writer.sortBy(key)
+        writer = writer.sortBy(*cols)
     writer.mode("overwrite").format("parquet").saveAsTable(table_name)
     return df.sparkSession.table(table_name)
 

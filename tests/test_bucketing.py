@@ -67,6 +67,53 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_edge_store_bucketed_anti_join_shuffles_only_the_batch_side(spark, sf_dir):
+    """B34 at scale (r13 verdict item 5): the per-batch keep-first
+    anti-join probes the ACCUMULATED edge store — O(m) reshuffled per
+    batch if the store is plain parquet. Compacted into an E2 bucketed
+    table on the COMPOSITE join key (src, dst), the plan shuffles only
+    the incoming batch: exactly one Exchange, none above the bucketed
+    scan. The live operator keeps per-batch dirs (redelivery exclusion —
+    an append-only bucketed table can't exclude a redelivered batch's own
+    earlier write; see the BASELINE.md r14 ledger finding); this test
+    pins the plan shape of the compaction target a 100 TB deployment
+    would roll sealed batches into. Composite bucketing is load-bearing:
+    bucketed on src alone, requireAllClusterKeysForCoPartition makes the
+    store side exchange anyway."""
+    from frolyk_spark.operators.graph import persisted_copurchase_edges
+
+    edges = persisted_copurchase_edges(spark, sf_dir)
+    suffix = uuid.uuid4().hex[:8]
+    tname = f"edge_store_{suffix}"
+    write_bucketed(edges, tname, ["src", "dst"], buckets=BUCKETS)
+    try:
+        store = spark.table(tname)
+        # stand-in new pairs via a filter (a limit would add its own
+        # GlobalLimit exchange and muddy the count)
+        batch = edges.where(F.col("src") % 97 == 0).select("src", "dst")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _explain(batch.join(store, ["src", "dst"], "left_anti"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # count TREE nodes only ("+- Exchange"/":- Exchange") — formatted
+        # explain repeats each node in the detail section below the tree
+        n_exchanges = len(re.findall(r"[+:]- Exchange", plan))
+        assert n_exchanges == 1, (
+            f"expected one Exchange (batch side only):\n{plan}"
+        )
+        # and it sits on the batch side: the store-side subtree (the tree
+        # section from its Sort down to the catalog scan) is exchange-free
+        tree = plan.split("\n\n")[0]
+        store_side = tree[tree.rfind("Sort"):]
+        assert "Scan parquet spark_catalog" in store_side
+        assert "Exchange" not in store_side
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Directory-partitioned parquet + a filter on the partition column:
     the scan must carry the predicate as a PartitionFilter (directory
