@@ -33,30 +33,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 199
-    # registered entries; 195 oracle-checked + 4 documented no-oracle).
+    # in dict order under a wall-clock budget (~50 per round of the 200
+    # registered entries; 196 oracle-checked + 4 documented no-oracle).
     # Rotation order is BY DRIVER-ROW AGE, red/new FIRST (CLAUDE.md). The
     # r13 driver burned exactly its designed head green: new_r13 (12) +
     # green_r9 (36) + the first 2 of green_r10 (stream_topk,
     # stream_quarantine) = 50. Freshness after r13: 50 entries newest-green
     # at r13, 48 at r12, 49 at r11, 46 at r10 — so:
-    #   1. new_r14 (3): stream_components (B36, incremental connected
+    #   1. new_r14 (4): stream_components (B36, incremental connected
     #      components over B34's basket-intact batches — contracted
-    #      min-label merge per batch, shares C71's oracle) and
+    #      min-label merge per batch, shares C71's oracle),
     #      pagerank_weighted (C74, co-order-count-weighted integer
-    #      PageRank) are brand new; lsh_band_sweep re-heads because its
-    #      output gained the ground-truth confusion columns
+    #      PageRank) and ann_eval (D88, per-method ANN recall audit vs
+    #      the D10 truth) are brand new; lsh_band_sweep re-heads because
+    #      its output gained the ground-truth confusion columns
     #      (n_true/tp/fp/fn vs the D8 truth — the per-(b,r)
     #      precision/recall tuning closure, r13 verdict item 6);
     #   2. stale_r10 (45): the rest of the oldest block — every entry
     #      whose newest green row is r10 (lsh_band_sweep is listed in
-    #      new_r14 instead). Head = 48 of the ~50 budget;
+    #      new_r14 instead). Head = 49 of the ~50 budget;
     #   3. after the r10 tail burns, the oldest remaining rows are r11
     #      (49 entries); budget slippage falls there, never on a new or
     #      r10-stale entry.
     new_r14 = (
         "stream_components",   # B36: incremental CC label state (C71 oracle)
         "pagerank_weighted",   # C74: weighted co-purchase PageRank
+        "ann_eval",            # D88: per-method ANN recall audit (D10 truth)
         "lsh_band_sweep",      # D46: + per-(b,r) tp/fp/fn vs D8 truth
     )
     stale_r10 = (

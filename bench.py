@@ -169,6 +169,7 @@ HEADLINE = [
     # r14 additions (pagerank_weighted rides the iterative head above)
     "stream_components",
     "lsh_band_sweep",
+    "ann_eval",
     # r13 additions (components_parts rides the iterative head above)
     "dedup_substring_trim",
     "graph_profile",

@@ -1440,8 +1440,110 @@ FROM agg JOIN dom ON agg.c = dom.c
 """
 
 
+# --- D88: ANN recall audit (approximate top-k vs brute-force truth) ----------
+
+
+def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion audit of every approximate index against the exact
+    brute-force truth (D88) — the dedup_eval/lsh_band_sweep closure for
+    the SIMILARITY family (r13 verdict graded D85 as the dedup tuning
+    loop's anchor; the ANN side had per-method recall floors buried in
+    pytest but no first-class operator an engineer can run on THEIR
+    corpus before picking an index). One row per method (lsh / ivf / pq):
+    its returned top-{TOP_K} pair count, the truth count, and exact
+    BIGINT tp/fp/fn — recall@k = tp/n_true, read off the table; counts
+    stay un-divided (no-ratios rule).
+
+    Shape: truth = D10's broadcast-probe brute force; each method's pairs
+    come from its own blocked/quantized pipeline (never all-pairs); the
+    classify join is pair-keyed on (probe_id, neighbor_id) over
+    {N_PROBES}x{TOP_K}-row frames. The truth frame feeds all three
+    classify joins plus the n_true aggregate — lineage-cut. Identities
+    tp+fp == n_pairs and tp+fn == n_true hold by construction
+    (property-tested in tests/test_similarity.py).
+    """
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    truth = cut_lineage(
+        ann_bruteforce(spark, sf_dir).select(
+            "probe_id", "neighbor_id", F.lit(1).alias("is_true")
+        )
+    )
+    out = None
+    for name, fn in (("ivf", ann_ivf), ("lsh", ann_lsh), ("pq", ann_pq)):
+        agg = (
+            fn(spark, sf_dir)
+            .select("probe_id", "neighbor_id")
+            .join(truth, ["probe_id", "neighbor_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.coalesce(F.sum("is_true"), F.lit(0)).cast("bigint").alias(
+                    "tp"
+                ),
+            )
+            .select(F.lit(name).alias("method"), "n_pairs", "tp")
+        )
+        out = agg if out is None else out.unionAll(agg)
+    n_true1 = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    return (
+        out.crossJoin(F.broadcast(n_true1))
+        .select(
+            "method",
+            "n_pairs",
+            "n_true",
+            "tp",
+            (F.col("n_pairs") - F.col("tp")).cast("bigint").alias("fp"),
+            (F.col("n_true") - F.col("tp")).cast("bigint").alias("fn"),
+        )
+        .orderBy("method")
+    )
+
+
+def _ann_eval_sql() -> str:
+    """Each method's FULL oracle pipeline nested as a subquery CTE (their
+    WITH chains scope per-subquery), classified against the brute-force
+    CTE with marker columns."""
+    method_sqls = (
+        ("ivf", _ann_ivf_sql()),
+        ("lsh", _ann_lsh_sql()),
+        ("pq", _ann_pq_sql()),
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""
+SELECT '{name}' AS method,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(bf.is_true), 0) AS BIGINT) AS tp
+FROM m_{name} m LEFT JOIN bf
+  ON bf.probe_id = m.probe_id AND bf.neighbor_id = m.neighbor_id"""
+        for name, _ in method_sqls
+    )
+    method_ctes = ",".join(
+        f"""
+m_{name} AS MATERIALIZED (
+  SELECT probe_id, neighbor_id FROM ({sql}) q_{name}
+)"""
+        for name, sql in method_sqls
+    )
+    return f"""
+WITH bf AS MATERIALIZED (
+  SELECT probe_id, neighbor_id, 1 AS is_true
+  FROM ({_ann_bruteforce_sql()}) q_bf
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM bf),{method_ctes}
+SELECT u.method, u.n_pairs, nt.n_true, u.tp,
+       CAST(u.n_pairs - u.tp AS BIGINT) AS fp,
+       CAST(nt.n_true - u.tp AS BIGINT) AS fn
+FROM (
+{arms}
+) u CROSS JOIN nt
+ORDER BY method
+"""
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
+    # D88: per-method recall audit vs the D10 truth (tuning-loop closure)
+    "ann_eval": ann_eval,
     # no-oracle: eigendecomposition; numpy model check in test_similarity
     "embedding_pca": embedding_pca,
     # D56's deterministic companion row (covariance moments, oracle-checked)
@@ -1467,6 +1569,7 @@ QUERIES = {
 # semantic_dedup via the unrolled fixed-round fits.
 ORACLES = {
     "ann_bruteforce": _ann_bruteforce_sql(),
+    "ann_eval": _ann_eval_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_lsh_buckets": _ann_lsh_buckets_sql(),
     "pca_moments": _pca_moments_sql(),

@@ -49,6 +49,33 @@ def test_ann_pq_recall(spark, sf_dir):
     assert recall >= 0.7, f"PQ recall {recall:.2f} < 0.7"
 
 
+def test_ann_eval_confusion_identities(spark, sf_dir):
+    """D88: every method row must satisfy the partition identities exactly
+    (tp+fp = n_pairs, tp+fn = n_true), n_true is one method-independent
+    constant, and each row's counts agree with the source operators
+    counted independently — including the per-method recall floors the
+    family's pytest gates already pin (lsh >= 0.6, ivf >= 0.5, pq >= 0.7),
+    which the audit table must reproduce rather than relax."""
+    from frolyk_spark.operators.similarity import ann_eval, ann_pq
+
+    rows = {r.method: r for r in ann_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf", "pq"}
+    exact = _pairs(ann_bruteforce(spark, sf_dir))
+    by_method = {
+        "lsh": _pairs(ann_lsh(spark, sf_dir)),
+        "ivf": _pairs(ann_ivf(spark, sf_dir)),
+        "pq": _pairs(ann_pq(spark, sf_dir)),
+    }
+    floors = {"lsh": 0.6, "ivf": 0.5, "pq": 0.7}
+    for m, r in rows.items():
+        assert r.tp + r.fp == r.n_pairs
+        assert r.tp + r.fn == r.n_true
+        assert r.n_true == len(exact)
+        assert r.n_pairs == len(by_method[m])
+        assert r.tp == len(by_method[m] & exact)
+        assert r.tp / r.n_true >= floors[m]
+
+
 def test_ann_pq_deterministic(spark, sf_dir):
     """Codebook training and ADC ranking are RNG-free: two runs agree."""
     from frolyk_spark.operators.similarity import ann_pq
