@@ -3561,6 +3561,90 @@ def stream_edge_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_edge_store(
+    spark: SparkSession,
+    rows_root: str,
+    table_name: str,
+    *,
+    through_batch: int,
+    buckets: int = 64,
+) -> DataFrame:
+    """LSM-style roll-up of B34's per-batch edge deltas (E21): rewrite
+    every b{{id}}/side=edges dir with id <= ``through_batch`` into ONE
+    (src, dst)-bucketed catalog table, so the per-batch keep-first
+    anti-join probes a store whose scan side plans WITHOUT an Exchange
+    (the r14 structural finding: the live operator keeps per-batch dirs
+    for redelivery exclusion — an append-only bucketed table can't
+    exclude a redelivered batch's own earlier write — so consolidation
+    happens here, on SEALED batches only, the Delta/Iceberg OPTIMIZE
+    shape). Re-compaction is a full rewrite of the table (idempotent;
+    E20's posture), never an append, and the rolled dirs are left in
+    place — the watermark file decides what the reader treats as
+    compacted, so a crash between write and publish changes nothing.
+
+    The compaction watermark is published atomically to
+    ``rows_root/compacted_through.txt`` (the CLAUDE.md one-scalar rule);
+    ``read_edge_store`` unions the bucketed store with only the deltas
+    ABOVE it, so readers never double-count."""
+    dirs = sorted(
+        os.path.join(rows_root, d, "side=edges")
+        for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
+        if d.startswith("b") and d[1:].isdigit()
+        and int(d[1:]) <= through_batch
+        and os.path.isdir(os.path.join(rows_root, d, "side=edges"))
+    )
+    if not dirs:
+        raise ValueError(
+            f"no sealed side=edges dirs at or below batch {through_batch}"
+        )
+    from frolyk_spark.sources.catalog import write_bucketed
+
+    store = write_bucketed(
+        spark.read.parquet(*dirs).select("src", "dst"),
+        table_name,
+        ["src", "dst"],
+        buckets=buckets,
+    )
+    marker = os.path.join(rows_root, "compacted_through.txt")
+    tmp = f"{marker}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(str(through_batch))
+    os.replace(tmp, marker)
+    return store
+
+
+def read_edge_store(
+    spark: SparkSession, rows_root: str, table_name: str
+) -> DataFrame:
+    """The edge set as a reader sees it post-compaction: the bucketed
+    store (batches up to the published watermark) unioned with the
+    still-unrolled per-batch deltas above it. With no watermark published
+    this is just the delta union — the pre-compaction layout."""
+    marker = os.path.join(rows_root, "compacted_through.txt")
+    through = -1
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            through = int(fh.read().strip())
+    deltas = sorted(
+        os.path.join(rows_root, d, "side=edges")
+        for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
+        if d.startswith("b") and d[1:].isdigit()
+        and int(d[1:]) > through
+        and os.path.isdir(os.path.join(rows_root, d, "side=edges"))
+    )
+    parts = []
+    if through >= 0:
+        parts.append(spark.table(table_name).select("src", "dst"))
+    if deltas:
+        parts.append(spark.read.parquet(*deltas).select("src", "dst"))
+    if not parts:
+        return spark.createDataFrame([], "src bigint, dst bigint")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _latest_version_below_dir(rows_root: str, batch_id: int) -> int | None:
     """Newest committed b{N} dir with N < batch_id that carries a
     side=degrees partition — the redelivery anchor for B34's merged
@@ -3662,7 +3746,12 @@ def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         dli = batch_df.distinct()
         a, b = dli.alias("a"), dli.alias("b")
-        pairs = (
+        # cut: pairs feed two plan arms (the contracted-label join chain
+        # and the endpoint set); the checkpoint is BATCH-sized — the full
+        # label state is deliberately never checkpointed, because the
+        # prior version is already parquet on disk (the CLAUDE.md
+        # cheap-rescan exception covers its three reads below)
+        pairs = cut_lineage(
             a.join(b, "l_orderkey")
             .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
             .select(
@@ -3680,29 +3769,40 @@ def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
             with open(_conv_path(prior_v)) as fh:
                 prior_conv = fh.read().strip() == "1"
+            # label(x) = stored label, or x itself for first-seen parts —
+            # resolved by LEFT joins against the bare prior scan, so no
+            # union/anti-join materializes on the contracted path
+            cpairs = (
+                pairs.join(
+                    prior.select(
+                        F.col("part").alias("src"), F.col("label").alias("la0")
+                    ),
+                    "src",
+                    "left",
+                )
+                .join(
+                    prior.select(
+                        F.col("part").alias("dst"), F.col("label").alias("lb0")
+                    ),
+                    "dst",
+                    "left",
+                )
+                .select(
+                    F.coalesce("la0", F.col("src")).alias("doc_a"),
+                    F.coalesce("lb0", F.col("dst")).alias("doc_b"),
+                )
+            )
             base = prior.unionByName(
                 ends.join(prior, "part", "left_anti").select(
                     "part", F.col("part").alias("label")
                 )
             )
         else:
+            cpairs = pairs.select(
+                F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+            )
             base = ends.select("part", F.col("part").alias("label"))
-        # base feeds three plan arms (both contracted-endpoint joins and
-        # the relabel) — cut or the anti-join recomputes per arm
-        base = cut_lineage(base)
-        cpairs = (
-            pairs.join(
-                base.select(F.col("part").alias("src"), F.col("label").alias("la")),
-                "src",
-            )
-            .join(
-                base.select(F.col("part").alias("dst"), F.col("label").alias("lb")),
-                "dst",
-            )
-            .where(F.col("la") != F.col("lb"))
-            .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
-            .distinct()
-        )
+        cpairs = cpairs.where(F.col("doc_a") != F.col("doc_b")).distinct()
         merge_map, conv_b = min_label_propagation(cpairs, COMPONENTS_ROUNDS)
         new_state = (
             base.join(

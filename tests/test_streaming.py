@@ -1687,6 +1687,77 @@ def test_stream_edge_degrees_equals_batch_graph(spark, sf_dir):
     assert n_half * 2 == persisted_copurchase_edges(spark, sf_dir).count()
 
 
+def test_compact_edge_store_roll_up(spark, sf_dir):
+    """E21: rolling sealed per-batch edge deltas into the (src, dst)-
+    bucketed store preserves the exact half-edge set through the
+    watermark-aware reader; the probe anti-join against the store plans
+    with the Exchange on the batch side only; re-compaction through the
+    final batch is an idempotent full rewrite that drains the deltas."""
+    import io
+    import os
+    import re
+    import uuid
+    from contextlib import redirect_stdout
+
+    from frolyk_spark.streaming.jobs import (
+        compact_edge_store, read_edge_store, stream_edge_degrees,
+    )
+
+    got_df = stream_edge_degrees(spark, sf_dir)
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    rows_root = os.path.dirname(os.path.dirname(os.path.dirname(src)))
+    batches = sorted(
+        int(d[1:]) for d in os.listdir(rows_root)
+        if d.startswith("b") and d[1:].isdigit()
+    )
+    assert len(batches) >= 2
+    tname = f"edge_roll_{uuid.uuid4().hex[:8]}"
+    try:
+        # pre-compaction reader = the raw delta union
+        before = {(r.src, r.dst)
+                  for r in read_edge_store(spark, rows_root, tname).collect()}
+        assert before
+        # partial roll-up: all but the newest batch
+        compact_edge_store(
+            spark, rows_root, tname, through_batch=batches[-2], buckets=8
+        )
+        after = {(r.src, r.dst)
+                 for r in read_edge_store(spark, rows_root, tname).collect()}
+        assert after == before
+        # the probe side alone shuffles against the bucketed store
+        batch_pairs = (
+            spark.read.parquet(
+                os.path.join(rows_root, f"b{batches[-1]}", "side=edges")
+            ).select("src", "dst")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                (batch_pairs.join(spark.table(tname), ["src", "dst"],
+                                  "left_anti").explain("formatted"))
+            plan = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        tree = plan.split("\n\n")[0]
+        # a shuffle join with exactly ONE Exchange means the store side
+        # (the catalog scan) contributed its bucketing instead of a shuffle
+        assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+        assert "Scan parquet spark_catalog" in tree
+        assert len(re.findall(r"[+:]- Exchange", tree)) == 1
+        # full roll-up: idempotent rewrite, deltas drain to empty
+        compact_edge_store(
+            spark, rows_root, tname, through_batch=batches[-1], buckets=8
+        )
+        final = {(r.src, r.dst)
+                 for r in read_edge_store(spark, rows_root, tname).collect()}
+        assert final == before
+        assert spark.table(tname).count() == len(before)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
 def test_stream_components_equals_batch(spark, sf_dir):
     """B36: label state maintained across basket-intact batches via
     contracted min-label propagation ends at EXACTLY the batch operator's
