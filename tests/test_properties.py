@@ -414,3 +414,94 @@ def test_vocab_growth_bucket_in_range(mn, span_off, doc_off):
     doc = mn + min(doc_off, span_off)
     b = ((doc - mn) * VG_BUCKETS) // (mx - mn + 1)
     assert 0 <= b < VG_BUCKETS
+
+
+# --- B36: the contraction argument behind stream_components -------------------
+# Per batch, stream_components min-label-propagates only over the CONTRACTED
+# label graph (label(u), label(v)) and folds the merge map back through one
+# label-keyed relabel. The claim that this ends at the true connected
+# components REGARDLESS of how edges are split into batches is the operator's
+# correctness core — exercised here as a pure-Python model against union-find
+# over arbitrary random graphs and arbitrary batchings (the Spark job's
+# basket-intact batching is one instance; the invariant needs none of it).
+
+
+def _simulate_stream_components(edges, n_batches):
+    """The exact per-batch algorithm stream_components runs, in Python."""
+    labels: dict = {}
+    batches = [edges[i::n_batches] for i in range(n_batches)]
+    for batch in batches:
+        if not batch:
+            continue
+        # contracted pairs under current labels (self-loops dropped)
+        cpairs = set()
+        for u, v in batch:
+            la, lb = labels.get(u, u), labels.get(v, v)
+            if la != lb:
+                cpairs.add((la, lb))
+        # min-label propagation to fixpoint on the contracted graph
+        adj: dict = {}
+        for a, b in cpairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {x: x for x in adj}
+        changed = True
+        while changed:
+            changed = False
+            new = {
+                x: min([lab[x]] + [lab[y] for y in adj[x]]) for x in adj
+            }
+            if new != lab:
+                lab, changed = new, True
+        # relabel: base = prior state + first-seen endpoints (label=self),
+        # every label mapped through the merge map
+        for part in list(labels):
+            labels[part] = lab.get(labels[part], labels[part])
+        for u, v in batch:
+            for x in (u, v):
+                if x not in labels:
+                    labels[x] = lab.get(x, x)
+    return labels
+
+
+def _union_find_min_labels(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical = component min; union-by-min preserves it at the root
+    comp: dict = {}
+    for x in parent:
+        comp[x] = find(x)
+    # roots may not be minimal after path compression alone — take true mins
+    members: dict = {}
+    for x, r in comp.items():
+        members.setdefault(r, []).append(x)
+    return {x: min(members[comp[x]]) for x in comp}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=300, deadline=None)
+def test_stream_components_contraction_equals_union_find(raw_edges, n_batches):
+    edges = [(u, v) for u, v in raw_edges if u != v]
+    if not edges:
+        return
+    got = _simulate_stream_components(edges, n_batches)
+    want = _union_find_min_labels(edges)
+    assert got == want
