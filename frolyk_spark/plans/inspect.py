@@ -96,6 +96,14 @@ def plan_report(df: DataFrame) -> dict:
         "exchanges": _op_count("Exchange"),
         "has_cartesian": "CartesianProduct" in plan,
         "has_take_ordered": "TakeOrderedAndProject" in plan,
+        # the distinct-rewrite trap (CLAUDE.md): Expand is how Spark plans
+        # count(DISTINCT) alongside other aggregates — every other
+        # aggregate's buffer rides the per-distinct-key regroup. Harmless
+        # for tiny buffers (sums), catastrophic for sketch buffers
+        # (ObjectHashAggregate: GK percentiles, HLL, collect_*) — 13 s vs
+        # 1.3 s at sf0.1 on approx_stats_bounds (r11).
+        "has_expand": _op_count("Expand") > 0,
+        "has_object_aggregate": _op_count("ObjectHashAggregate") > 0,
         "plan": plan,
     }
 
@@ -105,6 +113,7 @@ def assert_scale_shape(
     *,
     forbid_cartesian: bool = True,
     forbid_nested_loop: bool = False,
+    forbid_distinct_sketch_regroup: bool = True,
     require_pushed: tuple[str, ...] = (),
     max_scan_columns: int | None = None,
     max_scans: int | None = None,
@@ -114,6 +123,13 @@ def assert_scale_shape(
     - ``forbid_cartesian``: fail on CartesianProduct (default: on).
     - ``forbid_nested_loop``: also fail on BroadcastNestedLoopJoin (off by
       default — a broadcast ONE-ROW scalar legitimately plans as one).
+    - ``forbid_distinct_sketch_regroup``: fail when an Expand (the
+      count-DISTINCT rewrite) coexists with an ObjectHashAggregate
+      (sketch buffers: GK percentiles, HLL, collect_*) — the regroup
+      drags every sketch buffer through a per-distinct-key shuffle
+      (10x at sf0.1, r11). Run the exact distinct in its OWN pass and
+      crossJoin the one-row results instead (default: on — the
+      combination is never the plan you want at scale).
     - ``require_pushed``: substrings (usually column names) that must
       appear in some scan's PushedFilters — the predicate actually
       reached storage.
@@ -130,6 +146,17 @@ def assert_scale_shape(
         raise AssertionError(f"plan contains CartesianProduct\n{excerpt}")
     if forbid_nested_loop and "BroadcastNestedLoopJoin" in rep["joins"]:
         raise AssertionError(f"plan contains BroadcastNestedLoopJoin\n{excerpt}")
+    if (
+        forbid_distinct_sketch_regroup
+        and rep["has_expand"]
+        and rep["has_object_aggregate"]
+    ):
+        raise AssertionError(
+            "count(DISTINCT) rewrite (Expand) drags sketch buffers "
+            "(ObjectHashAggregate) through a per-distinct-key regroup — "
+            "run the distinct in its own pass and crossJoin the one-row "
+            f"results (CLAUDE.md, r11: 13 s vs 1.3 s)\n{excerpt}"
+        )
     pushed_all = " ".join(rep["pushed_filters"])
     for needle in require_pushed:
         if needle not in pushed_all:

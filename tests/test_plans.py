@@ -1000,6 +1000,44 @@ def test_approx_stats_bounds_no_distinct_expand(spark, sf_dir):
     assert rep["plan"].count("approx_percentile") <= 2, "quantiles must share one sketch"
 
 
+def test_distinct_sketch_regroup_guard(spark, sf_dir):
+    """The r11 Expand trap as a FIRST-CLASS audit (r14): mixing
+    count(DISTINCT) into an aggregate that also carries sketch buffers
+    must fail assert_scale_shape loudly, while the correct two-pass
+    shape (and plain rollup/cube Expands without sketch buffers) pass."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.plans.inspect import assert_scale_shape
+    from frolyk_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    # Spark 4 plans a SINGLE distinct without Expand (one-distinct
+    # strategy); the rewrite that drags buffers through the regroup fires
+    # from two distincts on (or one distinct combined with grouping
+    # shapes that force RewriteDistinctAggregates) — use the two-distinct
+    # form, the shape approx_stats_bounds originally shipped with (r11)
+    bad = o.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.expr("approx_percentile(o_totalprice, 0.5)").alias("p50"),
+    )
+    with pytest.raises(AssertionError, match="per-distinct-key regroup"):
+        assert_scale_shape(bad)
+    # the correct shape: distinct in its own pass, crossJoined one-rows
+    good = (
+        o.agg(F.countDistinct("o_custkey").alias("n_cust"))
+        .crossJoin(
+            o.agg(F.expr("approx_percentile(o_totalprice, 0.5)").alias("p50"))
+        )
+    )
+    assert_scale_shape(good, forbid_nested_loop=False)
+    # grouping-set Expands WITHOUT sketch buffers stay legal
+    from frolyk_spark.operators.relational import rollup_revenue
+
+    assert_scale_shape(rollup_revenue(spark, sf_dir))
+
+
 def test_cms_and_vocab_growth_plan_shapes(spark, sf_dir):
     """D81/D82: cartesian-free (the only nested-loop allowed is the
     broadcast of genuinely bounded state — the 1024-cell sketch and the
