@@ -505,3 +505,43 @@ def test_stream_components_contraction_equals_union_find(raw_edges, n_batches):
     got = _simulate_stream_components(edges, n_batches)
     want = _union_find_min_labels(edges)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=1, max_value=10**6),
+                 min_size=1, max_size=8),
+        min_size=2, max_size=25,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_pagerank_weighted_update_conserves_bounded_mass(node_weights, rounds):
+    """C74's weighted round loses mass like C67's: with rate = r div W and
+    per-edge flow w*rate, a node's total outflow is sum(w)*nothing-more
+    than W*(r div W) <= r, so total inflow <= total rank and
+    sum(r') <= MASS + n at every depth; the per-edge product w*rate stays
+    far inside BIGINT for any rank bounded by the pool."""
+    from frolyk_spark.operators.graph import PR_DAMP_PCT, PR_MASS
+
+    n = len(node_weights)
+    wdeg = [sum(ws) for ws in node_weights]
+    ranks = [PR_MASS // n] * n
+    for _ in range(rounds):
+        rates = [r // w for r, w in zip(ranks, wdeg)]
+        flows = [
+            [w * rate for w in ws]
+            for ws, rate in zip(node_weights, rates)
+        ]
+        for fs, r in zip(flows, ranks):
+            for f in fs:
+                assert 0 <= f < (1 << 63)
+            assert sum(fs) <= r
+        # worst case: all flow lands on one node
+        inflow = [sum(sum(fs) for fs in flows)] + [0] * (n - 1)
+        ranks = [
+            (15 * PR_MASS) // (100 * n) + (PR_DAMP_PCT * i) // 100
+            for i in inflow
+        ]
+        assert all(0 <= r <= PR_MASS + n for r in ranks)
+        assert sum(ranks) <= PR_MASS + n
