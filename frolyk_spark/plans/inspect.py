@@ -97,12 +97,20 @@ def plan_report(df: DataFrame) -> dict:
         "has_cartesian": "CartesianProduct" in plan,
         "has_take_ordered": "TakeOrderedAndProject" in plan,
         # the distinct-rewrite trap (CLAUDE.md): Expand is how Spark plans
-        # count(DISTINCT) alongside other aggregates — every other
+        # MULTI-count(DISTINCT) alongside other aggregates — every other
         # aggregate's buffer rides the per-distinct-key regroup. Harmless
         # for tiny buffers (sums), catastrophic for sketch buffers
         # (ObjectHashAggregate: GK percentiles, HLL, collect_*) — 13 s vs
-        # 1.3 s at sf0.1 on approx_stats_bounds (r11).
+        # 1.3 s at sf0.1 on approx_stats_bounds (r11). Expand is ALSO how
+        # rollup/cube/grouping-sets plan, so the distinct rewrite is
+        # identified by its `gid#N` attribute (RewriteDistinctAggregates'
+        # group id), never by Expand alone — grouping sets carry
+        # `spark_grouping_id#N` instead (r14 review: a legitimate
+        # rollup + collect_set must not trip the guard).
         "has_expand": _op_count("Expand") > 0,
+        "has_distinct_expand": (
+            _op_count("Expand") > 0 and bool(re.search(r"\bgid#\d+", plan))
+        ),
         "has_object_aggregate": _op_count("ObjectHashAggregate") > 0,
         "plan": plan,
     }
@@ -123,13 +131,15 @@ def assert_scale_shape(
     - ``forbid_cartesian``: fail on CartesianProduct (default: on).
     - ``forbid_nested_loop``: also fail on BroadcastNestedLoopJoin (off by
       default — a broadcast ONE-ROW scalar legitimately plans as one).
-    - ``forbid_distinct_sketch_regroup``: fail when an Expand (the
-      count-DISTINCT rewrite) coexists with an ObjectHashAggregate
-      (sketch buffers: GK percentiles, HLL, collect_*) — the regroup
-      drags every sketch buffer through a per-distinct-key shuffle
-      (10x at sf0.1, r11). Run the exact distinct in its OWN pass and
-      crossJoin the one-row results instead (default: on — the
-      combination is never the plan you want at scale).
+    - ``forbid_distinct_sketch_regroup``: fail when a count-DISTINCT
+      rewrite's Expand (identified by its gid attribute — rollup/cube
+      Expands carry spark_grouping_id and stay legal) coexists with an
+      ObjectHashAggregate (sketch buffers: GK percentiles, HLL,
+      collect_*) — the regroup drags every sketch buffer through a
+      per-distinct-key shuffle (10x at sf0.1, r11). Run the exact
+      distinct in its OWN pass and crossJoin the one-row results
+      instead (default: on — the combination is never the plan you
+      want at scale).
     - ``require_pushed``: substrings (usually column names) that must
       appear in some scan's PushedFilters — the predicate actually
       reached storage.
@@ -148,7 +158,7 @@ def assert_scale_shape(
         raise AssertionError(f"plan contains BroadcastNestedLoopJoin\n{excerpt}")
     if (
         forbid_distinct_sketch_regroup
-        and rep["has_expand"]
+        and rep["has_distinct_expand"]
         and rep["has_object_aggregate"]
     ):
         raise AssertionError(

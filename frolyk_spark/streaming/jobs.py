@@ -3583,25 +3583,46 @@ def compact_edge_store(
     compacted, so a crash between write and publish changes nothing.
 
     The compaction watermark is published atomically to
-    ``rows_root/compacted_through.txt`` (the CLAUDE.md one-scalar rule);
-    ``read_edge_store`` unions the bucketed store with only the deltas
-    ABOVE it, so readers never double-count."""
-    dirs = sorted(
-        os.path.join(rows_root, d, "side=edges")
+    ``rows_root/compacted_through.txt`` (the CLAUDE.md one-scalar rule)
+    and each compaction writes a NEW versioned table
+    (``{table_name}_t{through_batch}``) — never an in-place overwrite of
+    the live one, because a reader (or a crash) between an overwrite and
+    the marker publish would see the batches in (old_watermark,
+    through_batch] in BOTH the store and the delta union (r14 review).
+    The marker names the version implicitly, so publish is one atomic
+    rename; superseded versions are dropped best-effort AFTER publish.
+    ``read_edge_store`` unions the published version with only the
+    deltas ABOVE the watermark, so readers never double-count."""
+    all_ids = sorted(
+        int(d[1:])
         for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
         if d.startswith("b") and d[1:].isdigit()
-        and int(d[1:]) <= through_batch
         and os.path.isdir(os.path.join(rows_root, d, "side=edges"))
     )
+    if not all_ids:
+        raise ValueError(f"no sealed side=edges dirs under {rows_root}")
+    # an overshooting watermark would silently exclude batches that land
+    # later in (max_sealed, through_batch] from every read (r14 review)
+    if through_batch > all_ids[-1]:
+        raise ValueError(
+            f"through_batch {through_batch} exceeds the newest sealed "
+            f"batch {all_ids[-1]} — later arrivals would vanish from reads"
+        )
+    dirs = [
+        os.path.join(rows_root, f"b{i}", "side=edges")
+        for i in all_ids
+        if i <= through_batch
+    ]
     if not dirs:
         raise ValueError(
             f"no sealed side=edges dirs at or below batch {through_batch}"
         )
     from frolyk_spark.sources.catalog import write_bucketed
 
+    versioned = f"{table_name}_t{through_batch}"
     store = write_bucketed(
         spark.read.parquet(*dirs).select("src", "dst"),
-        table_name,
+        versioned,
         ["src", "dst"],
         buckets=buckets,
     )
@@ -3610,16 +3631,26 @@ def compact_edge_store(
     with open(tmp, "w") as fh:
         fh.write(str(through_batch))
     os.replace(tmp, marker)
+    # superseded versions: drop best-effort, only after the publish
+    for row in spark.sql(f"SHOW TABLES LIKE '{table_name}_t*'").collect():
+        if row.tableName != versioned:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
+            except Exception:  # a concurrent reader may pin it — harmless
+                pass
     return store
 
 
 def read_edge_store(
     spark: SparkSession, rows_root: str, table_name: str
 ) -> DataFrame:
-    """The edge set as a reader sees it post-compaction: the bucketed
-    store (batches up to the published watermark) unioned with the
-    still-unrolled per-batch deltas above it. With no watermark published
-    this is just the delta union — the pre-compaction layout."""
+    """The edge set as a reader sees it post-compaction: the PUBLISHED
+    bucketed store version ({table_name}_t{watermark}) unioned with the
+    still-unrolled per-batch deltas above the watermark. With no
+    watermark published this is just the delta union — the
+    pre-compaction layout. The version is derived from the marker, so a
+    compaction that crashed after writing its table but before
+    publishing is invisible here."""
     marker = os.path.join(rows_root, "compacted_through.txt")
     through = -1
     if os.path.exists(marker):
@@ -3634,7 +3665,7 @@ def read_edge_store(
     )
     parts = []
     if through >= 0:
-        parts.append(spark.table(table_name).select("src", "dst"))
+        parts.append(spark.table(f"{table_name}_t{through}").select("src", "dst"))
     if deltas:
         parts.append(spark.read.parquet(*deltas).select("src", "dst"))
     if not parts:

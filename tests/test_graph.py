@@ -341,9 +341,24 @@ def test_pagerank_weighted_matches_python_reference(spark, sf_dir):
     )
     want = sorted(_python_weighted_reference(sf_dir))
     assert got == want
-    # the weights genuinely bite: some ranked part has w_deg > unweighted
-    # degree (i.e. at least one repeated co-purchase reached the top-K)
-    assert any(row[3] > 0 for row in want)
+    # non-degeneracy: the corpus really contains a repeated co-purchase
+    # (all-w=1 data would make C74 collapse to C67 and this test test
+    # nothing beyond it; w_deg > 0 alone is true by construction —
+    # r14 review). Recomputed here from the raw table, independent of
+    # the ranked output.
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order = defaultdict(set)
+    for ok, pk in zip(tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()):
+        by_order[ok].add(pk)
+    w = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                w[(u, v)] += 1
+    assert any(c > 1 for c in w.values())
 
 
 def test_pagerank_weighted_differs_from_unweighted(spark, sf_dir):

@@ -1036,6 +1036,16 @@ def test_distinct_sketch_regroup_guard(spark, sf_dir):
     from frolyk_spark.operators.relational import rollup_revenue
 
     assert_scale_shape(rollup_revenue(spark, sf_dir))
+    # and a legitimate rollup + sketch buffer (Expand from GROUPING SETS,
+    # not from the distinct rewrite — no gid attribute) must NOT trip the
+    # guard (r14 review: the two Expand origins are distinguishable)
+    rollup_sketch = (
+        o.rollup("o_orderpriority")
+        .agg(F.collect_set("o_orderstatus").alias("statuses"))
+    )
+    rep = assert_scale_shape(rollup_sketch)
+    assert rep["has_expand"] and rep["has_object_aggregate"]
+    assert not rep["has_distinct_expand"]
 
 
 def test_cms_and_vocab_growth_plan_shapes(spark, sf_dir):

@@ -1714,16 +1714,26 @@ def test_compact_edge_store_roll_up(spark, sf_dir):
     tname = f"edge_roll_{uuid.uuid4().hex[:8]}"
     try:
         # pre-compaction reader = the raw delta union
-        before = {(r.src, r.dst)
-                  for r in read_edge_store(spark, rows_root, tname).collect()}
-        assert before
-        # partial roll-up: all but the newest batch
+        rows0 = read_edge_store(spark, rows_root, tname).collect()
+        before = {(r.src, r.dst) for r in rows0}
+        assert before and len(rows0) == len(before)
+        # the watermark may not overshoot the sealed batches
+        import pytest
+
+        with pytest.raises(ValueError, match="exceeds the newest sealed"):
+            compact_edge_store(
+                spark, rows_root, tname,
+                through_batch=batches[-1] + 5, buckets=8,
+            )
+        # partial roll-up: all but the newest batch (versioned table)
         compact_edge_store(
             spark, rows_root, tname, through_batch=batches[-2], buckets=8
         )
-        after = {(r.src, r.dst)
-                 for r in read_edge_store(spark, rows_root, tname).collect()}
-        assert after == before
+        rows1 = read_edge_store(spark, rows_root, tname).collect()
+        # MULTISET equality: a double-counted batch would keep the set
+        # identical while inflating the row count (r14 review)
+        assert len(rows1) == len(before)
+        assert {(r.src, r.dst) for r in rows1} == before
         # the probe side alone shuffles against the bucketed store
         batch_pairs = (
             spark.read.parquet(
@@ -1735,8 +1745,10 @@ def test_compact_edge_store_roll_up(spark, sf_dir):
         try:
             buf = io.StringIO()
             with redirect_stdout(buf):
-                (batch_pairs.join(spark.table(tname), ["src", "dst"],
-                                  "left_anti").explain("formatted"))
+                (batch_pairs.join(
+                    spark.table(f"{tname}_t{batches[-2]}"),
+                    ["src", "dst"], "left_anti",
+                ).explain("formatted"))
             plan = buf.getvalue()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -1746,16 +1758,20 @@ def test_compact_edge_store_roll_up(spark, sf_dir):
         assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
         assert "Scan parquet spark_catalog" in tree
         assert len(re.findall(r"[+:]- Exchange", tree)) == 1
-        # full roll-up: idempotent rewrite, deltas drain to empty
+        # full roll-up: a NEW version, deltas drain, old version dropped
         compact_edge_store(
             spark, rows_root, tname, through_batch=batches[-1], buckets=8
         )
-        final = {(r.src, r.dst)
-                 for r in read_edge_store(spark, rows_root, tname).collect()}
-        assert final == before
-        assert spark.table(tname).count() == len(before)
+        rows2 = read_edge_store(spark, rows_root, tname).collect()
+        assert len(rows2) == len(before)
+        assert {(r.src, r.dst) for r in rows2} == before
+        assert spark.table(f"{tname}_t{batches[-1]}").count() == len(before)
+        assert not spark.sql(
+            f"SHOW TABLES LIKE '{tname}_t{batches[-2]}'"
+        ).collect(), "superseded version must be dropped after publish"
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        for b in batches:
+            spark.sql(f"DROP TABLE IF EXISTS {tname}_t{b}")
 
 
 def test_stream_components_equals_batch(spark, sf_dir):
