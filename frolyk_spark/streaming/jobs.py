@@ -3590,28 +3590,53 @@ def compact_edge_store(
     the marker publish would see the batches in (old_watermark,
     through_batch] in BOTH the store and the delta union (r14 review).
     The marker names the version implicitly, so publish is one atomic
-    rename; superseded versions are dropped best-effort AFTER publish.
-    ``read_edge_store`` unions the published version with only the
-    deltas ABOVE the watermark, so readers never double-count."""
-    all_ids = sorted(
+    rename; ``read_edge_store`` unions the published version with only
+    the deltas ABOVE the watermark, so readers never double-count.
+
+    "Sealed" is ENFORCED, not assumed (r14 advice): a batch dir counts
+    only if its write committed (``b{{id}}/_SUCCESS`` — the fused
+    side-partitioned write's commit marker), and every id in
+    [0, through_batch] must be sealed — Spark has no table pinning, so a
+    half-written dir would compact partial contents and a gap batch
+    whose dir landed after compaction would sit below the watermark yet
+    never be rolled in, permanently excluded from every read.
+
+    Concurrency contract: ONE compactor at a time (the stream's own
+    cadence call satisfies this — foreachBatch is serial). Readers are
+    protected by retention, not pinning: DROP TABLE on a managed table
+    deletes its files out from under any frame still lazily reading it,
+    so the immediately-superseded version (the one the PREVIOUS marker
+    named — a reader may have resolved it just before this publish) is
+    KEPT; only versions older than the previous watermark are dropped
+    (the _vacuum_cdc_versions retention-by-count posture). A reader
+    holding a frame across TWO compaction cycles is out of contract."""
+    sealed = sorted(
         int(d[1:])
         for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
         if d.startswith("b") and d[1:].isdigit()
-        and os.path.isdir(os.path.join(rows_root, d, "side=edges"))
+        and os.path.exists(os.path.join(rows_root, d, "_SUCCESS"))
     )
-    if not all_ids:
-        raise ValueError(f"no sealed side=edges dirs under {rows_root}")
+    if not sealed:
+        raise ValueError(f"no sealed batch dirs under {rows_root}")
     # an overshooting watermark would silently exclude batches that land
     # later in (max_sealed, through_batch] from every read (r14 review)
-    if through_batch > all_ids[-1]:
+    if through_batch > sealed[-1]:
         raise ValueError(
             f"through_batch {through_batch} exceeds the newest sealed "
-            f"batch {all_ids[-1]} — later arrivals would vanish from reads"
+            f"batch {sealed[-1]} — later arrivals would vanish from reads"
+        )
+    missing = set(range(through_batch + 1)) - set(sealed)
+    if missing:
+        raise ValueError(
+            f"batches {sorted(missing)} at or below the watermark are not "
+            "sealed (_SUCCESS missing) — compacting past them would "
+            "permanently exclude their edges from every read"
         )
     dirs = [
-        os.path.join(rows_root, f"b{i}", "side=edges")
-        for i in all_ids
+        p
+        for i in sealed
         if i <= through_batch
+        and os.path.isdir(p := os.path.join(rows_root, f"b{i}", "side=edges"))
     ]
     if not dirs:
         raise ValueError(
@@ -3619,6 +3644,11 @@ def compact_edge_store(
         )
     from frolyk_spark.sources.catalog import write_bucketed
 
+    marker = os.path.join(rows_root, "compacted_through.txt")
+    prev_through = -1
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            prev_through = int(fh.read().strip())
     versioned = f"{table_name}_t{through_batch}"
     store = write_bucketed(
         spark.read.parquet(*dirs).select("src", "dst"),
@@ -3626,18 +3656,21 @@ def compact_edge_store(
         ["src", "dst"],
         buckets=buckets,
     )
-    marker = os.path.join(rows_root, "compacted_through.txt")
     tmp = f"{marker}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         fh.write(str(through_batch))
     os.replace(tmp, marker)
-    # superseded versions: drop best-effort, only after the publish
+    # retention AFTER publish: keep the current version and the one the
+    # previous marker named; drop only versions a reader could no longer
+    # legally hold (see the concurrency contract above)
+    prefix = f"{table_name}_t"
     for row in spark.sql(f"SHOW TABLES LIKE '{table_name}_t*'").collect():
-        if row.tableName != versioned:
-            try:
-                spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
-            except Exception:  # a concurrent reader may pin it — harmless
-                pass
+        tail = row.tableName.removeprefix(prefix)
+        if not tail.isdigit():
+            continue
+        v = int(tail)
+        if v != through_batch and v != prev_through:
+            spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
     return store
 
 
@@ -3728,13 +3761,29 @@ def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key" is an inductive invariant (contracted mins of mins = merged
     component's min), so the final state equals C71's fixpoint labels and
     the job SHARES C71's ORACLE verbatim — batching-invariant by the
-    contraction argument, provided every batch's contracted propagation
-    reaches its fixpoint inside COMPONENTS_ROUNDS (the conjunction is the
-    returned ``converged``; a truncated batch would surface false there,
-    C71's documented-partial posture, though unlike C71's global
-    truncation the labels are then mid-merge rather than round-budget
-    bit-exact — the shipped SFs converge in 1-3 contracted rounds per
-    batch).
+    contraction argument, provided TWO preconditions hold (r14 advice):
+
+    1. every batch's contracted propagation reaches its fixpoint inside
+       COMPONENTS_ROUNDS (the conjunction is the returned ``converged``;
+       a truncated batch would surface false there, C71's
+       documented-partial posture, though unlike C71's global truncation
+       the labels are then mid-merge rather than round-budget bit-exact);
+    2. the GLOBAL whole-graph unroll the oracle runs must ALSO reach its
+       fixpoint within COMPONENTS_ROUNDS — contraction shortcuts paths,
+       so per-batch convergence does NOT imply it (hierarchical batch
+       merges can converge in O(log n) contracted rounds total while the
+       global unroll needs O(diameter)); if violated, the oracle emits
+       truncated labels + converged=false while the stream emits
+       fixpoint labels + converged=true. No cheap exact runtime guard
+       exists (bounding the SUM of contracted rounds is unsound by the
+       same O(log n)-vs-O(n) gap), so the precondition is pinned
+       EMPIRICALLY at oracle scale —
+       tests/test_streaming.py::test_cc_oracle_global_round_margin
+       verifies the full-graph fixpoint arrives with >=2x round margin
+       at the driver's oracle SF (the ln-boundary-sweep posture: re-run
+       the pin before sharing this oracle at a NEW SF/corpus). The
+       shipped SFs converge in 1-3 contracted rounds per batch and ~3
+       global rounds against the 12-round budget.
 
     State and cost per batch: ONE full-state relabel write (O(#parts),
     the B34 accumulate class — the label table IS the output artifact),

@@ -1758,7 +1758,10 @@ def test_compact_edge_store_roll_up(spark, sf_dir):
         assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
         assert "Scan parquet spark_catalog" in tree
         assert len(re.findall(r"[+:]- Exchange", tree)) == 1
-        # full roll-up: a NEW version, deltas drain, old version dropped
+        # full roll-up: a NEW version, deltas drain; the immediately-
+        # superseded version is RETAINED (a reader may have resolved it
+        # just before the publish — Spark has no table pinning, r14
+        # advice), and only falls out on the NEXT compaction cycle
         compact_edge_store(
             spark, rows_root, tname, through_batch=batches[-1], buckets=8
         )
@@ -1766,12 +1769,90 @@ def test_compact_edge_store_roll_up(spark, sf_dir):
         assert len(rows2) == len(before)
         assert {(r.src, r.dst) for r in rows2} == before
         assert spark.table(f"{tname}_t{batches[-1]}").count() == len(before)
+        assert spark.sql(
+            f"SHOW TABLES LIKE '{tname}_t{batches[-2]}'"
+        ).collect(), "the previous-marker version must survive one cycle"
+        # idempotent re-compaction through the same watermark: now the
+        # previous marker names THIS version, so the back version drops
+        compact_edge_store(
+            spark, rows_root, tname, through_batch=batches[-1], buckets=8
+        )
         assert not spark.sql(
             f"SHOW TABLES LIKE '{tname}_t{batches[-2]}'"
-        ).collect(), "superseded version must be dropped after publish"
+        ).collect(), "versions older than the previous watermark drop"
     finally:
         for b in batches:
             spark.sql(f"DROP TABLE IF EXISTS {tname}_t{b}")
+
+
+def test_compact_edge_store_seal_guards(spark, tmp_path):
+    """E21 seal enforcement (r14 advice): a batch dir without _SUCCESS is
+    not sealed — compacting a watermark that covers it raises instead of
+    rolling partial contents, and a committed-but-gap batch id below the
+    watermark raises instead of being permanently excluded from reads."""
+    import uuid
+
+    import pytest
+
+    from frolyk_spark.streaming.jobs import compact_edge_store
+
+    rows_root = str(tmp_path / "rows")
+    one = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    # b0 committed, b1 half-written (no _SUCCESS), b2 committed
+    for b in (0, 2):
+        one.write.mode("overwrite").parquet(
+            os.path.join(rows_root, f"b{b}", "side=edges")
+        )
+        os.replace(
+            os.path.join(rows_root, f"b{b}", "side=edges", "_SUCCESS"),
+            os.path.join(rows_root, f"b{b}", "_SUCCESS"),
+        )
+    os.makedirs(os.path.join(rows_root, "b1", "side=edges"))
+    tname = f"edge_seal_{uuid.uuid4().hex[:8]}"
+    with pytest.raises(ValueError, match="not[\\s\\S]*sealed"):
+        compact_edge_store(spark, rows_root, tname, through_batch=2, buckets=2)
+    # sealing b1 clears the guard
+    with open(os.path.join(rows_root, "b1", "_SUCCESS"), "w"):
+        pass
+    one.write.mode("overwrite").parquet(
+        os.path.join(rows_root, "b1", "side=edges")
+    )
+    try:
+        compact_edge_store(spark, rows_root, tname, through_batch=2, buckets=2)
+        # the store is a plain union (delta DISJOINTNESS is the live
+        # operator's keep-first contract): 3 dirs x 1 row
+        assert spark.table(f"{tname}_t2").count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}_t2")
+
+
+def test_cc_oracle_global_round_margin(spark, sf_dir):
+    """B36 oracle-sharing precondition 2 (r14 advice): the GLOBAL
+    whole-graph min-label unroll must reach its fixpoint within
+    COMPONENTS_ROUNDS — per-batch contracted convergence does NOT imply
+    it (contraction shortcuts paths). No sound cheap runtime guard
+    exists, so the precondition is pinned empirically where the oracle
+    actually runs: the full-graph fixpoint must arrive within HALF the
+    round budget (>=2x margin) at the test SF and at the driver's
+    sf0.01 oracle scale. Re-run this pin before sharing C71's oracle at
+    a new SF/corpus (the ln-boundary-sweep posture)."""
+    from frolyk_spark.operators.dedup import min_label_propagation
+    from frolyk_spark.operators.graph import (
+        COMPONENTS_ROUNDS, persisted_copurchase_edges,
+    )
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        pairs = persisted_copurchase_edges(spark, d).select(
+            F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+        )
+        _, converged = min_label_propagation(
+            pairs, COMPONENTS_ROUNDS // 2, symmetric=True
+        )
+        assert converged, (
+            f"global fixpoint did not arrive within "
+            f"{COMPONENTS_ROUNDS // 2} rounds at {d} — the B36/C71 "
+            "shared oracle loses its 2x round margin"
+        )
 
 
 def test_stream_components_equals_batch(spark, sf_dir):
