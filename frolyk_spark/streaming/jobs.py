@@ -3400,17 +3400,32 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: every line of an order must land in one batch so its pairs can form)
 EDGEMON_PARTS = 4
 
+#: E21 live cadence: roll sealed edge deltas into the bucketed store
+#: every N batches. The trade is one full-rewrite job per cadence point
+#: against a delta chain bounded to N dirs on every probe — at 100 TB
+#: the chain, not the rewrite, is the bottleneck (LSM posture). Sized
+#: for the 4-batch test cycle: one mid-stream compaction (batch 2), so
+#: batch 3 exercises the mixed store+delta probe.
+EDGE_COMPACT_EVERY = 2
 
-def stream_edge_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: bucket count for the compacted edge store — a storage-time choice
+#: (write_bucketed docstring): target total_size / desired_partition
+#: at the deployed scale; small here because the test SFs are small
+EDGE_STORE_BUCKETS = 8
+
+
+def stream_edge_degrees(
+    spark: SparkSession, sf_dir: str, *, keep_store: bool = False
+) -> DataFrame:
     """Incremental graph maintenance (B34): the co-purchase edge table and
     per-part degrees kept current while orders STREAM in — the live form
     of the E4 persisted edge table every graph resident (C67/C69/C70-C72)
     reads. Lineitem arrives in basket-intact micro-batches
     (stage_keyed_file_drop on l_orderkey % {EDGEMON_PARTS}, contract
     asserted per batch): each batch forms its own orders' distinct
-    co-purchase pairs (the SAME basket self-join kernel
-    copurchase_edges_frame uses — shuffled once on the order key,
-    fan-out bounded by basket size), anti-joins them against the
+    co-purchase pairs (THE basket self-join kernel, graph.basket_half_pairs
+    — shuffled once on the order key, fan-out bounded by basket size,
+    one definition shared with every whole-graph builder), anti-joins them against the
     accumulated edge state (keep-first across batches, the B28 class —
     an edge enters exactly once, in the first batch containing an order
     that forms it), and ADDS the new edges' endpoint counts into the
@@ -3421,12 +3436,24 @@ def stream_edge_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per batch, priced in Spark jobs: one contract aggregate + ONE fused
     side-partitioned write (side=edges: this batch's NEW half-edges —
-    the accumulating store; side=degrees: the merged full degree state).
-    State: edges O(m) (the artifact a pipeline persists anyway), degrees
-    O(#parts). Redelivery rebuilds from its own predecessors — the
-    overwritten batch dir is excluded from both prior sides — so nothing
-    double-counts.
+    the accumulating store; side=degrees: the merged full degree state),
+    plus one store rewrite at each E21 cadence point (every
+    {EDGE_COMPACT_EVERY} batches the sealed deltas strictly below the
+    live batch roll into the bucketed store, so the keep-first probe
+    anti-joins the store Exchange-free and at most {EDGE_COMPACT_EVERY}
+    raw delta dirs — the wiring the r14 verdict asked for; at sf0.1 the
+    per-batch structural floor dominates either way, the cadence is the
+    100 TB posture). State: edges O(m) (the artifact a pipeline persists
+    anyway), degrees O(#parts). Redelivery rebuilds from its own
+    predecessors — the overwritten batch dir is excluded from both prior
+    sides, and the cadence compacts only strictly-below batches, so
+    nothing double-counts. ``keep_store=True`` leaves the versioned
+    store tables and watermark in place for post-run inspection (the
+    plan-pin test); by default they are torn down after the run — the
+    pid-scoped rows_root is janitor-reclaimed anyway, and removing the
+    marker returns the layout to the readable raw-delta union.
     """
+    from frolyk_spark.operators.graph import basket_half_pairs
     from frolyk_spark.sources.streams import stage_keyed_file_drop
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -3451,29 +3478,44 @@ def stream_edge_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"batch {batch_id} violated the keyed-batch contract: "
                 f"residues [{lo}..{hi}]"
             )
-        dli = batch_df.distinct()
-        a, b = dli.alias("a"), dli.alias("b")
-        pairs = (
-            a.join(b, "l_orderkey")
-            .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-            .select(
-                F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"),
+        pairs = basket_half_pairs(batch_df)
+        # E21 cadence (r15): every EDGE_COMPACT_EVERY batches, roll the
+        # sealed deltas STRICTLY BELOW this batch into the bucketed
+        # store — strictly below, so a redelivery of THIS batch can
+        # still exclude its own crashed write from the probe. At 100 TB
+        # this bounds the delta chain the keep-first anti-join reads to
+        # the cadence length; the store side probes Exchange-free.
+        if batch_id > 0 and batch_id % EDGE_COMPACT_EVERY == 0:
+            sealed_below = [
+                i
+                for d in os.listdir(rows_root)
+                if d.startswith("b") and d[1:].isdigit()
+                and (i := int(d[1:])) < batch_id
+                and os.path.exists(os.path.join(rows_root, d, "_SUCCESS"))
+            ]
+            has_edges = any(
+                os.path.isdir(os.path.join(rows_root, f"b{i}", "side=edges"))
+                for i in sealed_below
             )
-            .distinct()
+            if sealed_below and has_edges:
+                compact_edge_store(
+                    spark,
+                    rows_root,
+                    name,
+                    through_batch=max(sealed_below),
+                    buckets=EDGE_STORE_BUCKETS,
+                )
+        store, delta_df = _edge_store_parts(
+            spark, rows_root, name, exclude_batch=batch_id
         )
-        prior_dirs = sorted(
-            p for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
-            if d != f"b{batch_id}"  # a redelivered batch rebuilds cleanly
-            and os.path.isdir(p := os.path.join(rows_root, d, "side=edges"))
-        )
+        # two-stage keep-first probe: the bucketed store contributes its
+        # clustering (no Exchange on that side), the raw deltas shuffle
+        # only batch-sized inputs — never union the two first
         new_edges = pairs
-        if prior_dirs:
-            new_edges = pairs.join(
-                spark.read.parquet(*prior_dirs).select("src", "dst"),
-                ["src", "dst"],
-                "left_anti",
-            )
+        if store is not None:
+            new_edges = new_edges.join(store, ["src", "dst"], "left_anti")
+        if delta_df is not None:
+            new_edges = new_edges.join(delta_df, ["src", "dst"], "left_anti")
         new_edges.persist()
         try:
             deltas = (
@@ -3540,6 +3582,15 @@ def stream_edge_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
+        if not keep_store:
+            # teardown: drop the versioned store tables and the marker —
+            # every side=edges delta dir is still in place, so the layout
+            # returns to the fully-readable raw-delta union
+            for row in spark.sql(f"SHOW TABLES LIKE '{name}_t*'").collect():
+                spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
+            m = os.path.join(rows_root, "compacted_through.txt")
+            if os.path.exists(m):
+                os.remove(m)
 
     versions = sorted(
         int(d[1:])
@@ -3674,6 +3725,54 @@ def compact_edge_store(
     return store
 
 
+def _edge_store_parts(
+    spark: SparkSession,
+    rows_root: str,
+    table_name: str,
+    *,
+    exclude_batch: int | None = None,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """The two halves of the post-compaction edge set, SEPARATELY: the
+    published bucketed store version and the still-unrolled delta union
+    above the watermark. Separate because the live probe must anti-join
+    them as two stages — a union would launder the store's bucketed
+    distribution away and re-shuffle the whole edge set; probed alone,
+    the store side plans WITHOUT an Exchange (the E21 point) and the
+    delta side is bounded by the compaction cadence. ``exclude_batch``
+    drops that batch's own delta dir (redelivery rebuilds from its
+    predecessors); a watermark AT or ABOVE it would mean the batch's
+    earlier write was compacted and can no longer be excluded — raise,
+    never double-count silently."""
+    marker = os.path.join(rows_root, "compacted_through.txt")
+    through = -1
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            through = int(fh.read().strip())
+    if exclude_batch is not None and through >= exclude_batch:
+        raise RuntimeError(
+            f"compaction watermark {through} has rolled up batch "
+            f"{exclude_batch}, which must be excluded — the cadence may "
+            "only compact strictly below the live batch"
+        )
+    deltas = sorted(
+        os.path.join(rows_root, d, "side=edges")
+        for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
+        if d.startswith("b") and d[1:].isdigit()
+        and int(d[1:]) > through
+        and (exclude_batch is None or int(d[1:]) != exclude_batch)
+        and os.path.isdir(os.path.join(rows_root, d, "side=edges"))
+    )
+    store = (
+        spark.table(f"{table_name}_t{through}").select("src", "dst")
+        if through >= 0
+        else None
+    )
+    delta_df = (
+        spark.read.parquet(*deltas).select("src", "dst") if deltas else None
+    )
+    return store, delta_df
+
+
 def read_edge_store(
     spark: SparkSession, rows_root: str, table_name: str
 ) -> DataFrame:
@@ -3683,24 +3782,10 @@ def read_edge_store(
     watermark published this is just the delta union — the
     pre-compaction layout. The version is derived from the marker, so a
     compaction that crashed after writing its table but before
-    publishing is invisible here."""
-    marker = os.path.join(rows_root, "compacted_through.txt")
-    through = -1
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            through = int(fh.read().strip())
-    deltas = sorted(
-        os.path.join(rows_root, d, "side=edges")
-        for d in (os.listdir(rows_root) if os.path.isdir(rows_root) else [])
-        if d.startswith("b") and d[1:].isdigit()
-        and int(d[1:]) > through
-        and os.path.isdir(os.path.join(rows_root, d, "side=edges"))
-    )
-    parts = []
-    if through >= 0:
-        parts.append(spark.table(f"{table_name}_t{through}").select("src", "dst"))
-    if deltas:
-        parts.append(spark.read.parquet(*deltas).select("src", "dst"))
+    publishing is invisible here. (Whole-set readers union; the live
+    probe uses _edge_store_parts to keep the store side bucketed.)"""
+    store, deltas = _edge_store_parts(spark, rows_root, table_name)
+    parts = [p for p in (store, deltas) if p is not None]
     if not parts:
         return spark.createDataFrame([], "src bigint, dst bigint")
     out = parts[0]
@@ -3797,7 +3882,9 @@ def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frolyk_spark.functions.lineage import cut_lineage
     from frolyk_spark.operators.dedup import min_label_propagation
-    from frolyk_spark.operators.graph import COMPONENTS_ROUNDS
+    from frolyk_spark.operators.graph import (
+        COMPONENTS_ROUNDS, basket_half_pairs,
+    )
     from frolyk_spark.sources.streams import stage_keyed_file_drop
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -3824,22 +3911,12 @@ def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"batch {batch_id} violated the keyed-batch contract: "
                 f"residues [{lo}..{hi}]"
             )
-        dli = batch_df.distinct()
-        a, b = dli.alias("a"), dli.alias("b")
         # cut: pairs feed two plan arms (the contracted-label join chain
         # and the endpoint set); the checkpoint is BATCH-sized — the full
         # label state is deliberately never checkpointed, because the
         # prior version is already parquet on disk (the CLAUDE.md
         # cheap-rescan exception covers its three reads below)
-        pairs = cut_lineage(
-            a.join(b, "l_orderkey")
-            .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-            .select(
-                F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"),
-            )
-            .distinct()
-        )
+        pairs = cut_lineage(basket_half_pairs(batch_df))
         ends = pairs.select(
             F.explode(F.array("src", "dst")).alias("part")
         ).distinct()

@@ -1687,6 +1687,68 @@ def test_stream_edge_degrees_equals_batch_graph(spark, sf_dir):
     assert n_half * 2 == persisted_copurchase_edges(spark, sf_dir).count()
 
 
+def test_stream_edge_degrees_live_compaction(spark, sf_dir):
+    """E21 wired into the live B34 loop (r15 verdict item 4): the
+    compaction cadence fires INSIDE the stream (marker published, store
+    version real), the watermark stays strictly below the final batch
+    (redelivery exclusion intact), the degree state is unaffected by the
+    mid-stream roll-up, and the live probe's store side — exactly the
+    frame _edge_store_parts hands the keep-first anti-join — plans with
+    the Exchange on the batch side only."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from frolyk_spark.operators.graph import persisted_copurchase_edges
+    from frolyk_spark.streaming.jobs import (
+        _edge_store_parts, stream_edge_degrees,
+    )
+
+    got_df = stream_edge_degrees(spark, sf_dir, keep_store=True)
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    rows_root = os.path.dirname(os.path.dirname(os.path.dirname(src)))
+    name = os.path.basename(os.path.dirname(rows_root))
+    batches = sorted(
+        int(d[1:]) for d in os.listdir(rows_root)
+        if d.startswith("b") and d[1:].isdigit()
+    )
+    try:
+        marker = os.path.join(rows_root, "compacted_through.txt")
+        assert os.path.exists(marker), "cadence never fired in-stream"
+        with open(marker) as fh:
+            through = int(fh.read().strip())
+        assert 0 <= through < batches[-1], (
+            "watermark must stay strictly below the final batch"
+        )
+        store, deltas = _edge_store_parts(spark, rows_root, name)
+        assert store is not None and deltas is not None
+        # the mid-stream roll-up left the degree state exact: total
+        # degree mass = symmetric edge count of the batch-built graph
+        total = sum(r.degree for r in got_df.collect())
+        assert total == persisted_copurchase_edges(spark, sf_dir).count()
+        # live probe shape: store side contributes its bucketing
+        probe = spark.read.parquet(
+            os.path.join(rows_root, f"b{batches[-1]}", "side=edges")
+        ).select("src", "dst")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                probe.join(store, ["src", "dst"], "left_anti").explain(
+                    "formatted"
+                )
+            tree = buf.getvalue().split("\n\n")[0]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+        assert "Scan parquet spark_catalog" in tree
+        assert len(re.findall(r"[+:]- Exchange", tree)) == 1
+    finally:
+        for row in spark.sql(f"SHOW TABLES LIKE '{name}_t*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
+
+
 def test_compact_edge_store_roll_up(spark, sf_dir):
     """E21: rolling sealed per-batch edge deltas into the (src, dst)-
     bucketed store preserves the exact half-edge set through the
