@@ -393,6 +393,60 @@ def _assign_cluster(df: DataFrame, emb_col: str, centroids) -> DataFrame:
     return df.withColumn("cluster", nearest(F.col(emb_col)))
 
 
+def _ann_scratch(sf_dir: str, tag: str) -> str:
+    """Source-keyed scratch path for a persisted ANN index artifact (the
+    E4 train-once shape): keyed by the resolved embeddings path, with the
+    index geometry in the tag so a parameter change never serves a stale
+    fit. NEVER under the pid-scoped results root (CLAUDE.md janitor
+    rule)."""
+    import os
+
+    from frolyk_spark.sources.streams import SCRATCH
+
+    target = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    return os.path.join(SCRATCH, "ann", f"{tag}_{key}.parquet")
+
+
+def persisted_ivf_index(spark: SparkSession, sf_dir: str):
+    """IVF index BUILD, persisted once per (corpus, geometry) — the r14
+    verdict's build/query split: the Lloyd fit and the per-vector cell
+    assignment are deterministic per (dataset, params), so a production
+    deployment trains them once and every query pays only probe-side
+    cost. Returns (centroids ndarray, cell-partitioned corpus frame).
+
+    The assignment parquet is directory-partitioned BY CELL — the
+    physical layout the 100 TB story needs: a probe's nprobe/nlist cell
+    equi-join becomes partition-pruned reads of just those cells.
+    Float64 parquet round-trips exactly, so the reloaded fit is
+    bit-identical to the inline one and the SQL oracle (which re-derives
+    the fit end-to-end) is unchanged."""
+    import os
+
+    import numpy as np
+
+    geo = f"c{IVF_CLUSTERS}i{IVF_ITERS}p{N_PROBES}"
+    cdir = _ann_scratch(sf_dir, f"ivf_cent_{geo}")
+    adir = _ann_scratch(sf_dir, f"ivf_cells_{geo}")
+    if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
+        _, corpus = _split(spark, sf_dir)
+        fit = _train_centroids(corpus, "cand_emb")
+        spark.createDataFrame(
+            [(int(i), [float(v) for v in c]) for i, c in enumerate(fit)],
+            "cluster int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cdir)
+    rows = spark.read.parquet(cdir).orderBy("cluster").collect()
+    centroids = np.stack(
+        [np.asarray(r.centroid, dtype=np.float64) for r in rows]
+    )
+    if not os.path.exists(os.path.join(adir, "_SUCCESS")):
+        _, corpus = _split(spark, sf_dir)
+        _assign_cluster(corpus, "cand_emb", centroids).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(adir)
+    return centroids, spark.read.parquet(adir)
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{TOP_K} via IVF: a {IVF_CLUSTERS}-cell coarse
     quantizer over the corpus; each probe scans only its {IVF_NPROBE}
@@ -402,12 +456,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is stable; checked in tests/test_similarity.py vs bruteforce.
     Oracle-checked as of r10: the fixed-round Lloyd fit unrolls into SQL
     (`_lloyd_ctes`), so the DuckDB oracle re-derives fit + cell pruning +
-    exact rerank end-to-end."""
+    exact rerank end-to-end. As of r15 the fit + cell assignment come
+    from the PERSISTED index (persisted_ivf_index) — query-side cost
+    only, the production operating shape; the oracle is unchanged
+    because the persisted fit is bit-identical to the inline one."""
     import numpy as np
 
-    probes, corpus = _split(spark, sf_dir)
-    centroids = _train_centroids(corpus, "cand_emb")
-    assigned = _assign_cluster(corpus, "cand_emb", centroids)
+    probes, _ = _split(spark, sf_dir)
+    centroids, assigned = persisted_ivf_index(spark, sf_dir)
 
     cent = np.asarray(centroids, dtype=np.float64)
     cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
@@ -476,6 +532,82 @@ def _pq_codebooks(corpus: DataFrame, emb_col: str):
     return books
 
 
+def persisted_pq_index(spark: SparkSession, sf_dir: str):
+    """PQ index BUILD, persisted once per (corpus, geometry) — the r14
+    verdict's build/query split applied to D40: codebook training AND
+    the per-corpus encode (the expensive whole-corpus pass) are
+    deterministic per (dataset, params); a production deployment stores
+    the CODES, and every query pays only the ADC scan + rerank. Returns
+    (codebooks list-of-ndarrays, coded corpus frame (neighbor_id,
+    code array<int>)). Float64/int parquet round-trips exactly, so the
+    SQL oracle (which re-derives fit + encode end-to-end) is
+    unchanged."""
+    import os
+
+    import numpy as np
+
+    geo = f"m{PQ_M}k{PQ_K}s{PQ_SAMPLE}i{PQ_ITERS}p{N_PROBES}"
+    bdir = _ann_scratch(sf_dir, f"pq_books_{geo}")
+    codir = _ann_scratch(sf_dir, f"pq_codes_{geo}")
+    if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        _, corpus = _split(spark, sf_dir)
+        fit = _pq_codebooks(corpus, "cand_emb")
+        spark.createDataFrame(
+            [
+                (int(m), int(k), [float(v) for v in cb[k]])
+                for m, cb in enumerate(fit)
+                for k in range(len(cb))
+            ],
+            "m int, k int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(bdir)
+    rows = spark.read.parquet(bdir).orderBy("m", "k").collect()
+    books = []
+    for m in range(PQ_M):
+        books.append(
+            np.stack(
+                [
+                    np.asarray(r.centroid, dtype=np.float64)
+                    for r in rows
+                    if r.m == m
+                ]
+            )
+        )
+    if not os.path.exists(os.path.join(codir, "_SUCCESS")):
+        _, corpus = _split(spark, sf_dir)
+        corpus.select(
+            "neighbor_id", _pq_encode_udf(books)(F.col("cand_emb")).alias("code")
+        ).write.mode("overwrite").parquet(codir)
+    return books, spark.read.parquet(codir)
+
+
+def _pq_encode_udf(books):
+    """The per-corpus encode as a reusable Arrow-batched UDF: nearest
+    sub-centroid per subspace via the matmul argmin (same tie-break as
+    the fit)."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    books_arr = [np.asarray(b, dtype=np.float64) for b in books]
+    cn2 = [(b**2).sum(-1) for b in books_arr]
+    sub = DIM // PQ_M
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        codes = np.stack(
+            [
+                (cn2[m][None, :] - 2.0 * (x[:, m * sub : (m + 1) * sub] @ books_arr[m].T))
+                .argmin(1)
+                for m in range(PQ_M)
+            ],
+            axis=1,
+        ).astype("int32")
+        return pd.Series(list(codes))
+
+    return encode
+
+
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{TOP_K} via product quantization with asymmetric
     distance (ADC): corpus vectors compress to {PQ_M} sub-centroid codes,
@@ -493,33 +625,22 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     index), so recall is stable: tests/test_similarity.py gates
     recall@{TOP_K} >= 0.7 vs ann_bruteforce. Oracle-checked as of r10:
     the fixed-round per-subspace fit, encode, ADC scoring, and rerank all
-    unroll into SQL (`_ann_pq_sql`), like ann_ivf's Lloyd fit.
+    unroll into SQL (`_ann_pq_sql`), like ann_ivf's Lloyd fit. As of r15
+    the codebooks AND the coded corpus come from the PERSISTED index
+    (persisted_pq_index) — the query pays only ADC + rerank, the
+    production operating shape; the oracle is unchanged because the
+    persisted fit/codes are bit-identical to the inline ones.
     """
     from pyspark.sql.functions import pandas_udf
 
     import numpy as np
 
     probes, corpus = _split(spark, sf_dir)
-    books = _pq_codebooks(corpus, "cand_emb")
+    books, coded_corpus = persisted_pq_index(spark, sf_dir)
     sub = DIM // PQ_M
     books_arr = [np.asarray(b, dtype=np.float64) for b in books]
 
     enc_cn2 = [(b**2).sum(-1) for b in books_arr]
-
-    @pandas_udf("array<int>")
-    def encode(emb: pd.Series) -> pd.Series:
-        x = np.stack(emb.to_numpy()).astype(np.float64)
-        # matmul form of the subspace argmin (see _pq_codebooks) — this
-        # is the per-CORPUS hot path, one matmul per subspace per batch
-        codes = np.stack(
-            [
-                (enc_cn2[m][None, :] - 2.0 * (x[:, m * sub : (m + 1) * sub] @ books_arr[m].T))
-                .argmin(1)
-                for m in range(PQ_M)
-            ],
-            axis=1,
-        ).astype("int32")
-        return pd.Series(list(codes))
 
     probe_rows = probes.collect()  # O(N_PROBES) broadcast probe set
     probe_ids = [int(r.probe_id) for r in probe_rows]
@@ -546,9 +667,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         score = adot / (qnorm[:, None] * np.sqrt(np.maximum(norm2, 1e-12))[None, :])
         return pd.Series(list(score.T))
 
-    coded = corpus.select(
-        "neighbor_id", encode(F.col("cand_emb")).alias("code")
-    ).select("neighbor_id", adc_scores(F.col("code")).alias("scores"))
+    coded = coded_corpus.select(
+        "neighbor_id", adc_scores(F.col("code")).alias("scores")
+    )
     pid_arr = F.array(*[F.lit(p) for p in probe_ids])
     scored = coded.select(
         "neighbor_id", F.posexplode("scores").alias("pos", "approx")

@@ -302,3 +302,28 @@ def test_lsh_udf_codes_equal_jvm_fold(spark, sf_dir):
     )
     assert udf_codes.exceptAll(jvm_codes).count() == 0
     assert jvm_codes.exceptAll(udf_codes).count() == 0
+
+
+def test_ann_index_build_query_split(spark, sf_dir, monkeypatch):
+    """r15 (r14 verdict item 3): the IVF fit/assignment and PQ
+    codebooks/codes persist under source-keyed scratch with a _SUCCESS
+    reuse check — after the first build, ann_ivf/ann_pq never re-train
+    or re-encode (the trainers are patched to raise, so any refit is a
+    loud failure, the persisted_minhash_signatures reuse-test shape),
+    and the reused-index results are row-identical to the first call."""
+    from frolyk_spark.operators import similarity as S
+
+    first_ivf = sorted(tuple(r) for r in S.ann_ivf(spark, sf_dir).collect())
+    first_pq = sorted(tuple(r) for r in S.ann_pq(spark, sf_dir).collect())
+
+    def _boom(*a, **k):
+        raise AssertionError("index BUILD re-ran — persisted fit not reused")
+
+    monkeypatch.setattr(S, "_train_centroids", _boom)
+    monkeypatch.setattr(S, "_pq_codebooks", _boom)
+    monkeypatch.setattr(S, "_assign_cluster", _boom)
+    monkeypatch.setattr(S, "_pq_encode_udf", _boom)
+    again_ivf = sorted(tuple(r) for r in S.ann_ivf(spark, sf_dir).collect())
+    again_pq = sorted(tuple(r) for r in S.ann_pq(spark, sf_dir).collect())
+    assert again_ivf == first_ivf and first_ivf
+    assert again_pq == first_pq and first_pq
