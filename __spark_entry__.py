@@ -33,50 +33,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from frolyk_spark.tasks import bridge
 
     # Registration order matters: the driver's correctness gate runs entries
-    # in dict order under a wall-clock budget (~50 per round of the 200
-    # registered entries; 196 oracle-checked + 4 documented no-oracle).
+    # in dict order under a wall-clock budget (~50 per round of the 203
+    # registered entries; 199 oracle-checked + 4 documented no-oracle).
     # Rotation order is BY DRIVER-ROW AGE, red/new FIRST (CLAUDE.md). The
-    # r13 driver burned exactly its designed head green: new_r13 (12) +
-    # green_r9 (36) + the first 2 of green_r10 (stream_topk,
-    # stream_quarantine) = 50. Freshness after r13: 50 entries newest-green
-    # at r13, 48 at r12, 49 at r11, 46 at r10 — so:
-    #   1. new_r14 (4): stream_components (B36, incremental connected
-    #      components over B34's basket-intact batches — contracted
-    #      min-label merge per batch, shares C71's oracle),
-    #      pagerank_weighted (C74, co-order-count-weighted integer
-    #      PageRank) and ann_eval (D88, per-method ANN recall audit vs
-    #      the D10 truth) are brand new; lsh_band_sweep re-heads because
-    #      its output gained the ground-truth confusion columns
-    #      (n_true/tp/fp/fn vs the D8 truth — the per-(b,r)
-    #      precision/recall tuning closure, r13 verdict item 6);
-    #   2. stale_r10 (45): the rest of the oldest block — every entry
-    #      whose newest green row is r10 (lsh_band_sweep is listed in
-    #      new_r14 instead). Head = 49 of the ~50 budget;
-    #   3. after the r10 tail burns, the oldest remaining rows are r11
-    #      (49 entries); budget slippage falls there, never on a new or
-    #      r10-stale entry.
-    new_r14 = (
-        "stream_components",   # B36: incremental CC label state (C71 oracle)
-        "pagerank_weighted",   # C74: weighted co-purchase PageRank
-        "ann_eval",            # D88: per-method ANN recall audit (D10 truth)
-        "lsh_band_sweep",      # D46: + per-(b,r) tp/fp/fn vs D8 truth
+    # r14 driver burned exactly its designed head green: new_r14 (4) +
+    # stale_r10 (45) + sequence_pack = 50. Freshness after r14: 50 at r14,
+    # 49 at r13, 48 at r12, 49 at r11 — so:
+    #   1. new_r15 (4): kcore_weighted (C75, strength-peel k-core off the
+    #      C74 weighted artifact), l_diversity_audit (C68b, the
+    #      attribute-disclosure companion to C68) and stream_l_diversity
+    #      (B37, its counts-add streaming twin sharing the batch oracle)
+    #      are brand new; graph_profile re-heads with a CHANGED OUTPUT
+    #      (kind-keyed deg + strength histograms, r14 verdict item 5);
+    #   2. changed_r15 (9): outputs bit-identical but code re-headed —
+    #      the basket-pair kernel factoring (r14 verdict item 1) re-bases
+    #      every co-purchase builder (kcore/triangle/components/
+    #      pagerank_weighted and the B34/B36 per-batch builders;
+    #      stream_edge_degrees additionally gained the live E21
+    #      compaction cadence, item 4), and the ANN build/query split
+    #      (item 3) re-bases ann_ivf/ann_pq/ann_eval on persisted fits;
+    #   3. stale_r11 (49): the oldest block — every entry whose newest
+    #      green row is r11 (pagerank_parts, also kernel-affected, is
+    #      here). Head = 62 of the ~50 budget: slippage falls on this
+    #      tail's END (the slipped entries head r16), never on a new or
+    #      changed entry.
+    new_r15 = (
+        "kcore_weighted",      # C75: weighted k-core (strength peel)
+        "l_diversity_audit",   # C68b: attribute-disclosure audit
+        "stream_l_diversity",  # B37: counts-add twin (shares C68b oracle)
+        "graph_profile",       # C72: + strength histogram (changed output)
     )
-    stale_r10 = (
-        "ann_ivf", "ann_lsh", "ann_pq", "boilerplate_ngrams",
-        "cluster_profile", "conversion_funnel", "corpus_filter",
-        "cross_source_duplication", "data_quality_audit", "dedup_canonical",
-        "dedup_clusters", "dup_span_coverage", "ewma_value",
-        "feature_hash_embedding", "frame_sample", "funnel_fold",
-        "lang_confusion", "length_histogram", "logreg_features",
-        "market_basket", "markov_transitions", "media_decode",
-        "media_resize", "minhash_jaccard_estimate", "multimodal_manifest",
-        "order_value_quartiles", "pca_moments", "q16_parts_supplier_counts",
-        "q20_concentrated_suppliers", "q22_idle_balance", "resample_gapfill",
-        "rfm_segments", "salted_join_segments", "sample_per_source",
-        "sample_stratified", "scd2_lookup", "semantic_dedup",
-        "skyline_parts", "source_yield", "stream_anomaly",
-        "stream_full_outer_join", "text_redact", "top_paths",
-        "value_deciles", "video_decode",
+    changed_r15 = (
+        "stream_edge_degrees",  # B34: kernel + live E21 cadence
+        "stream_components",    # B36: kernel
+        "kcore_parts", "triangle_parts", "components_parts",  # kernel
+        "pagerank_weighted",    # C74: kernel
+        "ann_ivf", "ann_pq", "ann_eval",  # persisted index fits
+    )
+    stale_r11 = (
+        "pagerank_parts",  # kernel-affected: burn first in the tail
+        "ann_bruteforce", "approx_stats_bounds", "audio_dedup",
+        "benchmark_leakage", "bigram_lm_score", "bm25_topk", "bpe_encode",
+        "bpe_train", "containment_chains", "contrastive_pairs",
+        "corpus_card", "decontaminate_bloom", "dedup_embedding",
+        "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+        "dedup_simhash", "dsir_select", "embedding_quantize",
+        "embedding_stats", "image_dedup", "k_anonymity_audit",
+        "media_binary_ingest", "media_dedup_clusters",
+        "minhash_containment", "multimodal_features",
+        "mv_incremental_refresh", "q11_important_parts", "q14_promo_revenue",
+        "q1_pricing_summary", "q2_min_cost_supplier", "q3_unshipped_revenue",
+        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "sample_weighted", "span_trim",
+        "split_leakage_audit", "stream_cdc_versioned",
+        "stream_corpus_filter", "stream_k_anonymity", "stream_late_routing",
+        "stream_sample_weighted", "stream_token_feed", "table_diff",
+        "training_pipeline", "video_dedup_pairs",
     )
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (pipeline, relational, partsupp, temporal, vocab, text,
@@ -84,9 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 retrieval, governance, streaming_jobs, bridge):
         registry.update(mod.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in (*new_r14, *stale_r10):
+    for k in (*new_r15, *changed_r15, *stale_r11):
         out[k] = registry[k]  # KeyError = stale rotation name, fail fast
-    out.update(registry)  # r11/r12/r13-green remainder; first insertion wins
+    out.update(registry)  # r12/r13/r14-green remainder; first insertion wins
     return out
 
 

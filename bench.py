@@ -35,6 +35,7 @@ HEADLINE = [
     "pagerank_parts",
     "pagerank_weighted",
     "kcore_parts",
+    "kcore_weighted",
     "components_parts",
     "triangle_parts",
     "media_dedup_clusters",
@@ -166,6 +167,9 @@ HEADLINE = [
     "sample_weighted",
     "stream_sample_weighted",
     "bigram_lm_score",
+    # r15 additions (kcore_weighted rides the iterative head above)
+    "l_diversity_audit",
+    "stream_l_diversity",
     # r14 additions (pagerank_weighted rides the iterative head above)
     "stream_components",
     "lsh_band_sweep",
@@ -209,6 +213,7 @@ ITERATIVE_WARM_KEYS = [
     "media_dedup_clusters",
     "triangle_parts",
     "components_parts",
+    "kcore_weighted",
     "kcore_parts",
     "pagerank_weighted",
     "pagerank_parts",

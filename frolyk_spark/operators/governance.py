@@ -1,18 +1,21 @@
 """Data-governance operators: the audits a training-data pipeline runs
 before it is allowed to ship a corpus.
 
-Two residents:
+Three residents:
   - k_anonymity_audit: re-identification risk over the events table —
     group sizes of quasi-identifier combinations (the k-anonymity
     measure of Sweeney 2002), reported as an exact integer histogram
     plus the count of rows violating the k >= {K_MIN} policy.
+  - l_diversity_audit: the attribute-disclosure companion (r15) —
+    per-QI-group DISTINCT counts of the sensitive column, the leak a
+    large-but-homogeneous group hides from the k audit.
   - corpus_card: the per-source dataset card (doc/token/char counts,
     language mix, exact-duplicate rate, length profile) a pipeline
     publishes alongside a corpus release.
 
-Both are single-pass aggregations with exact integer (or portable-
-rounded) outputs — no sketches, no doubles in the compare path except
-one round2 mean.
+All are single-pass (or two-level) aggregations with exact integer (or
+portable-rounded) outputs — no sketches, no doubles in the compare path
+except one round2 mean.
 """
 
 from __future__ import annotations
@@ -101,6 +104,100 @@ SELECT k_band,
        CAST(sum(k) AS BIGINT) AS n_rows,
        (min(k) < {K_MIN}) AS violates_policy
 FROM banded GROUP BY k_band
+"""
+
+
+#: l-diversity policy threshold: QI groups with fewer than this many
+#: DISTINCT sensitive values are violations. Probed on the shipped SFs
+#: (r15): l spans 1..5 at every SF (sf0.001: 178/85/104/8 groups in the
+#: 1/2/3-4/5+ bands; sf0.01: 155/99/174/278), so every band is
+#: populated and the violation predicate is non-degenerate.
+L_MIN = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity histogram over the events table (r14 verdict item 6
+    — the leak k-anonymity can't see): a QI group of k=50 rows passes
+    every k policy, but if its SENSITIVE attribute is constant the
+    adversary learns it with certainty from group membership alone.
+    Here the quasi-identifiers are (event day, value bucket) — C68's QI
+    minus the sensitive column — and the sensitive attribute is
+    event_type; each group's l is its count of distinct sensitive
+    values (Machanavajjhala et al. 2007's distinct l-diversity). One
+    row per l-band (1, 2, 3-4, 5+): group count, row count, and whether
+    the band violates the l >= {L_MIN} policy.
+
+    Integer-exact end to end, and deliberately NO count(DISTINCT): the
+    distinct count is a two-level aggregate — groupBy (QI, sensitive)
+    then count rows per QI — which is both the CLAUDE.md own-pass
+    posture and EXACTLY the mergeable state shape the streaming twin
+    (stream_l_diversity) accumulates, so the two share this oracle.
+
+    Scale: two map-side-combinable groupBys, the second over O(QI
+    groups x |sensitive domain|) — never a second corpus pass.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    pairs = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.floor(F.col("value") / VALUE_BUCKET).cast("bigint").alias("vb"),
+            "event_type",
+        )
+        .groupBy("d", "vb", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ldiv = pairs.groupBy("d", "vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+        F.sum("c").cast("bigint").alias("k"),
+    )
+    band = (
+        F.when(F.col("l") == 1, "1")
+        .when(F.col("l") == 2, "2")
+        .when(F.col("l") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    return (
+        ldiv.select(band.alias("l_band"), "l", "k")
+        .groupBy("l_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.min("l").alias("min_l"),
+        )
+        .select(
+            "l_band",
+            "n_groups",
+            "n_rows",
+            (F.col("min_l") < L_MIN).alias("violates_policy"),
+        )
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH p AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(floor(value / {VALUE_BUCKET}) AS BIGINT) AS vb,
+         event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT d, vb, CAST(count(*) AS BIGINT) AS l, CAST(sum(c) AS BIGINT) AS k
+  FROM p GROUP BY d, vb
+),
+banded AS (
+  SELECT CASE WHEN l = 1 THEN '1'
+              WHEN l = 2 THEN '2'
+              WHEN l <= 4 THEN '3-4'
+              ELSE '5+' END AS l_band,
+         l, k
+  FROM g
+)
+SELECT l_band,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       (min(l) < {L_MIN}) AS violates_policy
+FROM banded GROUP BY l_band
 """
 
 
@@ -193,10 +290,12 @@ FROM per_source p JOIN dups d USING (source)
 
 QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
+    "l_diversity_audit": l_diversity_audit,
     "corpus_card": corpus_card,
 }
 
 ORACLES = {
     "k_anonymity_audit": K_ANONYMITY_SQL,
+    "l_diversity_audit": L_DIVERSITY_SQL,
     "corpus_card": _corpus_card_sql(),
 }

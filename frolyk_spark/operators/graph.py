@@ -701,28 +701,34 @@ ORDER BY part_key
 
 
 def graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass health card of the co-purchase graph (C72): per
-    log2-degree bucket its node count, degree mass, and min/max degree,
-    with the whole-graph sufficient statistics every row carries
-    (crossJoined one-row aggregate, never a driver collect) — node count
-    n, directed edge count m, Σdeg² (the wedge-count/variance numerator),
-    and the degree-assortativity numerator Σ_{(u,v)∈E} deg_u·deg_v. This
-    is the pre-flight a pipeline runs before pagerank/kcore/triangles:
-    the degree histogram prices the wedge joins, Σdeg² prices a
-    center-enumerated common-neighbor pass, and the assortativity
-    numerator (divided by m and the marginal moments downstream — counts
-    stay un-divided per the no-ratios rule) says whether hubs attach to
-    hubs.
+    """One-pass health card of the co-purchase graph (C72): TWO log2
+    histograms distinguished by ``kind`` — 'deg' buckets the unweighted
+    degree, 'strength' buckets the weighted degree (Σ co-order counts,
+    the C74 edge mass; added r15, verdict item 5 — degree alone can't
+    show whether a hub's relationships are habitual or incidental) —
+    each row carrying the bucket's node count, value mass, and min/max,
+    plus the whole-graph sufficient statistics (crossJoined one-row
+    aggregates, never a driver collect): node count n, directed edge
+    count m, Σdeg² (the wedge-count/variance numerator), the
+    degree-assortativity numerator Σ_{(u,v)∈E} deg_u·deg_v, total
+    strength mass total_w, and Σstrength² (the strength-variance
+    numerator). This is the pre-flight a pipeline runs before
+    pagerank/kcore/triangles: the histograms price the wedge joins and
+    pick the kcore/kcore_weighted thresholds, and the assortativity
+    numerator (divided by m and the marginal moments downstream —
+    counts stay un-divided per the no-ratios rule) says whether hubs
+    attach to hubs.
 
     All BIGINT end to end ⇒ bit-exact mirror oracle. Overflow bound:
-    exact while m·(max deg)² < 2^63 — beyond ~10^6-degree hubs on
-    10^12-edge graphs the assortativity sum needs bucketing, noted here
-    rather than silently wrapped. Shuffles: one degree count over the
-    persisted edge table (E4), one bounded bucket groupBy, one edge scan
-    joining the (lineage-cut, thrice-consumed) degree table on both
-    endpoints — un-hinted, AQE broadcasts while small (CLAUDE.md
-    model-table rule). log2 buckets via the bin-string bit-width trick
-    (length(bin(deg))-1), never libm.
+    exact while m·(max deg)² < 2^63 and n·(max strength)² < 2^63 —
+    beyond ~10^6-degree hubs on 10^12-edge graphs these sums need
+    bucketing, noted here rather than silently wrapped. Shuffles: one
+    degree count + one strength sum over the persisted edge tables
+    (E4), two bounded bucket groupBys, one edge scan joining the
+    (lineage-cut, thrice-consumed) degree table on both endpoints —
+    un-hinted, AQE broadcasts while small (CLAUDE.md model-table rule).
+    log2 buckets via the bin-string bit-width trick
+    (length(bin(x))-1), never libm.
     """
     edges = persisted_copurchase_edges(spark, sf_dir)
     deg = cut_lineage(
@@ -730,22 +736,40 @@ def graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         .withColumnRenamed("src", "part")
     )
-    buckets = (
-        deg.withColumn(
-            "deg_bucket", (F.length(F.bin("deg")) - 1).cast("bigint")
+    strength = cut_lineage(
+        persisted_copurchase_weighted(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.sum("w").cast("bigint").alias("s"))
+        .withColumnRenamed("src", "part")
+    )
+
+    def hist(df: DataFrame, col: str, kind: str) -> DataFrame:
+        return (
+            df.withColumn(
+                "bucket", (F.length(F.bin(col)) - 1).cast("bigint")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+                F.sum(col).cast("bigint").alias("sum_val"),
+                F.min(col).cast("bigint").alias("min_val"),
+                F.max(col).cast("bigint").alias("max_val"),
+            )
+            .select(F.lit(kind).alias("kind"), "bucket", "n_parts",
+                    "sum_val", "min_val", "max_val")
         )
-        .groupBy("deg_bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-            F.sum("deg").cast("bigint").alias("sum_deg"),
-            F.min("deg").cast("bigint").alias("min_deg"),
-            F.max("deg").cast("bigint").alias("max_deg"),
-        )
+
+    buckets = hist(deg, "deg", "deg").unionByName(
+        hist(strength, "s", "strength")
     )
     globals_ = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("deg").cast("bigint").alias("m"),
         F.sum(F.col("deg") * F.col("deg")).cast("bigint").alias("sum_deg2"),
+    )
+    wglobals = strength.agg(
+        F.sum("s").cast("bigint").alias("total_w"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sum_strength2"),
     )
     assort = (
         edges.join(
@@ -763,44 +787,62 @@ def graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         buckets.crossJoin(F.broadcast(globals_))
         .crossJoin(F.broadcast(assort))
+        .crossJoin(F.broadcast(wglobals))
         .select(
-            "deg_bucket", "n_parts", "sum_deg", "min_deg", "max_deg",
-            "n", "m", "sum_deg2", "assort_num",
+            "kind", "bucket", "n_parts", "sum_val", "min_val", "max_val",
+            "n", "m", "sum_deg2", "assort_num", "total_w", "sum_strength2",
         )
-        .orderBy("deg_bucket")
+        .orderBy("kind", "bucket")
     )
 
 
 def _graph_profile_sql() -> str:
     return """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+              CAST(count(*) AS BIGINT) AS w
        FROM li a JOIN li b
          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        GROUP BY 1, 2),
 e AS MATERIALIZED (
-  SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+  SELECT src, dst, w FROM pr
+  UNION ALL SELECT dst AS src, src AS dst, w FROM pr),
 deg AS MATERIALIZED (
   SELECT src AS part, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+stren AS MATERIALIZED (
+  SELECT src AS part, CAST(sum(w) AS BIGINT) AS s FROM e GROUP BY src),
 buckets AS (
-  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bucket,
+  SELECT 'deg' AS kind,
+         CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
          CAST(count(*) AS BIGINT) AS n_parts,
-         CAST(sum(deg) AS BIGINT) AS sum_deg,
-         CAST(min(deg) AS BIGINT) AS min_deg,
-         CAST(max(deg) AS BIGINT) AS max_deg
-  FROM deg GROUP BY 1),
+         CAST(sum(deg) AS BIGINT) AS sum_val,
+         CAST(min(deg) AS BIGINT) AS min_val,
+         CAST(max(deg) AS BIGINT) AS max_val
+  FROM deg GROUP BY 2
+  UNION ALL
+  SELECT 'strength' AS kind,
+         CAST(length(bin(s)) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(s) AS BIGINT) AS sum_val,
+         CAST(min(s) AS BIGINT) AS min_val,
+         CAST(max(s) AS BIGINT) AS max_val
+  FROM stren GROUP BY 2),
 g AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(deg) AS BIGINT) AS m,
          CAST(sum(deg * deg) AS BIGINT) AS sum_deg2
   FROM deg),
+wg AS (
+  SELECT CAST(sum(s) AS BIGINT) AS total_w,
+         CAST(sum(s * s) AS BIGINT) AS sum_strength2
+  FROM stren),
 a AS (
   SELECT CAST(sum(ds.deg * dd.deg) AS BIGINT) AS assort_num
   FROM e JOIN deg ds ON ds.part = e.src JOIN deg dd ON dd.part = e.dst)
-SELECT b.deg_bucket, b.n_parts, b.sum_deg, b.min_deg, b.max_deg,
-       g.n, g.m, g.sum_deg2, a.assort_num
-FROM buckets b CROSS JOIN g CROSS JOIN a
-ORDER BY deg_bucket
+SELECT b.kind, b.bucket, b.n_parts, b.sum_val, b.min_val, b.max_val,
+       g.n, g.m, g.sum_deg2, a.assort_num, wg.total_w, wg.sum_strength2
+FROM buckets b CROSS JOIN g CROSS JOIN a CROSS JOIN wg
+ORDER BY kind, bucket
 """
 
 
@@ -958,6 +1000,159 @@ WHERE rank_pos <= {PR_TOP_K}
 """
 
 
+# --- C75: weighted k-core (peel by co-purchase STRENGTH) -----------------------
+
+#: strength threshold as a scale-free multiple of mean strength
+#: (CLAUDE.md: never a fraction-of-total, never an absolute literal):
+#: k = (11 * (total_w div n)) div 16. Probed on the shipped SFs (r15,
+#: pure-python peel): both regimes visible everywhere — sf0.001 peels
+#: 13 parts over 4 rounds keeping a 187-part core, sf0.01 peels 121
+#: over 5 keeping 1879, sf0.1 peels 1278 over 9 keeping 18722 — while
+#: the unweighted-kcore 3/4 ratio fully collapses the STRENGTH peel at
+#: every SF (the weight distribution is tighter than the degree one).
+WKCORE_NUM, WKCORE_DEN = 11, 16
+
+
+def kcore_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted k-core of the co-purchase graph (C75, r14 verdict item
+    5): the onion peel by STRENGTH — each round removes every part whose
+    residual strength (sum of co-order counts to still-alive neighbors,
+    the C74 edge mass) falls below the scale-free threshold
+    ({WKCORE_NUM}/{WKCORE_DEN})·(mean strength). This is the curation
+    signal kcore_parts can't give: a part co-bought once with many
+    different parts survives the DEGREE peel but carries no repeated
+    co-purchase MASS — the weighted peel drops it, keeping the parts
+    whose basket relationships are habitual rather than incidental.
+
+    Same machinery as kcore_parts end to end, over the persisted
+    WEIGHTED edge table (C74's artifact): k derived in-query (BIGINT
+    floor arithmetic, one crossJoined one-row aggregate), DELTA peel
+    (round 1 pays the full strength sum; later rounds subtract only
+    Σw into the casualty set — exact because the edge table is
+    distinct+symmetric), exact early stop on a zero-casualty round,
+    lineage cut per round, truncation-honest ``converged``. Overflow:
+    strengths are bounded by total edge mass Σw (≈ 2m at basket
+    weights), far inside BIGINT. Oracle = one MATERIALIZED CTE per
+    round with the alive-recount form (bit-identical to the delta by
+    the kcore no-op argument). Python reference:
+    tests/test_graph.py::_python_wkcore."""
+    edges = persisted_copurchase_weighted(spark, sf_dir).persist()
+    s0 = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
+    k1 = s0.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s").alias("tw")
+    ).select(
+        F.expr(f"(({WKCORE_NUM} * (tw div n)) div {WKCORE_DEN})").alias("k")
+    )
+    state = (
+        s0.select(F.col("src").alias("part"), "s")
+        .crossJoin(F.broadcast(k1))
+        .withColumn("rr", F.lit(None).cast("bigint"))
+    )
+    for t in range(1, KCORE_ROUNDS + 1):
+        state = state.withColumn(
+            "rr",
+            F.when(F.col("rr").isNull() & (F.col("s") < F.col("k")), F.lit(t))
+            .otherwise(F.col("rr")),
+        )
+        removed = state.where(F.col("rr") == t).select(
+            F.col("part").alias("dst")
+        )
+        loss = (
+            edges.join(removed, "dst")
+            .groupBy("src")
+            .agg(F.sum("w").cast("bigint").alias("lost"))
+            .withColumnRenamed("src", "part")
+        )
+        state = cut_lineage(
+            state.join(loss, "part", "left").select(
+                "part",
+                F.when(
+                    F.col("rr").isNull(),
+                    F.col("s") - F.coalesce("lost", F.lit(0)),
+                ).otherwise(F.col("s")).cast("bigint").alias("s"),
+                "k",
+                "rr",
+            )
+        )
+        if state.where(F.col("rr") == t).count() == 0:
+            break
+    edges.unpersist()
+    conv = state.agg(
+        (F.sum(
+            F.when(F.col("rr").isNull() & (F.col("s") < F.col("k")), 1)
+            .otherwise(0)
+        ) == 0).alias("converged")
+    )
+    return (
+        state.crossJoin(F.broadcast(conv))
+        .select(
+            F.col("part").cast("bigint").alias("part_key"),
+            F.coalesce("rr", F.lit(0)).cast("bigint").alias("removed_round"),
+            F.col("s").cast("bigint").alias("last_strength"),
+            F.col("converged"),
+        )
+        .orderBy("part_key")
+    )
+
+
+def _kcore_weighted_sql() -> str:
+    """Unrolled-CTE oracle, the _kcore_sql recount form with Σw in place
+    of count(*)."""
+    rounds = []
+    prev = "s0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT s.part,
+         CAST(CASE WHEN s.rr IS NULL AND s.s >= s.k
+                   THEN coalesce(nd.nd, 0) ELSE s.s END AS BIGINT) AS s,
+         s.k,
+         CASE WHEN s.rr IS NULL AND s.s < s.k THEN {t} ELSE s.rr END AS rr
+  FROM {prev} s
+  LEFT JOIN (
+    SELECT e.src AS part, CAST(sum(e.w) AS BIGINT) AS nd
+    FROM e
+    JOIN {prev} a ON a.part = e.src AND a.rr IS NULL
+                 AND a.s >= (SELECT k FROM kk)
+    JOIN {prev} b ON b.part = e.dst AND b.rr IS NULL
+                 AND b.s >= (SELECT k FROM kk)
+    GROUP BY e.src
+  ) nd USING (part)
+)""")
+        prev = f"s{t}"
+    chain = ",".join(rounds)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+              CAST(count(*) AS BIGINT) AS w
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT src, dst, w FROM pr
+  UNION ALL SELECT dst AS src, src AS dst, w FROM pr),
+str0 AS MATERIALIZED (
+  SELECT src AS part, CAST(sum(w) AS BIGINT) AS s FROM e GROUP BY src),
+kk AS MATERIALIZED (
+  SELECT CAST((({WKCORE_NUM} * (sum(s) // count(*))) // {WKCORE_DEN})
+              AS BIGINT) AS k
+  FROM str0),
+s0 AS MATERIALIZED (
+  SELECT part, s, kk.k, CAST(NULL AS BIGINT) AS rr
+  FROM str0 CROSS JOIN kk),{chain},
+conv AS (
+  SELECT (sum(CASE WHEN rr IS NULL AND s < k THEN 1 ELSE 0 END) = 0)
+         AS converged
+  FROM {prev})
+SELECT CAST(part AS BIGINT) AS part_key,
+       CAST(coalesce(rr, 0) AS BIGINT) AS removed_round,
+       CAST(s AS BIGINT) AS last_strength,
+       conv.converged AS converged
+FROM {prev} CROSS JOIN conv
+ORDER BY part_key
+"""
+
+
 QUERIES = {
     "pagerank_parts": pagerank_parts,
     "kcore_parts": kcore_parts,
@@ -965,6 +1160,7 @@ QUERIES = {
     "components_parts": components_parts,
     "graph_profile": graph_profile,
     "pagerank_weighted": pagerank_weighted,
+    "kcore_weighted": kcore_weighted,
 }
 
 ORACLES = {
@@ -974,4 +1170,5 @@ ORACLES = {
     "components_parts": _components_sql(),
     "graph_profile": _graph_profile_sql(),
     "pagerank_weighted": _pagerank_weighted_sql(),
+    "kcore_weighted": _kcore_weighted_sql(),
 }

@@ -2530,6 +2530,132 @@ def stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B37: streaming l-diversity monitor (twin of the C68b audit) ---------------
+
+
+def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous attribute-disclosure monitoring (B37, r14 verdict item
+    6): the l_diversity_audit maintained as STREAMING STATE. The state is
+    the (QI, sensitive-value) pair-count table — exactly the batch
+    audit's own first-level aggregate — and counts ADD across batches,
+    so the accumulated state equals the whole-corpus first level
+    REGARDLESS of batching (the B17/B19/B27 batching-invariance class)
+    and the job shares L_DIVERSITY_SQL verbatim. A group's distinct-l is
+    the count of its state rows: a pair's presence is monotone
+    (first-seen-and-stays, the B32 MIN posture for the membership bit,
+    carried here by the count row itself), so l only ever grows as data
+    lands — the gate can flip from violating to passing live, never
+    silently the other way.
+
+    Per batch: one map-side-combinable (QI, sensitive) groupBy over the
+    batch, one keyed full-outer add-merge against the latest state
+    version strictly below this batch id (redelivery rebuilds from its
+    own predecessor — never double-counts), one state overwrite. The
+    l-band histogram is a view over the final state: O(pairs), bounded
+    by QI-groups x |sensitive domain|.
+    """
+    from frolyk_spark.operators.governance import L_MIN, VALUE_BUCKET
+    from frolyk_spark.sources.streams import stage_multi_file_drop
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stage = stage_multi_file_drop(ev, sf_dir, "events", "ldivmon")
+
+    name = f"ldivmon_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
+    _LIVE_RESULTS.add(root)
+    ckpt = _checkpoint_dir(name)
+
+    def _reduce(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.select(
+                F.date_trunc("day", "ts").alias("d"),
+                F.floor(F.col("value") / VALUE_BUCKET).cast("bigint").alias("vb"),
+                "event_type",
+            )
+            .groupBy("d", "vb", "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = _reduce(batch_df)
+        prior_v = _latest_version_below(root, batch_id)
+        if prior_v is not None:
+            prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
+            merged = (
+                prior.select(
+                    "d", "vb", "event_type", F.col("c").alias("c_prior")
+                )
+                .join(batch, ["d", "vb", "event_type"], "full_outer")
+                .select(
+                    "d", "vb", "event_type",
+                    (
+                        F.coalesce("c_prior", F.lit(0).cast("bigint"))
+                        + F.coalesce("c", F.lit(0).cast("bigint"))
+                    ).alias("c"),
+                )
+            )
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(os.path.join(root, f"s{batch_id}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    versions = sorted(
+        int(d[1:])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("s") and d[1:].isdigit()
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [], "l_band string, n_groups bigint, n_rows bigint, "
+                "violates_policy boolean",
+        )
+    state = spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
+    ldiv = state.groupBy("d", "vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+        F.sum("c").cast("bigint").alias("k"),
+    )
+    band = (
+        F.when(F.col("l") == 1, "1")
+        .when(F.col("l") == 2, "2")
+        .when(F.col("l") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    return (
+        ldiv.select(band.alias("l_band"), "l", "k")
+        .groupBy("l_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.min("l").alias("min_l"),
+        )
+        .select(
+            "l_band", "n_groups", "n_rows",
+            (F.col("min_l") < L_MIN).alias("violates_policy"),
+        )
+    )
+
+
 # --- B26: streaming tokenize -> pack training-data feed ------------------------
 
 #: batch count for the token feed's content-defined document drop
@@ -4130,6 +4256,7 @@ def stream_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from frolyk_spark.operators.governance import K_ANONYMITY_SQL as _K_ANON_ORACLE
+from frolyk_spark.operators.governance import L_DIVERSITY_SQL as _L_DIV_ORACLE
 from frolyk_spark.operators.relational import ASOF_SQL as _ASOF_ORACLE
 from frolyk_spark.operators.sampling import _sample_weighted_sql as _ws_sql
 from frolyk_spark.operators.pipeline import LENGTH_HISTOGRAM_SQL as _LENHIST_ORACLE
@@ -4154,6 +4281,7 @@ QUERIES = {
     # B27: cumulative QI-count state; batching-invariant (counts add),
     # so it shares C68's whole-corpus oracle verbatim
     "stream_k_anonymity": stream_k_anonymity,
+    "stream_l_diversity": stream_l_diversity,
     # B28: range-batched arrival order makes keep-first identical to the
     # batch operator, so it shares corpus_filter's oracle verbatim
     "stream_corpus_filter": stream_corpus_filter,
@@ -4208,6 +4336,8 @@ ORACLES = {
     "stream_late_routing": STREAM_LATE_ROUTING_SQL,
     "stream_token_feed": _stream_token_feed_sql(),
     "stream_k_anonymity": _K_ANON_ORACLE,
+    # B37 shares the batch audit's oracle (counts-add state, see docstring)
+    "stream_l_diversity": _L_DIV_ORACLE,
     "stream_corpus_filter": _CORPUS_FILTER_ORACLE,
     "stream_sample_weighted": _WSAMPLE_ORACLE,
     "stream_asof_join": _ASOF_ORACLE,

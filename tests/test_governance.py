@@ -36,3 +36,46 @@ def test_governance_plan_shapes(spark, sf_dir):
 
     assert_scale_shape(k_anonymity_audit(spark, sf_dir), forbid_cartesian=True)
     assert_scale_shape(corpus_card(spark, sf_dir), forbid_cartesian=True)
+
+
+def test_l_diversity_bands_partition_and_catch_k_safe_leaks(spark, sf_dir):
+    """C68b (r15): the l-bands partition the corpus row-exactly, the
+    violation flag derives from the band, and the audit catches at least
+    one group that k-anonymity PASSES (k >= K_MIN) while the sensitive
+    attribute is near-homogeneous (l < L_MIN) — the leak the operator
+    exists for (probed r15: max k among l<3 groups is 5/6/6 at
+    sf0.001/0.01/0.1, all at or above K_MIN)."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.operators.governance import (
+        L_MIN, VALUE_BUCKET, l_diversity_audit,
+    )
+
+    rows = {r.l_band: r for r in l_diversity_audit(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_rows for r in rows.values()) == ev.count()
+    for band, r in rows.items():
+        lo = int(band.rstrip("+").split("-")[0])
+        assert r.violates_policy == (lo < L_MIN)
+        assert r.n_groups <= r.n_rows
+    # a k-safe but l=1 group exists on the shipped data (probed r15)
+    g = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.floor(F.col("value") / VALUE_BUCKET).cast("bigint").alias("vb"),
+            "event_type",
+        )
+        .groupBy("d", "vb")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.size(F.collect_set("event_type")).alias("l"),
+        )
+    )
+    assert g.where((F.col("k") >= K_MIN) & (F.col("l") < L_MIN)).count() > 0
+
+
+def test_l_diversity_plan_shape(spark, sf_dir):
+    from frolyk_spark.operators.governance import l_diversity_audit
+    from frolyk_spark.plans.inspect import assert_scale_shape
+
+    assert_scale_shape(l_diversity_audit(spark, sf_dir), forbid_cartesian=True)

@@ -265,32 +265,49 @@ def test_graph_profile_matches_python_reference(spark, sf_dir):
     by_order = defaultdict(set)
     for ok, pk in zip(tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()):
         by_order[ok].add(pk)
-    adj = defaultdict(set)
+    w: dict = defaultdict(int)
     for parts in by_order.values():
         ps = sorted(parts)
         for i, u in enumerate(ps):
             for v in ps[i + 1:]:
-                adj[u].add(v)
-                adj[v].add(u)
+                w[(u, v)] += 1
+                w[(v, u)] += 1
+    adj = defaultdict(dict)
+    for (u, v), c in w.items():
+        adj[u][v] = c
     deg = {u: len(vs) for u, vs in adj.items()}
+    stren = {u: sum(vs.values()) for u, vs in adj.items()}
     n = len(deg)
     m = sum(deg.values())
     sum_deg2 = sum(d * d for d in deg.values())
     assort = sum(deg[u] * deg[v] for u, vs in adj.items() for v in vs)
-    rows = defaultdict(lambda: [0, 0, 1 << 62, 0])
-    for d in deg.values():
-        b = d.bit_length() - 1
-        rows[b][0] += 1
-        rows[b][1] += d
-        rows[b][2] = min(rows[b][2], d)
-        rows[b][3] = max(rows[b][3], d)
+    total_w = sum(stren.values())
+    sum_strength2 = sum(s * s for s in stren.values())
+
+    def histo(vals, kind):
+        rows = defaultdict(lambda: [0, 0, 1 << 62, 0])
+        for d in vals:
+            b = d.bit_length() - 1
+            rows[b][0] += 1
+            rows[b][1] += d
+            rows[b][2] = min(rows[b][2], d)
+            rows[b][3] = max(rows[b][3], d)
+        return [
+            (kind, b, c, s, lo, hi, n, m, sum_deg2, assort, total_w,
+             sum_strength2)
+            for b, (c, s, lo, hi) in rows.items()
+        ]
+
     want = sorted(
-        (b, c, s, lo, hi, n, m, sum_deg2, assort)
-        for b, (c, s, lo, hi) in rows.items()
+        histo(deg.values(), "deg") + histo(stren.values(), "strength")
     )
     got = sorted(tuple(r) for r in graph_profile(spark, sf_dir).collect())
     assert got == want
-    assert len(want) >= 2  # the degree spread spans buckets
+    # each histogram spans buckets, and strength mass exceeds degree mass
+    # (repeated co-purchases exist)
+    assert sum(1 for r in want if r[0] == "deg") >= 2
+    assert sum(1 for r in want if r[0] == "strength") >= 2
+    assert total_w > m
 
 
 def test_graph_profile_plan_shape(spark, sf_dir):
@@ -380,3 +397,77 @@ def test_pagerank_weighted_plan_shape(spark, sf_dir):
     from frolyk_spark.plans.inspect import assert_scale_shape
 
     assert_scale_shape(pagerank_weighted(spark, sf_dir), forbid_cartesian=True)
+
+
+def _python_wkcore(sf_dir: str):
+    from frolyk_spark.operators.graph import (
+        KCORE_ROUNDS, WKCORE_DEN, WKCORE_NUM,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order = defaultdict(set)
+    for ok, pk in zip(tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()):
+        by_order[ok].add(pk)
+    w: dict = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                w[(u, v)] += 1
+                w[(v, u)] += 1
+    adj = defaultdict(dict)
+    for (u, v), c in w.items():
+        adj[u][v] = c
+    n = len(adj)
+    tot = sum(sum(d.values()) for d in adj.values())
+    k = (WKCORE_NUM * (tot // n)) // WKCORE_DEN
+    s = {u: sum(adj[u].values()) for u in adj}
+    rr = {u: 0 for u in adj}
+    alive = set(adj)
+    for t in range(1, KCORE_ROUNDS + 1):
+        drop = {u for u in alive if s[u] < k}
+        for u in drop:
+            rr[u] = t  # strength frozen at removal
+        alive -= drop
+        s.update(
+            (u, sum(c for v, c in adj[u].items() if v in alive))
+            for u in alive
+        )
+    converged = not any(s[u] < k for u in alive)
+    return sorted((u, rr[u], s[u], converged) for u in adj)
+
+
+def test_kcore_weighted_matches_python_reference(spark, sf_dir):
+    from frolyk_spark.operators.graph import kcore_weighted
+
+    got = sorted(tuple(row) for row in kcore_weighted(spark, sf_dir).collect())
+    want = _python_wkcore(sf_dir)
+    assert got == want
+    # both regimes visible at the probed threshold: the peel fired AND
+    # a core survived (the STRENGTH-carrying parts) — and it converged
+    assert any(r[1] >= 1 for r in want)
+    assert any(r[1] == 0 for r in want)
+    assert all(r[3] for r in want)
+
+
+def test_kcore_weighted_differs_from_unweighted(spark, sf_dir):
+    """The weighted peel must use MASS, not degree: at the shipped SFs
+    the two peels classify different part sets (a part with many one-off
+    co-purchases survives by degree but falls by strength)."""
+    from frolyk_spark.operators.graph import kcore_parts, kcore_weighted
+
+    kd = {r.part_key: r.removed_round for r in kcore_parts(spark, sf_dir).collect()}
+    kw = {r.part_key: r.removed_round for r in kcore_weighted(spark, sf_dir).collect()}
+    assert set(kd) == set(kw)
+    assert any(
+        (kd[p] == 0) != (kw[p] == 0) for p in kd
+    ), "weighted and unweighted cores are identical — weight unused?"
+
+
+def test_kcore_weighted_plan_shape(spark, sf_dir):
+    from frolyk_spark.operators.graph import kcore_weighted
+    from frolyk_spark.plans.inspect import assert_scale_shape
+
+    assert_scale_shape(kcore_weighted(spark, sf_dir), forbid_cartesian=True)

@@ -1983,3 +1983,22 @@ def test_stream_quantile_sketch_equals_batch(spark, sf_dir):
     got = sorted(tuple(r) for r in stream_quantile_sketch(spark, sf_dir).collect())
     want = sorted(tuple(r) for r in quantile_sketch(spark, sf_dir).collect())
     assert got == want and want
+
+
+def test_stream_l_diversity_matches_batch_audit(spark, sf_dir):
+    """B37 (r15): the streaming monitor's final l-band histogram must
+    equal the batch audit exactly — the state is the batch audit's own
+    first-level (QI, sensitive) count table and counts add across
+    batches (batching invariance) — and the ingest really was
+    multi-batch."""
+    from frolyk_spark.operators.governance import l_diversity_audit
+    from frolyk_spark.streaming.jobs import stream_l_diversity
+
+    got_df = stream_l_diversity(spark, sf_dir)
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in l_diversity_audit(spark, sf_dir).collect()}
+    assert got == want and want
+    src = got_df.inputFiles()[0].removeprefix("file://")
+    root = os.path.dirname(os.path.dirname(src))
+    versions = [d for d in os.listdir(root) if d.startswith("s") and d[1:].isdigit()]
+    assert len(versions) >= 2, "ingest was not multi-batch"
