@@ -920,3 +920,188 @@ def export_table(
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
     return df.sparkSession.read.format(fmt).load(path)
+
+
+# --- E22: row-level deletes via position delete vectors (GDPR erasure) ---------
+
+#: sidecar directory for delete vectors — underscore-prefixed, so Spark's
+#: file listing treats it as hidden and the base parquet read never sees it
+DELETES_DIR = "_deletes"
+
+
+def delete_where(spark: SparkSession, path: str, condition: str) -> int:
+    """Row-level DELETE on a parquet table WITHOUT rewriting data files
+    (E22): rows matching ``condition`` are tombstoned into a position
+    DELETE VECTOR — (file, row-position) pairs, the Delta/Iceberg DV
+    shape — appended as a new `_deletes/d{n}` parquet dir. Returns the
+    number of rows tombstoned by THIS call.
+
+    Why DVs and not a rewrite: a GDPR erasure request touching 0.001% of
+    a 100 TB table must not cost a 100 TB rewrite at request time. The
+    delete is one predicate scan (filters pushed down) writing O(matched
+    rows) of tombstones; the logical table (``read_with_deletes``) is
+    correct immediately, and the physical rewrite is deferred to
+    ``purge_deletes`` on the operator's schedule. Positions come from
+    the hidden ``_metadata`` columns (file_name + row_index — stable for
+    parquet; part-file names carry a per-task UUID so names are globally
+    unique across partition dirs). A dir is a committed DV iff its
+    _SUCCESS exists — a crashed delete leaves no visible tombstones.
+    Deletes COMPOSE: each call tombstones against the LOGICAL table, so
+    re-deleting an already-tombstoned row is a no-op (0 new tombstones),
+    and distinct() guards double-listing inside one call."""
+    n = 0
+    root = os.path.join(path, DELETES_DIR)
+    if os.path.isdir(root):
+        n = sum(
+            1 for d in os.listdir(root)
+            if d.startswith("d") and d[1:].isdigit()
+            and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+        )
+    # positions come off the BASE scan (hidden _metadata resolves only on
+    # the file-source relation); composition with earlier deletes is the
+    # anti-join below, not a re-scan of the logical view
+    matched = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+            "*",
+        )
+        .where(condition)
+        .select("_file", "_pos")
+        .distinct()
+    )
+    prior = _delete_vectors(spark, path)
+    if prior is not None:
+        matched = matched.join(prior, ["_file", "_pos"], "left_anti")
+    out = os.path.join(root, f"d{n}")
+    matched.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()
+
+
+def _delete_vectors(spark: SparkSession, path: str) -> DataFrame | None:
+    root = os.path.join(path, DELETES_DIR)
+    dirs = sorted(
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("d") and d[1:].isdigit()
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).select("_file", "_pos")
+
+
+def read_with_deletes(spark: SparkSession, path: str) -> DataFrame:
+    """The LOGICAL table: the base parquet read minus every committed
+    delete vector — a distributed (file, position) anti-join, never a
+    driver-side mask. With no DVs this is the bare scan. Tombstones
+    referencing files that no longer exist (purged, or rewritten under a
+    new name) anti-join against nothing — a harmless no-op, which is
+    what makes purge crash-safe."""
+    base = spark.read.parquet(path)
+    tomb = _delete_vectors(spark, path)
+    if tomb is None:
+        return base
+    return (
+        base.select(
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+            "*",
+        )
+        .join(tomb, ["_file", "_pos"], "left_anti")
+        .drop("_file", "_pos")
+    )
+
+
+def purge_deletes(
+    spark: SparkSession, path: str, partition_cols: list[str]
+) -> int:
+    """PHYSICAL erasure (the GDPR end state): rewrite ONLY the directory
+    partitions that contain tombstoned rows — DV-masked content through
+    the E6 dynamic-partition-overwrite committer — then drop the delete
+    vectors. Returns the number of partitions rewritten. Requires the
+    table to be directory-partitioned (``partition_cols``): erasure
+    granularity IS partition granularity, which is why GDPR-subject
+    tables partition on a subject-correlated column; an unpartitioned
+    table would cost a full rewrite, and this helper refuses to hide
+    that (pass the real layout or accept delete-vector masking).
+
+    Crash story, in order: (1) the dynamic overwrite commits touched
+    partitions with fresh UUID file names, so a crash after commit but
+    before DV cleanup leaves tombstones referencing DEAD file names —
+    read_with_deletes treats them as no-ops and a re-run purges the
+    rest; (2) DV dirs drop only after the overwrite returns. The
+    touched-partition list is a driver-side collect bounded by the
+    number of TOUCHED partitions (manifest-scale, the E12 posture),
+    never rows."""
+    import shutil
+
+    tomb = _delete_vectors(spark, path)
+    if tomb is None:
+        return 0
+
+    def _local(p: str) -> str:
+        # _metadata.file_path is a URI (file:///...); filesystem ops below
+        # need the plain path. The DV anti-join itself never needs this —
+        # both sides come from _metadata, so they match as URIs.
+        if p.startswith("file://"):
+            return p.removeprefix("file://")
+        return p.removeprefix("file:")
+
+    # touched partitions, derived from the tombstones' file paths
+    part_dirs = {
+        os.path.dirname(_local(r._file))
+        for r in tomb.select("_file").distinct().collect()
+    }
+    if not part_dirs:
+        return 0
+    # partition VALUES from the dir segments (col=val/...), schema-typed
+    # by the semi-join below
+    masked = read_with_deletes(spark, path)
+    dir_vals: dict[str, tuple[str, ...]] = {}
+    for d in part_dirs:
+        rel = os.path.relpath(d, path)
+        vals = {}
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                vals[k] = v
+        missing = [c for c in partition_cols if c not in vals]
+        if missing:
+            raise ValueError(
+                f"tombstoned file {d} lacks partition segments for "
+                f"{missing} — is the table really partitioned by "
+                f"{partition_cols}?"
+            )
+        dir_vals[d] = tuple(vals[c] for c in partition_cols)
+    sel = F.broadcast(
+        spark.createDataFrame(
+            list(dir_vals.values()),
+            ", ".join(f"{c} string" for c in partition_cols),
+        ).select(
+            *[F.col(c).alias(f"__sel_{c}") for c in partition_cols]
+        )
+    )
+    cond = None
+    for c in partition_cols:
+        eq = masked[c].cast("string") == F.col(f"__sel_{c}")
+        cond = eq if cond is None else (cond & eq)
+    to_rewrite = masked.join(sel, on=cond, how="left_semi")
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # frame — a FULLY-erased partition contributes zero rows and would
+    # silently keep its old files. Those partitions are removed
+    # directly (driver-side rmtree, manifest-scale), AFTER the overwrite
+    # and BEFORE DV cleanup: a crash at any point leaves the DVs in
+    # place, so the logical read stays correct and a re-run finishes.
+    present = {
+        tuple(str(r[c]) for c in partition_cols)
+        for r in to_rewrite.select(*partition_cols).distinct().collect()
+    }
+    if present:
+        overwrite_partitions(to_rewrite, path, partition_cols)
+    for d, vals in dir_vals.items():
+        if vals not in present:
+            shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, DELETES_DIR), ignore_errors=True)
+    return len(part_dirs)

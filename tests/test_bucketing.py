@@ -974,3 +974,94 @@ def test_compact_versioned_rewrites_latest_snapshot(spark, sf_dir, tmp_path):
     n_after = len(os.listdir(os.path.join(out, "data")))
     assert n_after < n_before
     assert key(read_versioned(spark, out)) == key(read_versioned(spark, out, v2))
+
+
+def test_delete_vectors_logical_then_physical_erasure(spark, sf_dir, tmp_path):
+    """E22 (r15): row-level deletes via position delete vectors, then
+    partition-granular physical purge — the GDPR-erasure lifecycle.
+    (1) delete_where tombstones without touching data files and the
+    logical read equals the predicate filter immediately; (2) deletes
+    COMPOSE (a second overlapping delete adds only the new rows);
+    (3) purge_deletes rewrites ONLY the touched partitions (untouched
+    partition files keep their names), drops the DV sidecar, and the
+    RAW read then equals the logical one; (4) a stale tombstone
+    referencing a purged file name is a harmless no-op — the crash-safe
+    property the purge ordering relies on."""
+    import os
+    import shutil
+
+    from frolyk_spark.sources.catalog import (
+        DELETES_DIR, delete_where, purge_deletes, read_with_deletes,
+        write_partitioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = str(tmp_path / "docs_e22")
+    write_partitioned(docs, path, ["lang"])
+    base_count = docs.count()
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    assert len(langs) >= 3
+    victim = sorted(langs)[0]
+
+    # (1) logical delete: one lang's short docs
+    n1 = delete_where(spark, path, f"lang = '{victim}' AND length(text) < 200")
+    want1 = docs.where(f"NOT (lang = '{victim}' AND length(text) < 200)").count()
+    assert n1 > 0
+    assert read_with_deletes(spark, path).count() == want1 == base_count - n1
+    # data files untouched so far
+    assert os.path.isdir(os.path.join(path, DELETES_DIR))
+    raw_after_delete = spark.read.parquet(path).count()
+    assert raw_after_delete == base_count
+
+    # (2) composition: overlapping predicate adds only the new rows
+    n2 = delete_where(spark, path, f"lang = '{victim}'")
+    victim_total = docs.where(f"lang = '{victim}'").count()
+    assert n1 + n2 == victim_total
+    assert read_with_deletes(spark, path).count() == base_count - victim_total
+
+    # snapshot untouched-partition file names before the purge
+    keep = sorted(langs)[1]
+    keep_files = set(os.listdir(os.path.join(path, f"lang={keep}")))
+
+    # (3) physical purge: only the victim partition rewrites
+    n_parts = purge_deletes(spark, path, ["lang"])
+    assert n_parts == 1
+    assert not os.path.isdir(os.path.join(path, DELETES_DIR))
+    assert set(os.listdir(os.path.join(path, f"lang={keep}"))) == keep_files
+    assert spark.read.parquet(path).count() == base_count - victim_total
+    assert read_with_deletes(spark, path).count() == base_count - victim_total
+    # the victim partition is physically empty (dynamic overwrite wrote
+    # zero rows for it) or gone entirely
+    vdir = os.path.join(path, f"lang={victim}")
+    if os.path.isdir(vdir):
+        assert spark.read.parquet(path).where(f"lang = '{victim}'").count() == 0
+
+    # (4) stale tombstones (dead file names) are no-ops
+    dead = spark.createDataFrame(
+        [(os.path.join(path, f"lang={victim}", "part-dead.parquet"), 0)],
+        "_file string, _pos bigint",
+    )
+    ddir = os.path.join(path, DELETES_DIR, "d0")
+    dead.write.mode("overwrite").parquet(ddir)
+    assert read_with_deletes(spark, path).count() == base_count - victim_total
+    shutil.rmtree(os.path.join(path, DELETES_DIR))
+
+
+def test_delete_vectors_plan_is_distributed(spark, sf_dir, tmp_path):
+    """E22 scale shape: the DV-masked read is a distributed anti-join on
+    (file, position) — audited by assert_scale_shape, and the delete's
+    predicate scan keeps pushdown (PushedFilters on the base columns)."""
+    from frolyk_spark.plans.inspect import assert_scale_shape
+    from frolyk_spark.sources.catalog import (
+        delete_where, read_with_deletes, write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "ev_e22")
+    write_partitioned(ev, path, ["event_type"])
+    assert delete_where(spark, path, "value < 10") >= 0
+    assert_scale_shape(read_with_deletes(spark, path), forbid_cartesian=True)
