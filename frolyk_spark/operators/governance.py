@@ -146,6 +146,16 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "vb", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    return l_band_histogram(pairs)
+
+
+def l_band_histogram(pairs: DataFrame) -> DataFrame:
+    """The audit's second level — (d, vb, event_type, c) pair counts to
+    the banded l histogram — factored to ONE definition (r15 review, the
+    basket_half_pairs precedent) because the B37 streaming twin's final
+    view must stay bit-identical to the batch audit for the shared
+    oracle to hold: a band or L_MIN tweak applied to one copy would
+    silently diverge the other."""
     ldiv = pairs.groupBy("d", "vb").agg(
         F.count(F.lit(1)).cast("bigint").alias("l"),
         F.sum("c").cast("bigint").alias("k"),

@@ -974,8 +974,29 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     prior = _delete_vectors(spark, path)
     if prior is not None:
         matched = matched.join(prior, ["_file", "_pos"], "left_anti")
-    out = os.path.join(root, f"d{n}")
-    matched.write.mode("overwrite").parquet(out)
+    # atomic publish (r15 review): build in a dot-hidden private dir,
+    # then rename into the next free d{n} slot — two concurrent erasure
+    # calls can no longer pick the same slot and clobber each other's
+    # committed tombstones (the stage_multi_file_drop race posture).
+    # Concurrent calls may double-tombstone an overlapping row across
+    # two DV dirs — harmless for the anti-join (set semantics), and the
+    # per-call return may then over-count by the overlap.
+    import uuid as _uuid
+
+    tmp = os.path.join(root, f".build-{_uuid.uuid4().hex[:12]}")
+    matched.write.mode("overwrite").parquet(tmp)
+    for attempt in range(1000):
+        out = os.path.join(root, f"d{n + attempt}")
+        try:
+            os.rename(tmp, out)
+            break
+        except OSError:
+            continue
+    else:
+        raise OSError(
+            f"could not publish delete vector under {root} after 1000 "
+            "slot attempts — a non-collision rename failure is in play"
+        )
     return spark.read.parquet(out).count()
 
 
@@ -1049,59 +1070,67 @@ def purge_deletes(
             return p.removeprefix("file://")
         return p.removeprefix("file:")
 
-    # touched partitions, derived from the tombstones' file paths
+    # touched partitions, derived from the tombstones' file paths —
+    # used ONLY as opaque directory identities, never parsed for values:
+    # Hive-escaped segments (':' -> %3A), __HIVE_DEFAULT_PARTITION__
+    # null dirs, and non-canonical numerics all break any string
+    # comparison between a dir segment and a cast column (r15 review),
+    # and a never-matching partition would be misclassified as fully
+    # erased and destroyed. Every VALUE below comes from the data.
     part_dirs = {
         os.path.dirname(_local(r._file))
         for r in tomb.select("_file").distinct().collect()
     }
     if not part_dirs:
         return 0
-    # partition VALUES from the dir segments (col=val/...), schema-typed
-    # by the semi-join below
-    masked = read_with_deletes(spark, path)
-    dir_vals: dict[str, tuple[str, ...]] = {}
+    root = os.path.realpath(path)
     for d in part_dirs:
-        rel = os.path.relpath(d, path)
-        vals = {}
-        for seg in rel.split(os.sep):
-            if "=" in seg:
-                k, v = seg.split("=", 1)
-                vals[k] = v
-        missing = [c for c in partition_cols if c not in vals]
-        if missing:
+        if os.path.realpath(d) == root:
             raise ValueError(
-                f"tombstoned file {d} lacks partition segments for "
-                f"{missing} — is the table really partitioned by "
-                f"{partition_cols}?"
+                f"tombstoned file sits in the table root {path} — the "
+                f"table is not directory-partitioned by {partition_cols}, "
+                "and purging would require a full rewrite; keep "
+                "delete-vector masking or repartition the table"
             )
-        dir_vals[d] = tuple(vals[c] for c in partition_cols)
-    sel = F.broadcast(
-        spark.createDataFrame(
-            list(dir_vals.values()),
-            ", ".join(f"{c} string" for c in partition_cols),
-        ).select(
-            *[F.col(c).alias(f"__sel_{c}") for c in partition_cols]
+    # the masked frame WITH its source dir retained: rows to keep, keyed
+    # by the directory they currently live in (URI form end to end)
+    tomb_dirs = tomb.select(
+        F.expr("regexp_replace(_file, '/[^/]*$', '')").alias("_dir")
+    ).distinct()
+    masked_with_dir = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+            "*",
         )
+        .join(tomb, ["_file", "_pos"], "left_anti")
+        .withColumn("_dir", F.expr("regexp_replace(_file, '/[^/]*$', '')"))
     )
-    cond = None
-    for c in partition_cols:
-        eq = masked[c].cast("string") == F.col(f"__sel_{c}")
-        cond = eq if cond is None else (cond & eq)
-    to_rewrite = masked.join(sel, on=cond, how="left_semi")
+    to_rewrite = masked_with_dir.join(
+        F.broadcast(tomb_dirs), "_dir", "left_semi"
+    ).drop("_file", "_pos", "_dir")
     # dynamic overwrite only replaces partitions PRESENT in the written
     # frame — a FULLY-erased partition contributes zero rows and would
-    # silently keep its old files. Those partitions are removed
-    # directly (driver-side rmtree, manifest-scale), AFTER the overwrite
-    # and BEFORE DV cleanup: a crash at any point leaves the DVs in
-    # place, so the logical read stays correct and a re-run finishes.
-    present = {
-        tuple(str(r[c]) for c in partition_cols)
-        for r in to_rewrite.select(*partition_cols).distinct().collect()
+    # silently keep its old files. Survivor dirs are computed from the
+    # DATA (one bounded distinct over the touched rows' source dirs);
+    # touched dirs with no survivors are removed directly (driver-side
+    # rmtree, manifest-scale), AFTER the overwrite and BEFORE DV
+    # cleanup: a crash at any point leaves the DVs in place, so the
+    # logical read stays correct and a re-run finishes. The partition
+    # VALUES the overwrite writes are the frame's own columns — no dir
+    # parsing anywhere, so escaping/null/canonicalization round-trip
+    # through Spark's own committer.
+    survivor_dirs = {
+        _local(r._dir)
+        for r in masked_with_dir.join(
+            F.broadcast(tomb_dirs), "_dir", "left_semi"
+        ).select("_dir").distinct().collect()
     }
-    if present:
+    if survivor_dirs:
         overwrite_partitions(to_rewrite, path, partition_cols)
-    for d, vals in dir_vals.items():
-        if vals not in present:
+    for d in part_dirs:
+        if d not in survivor_dirs:
             shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(os.path.join(path, DELETES_DIR), ignore_errors=True)
     return len(part_dirs)

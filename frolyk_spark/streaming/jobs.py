@@ -2414,6 +2414,33 @@ def stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- B27: streaming k-anonymity monitor ----------------------------------------
 
+def _null_safe_add_merge(
+    prior: DataFrame, batch: DataFrame, keys: list[str], val: str
+) -> DataFrame:
+    """Full-outer ADD-merge of two keyed count frames whose KEY columns
+    may be NULL (r15 review): plain join equality does not match NULL
+    keys while groupBy treats NULLs as one group (the CLAUDE.md r9
+    outer-join rule), so a NULL-keyed group would append a fresh state
+    row per batch instead of merging — fatal where the consumer COUNTS
+    state rows (B37's distinct-l). Joins with eqNullSafe on every key;
+    keys re-emerge via coalesce across sides."""
+    p = prior.select(
+        *[F.col(k).alias(f"_p_{k}") for k in keys], F.col(val).alias("_pv")
+    )
+    b = batch.select(
+        *[F.col(k).alias(f"_b_{k}") for k in keys], F.col(val).alias("_bv")
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"_p_{k}").eqNullSafe(F.col(f"_b_{k}"))
+        cond = e if cond is None else (cond & e)
+    zero = F.lit(0).cast("bigint")
+    return p.join(b, cond, "full_outer").select(
+        *[F.coalesce(f"_p_{k}", f"_b_{k}").alias(k) for k in keys],
+        (F.coalesce("_pv", zero) + F.coalesce("_bv", zero)).alias(val),
+    )
+
+
 def stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous privacy monitoring (B27): the C68 k-anonymity audit
     maintained as STREAMING STATE — each micro-batch reduces to
@@ -2458,18 +2485,8 @@ def stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior_v = _latest_version_below(root, batch_id)
         if prior_v is not None:
             prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
-            merged = (
-                prior.select(
-                    "event_type", "d", "vb", F.col("k").alias("k_prior")
-                )
-                .join(batch, ["event_type", "d", "vb"], "full_outer")
-                .select(
-                    "event_type", "d", "vb",
-                    (
-                        F.coalesce("k_prior", F.lit(0).cast("bigint"))
-                        + F.coalesce("k", F.lit(0).cast("bigint"))
-                    ).alias("k"),
-                )
+            merged = _null_safe_add_merge(
+                prior, batch, ["event_type", "d", "vb"], "k"
             )
         else:
             merged = batch
@@ -2554,7 +2571,7 @@ def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l-band histogram is a view over the final state: O(pairs), bounded
     by QI-groups x |sensitive domain|.
     """
-    from frolyk_spark.operators.governance import L_MIN, VALUE_BUCKET
+    from frolyk_spark.operators.governance import VALUE_BUCKET
     from frolyk_spark.sources.streams import stage_multi_file_drop
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
@@ -2581,18 +2598,8 @@ def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior_v = _latest_version_below(root, batch_id)
         if prior_v is not None:
             prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
-            merged = (
-                prior.select(
-                    "d", "vb", "event_type", F.col("c").alias("c_prior")
-                )
-                .join(batch, ["d", "vb", "event_type"], "full_outer")
-                .select(
-                    "d", "vb", "event_type",
-                    (
-                        F.coalesce("c_prior", F.lit(0).cast("bigint"))
-                        + F.coalesce("c", F.lit(0).cast("bigint"))
-                    ).alias("c"),
-                )
+            merged = _null_safe_add_merge(
+                prior, batch, ["d", "vb", "event_type"], "c"
             )
         else:
             merged = batch
@@ -2630,30 +2637,12 @@ def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "l_band string, n_groups bigint, n_rows bigint, "
                 "violates_policy boolean",
         )
+    from frolyk_spark.operators.governance import l_band_histogram
+
     state = spark.read.parquet(os.path.join(root, f"s{versions[-1]}"))
-    ldiv = state.groupBy("d", "vb").agg(
-        F.count(F.lit(1)).cast("bigint").alias("l"),
-        F.sum("c").cast("bigint").alias("k"),
-    )
-    band = (
-        F.when(F.col("l") == 1, "1")
-        .when(F.col("l") == 2, "2")
-        .when(F.col("l") <= 4, "3-4")
-        .otherwise("5+")
-    )
-    return (
-        ldiv.select(band.alias("l_band"), "l", "k")
-        .groupBy("l_band")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-            F.sum("k").cast("bigint").alias("n_rows"),
-            F.min("l").alias("min_l"),
-        )
-        .select(
-            "l_band", "n_groups", "n_rows",
-            (F.col("min_l") < L_MIN).alias("violates_policy"),
-        )
-    )
+    # the final view IS the batch audit's second level — one shared
+    # definition (r15 review), so the oracle-sharing claim can't drift
+    return l_band_histogram(state)
 
 
 # --- B26: streaming tokenize -> pack training-data feed ------------------------
@@ -3577,7 +3566,10 @@ def stream_edge_degrees(
     store tables and watermark in place for post-run inspection (the
     plan-pin test); by default they are torn down after the run — the
     pid-scoped rows_root is janitor-reclaimed anyway, and removing the
-    marker returns the layout to the readable raw-delta union.
+    marker returns the layout to the readable raw-delta union. A HARD
+    crash skips the finally: the owner pid rides in the table name and
+    _sweep_dead_edge_stores reclaims dead-owner tables at the next
+    operator start (the catalog has no janitor of its own).
     """
     from frolyk_spark.operators.graph import basket_half_pairs
     from frolyk_spark.sources.streams import stage_keyed_file_drop
@@ -3587,7 +3579,12 @@ def stream_edge_degrees(
         li, sf_dir, "lineitem", "edgemon", EDGEMON_PARTS, "l_orderkey"
     )
 
-    name = f"edgemon_{uuid.uuid4().hex[:8]}"
+    _sweep_dead_edge_stores(spark)
+    # pid embedded in the name: the versioned store tables are MANAGED
+    # catalog tables the SCRATCH janitor can't see, so liveness rides in
+    # the table name itself (the .owner_pid posture, r15 review) and the
+    # sweep above reclaims tables whose owner died before its finally
+    name = f"edgemon{os.getpid()}x{uuid.uuid4().hex[:8]}"
     root = os.path.join(SCRATCH, "results", f"pid{os.getpid()}", name)
     _LIVE_RESULTS.add(root)
     rows_root = os.path.join(root, "rows")
@@ -3736,6 +3733,31 @@ def stream_edge_degrees(
         )
         .orderBy("part_key")
     )
+
+
+def _sweep_dead_edge_stores(spark: SparkSession) -> None:
+    """Crashed-run leak guard (r15 review): versioned edge-store tables
+    (edgemon{pid}x{uuid}_t{N}) are managed catalog tables — a kill -9
+    skips the operator's finally teardown and nothing else reclaims
+    them. The owner pid rides in the name; tables whose owner is dead
+    are dropped at the next operator start (the janitor's dead-owner
+    posture applied to the catalog). PermissionError from kill(pid, 0)
+    means the pid is alive under another user — left alone."""
+    import re as _re
+
+    for row in spark.sql("SHOW TABLES LIKE 'edgemon*'").collect():
+        m = _re.match(r"^edgemon(\d+)x", row.tableName)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
+        except PermissionError:
+            pass
 
 
 def compact_edge_store(

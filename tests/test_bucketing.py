@@ -1065,3 +1065,54 @@ def test_delete_vectors_plan_is_distributed(spark, sf_dir, tmp_path):
     write_partitioned(ev, path, ["event_type"])
     assert delete_where(spark, path, "value < 10") >= 0
     assert_scale_shape(read_with_deletes(spark, path), forbid_cartesian=True)
+
+
+def test_delete_vector_slot_publish_is_atomic(spark, sf_dir, tmp_path):
+    """r15 review: concurrent delete_where calls must not clobber each
+    other's committed tombstones — the DV publishes via private-build +
+    rename, and a taken d{n} slot bumps to the next free one."""
+    import os
+
+    from frolyk_spark.sources.catalog import (
+        DELETES_DIR, delete_where, read_with_deletes, write_partitioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = str(tmp_path / "docs_race")
+    write_partitioned(docs, path, ["lang"])
+    n0 = delete_where(spark, path, "length(text) < 150")
+    assert n0 > 0
+    # simulate a rival call having already claimed the next slot
+    rival = os.path.join(path, DELETES_DIR, "d1")
+    os.makedirs(rival)
+    with open(os.path.join(rival, "blocker"), "w") as fh:
+        fh.write("x")
+    n1 = delete_where(spark, path, "length(text) < 300")
+    assert os.path.isdir(os.path.join(path, DELETES_DIR, "d2"))
+    want = docs.where("length(text) >= 300").count()
+    assert read_with_deletes(spark, path).count() == want
+    assert n0 + n1 == docs.where("length(text) < 300").count()
+
+
+def test_purge_deletes_survives_hive_escaped_partition_values(spark, tmp_path):
+    """r15 review: partition values containing Hive-escaped characters
+    (':' -> %3A in the dir name) and NULLs must round-trip through purge
+    — values are derived from the DATA, never parsed from dir segments;
+    a mismatch would have classified the partition as fully erased and
+    destroyed its surviving rows."""
+    from frolyk_spark.sources.catalog import (
+        delete_where, purge_deletes, read_with_deletes, write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a:b", 10), (2, "a:b", 200), (3, None, 10), (4, None, 300),
+         (5, "plain", 10)],
+        "id bigint, src string, v bigint",
+    )
+    path = str(tmp_path / "esc")
+    write_partitioned(df, path, ["src"])
+    assert delete_where(spark, path, "v < 100") == 3
+    assert purge_deletes(spark, path, ["src"]) == 3
+    left = {(r.id, r.src) for r in spark.read.parquet(path).collect()}
+    assert left == {(2, "a:b"), (4, None)}
+    assert {(r.id, r.src) for r in read_with_deletes(spark, path).collect()} == left
