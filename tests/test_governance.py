@@ -79,3 +79,61 @@ def test_l_diversity_plan_shape(spark, sf_dir):
     from frolyk_spark.plans.inspect import assert_scale_shape
 
     assert_scale_shape(l_diversity_audit(spark, sf_dir), forbid_cartesian=True)
+
+
+def test_t_closeness_bands_partition_and_catch_l_safe_skew(spark, sf_dir):
+    """C68c (r15): the t-bands partition the corpus row-exactly, the
+    violation flag derives from the band's quartile (bands q2/q3 are
+    exactly TVD >= 1/2 under the integer predicate), and the audit
+    catches at least one group that l-diversity PASSES (l >= L_MIN)
+    while sitting at TVD >= 1/2 from the global distribution — the
+    skew leak the operator exists for (probed r15: present at every
+    shipped SF)."""
+    from pyspark.sql import functions as F
+
+    from frolyk_spark.operators.governance import (
+        L_MIN, qi_sensitive_counts, t_closeness_audit,
+    )
+
+    rows = {r.t_band: r for r in t_closeness_audit(spark, sf_dir).collect()}
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows.values()) == total
+    for band, r in rows.items():
+        assert r.violates_policy == (int(band[1:]) >= 2)
+        assert r.n_groups <= r.n_rows
+    # an l-safe but t-violating group exists on the shipped data
+    pairs = qi_sensitive_counts(spark, sf_dir)
+    g = pairs.groupBy("d", "vb").agg(
+        F.sum("c").alias("k"), F.count(F.lit(1)).alias("l")
+    )
+    gd = pairs.groupBy("event_type").agg(F.sum("c").alias("cg"))
+    nn = pairs.agg(F.sum("c").alias("nt"))
+    tv = (
+        g.crossJoin(F.broadcast(gd))
+        .crossJoin(F.broadcast(nn))
+        .join(pairs, ["d", "vb", "event_type"], "left")
+        .groupBy("d", "vb", "k", "l")
+        .agg(
+            F.max("nt").alias("nt"),
+            F.sum(
+                F.abs(
+                    F.coalesce("c", F.lit(0)) * F.col("nt")
+                    - F.col("cg") * F.col("k")
+                )
+            ).alias("num"),
+        )
+    )
+    assert (
+        tv.where(
+            (F.col("l") >= L_MIN)
+            & (F.col("num") * 2 >= 2 * F.col("k") * F.col("nt"))
+        ).count()
+        > 0
+    )
+
+
+def test_t_closeness_plan_shape(spark, sf_dir):
+    from frolyk_spark.operators.governance import t_closeness_audit
+    from frolyk_spark.plans.inspect import assert_scale_shape
+
+    assert_scale_shape(t_closeness_audit(spark, sf_dir), forbid_cartesian=False)
