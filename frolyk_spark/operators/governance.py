@@ -139,13 +139,13 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_band_histogram(qi_sensitive_counts(spark, sf_dir))
 
 
-def qi_sensitive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared first level of the attribute-disclosure audits —
-    (QI, sensitive-value) row counts, one map-side-combinable groupBy.
-    This is also exactly the mergeable state shape the B37 streaming
-    twin accumulates (counts add), which is what lets the stream share
-    the batch oracles."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+def qi_pairs(ev: DataFrame) -> DataFrame:
+    """The first-level (QI, sensitive-value) reduction over an events
+    frame — factored to ONE definition (r15 second review) because the
+    B37 streaming twin's per-batch reduce must stay bit-identical to
+    the batch audits' first level for the shared-state/shared-oracle
+    claims to hold: a QI tweak applied to one copy would silently
+    diverge the other."""
     return (
         ev.select(
             F.date_trunc("day", "ts").alias("d"),
@@ -154,6 +154,17 @@ def qi_sensitive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d", "vb", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def qi_sensitive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared first level of the attribute-disclosure audits —
+    qi_pairs over the events table, one map-side-combinable groupBy.
+    This is also exactly the mergeable state shape the B37 streaming
+    twin accumulates (counts add), which is what lets the stream share
+    the batch oracles."""
+    return qi_pairs(
+        load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     )
 
 
@@ -241,27 +252,53 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator num = Σ_v |c_v·N − C_v·k| is exact BIGINT (zero-count
     values included via the group × domain expansion), the quartile
     band is floor(num·4 / (2·k·N)), and the policy predicate is
-    num·{T_DEN} >= 2·k·N·{T_NUM}. Exact while k·N < 2^62 (N up to
-    ~3·10^9 rows); beyond that the products need DECIMAL — documented,
-    not silently wrapped. Probed r15: quartile bands 0..3 all populated
-    at every SF (sf0.001 1/44/152/178, sf0.1 442/259/194/161), with the
-    t=1/2 violation boundary inside the observed spread.
+    num·{T_DEN} >= 2·k·N·{T_NUM}. num itself can reach 2·k·N, so the
+    band's num·4 is the binding product: exact while k·N < 2^60
+    (N up to ~10^9 rows at k up to N); beyond that the products need
+    DECIMAL — documented, not silently wrapped (r15 second review: the
+    first bound claimed 2^62, off by the band's factor of 4). Probed
+    r15: quartile bands 0..3 all populated at every SF (sf0.001
+    1/44/152/178, sf0.1 442/259/194/161), with the t=1/2 violation
+    boundary inside the observed spread.
 
-    Shape: the shared first level (qi_sensitive_counts), one bounded
-    group × |sensitive domain| expansion (global counts broadcast — the
-    domain is genuinely bounded, the CLAUDE.md broadcast rule), one
-    groupBy back to groups, one band roll-up. The B37 streaming state
-    is this audit's input too — a streaming twin needs no new state."""
-    pairs = qi_sensitive_counts(spark, sf_dir)
+    Shape: the shared first level (qi_sensitive_counts), LINEAGE-CUT —
+    it feeds four plan arms (g, gd, the broadcast-scalar nn, and the
+    join-back), the exact CLAUDE.md cut rule, pinned by max_scans in
+    the plan test; then one bounded group × |sensitive domain|
+    expansion (global counts broadcast — the domain is genuinely
+    bounded, the CLAUDE.md broadcast rule), one groupBy back to groups,
+    one band roll-up. The join-back is NULL-SAFE on all three keys
+    (eqNullSafe, mirrored as IS NOT DISTINCT FROM in the oracle): a
+    NULL-keyed QI group or NULL sensitive value is one group under
+    groupBy, and a null-unsafe join would zero its c while k still
+    counted it — forcing the group into the violating band regardless
+    of its true distribution (the r9 null-key rule; both engines fixed
+    together so the oracle can't mask it). The B37 streaming state is
+    this audit's input too — a streaming twin needs no new state."""
+    from frolyk_spark.functions.lineage import cut_lineage
+
+    pairs = cut_lineage(qi_sensitive_counts(spark, sf_dir))
     g = pairs.groupBy("d", "vb").agg(F.sum("c").cast("bigint").alias("k"))
     gd = pairs.groupBy("event_type").agg(
         F.sum("c").cast("bigint").alias("cg")
     )
     nn = pairs.agg(F.sum("c").cast("bigint").alias("nt"))
-    x = (
+    exp = (
         g.crossJoin(F.broadcast(gd))
         .crossJoin(F.broadcast(nn))
-        .join(pairs, ["d", "vb", "event_type"], "left")
+    )
+    p2 = pairs.select(
+        F.col("d").alias("pd"), F.col("vb").alias("pvb"),
+        F.col("event_type").alias("pet"), "c",
+    )
+    x = (
+        exp.join(
+            p2,
+            exp["d"].eqNullSafe(p2["pd"])
+            & exp["vb"].eqNullSafe(p2["pvb"])
+            & exp["event_type"].eqNullSafe(p2["pet"]),
+            "left",
+        )
         .select(
             "d", "vb", "k", "cg", "nt",
             F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
@@ -308,8 +345,9 @@ nn AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM p),
 x AS (
   SELECT g.d, g.vb, g.k, gd.cg, nn.nt, coalesce(p.c, 0) AS c
   FROM g CROSS JOIN gd CROSS JOIN nn
-  LEFT JOIN p ON p.d = g.d AND p.vb = g.vb
-             AND p.event_type = gd.event_type
+  LEFT JOIN p ON p.d IS NOT DISTINCT FROM g.d
+             AND p.vb IS NOT DISTINCT FROM g.vb
+             AND p.event_type IS NOT DISTINCT FROM gd.event_type
 ),
 tv AS (
   SELECT d, vb, k, max(nt) AS nt,

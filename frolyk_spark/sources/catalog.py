@@ -983,20 +983,35 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     # per-call return may then over-count by the overlap.
     import uuid as _uuid
 
+    import errno
+    import shutil as _shutil
+
     tmp = os.path.join(root, f".build-{_uuid.uuid4().hex[:12]}")
-    matched.write.mode("overwrite").parquet(tmp)
-    for attempt in range(1000):
-        out = os.path.join(root, f"d{n + attempt}")
-        try:
-            os.rename(tmp, out)
-            break
-        except OSError:
-            continue
-    else:
-        raise OSError(
-            f"could not publish delete vector under {root} after 1000 "
-            "slot attempts — a non-collision rename failure is in play"
-        )
+    published = False
+    try:
+        matched.write.mode("overwrite").parquet(tmp)
+        for attempt in range(1000):
+            out = os.path.join(root, f"d{n + attempt}")
+            try:
+                os.rename(tmp, out)
+                published = True
+                break
+            except OSError as e:
+                # only a SLOT COLLISION bumps the counter; any other
+                # rename failure (EACCES, EXDEV, ...) surfaces at once
+                if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                    raise
+        if not published:
+            raise OSError(
+                f"could not publish delete vector under {root}: 1000 "
+                "consecutive slot collisions"
+            )
+    finally:
+        if not published:
+            # never leave a hidden tombstone copy behind (the DVs are a
+            # GDPR-adjacent artifact) — failed builds clean up after
+            # themselves instead of waiting for a purge
+            _shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(out).count()
 
 
@@ -1093,42 +1108,62 @@ def purge_deletes(
                 "delete-vector masking or repartition the table"
             )
     # the masked frame WITH its source dir retained: rows to keep, keyed
-    # by the directory they currently live in (URI form end to end)
-    tomb_dirs = tomb.select(
-        F.expr("regexp_replace(_file, '/[^/]*$', '')").alias("_dir")
-    ).distinct()
-    masked_with_dir = (
-        spark.read.parquet(path)
-        .select(
-            F.col("_metadata.file_path").alias("_file"),
-            F.col("_metadata.row_index").alias("_pos"),
-            "*",
-        )
-        .join(tomb, ["_file", "_pos"], "left_anti")
-        .withColumn("_dir", F.expr("regexp_replace(_file, '/[^/]*$', '')"))
+    # by the directory they currently live in (URI form end to end).
+    # Partition-TYPE inference is disabled for the whole read→rewrite
+    # span (r15 second review, reproduced): inference canonicalizes a
+    # string dir value ('01' → int 1), so the survivors would be
+    # rewritten into a NEW dir (src=1) while the stale original dir
+    # (src=01) kept its files and re-emerged after DV cleanup —
+    # resurrecting deleted rows AND duplicating survivors. With
+    # inference off the partition column round-trips as the exact dir
+    # string, so the committer rewrites in place.
+    prev_infer = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
     )
-    to_rewrite = masked_with_dir.join(
-        F.broadcast(tomb_dirs), "_dir", "left_semi"
-    ).drop("_file", "_pos", "_dir")
-    # dynamic overwrite only replaces partitions PRESENT in the written
-    # frame — a FULLY-erased partition contributes zero rows and would
-    # silently keep its old files. Survivor dirs are computed from the
-    # DATA (one bounded distinct over the touched rows' source dirs);
-    # touched dirs with no survivors are removed directly (driver-side
-    # rmtree, manifest-scale), AFTER the overwrite and BEFORE DV
-    # cleanup: a crash at any point leaves the DVs in place, so the
-    # logical read stays correct and a re-run finishes. The partition
-    # VALUES the overwrite writes are the frame's own columns — no dir
-    # parsing anywhere, so escaping/null/canonicalization round-trip
-    # through Spark's own committer.
-    survivor_dirs = {
-        _local(r._dir)
-        for r in masked_with_dir.join(
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    try:
+        tomb_dirs = tomb.select(
+            F.expr("regexp_replace(_file, '/[^/]*$', '')").alias("_dir")
+        ).distinct()
+        masked_with_dir = (
+            spark.read.parquet(path)
+            .select(
+                F.col("_metadata.file_path").alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+                "*",
+            )
+            .join(tomb, ["_file", "_pos"], "left_anti")
+            .withColumn(
+                "_dir", F.expr("regexp_replace(_file, '/[^/]*$', '')")
+            )
+        )
+        to_rewrite = masked_with_dir.join(
             F.broadcast(tomb_dirs), "_dir", "left_semi"
-        ).select("_dir").distinct().collect()
-    }
-    if survivor_dirs:
-        overwrite_partitions(to_rewrite, path, partition_cols)
+        ).drop("_file", "_pos", "_dir")
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # written frame — a FULLY-erased partition contributes zero rows
+        # and would silently keep its old files. Survivor dirs are
+        # computed from the DATA (one bounded distinct over the touched
+        # rows' source dirs); touched dirs with no survivors are removed
+        # directly (driver-side rmtree, manifest-scale), AFTER the
+        # overwrite and BEFORE DV cleanup: a crash at any point leaves
+        # the DVs in place, so the logical read stays correct and a
+        # re-run finishes.
+        survivor_dirs = {
+            _local(r._dir)
+            for r in masked_with_dir.join(
+                F.broadcast(tomb_dirs), "_dir", "left_semi"
+            ).select("_dir").distinct().collect()
+        }
+        if survivor_dirs:
+            overwrite_partitions(to_rewrite, path, partition_cols)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            prev_infer,
+        )
     for d in part_dirs:
         if d not in survivor_dirs:
             shutil.rmtree(d, ignore_errors=True)

@@ -2571,7 +2571,6 @@ def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l-band histogram is a view over the final state: O(pairs), bounded
     by QI-groups x |sensitive domain|.
     """
-    from frolyk_spark.operators.governance import VALUE_BUCKET
     from frolyk_spark.sources.streams import stage_multi_file_drop
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
@@ -2582,19 +2581,13 @@ def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _LIVE_RESULTS.add(root)
     ckpt = _checkpoint_dir(name)
 
-    def _reduce(batch_df: DataFrame) -> DataFrame:
-        return (
-            batch_df.select(
-                F.date_trunc("day", "ts").alias("d"),
-                F.floor(F.col("value") / VALUE_BUCKET).cast("bigint").alias("vb"),
-                "event_type",
-            )
-            .groupBy("d", "vb", "event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        )
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        batch = _reduce(batch_df)
+        # the per-batch reduce IS the batch audits' first level — one
+        # shared definition (r15 second review), so the shared-state
+        # claim can't drift
+        from frolyk_spark.operators.governance import qi_pairs
+
+        batch = qi_pairs(batch_df)
         prior_v = _latest_version_below(root, batch_id)
         if prior_v is not None:
             prior = spark.read.parquet(os.path.join(root, f"s{prior_v}"))
@@ -3736,17 +3729,28 @@ def stream_edge_degrees(
 
 
 def _sweep_dead_edge_stores(spark: SparkSession) -> None:
-    """Crashed-run leak guard (r15 review): versioned edge-store tables
-    (edgemon{pid}x{uuid}_t{N}) are managed catalog tables — a kill -9
-    skips the operator's finally teardown and nothing else reclaims
-    them. The owner pid rides in the name; tables whose owner is dead
-    are dropped at the next operator start (the janitor's dead-owner
-    posture applied to the catalog). PermissionError from kill(pid, 0)
-    means the pid is alive under another user — left alone."""
+    """Crashed-run leak guard (r15 review, twice): versioned edge-store
+    tables (edgemon{pid}x{uuid}_t{N}) are managed tables whose METADATA
+    lives in this process's in-memory catalog (no persistent metastore)
+    but whose FILES live under spark.sql.warehouse.dir — a kill -9
+    skips the finally teardown and the next process's catalog has never
+    heard of them, so SHOW TABLES can't find the leak. The sweep
+    therefore scans the warehouse DIRECTORY: dirs whose embedded owner
+    pid is dead are rmtree'd (and dropped from the catalog too, for the
+    same-session case). PermissionError from kill(pid, 0) means the pid
+    is alive under another user — left alone."""
     import re as _re
+    import shutil as _shutil
 
-    for row in spark.sql("SHOW TABLES LIKE 'edgemon*'").collect():
-        m = _re.match(r"^edgemon(\d+)x", row.tableName)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file://"):
+        wh = wh.removeprefix("file://")
+    elif wh.startswith("file:"):
+        wh = wh.removeprefix("file:")
+    if not os.path.isdir(wh):
+        return
+    for entry in os.listdir(wh):
+        m = _re.match(r"^edgemon(\d+)x", entry)
         if not m:
             continue
         pid = int(m.group(1))
@@ -3754,10 +3758,13 @@ def _sweep_dead_edge_stores(spark: SparkSession) -> None:
             continue
         try:
             os.kill(pid, 0)
-        except ProcessLookupError:
-            spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
+            continue  # alive — not ours to touch
         except PermissionError:
+            continue  # alive under another user
+        except ProcessLookupError:
             pass
+        _shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {entry}")
 
 
 def compact_edge_store(

@@ -1116,3 +1116,47 @@ def test_purge_deletes_survives_hive_escaped_partition_values(spark, tmp_path):
     left = {(r.id, r.src) for r in spark.read.parquet(path).collect()}
     assert left == {(2, "a:b"), (4, None)}
     assert {(r.id, r.src) for r in read_with_deletes(spark, path).collect()} == left
+
+
+def test_purge_deletes_survives_type_canonicalizing_partition_values(spark, tmp_path):
+    """r15 second review (reproduced pre-fix): partition-type inference
+    canonicalizes a string dir value ('01' -> int 1), so survivors were
+    rewritten into a NEW dir while the stale original kept its files and
+    re-emerged after DV cleanup — resurrecting deleted rows AND
+    duplicating survivors. Inference is disabled for the purge span."""
+    from frolyk_spark.sources.catalog import (
+        delete_where, purge_deletes, read_with_deletes, write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "01", 10), (2, "01", 200), (3, "2", 10), (4, "2", 300)],
+        "id bigint, src string, v bigint",
+    )
+    import os
+
+    path = str(tmp_path / "canon")
+    write_partitioned(df, path, ["src"])
+    assert delete_where(spark, path, "v < 100") == 2
+    assert purge_deletes(spark, path, ["src"]) == 2
+    # the survivors stayed in their ORIGINAL dirs — no src=1 ghost dir
+    dirs = {d for d in os.listdir(path) if d.startswith("src=")}
+    assert dirs == {"src=01", "src=2"}
+    # read back with inference off so the partition values are the
+    # verbatim dir strings (the test's own read must not canonicalize)
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    try:
+        left = {(r.id, r.src) for r in spark.read.parquet(path).collect()}
+        assert left == {(2, "01"), (4, "2")}
+        logical = {
+            (r.id, r.src) for r in read_with_deletes(spark, path).collect()
+        }
+        assert logical == left
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", prev
+        )

@@ -133,7 +133,14 @@ def test_t_closeness_bands_partition_and_catch_l_safe_skew(spark, sf_dir):
 
 
 def test_t_closeness_plan_shape(spark, sf_dir):
+    """max_scans=1 pins the lineage cut (r15 second review: the uncut
+    form scanned the corpus four times — pairs feeds g, gd, the
+    broadcast-scalar nn, and the join-back)."""
     from frolyk_spark.operators.governance import t_closeness_audit
     from frolyk_spark.plans.inspect import assert_scale_shape
 
-    assert_scale_shape(t_closeness_audit(spark, sf_dir), forbid_cartesian=False)
+    assert_scale_shape(
+        t_closeness_audit(spark, sf_dir),
+        forbid_cartesian=False,
+        max_scans=1,
+    )

@@ -2026,31 +2026,41 @@ def test_null_safe_add_merge_handles_null_keys(spark):
     assert got == {(None, 1): 8, ("a", None): 6, ("a", 1): 1, ("b", 2): 7}
 
 
-def test_sweep_dead_edge_stores_drops_only_dead_owners(spark):
-    """r15 review: a kill -9 mid-stream leaks managed edgemon tables
-    past the finally; the pid in the name lets the next run reclaim
-    dead-owner tables while leaving live-owner tables alone."""
+def test_sweep_dead_edge_stores_reclaims_warehouse_dirs(spark):
+    """r15 review (second pass): a kill -9 mid-stream leaks the store's
+    WAREHOUSE FILES while its catalog metadata dies with the process's
+    in-memory catalog — so the sweep must scan the warehouse directory,
+    not SHOW TABLES. A dead-owner dir with NO catalog entry (the real
+    crashed-process layout) is reclaimed; a live-owner table is left
+    alone in both catalog and filesystem."""
+    import os as _os
+
     from frolyk_spark.streaming.jobs import _sweep_dead_edge_stores
 
-    one = spark.range(1).select(F.col("id").alias("src"), F.col("id").alias("dst"))
-    # a dead pid: fork-free guess — pid 1 is init (alive, not ours);
-    # use a pid far beyond pid_max instead? kill(huge) -> ESRCH too.
     dead_pid = 4194300  # near pid_max, almost surely unused
-    import os as _os
     try:
         _os.kill(dead_pid, 0)
         import pytest
         pytest.skip("improbable: sentinel pid is alive on this host")
     except ProcessLookupError:
         pass
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file://"):
+        wh = wh.removeprefix("file://")
+    elif wh.startswith("file:"):
+        wh = wh.removeprefix("file:")
+    one = spark.range(1).select(F.col("id").alias("src"), F.col("id").alias("dst"))
     live = f"edgemon{_os.getpid()}x00000000_t0"
-    dead = f"edgemon{dead_pid}x00000000_t0"
+    dead_dir = _os.path.join(wh, f"edgemon{dead_pid}x00000000_t0")
     one.write.mode("overwrite").saveAsTable(live)
-    one.write.mode("overwrite").saveAsTable(dead)
+    # simulate the crashed process: warehouse files, no catalog entry
+    _os.makedirs(dead_dir, exist_ok=True)
+    with open(_os.path.join(dead_dir, "part-orphan.parquet"), "w") as fh:
+        fh.write("x")
     try:
         _sweep_dead_edge_stores(spark)
         assert spark.sql(f"SHOW TABLES LIKE '{live}'").collect()
-        assert not spark.sql(f"SHOW TABLES LIKE '{dead}'").collect()
+        assert _os.path.isdir(_os.path.join(wh, live))
+        assert not _os.path.isdir(dead_dir)
     finally:
-        for t in (live, dead):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {live}")
