@@ -884,27 +884,36 @@ def min_label_propagation(
         .withColumn("label", F.col("doc_id"))
     )
     converged = False
+    # ONE action per round (r15 optimization): the change marker is
+    # computable from the SAME join that produces the new label
+    # (changed ⇔ a neighbor label strictly below the old one exists), so
+    # the fixpoint count doubles as the materializing action over a
+    # lazily-cut round frame — the old shape paid 2 jobs/round (eager
+    # checkpoint + a new-vs-old equi-join count); this pays 1 and drops
+    # that extra O(n) join entirely. The lazy cut truncates the plan the
+    # same way the eager one did; the count scans every partition, so
+    # the blocks are fully materialized before the next round derives
+    # from them.
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        staged = _cut_lineage(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-            )
+                (
+                    F.col("nbr_label").isNotNull()
+                    & (F.col("nbr_label") < F.col("label"))
+                ).alias("chg"),
+            ),
+            eager=False,
         )
-        new_labels = _cut_lineage(new_labels)  # cut the lineage per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = staged.where("chg").count()
+        labels = staged.select("doc_id", "label")
         if changed == 0:
             converged = True
             break
@@ -1318,20 +1327,28 @@ def _chain_closure(spark: SparkSession, edges: DataFrame) -> DataFrame:
     edges = _cut_lineage(edges)
     closure = edges.select("doc_a", "doc_b", F.lit(1).alias("min_depth"))
     frontier = closure.select("doc_a", "doc_b")
+    # ONE action per level (r15 optimization): the emptiness probe is a
+    # count over the lazily-cut frontier, which doubles as the level's
+    # materializing action (the old shape paid cut+isEmpty+cut = 3 jobs
+    # per level). The accumulated closure is ALSO lazily cut — its blocks
+    # materialize inside the NEXT level's count job (whose anti-join
+    # scans every closure partition) or, for the final level, inside the
+    # caller's action.
     for depth in range(2, CHAIN_MAX_DEPTH + 1):
         # extend the frontier one hop; BFS order makes first-reach = min-hop
-        nxt = (
+        nxt = _cut_lineage(
             frontier.alias("c")
             .join(edges.alias("e"), F.col("c.doc_b") == F.col("e.doc_a"))
             .select(F.col("c.doc_a").alias("doc_a"), F.col("e.doc_b").alias("doc_b"))
             .distinct()
-            .join(closure.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+            .join(closure.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"),
+            eager=False,
         )
-        nxt = _cut_lineage(nxt)
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         closure = _cut_lineage(
-            closure.unionByName(nxt.withColumn("min_depth", F.lit(depth)))
+            closure.unionByName(nxt.withColumn("min_depth", F.lit(depth))),
+            eager=False,
         )
         frontier = nxt
     else:

@@ -327,6 +327,14 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(k1))
         .withColumn("rr", F.lit(None).cast("bigint"))
     )
+    # ONE action per round (r15 optimization): the early-stop casualty
+    # count is a filter over the SAME frame the round materializes, so a
+    # LAZY lineage cut + one count action replaces the old eager
+    # checkpoint + separate count (2 jobs/round -> 1, bit-identical
+    # output). The lazy cut truncates the plan exactly like the eager
+    # one; the count scans every partition, so the next round's three
+    # plan arms (stamp, removed filter, loss join) all read materialized
+    # blocks.
     for t in range(1, KCORE_ROUNDS + 1):
         # stamp this round's casualties, freezing their residual degree
         state = state.withColumn(
@@ -345,10 +353,6 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("lost"))
             .withColumnRenamed("src", "part")
         )
-        # cut EVERY round: state feeds the stamp, the removed filter, and
-        # the loss join each round — uncut it recomputes per plan arm and
-        # compounds (the r12 recount form already measured that at 19-21 s
-        # on an every-2 cadence)
         state = cut_lineage(
             state.join(loss, "part", "left").select(
                 "part",
@@ -358,16 +362,17 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.col("deg")).cast("bigint").alias("deg"),
                 "k",
                 "rr",
-            )
+            ),
+            eager=False,
         )
         # exact early stop the delta form enables: a zero-casualty round
         # changes NOTHING (no removals ⇒ no degree deltas ⇒ the casualty
         # predicate evaluates identically next round), so every remaining
         # round is a no-op and skipping them is bit-identical to running
         # the budget out — which is exactly what the 12-round oracle does.
-        # The count is one tiny job over the just-checkpointed state
-        # (min_label_propagation's fixpoint-action posture; the ORACLE
-        # still unrolls all rounds, so cross-engine parity is untouched).
+        # The count doubles as the materializing action for this round's
+        # state (the ORACLE still unrolls all rounds, so cross-engine
+        # parity is untouched).
         if state.where(F.col("rr") == t).count() == 0:
             break
     edges.unpersist()
@@ -1048,6 +1053,8 @@ def kcore_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(k1))
         .withColumn("rr", F.lit(None).cast("bigint"))
     )
+    # ONE action per round — the kcore_parts lazy-cut+count fusion (r15
+    # optimization): 2 jobs/round -> 1, bit-identical output.
     for t in range(1, KCORE_ROUNDS + 1):
         state = state.withColumn(
             "rr",
@@ -1072,7 +1079,8 @@ def kcore_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.col("s")).cast("bigint").alias("s"),
                 "k",
                 "rr",
-            )
+            ),
+            eager=False,
         )
         if state.where(F.col("rr") == t).count() == 0:
             break
