@@ -846,7 +846,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def min_label_propagation(
-    pairs: DataFrame, max_iters: int, *, symmetric: bool = False
+    pairs: DataFrame,
+    max_iters: int,
+    *,
+    symmetric: bool = False,
+    big_bytes: int = 0,
 ) -> tuple[DataFrame, bool]:
     """The level-synchronous min-label loop itself, factored from
     min_label_clusters (r13, for the graph block's components_parts):
@@ -863,60 +867,75 @@ def min_label_propagation(
 
     ``symmetric=True`` declares the input already holds BOTH directions
     of every edge (e.g. the persisted co-purchase table) — the
-    symmetrizing union AND the materializing cut are skipped, because a
-    bare persisted-parquet scan re-read once per round is exactly the
-    CLAUDE.md cheap-rescan exception the cut exists to protect computed
-    frames from."""
-    if symmetric:
-        edges = pairs.select("doc_a", "doc_b")
-    else:
-        edges = pairs.select("doc_a", "doc_b").union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    symmetrizing union is skipped. ``big_bytes`` (on-disk size of a
+    persisted input) feeds the loop's partition sizing.
+
+    Fixed-plan loop (r15 optimization, functions.loops): AQE and
+    auto-broadcast off for the rounds, the edge frame checkpointed ONCE
+    pre-partitioned on doc_b (one shuffle now instead of a per-round
+    broadcast-or-shuffle of the edge side), and the label state keeps
+    hash(doc_id) through every checkpoint (distinct partitions it; the
+    per-round cut preserves it) — each round runs exactly ONE exchange,
+    the neighbor-min aggregate transport, at any scale."""
+    from frolyk_spark.functions.loops import fixed_plan_loop
+
+    spark = pairs.sparkSession
+    with fixed_plan_loop(spark, big_bytes=big_bytes) as nparts:
+        if symmetric:
+            base = pairs.select("doc_a", "doc_b")
+        else:
+            base = pairs.select("doc_a", "doc_b").union(
+                pairs.select(
+                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                )
             )
+        # materialize once, PRE-PARTITIONED on the round join key: every
+        # round joins edges on doc_b, so paying one exchange here makes
+        # all max_iters round joins co-partitioned (zero edge-side
+        # exchanges) — strictly fewer shuffles than re-shuffling (or
+        # broadcasting) the edge side per round whenever rounds >= 2,
+        # which is why the former symmetric-scan cheap-rescan exception
+        # no longer applies
+        edges = _cut_lineage(base.repartition(nparts, "doc_b"))
+        labels = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
         )
-        # materialize once: every round joins edges, and recomputing the
-        # candidate join per round would multiply its cost
-        edges = _cut_lineage(edges)
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
-    converged = False
-    # ONE action per round (r15 optimization): the change marker is
-    # computable from the SAME join that produces the new label
-    # (changed ⇔ a neighbor label strictly below the old one exists), so
-    # the fixpoint count doubles as the materializing action over a
-    # lazily-cut round frame — the old shape paid 2 jobs/round (eager
-    # checkpoint + a new-vs-old equi-join count); this pays 1 and drops
-    # that extra O(n) join entirely. The lazy cut truncates the plan the
-    # same way the eager one did; the count scans every partition, so
-    # the blocks are fully materialized before the next round derives
-    # from them.
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        staged = _cut_lineage(
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-                (
-                    F.col("nbr_label").isNotNull()
-                    & (F.col("nbr_label") < F.col("label"))
-                ).alias("chg"),
-            ),
-            eager=False,
-        )
-        changed = staged.where("chg").count()
-        labels = staged.select("doc_id", "label")
-        if changed == 0:
-            converged = True
-            break
+        converged = False
+        # ONE action per round (r15 optimization): the change marker is
+        # computable from the SAME join that produces the new label
+        # (changed ⇔ a neighbor label strictly below the old one exists), so
+        # the fixpoint count doubles as the materializing action over a
+        # lazily-cut round frame — the old shape paid 2 jobs/round (eager
+        # checkpoint + a new-vs-old equi-join count); this pays 1 and drops
+        # that extra O(n) join entirely. The lazy cut truncates the plan the
+        # same way the eager one did; the count scans every partition, so
+        # the blocks are fully materialized before the next round derives
+        # from them.
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.doc_id)
+                .groupBy("doc_a")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            staged = _cut_lineage(
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                    (
+                        F.col("nbr_label").isNotNull()
+                        & (F.col("nbr_label") < F.col("label"))
+                    ).alias("chg"),
+                ),
+                eager=False,
+            )
+            changed = staged.where("chg").count()
+            labels = staged.select("doc_id", "label")
+            if changed == 0:
+                converged = True
+                break
     return labels, converged
 
 

@@ -108,6 +108,20 @@ def copurchase_edges_frame(li: DataFrame) -> DataFrame:
     return symmetric_edges(basket_half_pairs(li))
 
 
+def _copurchase_path(sf_dir: str, *, weighted: bool = False) -> str:
+    """Scratch path of the persisted co-purchase artifact — exposed so
+    loop consumers can size their shuffle partitioning from its on-disk
+    bytes (functions.loops.loop_partitions) without re-deriving the key."""
+    import hashlib
+
+    from frolyk_spark.sources.streams import SCRATCH
+
+    target = os.path.realpath(os.path.join(sf_dir, "lineitem.parquet"))
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    prefix = "copurchase_w" if weighted else "copurchase"
+    return os.path.join(SCRATCH, "graphs", f"{prefix}_{key}.parquet")
+
+
 def persisted_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-purchase graph persisted once per source dataset under
     source-keyed scratch (the E4 persisted-state pattern, like the minhash
@@ -116,13 +130,7 @@ def persisted_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer (PageRank rounds here; any future graph analysis) rereads
     from parquet instead of re-forming. NEVER under the pid-scoped
     results root (CLAUDE.md janitor rule)."""
-    import hashlib
-
-    from frolyk_spark.sources.streams import SCRATCH
-
-    target = os.path.realpath(os.path.join(sf_dir, "lineitem.parquet"))
-    key = hashlib.md5(target.encode()).hexdigest()[:12]
-    out = os.path.join(SCRATCH, "graphs", f"copurchase_{key}.parquet")
+    out = _copurchase_path(sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         copurchase_edges_frame(
             load_table(spark, sf_dir, "lineitem")
@@ -147,55 +155,68 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (never a driver collect, never a literal — one plan serves
     every SF, the CLAUDE.md derive-in-query rule).
     """
-    # cache for the loop: 8 rounds + the degree pass would otherwise
-    # re-scan the persisted parquet once per round (the r11 bench draw
-    # measured the 8-scan form at ~2x the cached one)
-    edges = persisted_copurchase_edges(spark, sf_dir).persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    n1 = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = (
-        deg.select(F.col("src").alias("part"), "outdeg")
-        .crossJoin(F.broadcast(n1))
-        .withColumn("r", F.expr(f"{PR_MASS} div n"))
-    )
-    for i in range(PR_ROUNDS):
-        shares = ranks.select(
-            F.col("part").alias("src"), F.expr("r div outdeg").alias("share")
+    # fixed-plan loop (r15 optimization, functions.loops): AQE +
+    # auto-broadcast off for the rounds, edges cached PRE-PARTITIONED on
+    # the round join key (one shuffle now instead of a per-round
+    # broadcast-or-shuffle of the SF-scaling edge table), and the rank
+    # state keeps its hash partitioning through every checkpoint — each
+    # round runs exactly ONE exchange, the inflow aggregate transport
+    # (11.5 s / 56 AQE stage-jobs -> ~5.5 s / 7 jobs at sf0.1, checksum-
+    # identical; plan pinned in tests/test_plans.py)
+    from frolyk_spark.functions.loops import dir_bytes, fixed_plan_loop
+
+    ebytes = dir_bytes(_copurchase_path(sf_dir))
+    with fixed_plan_loop(spark, big_bytes=ebytes) as nparts:
+        edges = (
+            persisted_copurchase_edges(spark, sf_dir)
+            .repartition(nparts, "src")
+            .persist()
         )
-        inflow = (
-            edges.join(shares, "src")
-            .groupBy("dst")
-            .agg(F.sum("share").alias("inflow"))
-        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        n1 = deg.agg(F.count(F.lit(1)).alias("n"))
         ranks = (
-            ranks.join(inflow, ranks.part == inflow.dst, "left")
-            .select(
-                "part",
-                "outdeg",
-                "n",
-                (
-                    F.expr(f"({15 * PR_MASS} div (100 * n))")
-                    + F.expr(
-                        f"({PR_DAMP_PCT} * coalesce(inflow, 0)) div 100"
-                    )
-                ).alias("r"),
-            )
+            deg.select(F.col("src").alias("part"), "outdeg")
+            .crossJoin(F.broadcast(n1))
+            .withColumn("r", F.expr(f"{PR_MASS} div n"))
         )
-        # the rank frame is O(#parts) — cut lineage EVERY SECOND round:
-        # per-round eager checkpoints made each round its own Spark job
-        # (8 jobs), every-2 halves the job count at bounded plan depth
-        # (13.1 -> 10.5 s at sf0.1, bit-identical output; cutting only
-        # at the end re-inflates to 13.9 s from the 8-join-deep plan)
-        if i % 2 == 1:
+        for i in range(PR_ROUNDS):
+            shares = ranks.select(
+                F.col("part").alias("src"), F.expr("r div outdeg").alias("share")
+            )
+            inflow = (
+                edges.join(shares, "src")
+                .groupBy("dst")
+                .agg(F.sum("share").alias("inflow"))
+            )
+            ranks = (
+                ranks.join(inflow, ranks.part == inflow.dst, "left")
+                .select(
+                    "part",
+                    "outdeg",
+                    "n",
+                    (
+                        F.expr(f"({15 * PR_MASS} div (100 * n))")
+                        + F.expr(
+                            f"({PR_DAMP_PCT} * coalesce(inflow, 0)) div 100"
+                        )
+                    ).alias("r"),
+                )
+            )
+            # the rank frame is O(#parts) — cut lineage EVERY SECOND round:
+            # per-round eager checkpoints made each round its own Spark job
+            # (8 jobs), every-2 halves the job count at bounded plan depth
+            # (re-measured under the fixed-plan regime r15: every-2 5.2-6.4 s
+            # vs every-4 6.7-7.3 s vs end-only 8.2-10.5 s, bit-identical)
+            if i % 2 == 1:
+                ranks = cut_lineage(ranks)
+        if PR_ROUNDS % 2 == 1:
+            # the every-2 cadence leaves an odd final round uncut — cut it so
+            # the returned frame never re-reads the edge cache we release below
             ranks = cut_lineage(ranks)
-    if PR_ROUNDS % 2 == 1:
-        # the every-2 cadence leaves an odd final round uncut — cut it so
-        # the returned frame never re-reads the edge cache we release below
-        ranks = cut_lineage(ranks)
-    # the final cut is EAGER (every-2 cadence lands on the last round when
-    # PR_ROUNDS is even; the guard above handles odd), so nothing downstream
-    # of the returned frame re-reads the edge cache — release the blocks now
-    edges.unpersist()
+        # the final cut is EAGER (every-2 cadence lands on the last round when
+        # PR_ROUNDS is even; the guard above handles odd), so nothing downstream
+        # of the returned frame re-reads the edge cache — release the blocks now
+        edges.unpersist()
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("r"), F.asc("part"))
@@ -315,67 +336,82 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_label_propagation fixpoint-action posture); state frame
     lineage-cut per round so plan depth stays constant.
     """
-    edges = persisted_copurchase_edges(spark, sf_dir).persist()
-    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    k1 = deg0.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("deg").alias("m")
-    ).select(
-        F.expr(f"(({KCORE_NUM} * (m div n)) div {KCORE_DEN})").alias("k")
-    )
-    state = (
-        deg0.select(F.col("src").alias("part"), "deg")
-        .crossJoin(F.broadcast(k1))
-        .withColumn("rr", F.lit(None).cast("bigint"))
-    )
-    # ONE action per round (r15 optimization): the early-stop casualty
-    # count is a filter over the SAME frame the round materializes, so a
-    # LAZY lineage cut + one count action replaces the old eager
-    # checkpoint + separate count (2 jobs/round -> 1, bit-identical
-    # output). The lazy cut truncates the plan exactly like the eager
-    # one; the count scans every partition, so the next round's three
-    # plan arms (stamp, removed filter, loss join) all read materialized
-    # blocks.
-    for t in range(1, KCORE_ROUNDS + 1):
-        # stamp this round's casualties, freezing their residual degree
-        state = state.withColumn(
-            "rr",
-            F.when(F.col("rr").isNull() & (F.col("deg") < F.col("k")), F.lit(t))
-            .otherwise(F.col("rr")),
+    # fixed-plan loop (r15, functions.loops — see pagerank_parts): edges
+    # cached pre-partitioned on dst (the casualty-join key), state keeps
+    # hash(part) through every checkpoint, so a round's only exchange is
+    # the loss aggregate transport (the casualty join itself runs
+    # co-partitioned: removed is a filter+rename of the hash(part) state)
+    from frolyk_spark.functions.loops import dir_bytes, fixed_plan_loop
+
+    ebytes = dir_bytes(_copurchase_path(sf_dir))
+    with fixed_plan_loop(spark, big_bytes=ebytes) as nparts:
+        edges = (
+            persisted_copurchase_edges(spark, sf_dir)
+            .repartition(nparts, "dst")
+            .persist()
         )
-        # delta: alive parts lose exactly their edges into THIS round's
-        # casualty set; everyone else's degree is already correct
-        removed = state.where(F.col("rr") == t).select(
-            F.col("part").alias("dst")
+        deg0 = edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
         )
-        loss = (
-            edges.join(removed, "dst")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("lost"))
-            .withColumnRenamed("src", "part")
+        k1 = deg0.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("deg").alias("m")
+        ).select(
+            F.expr(f"(({KCORE_NUM} * (m div n)) div {KCORE_DEN})").alias("k")
         )
-        state = cut_lineage(
-            state.join(loss, "part", "left").select(
-                "part",
-                F.when(
-                    F.col("rr").isNull(),
-                    F.col("deg") - F.coalesce("lost", F.lit(0)),
-                ).otherwise(F.col("deg")).cast("bigint").alias("deg"),
-                "k",
+        state = (
+            deg0.select(F.col("src").alias("part"), "deg")
+            .crossJoin(F.broadcast(k1))
+            .withColumn("rr", F.lit(None).cast("bigint"))
+        )
+        # ONE action per round (r15 optimization): the early-stop casualty
+        # count is a filter over the SAME frame the round materializes, so a
+        # LAZY lineage cut + one count action replaces the old eager
+        # checkpoint + separate count (2 jobs/round -> 1, bit-identical
+        # output). The lazy cut truncates the plan exactly like the eager
+        # one; the count scans every partition, so the next round's three
+        # plan arms (stamp, removed filter, loss join) all read materialized
+        # blocks.
+        for t in range(1, KCORE_ROUNDS + 1):
+            # stamp this round's casualties, freezing their residual degree
+            state = state.withColumn(
                 "rr",
-            ),
-            eager=False,
-        )
-        # exact early stop the delta form enables: a zero-casualty round
-        # changes NOTHING (no removals ⇒ no degree deltas ⇒ the casualty
-        # predicate evaluates identically next round), so every remaining
-        # round is a no-op and skipping them is bit-identical to running
-        # the budget out — which is exactly what the 12-round oracle does.
-        # The count doubles as the materializing action for this round's
-        # state (the ORACLE still unrolls all rounds, so cross-engine
-        # parity is untouched).
-        if state.where(F.col("rr") == t).count() == 0:
-            break
-    edges.unpersist()
+                F.when(F.col("rr").isNull() & (F.col("deg") < F.col("k")), F.lit(t))
+                .otherwise(F.col("rr")),
+            )
+            # delta: alive parts lose exactly their edges into THIS round's
+            # casualty set; everyone else's degree is already correct
+            removed = state.where(F.col("rr") == t).select(
+                F.col("part").alias("dst")
+            )
+            loss = (
+                edges.join(removed, "dst")
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("lost"))
+                .withColumnRenamed("src", "part")
+            )
+            state = cut_lineage(
+                state.join(loss, "part", "left").select(
+                    "part",
+                    F.when(
+                        F.col("rr").isNull(),
+                        F.col("deg") - F.coalesce("lost", F.lit(0)),
+                    ).otherwise(F.col("deg")).cast("bigint").alias("deg"),
+                    "k",
+                    "rr",
+                ),
+                eager=False,
+            )
+            # exact early stop the delta form enables: a zero-casualty round
+            # changes NOTHING (no removals ⇒ no degree deltas ⇒ the casualty
+            # predicate evaluates identically next round), so every remaining
+            # round is a no-op and skipping them is bit-identical to running
+            # the budget out — which is exactly what the 12-round oracle does.
+            # The count doubles as the materializing action for this round's
+            # state (the ORACLE still unrolls all rounds, so cross-engine
+            # parity is untouched).
+            if state.where(F.col("rr") == t).count() == 0:
+                break
+        edges.unpersist()
     conv = state.agg(
         (F.sum(
             F.when(F.col("rr").isNull() & (F.col("deg") < F.col("k")), 1)
@@ -626,18 +662,23 @@ def components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint landing exactly on the final round). Labels are part keys
     (BIGINTs) end to end — bit-exact across engines by construction.
     """
+    from frolyk_spark.functions.loops import dir_bytes
     from frolyk_spark.operators.dedup import min_label_propagation
 
     # the persisted table is already symmetric — declare it so the
-    # propagation skips its symmetrizing union AND the materializing cut
-    # (a bare persisted scan re-read per round is the CLAUDE.md cheap-
-    # rescan exception; the r13 draw measured the redundant
-    # filter+union+checkpoint of 1.9M rows on every call)
+    # propagation skips its symmetrizing union; the propagation now
+    # checkpoints the scan ONCE pre-partitioned on the round join key
+    # (the r15 fixed-plan loop regime — one up-front exchange buys
+    # co-partitioned rounds, superseding the r13 bare-rescan posture),
+    # and sizes its partitioning from the artifact's on-disk bytes
     pairs = persisted_copurchase_edges(spark, sf_dir).select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
     labels, converged = min_label_propagation(
-        pairs, COMPONENTS_ROUNDS, symmetric=True
+        pairs,
+        COMPONENTS_ROUNDS,
+        symmetric=True,
+        big_bytes=dir_bytes(_copurchase_path(sf_dir)),
     )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size")
@@ -865,13 +906,7 @@ def persisted_copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     five residents (C67/C69-C72) reuse their established schema — and a
     schema change under a _SUCCESS reuse check would silently serve old
     files to new readers."""
-    import hashlib
-
-    from frolyk_spark.sources.streams import SCRATCH
-
-    target = os.path.realpath(os.path.join(sf_dir, "lineitem.parquet"))
-    key = hashlib.md5(target.encode()).hexdigest()[:12]
-    out = os.path.join(SCRATCH, "graphs", f"copurchase_w_{key}.parquet")
+    out = _copurchase_path(sf_dir, weighted=True)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         symmetric_edges(
             basket_half_pairs(
@@ -904,44 +939,54 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PR_ROUNDS} rounds ⇒ fixed shuffle count. Output adds each part's
     weighted degree W (exact BIGINT) next to its score.
     """
-    edges = persisted_copurchase_weighted(spark, sf_dir).persist()
-    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
-    n1 = wdeg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = (
-        wdeg.select(F.col("src").alias("part"), "wdeg")
-        .crossJoin(F.broadcast(n1))
-        .withColumn("r", F.expr(f"{PR_MASS} div n"))
-    )
-    for i in range(PR_ROUNDS):
-        rates = ranks.select(
-            F.col("part").alias("src"), F.expr("r div wdeg").alias("rate")
+    # fixed-plan loop — the C67 r15 regime (see pagerank_parts): one
+    # exchange per round, edges cached pre-partitioned on src
+    from frolyk_spark.functions.loops import dir_bytes, fixed_plan_loop
+
+    ebytes = dir_bytes(_copurchase_path(sf_dir, weighted=True))
+    with fixed_plan_loop(spark, big_bytes=ebytes) as nparts:
+        edges = (
+            persisted_copurchase_weighted(spark, sf_dir)
+            .repartition(nparts, "src")
+            .persist()
         )
-        inflow = (
-            edges.join(rates, "src")
-            .groupBy("dst")
-            .agg(
-                F.sum(F.col("w") * F.col("rate")).cast("bigint").alias("inflow")
-            )
-        )
+        wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
+        n1 = wdeg.agg(F.count(F.lit(1)).alias("n"))
         ranks = (
-            ranks.join(inflow, ranks.part == inflow.dst, "left")
-            .select(
-                "part",
-                "wdeg",
-                "n",
-                (
-                    F.expr(f"({15 * PR_MASS} div (100 * n))")
-                    + F.expr(
-                        f"({PR_DAMP_PCT} * coalesce(inflow, 0)) div 100"
-                    )
-                ).alias("r"),
-            )
+            wdeg.select(F.col("src").alias("part"), "wdeg")
+            .crossJoin(F.broadcast(n1))
+            .withColumn("r", F.expr(f"{PR_MASS} div n"))
         )
-        if i % 2 == 1:
+        for i in range(PR_ROUNDS):
+            rates = ranks.select(
+                F.col("part").alias("src"), F.expr("r div wdeg").alias("rate")
+            )
+            inflow = (
+                edges.join(rates, "src")
+                .groupBy("dst")
+                .agg(
+                    F.sum(F.col("w") * F.col("rate")).cast("bigint").alias("inflow")
+                )
+            )
+            ranks = (
+                ranks.join(inflow, ranks.part == inflow.dst, "left")
+                .select(
+                    "part",
+                    "wdeg",
+                    "n",
+                    (
+                        F.expr(f"({15 * PR_MASS} div (100 * n))")
+                        + F.expr(
+                            f"({PR_DAMP_PCT} * coalesce(inflow, 0)) div 100"
+                        )
+                    ).alias("r"),
+                )
+            )
+            if i % 2 == 1:
+                ranks = cut_lineage(ranks)
+        if PR_ROUNDS % 2 == 1:
             ranks = cut_lineage(ranks)
-    if PR_ROUNDS % 2 == 1:
-        ranks = cut_lineage(ranks)
-    edges.unpersist()
+        edges.unpersist()
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("r"), F.asc("part"))
@@ -1041,50 +1086,60 @@ def kcore_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     round with the alive-recount form (bit-identical to the delta by
     the kcore no-op argument). Python reference:
     tests/test_graph.py::_python_wkcore."""
-    edges = persisted_copurchase_weighted(spark, sf_dir).persist()
-    s0 = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
-    k1 = s0.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("s").alias("tw")
-    ).select(
-        F.expr(f"(({WKCORE_NUM} * (tw div n)) div {WKCORE_DEN})").alias("k")
-    )
-    state = (
-        s0.select(F.col("src").alias("part"), "s")
-        .crossJoin(F.broadcast(k1))
-        .withColumn("rr", F.lit(None).cast("bigint"))
-    )
-    # ONE action per round — the kcore_parts lazy-cut+count fusion (r15
-    # optimization): 2 jobs/round -> 1, bit-identical output.
-    for t in range(1, KCORE_ROUNDS + 1):
-        state = state.withColumn(
-            "rr",
-            F.when(F.col("rr").isNull() & (F.col("s") < F.col("k")), F.lit(t))
-            .otherwise(F.col("rr")),
+    # fixed-plan loop — the kcore_parts r15 regime: edges pre-partitioned
+    # on dst, one exchange (the loss transport) + one count action per round
+    from frolyk_spark.functions.loops import dir_bytes, fixed_plan_loop
+
+    ebytes = dir_bytes(_copurchase_path(sf_dir, weighted=True))
+    with fixed_plan_loop(spark, big_bytes=ebytes) as nparts:
+        edges = (
+            persisted_copurchase_weighted(spark, sf_dir)
+            .repartition(nparts, "dst")
+            .persist()
         )
-        removed = state.where(F.col("rr") == t).select(
-            F.col("part").alias("dst")
+        s0 = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
+        k1 = s0.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("s").alias("tw")
+        ).select(
+            F.expr(f"(({WKCORE_NUM} * (tw div n)) div {WKCORE_DEN})").alias("k")
         )
-        loss = (
-            edges.join(removed, "dst")
-            .groupBy("src")
-            .agg(F.sum("w").cast("bigint").alias("lost"))
-            .withColumnRenamed("src", "part")
+        state = (
+            s0.select(F.col("src").alias("part"), "s")
+            .crossJoin(F.broadcast(k1))
+            .withColumn("rr", F.lit(None).cast("bigint"))
         )
-        state = cut_lineage(
-            state.join(loss, "part", "left").select(
-                "part",
-                F.when(
-                    F.col("rr").isNull(),
-                    F.col("s") - F.coalesce("lost", F.lit(0)),
-                ).otherwise(F.col("s")).cast("bigint").alias("s"),
-                "k",
+        # ONE action per round — the kcore_parts lazy-cut+count fusion (r15
+        # optimization): 2 jobs/round -> 1, bit-identical output.
+        for t in range(1, KCORE_ROUNDS + 1):
+            state = state.withColumn(
                 "rr",
-            ),
-            eager=False,
-        )
-        if state.where(F.col("rr") == t).count() == 0:
-            break
-    edges.unpersist()
+                F.when(F.col("rr").isNull() & (F.col("s") < F.col("k")), F.lit(t))
+                .otherwise(F.col("rr")),
+            )
+            removed = state.where(F.col("rr") == t).select(
+                F.col("part").alias("dst")
+            )
+            loss = (
+                edges.join(removed, "dst")
+                .groupBy("src")
+                .agg(F.sum("w").cast("bigint").alias("lost"))
+                .withColumnRenamed("src", "part")
+            )
+            state = cut_lineage(
+                state.join(loss, "part", "left").select(
+                    "part",
+                    F.when(
+                        F.col("rr").isNull(),
+                        F.col("s") - F.coalesce("lost", F.lit(0)),
+                    ).otherwise(F.col("s")).cast("bigint").alias("s"),
+                    "k",
+                    "rr",
+                ),
+                eager=False,
+            )
+            if state.where(F.col("rr") == t).count() == 0:
+                break
+        edges.unpersist()
     conv = state.agg(
         (F.sum(
             F.when(F.col("rr").isNull() & (F.col("s") < F.col("k")), 1)
