@@ -220,6 +220,24 @@ ITERATIVE_WARM_KEYS = [
     "pagerank_parts",
 ]
 
+#: keys whose FIRST touch at sf_dir builds one-time persisted operator
+#: state (the E4 train-once pattern) that is not already covered by the
+#: iterative warm list: ann_eval fits the IVF centroids + PQ codebooks
+#: (r15's index build/query split — a fresh scratch would otherwise bill
+#: ~25 s of one-time index training to the timed ann_eval/ann_pq slots),
+#: bpe_encode trains the persisted BPE merge table, and
+#: mv_incremental_refresh seeds the MV partial state. ONE untimed
+#: first-touch each (no x2 — these are state builds, not codegen
+#: tier-up), run after the iterative warm passes so the timed draw
+#: measures query-side cost, which is what every call after the first
+#: pays in production. The signature/dhash/co-purchase artifacts are
+#: built by the iterative warm keys that consume them.
+PERSISTED_STATE_WARM_KEYS = [
+    "ann_eval",
+    "bpe_encode",
+    "mv_incremental_refresh",
+]
+
 #: interleaved-control protocol (r9 verdict item 5): a q1 control runs
 #: before the first key, after every CONTROL_EVERY keys, and after the
 #: last. A segment whose bounding controls exceed 1.3x the run-minimum
@@ -323,7 +341,7 @@ def main() -> None:
         # read 12.1 s timed right after a single warm pass vs 6-7 s on a
         # dedicated session's third run), so one pass only buys the
         # second-run cost.
-        for name in ITERATIVE_WARM_KEYS * 2:
+        for name in ITERATIVE_WARM_KEYS * 2 + PERSISTED_STATE_WARM_KEYS:
             fn = queries.get(name)
             if fn is None:
                 continue
