@@ -513,24 +513,16 @@ def triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic is BIGINT (counts only) — bit-exact across engines by
     construction, the pagerank/kcore exactness posture.
     """
-    # join-strategy pin (r15, guide §3.1): the closing probe streams the
-    # O(wedges) frame (41M rows at sf0.1) — under the default sort-merge
-    # preference Spark SORTS it; a shuffled-hash join builds on the
-    # oriented-edge side (bounded per partition) and skips that sort
-    # entirely (measured 8.1-8.6 -> 6.9-7.8 s interleaved at sf0.1,
-    # checksum-identical). AQE stays ON (wedge sizes are data-dependent;
-    # skew is already bounded by the sqrt(m) orientation). per_node is
-    # materialized inside the conf scope so the wedge pipeline actually
-    # plans under it — the returned frame is then a small part-keyed join.
-    prev_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-    try:
-        return _triangle_body(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_smj)
-
-
-def _triangle_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 probe, REJECTED (kept for the record): a shuffled-hash closing
+    # probe (to skip sorting the 41M-wedge stream side) cannot actually
+    # engage — the checkpointed oriented table carries no stats, so both
+    # preferSortMergeJoin=false and AQE's maxShuffledHashJoinLocalMapThreshold
+    # leave every join SortMergeJoin in the FINAL executed plan
+    # (plans/r15/triangle_parts_close_join_*.txt), and 4-rep interleaved
+    # timings of base vs pinned vs AQE-threshold variants are within
+    # noise (5.3-8.1 vs 5.4-7.2 vs 8.3-13 in a degrading window), all
+    # checksum-identical. The wedge volume itself is the cost and is
+    # already minimal for the exact algorithm (sqrt(m) orientation).
     edges = persisted_copurchase_edges(spark, sf_dir)
     deg = cut_lineage(
         edges.groupBy("src")
@@ -585,7 +577,7 @@ def _triangle_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single execution — a 3-way self-union would re-run the whole
     # wedge+probe pipeline once per role (Spark reuses exchanges, not
     # join operators; the 3x lesson measured at sf0.1: 14.8 -> ~6 s)
-    per_node = cut_lineage(
+    per_node = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
