@@ -156,6 +156,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_signature_path(sf_dir: str) -> str:
+    """Scratch path of the persisted signature artifact — exposed so the
+    clustering consumers can size their fixed-plan loop partitioning from
+    its on-disk bytes (the graph loops' _copurchase_path posture)."""
+    import hashlib
+
+    from frolyk_spark.sources.streams import SCRATCH
+
+    target = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    return os.path.join(SCRATCH, "signatures", f"minhash_{key}.parquet")
+
+
 def persisted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature table persisted to parquet once per source dataset and
     reread on later calls — the incremental-corpus shape a real pipeline
@@ -163,13 +176,7 @@ def persisted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer (banding, clustering, re-runs with new thresholds) reads the
     parquet instead of re-hashing the corpus. Keyed on the resolved source
     path, like the stream staging dirs."""
-    import hashlib
-
-    from frolyk_spark.sources.streams import SCRATCH
-
-    target = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(target.encode()).hexdigest()[:12]
-    out = os.path.join(SCRATCH, "signatures", f"minhash_{key}.parquet")
+    out = _minhash_signature_path(sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         minhash_signatures(spark, sf_dir).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
@@ -841,8 +848,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing every shingle of every document — runs once per corpus and is
     reread from parquet here, the incremental shape a real pipeline needs.
     """
+    from frolyk_spark.functions.loops import dir_bytes
+
+    # the persisted call above the dir_bytes read: first touch builds the
+    # artifact, so the loop sizing always sees the real on-disk size
     pairs = band_pairs(persisted_minhash_signatures(spark, sf_dir))
-    return min_label_clusters(pairs)
+    return min_label_clusters(
+        pairs, big_bytes=dir_bytes(_minhash_signature_path(sf_dir))
+    )
 
 
 def min_label_propagation(
@@ -895,8 +908,12 @@ def min_label_propagation(
         # exchanges) — strictly fewer shuffles than re-shuffling (or
         # broadcasting) the edge side per round whenever rounds >= 2,
         # which is why the former symmetric-scan cheap-rescan exception
-        # no longer applies
-        edges = _cut_lineage(base.repartition(nparts, "doc_b"))
+        # no longer applies. The cut is LAZY (r16): round 1's fixpoint
+        # count joins every edge partition, so it doubles as the
+        # materializing action — one fewer job per invocation, which the
+        # per-batch callers (stream_components: 4 invocations per run)
+        # feel most.
+        edges = _cut_lineage(base.repartition(nparts, "doc_b"), eager=False)
         labels = (
             edges.select(F.col("doc_a").alias("doc_id"))
             .distinct()
@@ -939,14 +956,23 @@ def min_label_propagation(
     return labels, converged
 
 
-def min_label_clusters(pairs: DataFrame) -> DataFrame:
+def min_label_clusters(pairs: DataFrame, *, big_bytes: int = 0) -> DataFrame:
     """The reusable CC core (factored out in r11 for the media dedup
     family): iterative min-label propagation over a (doc_a, doc_b) pair
     frame -> (doc_id, cluster_id, is_canonical). Near-dup components
     have tiny diameter, so non-convergence inside CC_MAX_ITERS is a
     defect here (raise loudly); graph residents with a fixed round
-    budget call min_label_propagation directly and surface the flag."""
-    labels, converged = min_label_propagation(pairs, CC_MAX_ITERS)
+    budget call min_label_propagation directly and surface the flag.
+
+    ``big_bytes``: on-disk size of the persisted artifact the pairs
+    derive from (signature/dHash table) — feeds the loop's partition
+    sizing so the fixed-plan rounds scale with the input instead of
+    pinning the cores//2 floor with AQE off (r15 verdict item 2: the
+    band-pair frame scales with the corpus; at 100 TB an unsized loop
+    is a spill risk with no adaptive rescue)."""
+    labels, converged = min_label_propagation(
+        pairs, CC_MAX_ITERS, big_bytes=big_bytes
+    )
     if not converged:
         raise RuntimeError(
             f"min_label_clusters did not converge in {CC_MAX_ITERS} rounds — "

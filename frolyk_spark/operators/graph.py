@@ -162,16 +162,17 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state keeps its hash partitioning through every checkpoint — each
     # round runs exactly ONE exchange, the inflow aggregate transport
     # (11.5 s / 56 AQE stage-jobs -> ~5.5 s / 7 jobs at sf0.1, checksum-
-    # identical; plan pinned in tests/test_plans.py)
+    # identical; plan pinned in tests/test_loops.py)
     from frolyk_spark.functions.loops import dir_bytes, fixed_plan_loop
 
+    # build the persisted artifact BEFORE sizing/entering the loop (r15
+    # ADVICE): on first touch dir_bytes would read 0 and the expensive
+    # one-time basket self-join would run under the loop's pinned tiny
+    # partition count with AQE off — severely under-partitioned at scale
+    edge_src = persisted_copurchase_edges(spark, sf_dir)
     ebytes = dir_bytes(_copurchase_path(sf_dir))
     with fixed_plan_loop(spark, big_bytes=ebytes) as nparts:
-        edges = (
-            persisted_copurchase_edges(spark, sf_dir)
-            .repartition(nparts, "src")
-            .persist()
-        )
+        edges = edge_src.repartition(nparts, "src").persist()
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         n1 = deg.agg(F.count(F.lit(1)).alias("n"))
         ranks = (
@@ -343,13 +344,11 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # co-partitioned: removed is a filter+rename of the hash(part) state)
     from frolyk_spark.functions.loops import dir_bytes, fixed_plan_loop
 
+    # artifact ensured before sizing/entering the loop — see pagerank_parts
+    edge_src = persisted_copurchase_edges(spark, sf_dir)
     ebytes = dir_bytes(_copurchase_path(sf_dir))
     with fixed_plan_loop(spark, big_bytes=ebytes) as nparts:
-        edges = (
-            persisted_copurchase_edges(spark, sf_dir)
-            .repartition(nparts, "dst")
-            .persist()
-        )
+        edges = edge_src.repartition(nparts, "dst").persist()
         deg0 = edges.groupBy("src").agg(
             F.count(F.lit(1)).cast("bigint").alias("deg")
         )
@@ -786,16 +785,24 @@ def graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 buckets via the bin-string bit-width trick
     (length(bin(x))-1), never libm.
     """
+    # ONE pass over the weighted table yields BOTH per-part measures
+    # (r16, verdict item 4): the weighted and unweighted artifacts hold
+    # the SAME symmetric pair set (one row per directed pair — weighted
+    # adds only the count column), so deg = count(*) per src over the
+    # weighted table is bit-identical to the old unweighted count while
+    # the strength sum rides the same aggregate. The old shape scanned
+    # a persisted table once per measure (deg build + strength build);
+    # this one builds a single (part, deg, s) checkpoint and every
+    # downstream consumer (both histograms, the fused global stats, the
+    # assortativity join) reads it.
     edges = persisted_copurchase_edges(spark, sf_dir)
-    deg = cut_lineage(
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-        .withColumnRenamed("src", "part")
-    )
-    strength = cut_lineage(
+    ds = cut_lineage(
         persisted_copurchase_weighted(spark, sf_dir)
         .groupBy("src")
-        .agg(F.sum("w").cast("bigint").alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg"),
+            F.sum("w").cast("bigint").alias("s"),
+        )
         .withColumnRenamed("src", "part")
     )
 
@@ -815,25 +822,23 @@ def graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum_val", "min_val", "max_val")
         )
 
-    buckets = hist(deg, "deg", "deg").unionByName(
-        hist(strength, "s", "strength")
-    )
-    globals_ = deg.agg(
+    buckets = hist(ds, "deg", "deg").unionByName(hist(ds, "s", "strength"))
+    # the five whole-graph sufficient statistics in ONE aggregate over
+    # the shared checkpoint (was two: deg-side + strength-side)
+    globals_ = ds.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("deg").cast("bigint").alias("m"),
         F.sum(F.col("deg") * F.col("deg")).cast("bigint").alias("sum_deg2"),
-    )
-    wglobals = strength.agg(
         F.sum("s").cast("bigint").alias("total_w"),
         F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sum_strength2"),
     )
     assort = (
         edges.join(
-            deg.select(F.col("part").alias("src"), F.col("deg").alias("dsrc")),
+            ds.select(F.col("part").alias("src"), F.col("deg").alias("dsrc")),
             "src",
         )
         .join(
-            deg.select(F.col("part").alias("dst"), F.col("deg").alias("ddst")),
+            ds.select(F.col("part").alias("dst"), F.col("deg").alias("ddst")),
             "dst",
         )
         .agg(
@@ -843,7 +848,6 @@ def graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         buckets.crossJoin(F.broadcast(globals_))
         .crossJoin(F.broadcast(assort))
-        .crossJoin(F.broadcast(wglobals))
         .select(
             "kind", "bucket", "n_parts", "sum_val", "min_val", "max_val",
             "n", "m", "sum_deg2", "assort_num", "total_w", "sum_strength2",
@@ -953,13 +957,11 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange per round, edges cached pre-partitioned on src
     from frolyk_spark.functions.loops import dir_bytes, fixed_plan_loop
 
+    # artifact ensured before sizing/entering the loop — see pagerank_parts
+    edge_src = persisted_copurchase_weighted(spark, sf_dir)
     ebytes = dir_bytes(_copurchase_path(sf_dir, weighted=True))
     with fixed_plan_loop(spark, big_bytes=ebytes) as nparts:
-        edges = (
-            persisted_copurchase_weighted(spark, sf_dir)
-            .repartition(nparts, "src")
-            .persist()
-        )
+        edges = edge_src.repartition(nparts, "src").persist()
         wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
         n1 = wdeg.agg(F.count(F.lit(1)).alias("n"))
         ranks = (
@@ -1100,13 +1102,11 @@ def kcore_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on dst, one exchange (the loss transport) + one count action per round
     from frolyk_spark.functions.loops import dir_bytes, fixed_plan_loop
 
+    # artifact ensured before sizing/entering the loop — see pagerank_parts
+    edge_src = persisted_copurchase_weighted(spark, sf_dir)
     ebytes = dir_bytes(_copurchase_path(sf_dir, weighted=True))
     with fixed_plan_loop(spark, big_bytes=ebytes) as nparts:
-        edges = (
-            persisted_copurchase_weighted(spark, sf_dir)
-            .repartition(nparts, "dst")
-            .persist()
-        )
+        edges = edge_src.repartition(nparts, "dst").persist()
         s0 = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
         k1 = s0.agg(
             F.count(F.lit(1)).alias("n"), F.sum("s").alias("tw")

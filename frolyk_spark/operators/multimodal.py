@@ -763,14 +763,10 @@ def _dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_codes_frame(docs)
 
 
-def persisted_dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The perceptual code table persisted once per source dataset and
-    reread on later calls — the E4 shape (persisted_minhash_signatures)
-    for the media modality: codes are computed when assets land, and
-    every consumer (pairing, clustering, the streaming incremental
-    probe, re-runs at new thresholds) reads the parquet instead of
-    re-decoding the corpus. Keyed on the resolved source path + the
-    dHash geometry version."""
+def _dhash_path(sf_dir: str) -> str:
+    """Scratch path of the persisted dHash artifact — exposed so the
+    clustering consumer can size its fixed-plan loop partitioning from
+    its on-disk bytes (the dedup._minhash_signature_path posture)."""
     import hashlib
 
     import os as _os
@@ -779,7 +775,20 @@ def persisted_dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     target = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(f"{target}:dhash{DHASH_BITS}".encode()).hexdigest()[:12]
-    out = _os.path.join(SCRATCH, "signatures", f"dhash_{key}.parquet")
+    return _os.path.join(SCRATCH, "signatures", f"dhash_{key}.parquet")
+
+
+def persisted_dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual code table persisted once per source dataset and
+    reread on later calls — the E4 shape (persisted_minhash_signatures)
+    for the media modality: codes are computed when assets land, and
+    every consumer (pairing, clustering, the streaming incremental
+    probe, re-runs at new thresholds) reads the parquet instead of
+    re-decoding the corpus. Keyed on the resolved source path + the
+    dHash geometry version."""
+    import os as _os
+
+    out = _dhash_path(sf_dir)
     if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
         _dhash_codes(spark, sf_dir).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
@@ -1059,9 +1068,13 @@ def media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as dedup_canonical does for text. Oracle: the image-pair SQL
     feeds the same tiny-diameter transitive-closure CTE the D15 oracle
     uses (tractable at oracle scale; the Spark side stays iterative)."""
+    from frolyk_spark.functions.loops import dir_bytes
     from frolyk_spark.operators.dedup import min_label_clusters
 
-    return min_label_clusters(image_dedup(spark, sf_dir))
+    # image_dedup's persisted_dhash_codes call ensures the artifact exists
+    # before dir_bytes sizes the loop from it (r15 verdict item 2)
+    pairs = image_dedup(spark, sf_dir)
+    return min_label_clusters(pairs, big_bytes=dir_bytes(_dhash_path(sf_dir)))
 
 
 def _media_clusters_sql() -> str:

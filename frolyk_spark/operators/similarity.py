@@ -93,6 +93,12 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's rank filter after AQE).
     """
     probes, corpus = _split(spark, sf_dir)
+    return _bruteforce_from(probes, corpus)
+
+
+def _bruteforce_from(probes: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Shared-input form (r16): ann_eval passes one lineage-cut corpus
+    to every method pipeline instead of letting each re-scan it."""
     return _rerank(corpus.crossJoin(F.broadcast(probes)))
 
 
@@ -183,10 +189,18 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     block ann_lsh_buckets certified green since r9, plus the exact fold
     rerank).
     """
+    probes, corpus = _split(spark, sf_dir)
+    return _lsh_from(spark, probes, probes.collect(), corpus)
+
+
+def _lsh_from(
+    spark: SparkSession, probes: DataFrame, probe_rows, corpus: DataFrame
+) -> DataFrame:
+    """Shared-input form (r16): takes the collected probe rows and the
+    (possibly lineage-cut) corpus so ann_eval pays one probe collect and
+    one corpus materialization across all method pipelines."""
     import numpy as np
 
-    probes, corpus = _split(spark, sf_dir)
-    probe_rows = probes.collect()  # O(N_PROBES) — the broadcast probe set
     x = np.stack([np.asarray(r.probe_emb, dtype=np.float64) for r in probe_rows])
     codes = _lsh_codes(x, _hyperplanes())
     pb = spark.createDataFrame(
@@ -460,14 +474,20 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the PERSISTED index (persisted_ivf_index) — query-side cost
     only, the production operating shape; the oracle is unchanged
     because the persisted fit is bit-identical to the inline one."""
+    probes, _ = _split(spark, sf_dir)
+    return _ivf_from(spark, sf_dir, probes, probes.collect())
+
+
+def _ivf_from(
+    spark: SparkSession, sf_dir: str, probes: DataFrame, probe_rows
+) -> DataFrame:
+    """Shared-input form (r16) — see _lsh_from."""
     import numpy as np
 
-    probes, _ = _split(spark, sf_dir)
     centroids, assigned = persisted_ivf_index(spark, sf_dir)
 
     cent = np.asarray(centroids, dtype=np.float64)
     cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-    probe_rows = probes.collect()  # O(N_PROBES) broadcast probe set
     x = np.stack([np.asarray(r.probe_emb, dtype=np.float64) for r in probe_rows])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     nearest_cells = np.argsort(-(x @ cent_unit.T), axis=1)[:, :IVF_NPROBE]
@@ -631,18 +651,28 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     production operating shape; the oracle is unchanged because the
     persisted fit/codes are bit-identical to the inline ones.
     """
+    probes, corpus = _split(spark, sf_dir)
+    return _pq_from(spark, sf_dir, probes, probes.collect(), corpus)
+
+
+def _pq_from(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: DataFrame,
+    probe_rows,
+    corpus: DataFrame,
+) -> DataFrame:
+    """Shared-input form (r16) — see _lsh_from."""
     from pyspark.sql.functions import pandas_udf
 
     import numpy as np
 
-    probes, corpus = _split(spark, sf_dir)
     books, coded_corpus = persisted_pq_index(spark, sf_dir)
     sub = DIM // PQ_M
     books_arr = [np.asarray(b, dtype=np.float64) for b in books]
 
     enc_cn2 = [(b**2).sum(-1) for b in books_arr]
 
-    probe_rows = probes.collect()  # O(N_PROBES) broadcast probe set
     probe_ids = [int(r.probe_id) for r in probe_rows]
     Q = np.stack([np.asarray(r.probe_emb, dtype=np.float64) for r in probe_rows])
     # LUT[p, m, k] = <q_p restricted to subspace m, codebook[m][k]>;
@@ -1585,15 +1615,32 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frolyk_spark.functions.lineage import cut_lineage
 
+    # Shared query-side inputs (r16, verdict item 3): the four method
+    # pipelines each used to re-derive the corpus projection (parquet
+    # scan + repartition exchange per consumer — 16 scans in the executed
+    # plan) and THREE of them re-collected the probe set. One lineage-cut
+    # corpus and one probe collect now feed every pipeline; the cut is
+    # the audit operator's own trade (4+ full passes over one bounded
+    # projection), not a helper default — standalone ann_lsh/ann_pq keep
+    # their bare-scan shape.
+    probes, corpus_raw = _split(spark, sf_dir)
+    corpus = cut_lineage(corpus_raw)
+    probe_rows = probes.collect()
+
     truth = cut_lineage(
-        ann_bruteforce(spark, sf_dir).select(
+        _bruteforce_from(probes, corpus).select(
             "probe_id", "neighbor_id", F.lit(1).alias("is_true")
         )
     )
+    methods = (
+        ("ivf", lambda: _ivf_from(spark, sf_dir, probes, probe_rows)),
+        ("lsh", lambda: _lsh_from(spark, probes, probe_rows, corpus)),
+        ("pq", lambda: _pq_from(spark, sf_dir, probes, probe_rows, corpus)),
+    )
     out = None
-    for name, fn in (("ivf", ann_ivf), ("lsh", ann_lsh), ("pq", ann_pq)):
+    for name, fn in methods:
         agg = (
-            fn(spark, sf_dir)
+            fn()
             .select("probe_id", "neighbor_id")
             .join(truth, ["probe_id", "neighbor_id"], "left")
             .agg(

@@ -4037,9 +4037,7 @@ def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frolyk_spark.functions.lineage import cut_lineage
     from frolyk_spark.operators.dedup import min_label_propagation
-    from frolyk_spark.operators.graph import (
-        COMPONENTS_ROUNDS, basket_half_pairs,
-    )
+    from frolyk_spark.operators.graph import COMPONENTS_ROUNDS
     from frolyk_spark.sources.streams import stage_keyed_file_drop
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -4070,8 +4068,25 @@ def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and the endpoint set); the checkpoint is BATCH-sized — the full
         # label state is deliberately never checkpointed, because the
         # prior version is already parquet on disk (the CLAUDE.md
-        # cheap-rescan exception covers its three reads below)
-        pairs = cut_lineage(basket_half_pairs(batch_df))
+        # cheap-rescan exception covers its three reads below).
+        # The kernel's outer pair-distinct is SKIPPED here (r16): both
+        # consumers re-distinct downstream (ends explicitly, cpairs after
+        # contraction), so the extra shuffle of the full pair set bought
+        # nothing — duplicate half-edges (two orders sharing a pair, mean
+        # multiplicity ~1.2 on basket data) ride the batch-sized
+        # contraction joins and collapse in cpairs.distinct(). Output
+        # bit-identical (probe checksums, r16 ledger); B34 keeps the
+        # distinct kernel — its edge store must not double-count.
+        dli = batch_df.select("l_orderkey", "l_partkey").distinct()
+        pa, pb = dli.alias("a"), dli.alias("b")
+        pairs = cut_lineage(
+            pa.join(pb, "l_orderkey")
+            .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+        )
         ends = pairs.select(
             F.explode(F.array("src", "dst")).alias("part")
         ).distinct()

@@ -19,13 +19,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def test_loop_partitions_core_floor_and_bytes_term(spark):
+    """Concrete literal expectations (r15 ADVICE: the old form restated
+    the implementation formula verbatim and could only catch a crash)."""
     cores = spark.sparkContext.defaultParallelism
-    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # small state: the floor is min(session setting, cores // 2)
-    assert loop_partitions(spark, 0) == max(min(cur, max(1, cores // 2)), 1)
-    # large artifact: the bytes term dominates (guide §2.2 sizing)
-    big = 1000 * LOOP_PARTITION_BYTES
-    assert loop_partitions(spark, big) == 1000
+    if cores < 6:
+        pytest.skip("literal expectations assume cores//2 >= 3")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        # small state: the session setting (3) undercuts the core floor
+        assert loop_partitions(spark, 0) == 3
+        # bytes term dominates once the artifact crosses its multiples
+        assert loop_partitions(spark, 5 * LOOP_PARTITION_BYTES) == 5
+        assert loop_partitions(spark, 5 * LOOP_PARTITION_BYTES - 1) == 4
+        assert loop_partitions(spark, 1000 * LOOP_PARTITION_BYTES) == 1000
+        # below one unit the floor holds
+        assert loop_partitions(spark, LOOP_PARTITION_BYTES - 1) == 3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_loop_partitions_respects_lowered_session_setting(spark):
@@ -41,6 +52,48 @@ def test_loop_partitions_respects_lowered_session_setting(spark):
 def test_loop_partitions_env_override(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LOOP_PARTS", "7")
     assert loop_partitions(spark, 10**15) == 7
+
+
+def test_min_label_propagation_honors_big_bytes(spark):
+    """r15 verdict item 2: the min-label loop's partition count must scale
+    with the persisted-artifact size its pairs derive from — observable as
+    the returned label frame's partitioning (each round's output carries
+    the loop's pinned count through the lazy checkpoint)."""
+    from frolyk_spark.operators.dedup import min_label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    want = loop_partitions(spark, 0) + 5  # strictly above the core floor
+    labels, converged = min_label_propagation(
+        pairs, 5, big_bytes=want * LOOP_PARTITION_BYTES
+    )
+    assert converged
+    assert labels.rdd.getNumPartitions() == want
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_sizes_loop_from_signature_artifact(spark, sf_dir, monkeypatch):
+    """The dedup_clusters call site passes the persisted signature
+    artifact's on-disk bytes into the CC core (r15 verdict item 2: an
+    unsized loop pins the cores//2 floor with AQE off — a 100 TB spill
+    risk)."""
+    import frolyk_spark.operators.dedup as dd
+    from frolyk_spark.functions.loops import dir_bytes
+
+    seen = {}
+    orig = dd.min_label_clusters
+
+    def spy(pairs, *, big_bytes=0):
+        seen["big_bytes"] = big_bytes
+        return orig(pairs, big_bytes=big_bytes)
+
+    monkeypatch.setattr(dd, "min_label_clusters", spy)
+    dd.dedup_clusters(spark, sf_dir).collect()
+    expect = dir_bytes(dd._minhash_signature_path(sf_dir))
+    assert expect > 0
+    assert seen["big_bytes"] == expect
 
 
 def test_fixed_plan_loop_restores_confs_on_error(spark):
