@@ -1626,6 +1626,10 @@ def ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes, corpus_raw = _split(spark, sf_dir)
     corpus = cut_lineage(corpus_raw)
     probe_rows = probes.collect()
+    # rebuild the probe frame from the collected rows (exact double
+    # round-trip): every method broadcast-joins it, and a local frame
+    # plans as LocalTableScan instead of one embeddings scan per method
+    probes = spark.createDataFrame(probe_rows, probes.schema)
 
     truth = cut_lineage(
         _bruteforce_from(probes, corpus).select(
